@@ -1,0 +1,309 @@
+"""Deduplication operators for large-scale text corpora.
+
+North-star additions (ABSENT-IN-REFERENCE, SURVEY.md §2B): exact dedup,
+n-gram Jaccard pairs, MinHash+LSH near-dup, SimHash. All pure DataFrame
+compositions — the hash primitives (sha2/md5/xxhash64) are Spark
+builtins, so everything stays JVM-side and codegen'd.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle on a 64-char key
+(not the full text). The pairwise operators all avoid the O(n^2) cross
+join: Jaccard goes through an inverted shingle index (the self-join blows
+up only on shingles shared by many docs — cap with ``max_shingle_freq``);
+MinHash-LSH buckets by band signature so only same-bucket candidates are
+joined; SimHash bands its bit-prefixes the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct (normalized) text: min id kept + group size.
+
+    groupBy on sha2 of the normalized text — the shuffle key is 64 bytes
+    regardless of document size, and map-side partial aggregation means
+    the full text never shuffles at all.
+    """
+    h = F.sha2(normalize_text(text_col), 256).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (space-joined), [] if too short."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalize_text(c), " ")
+    # slice is 1-based. Guard the short case explicitly: Spark's
+    # sequence(1, 0) yields a DESCENDING sequence, not an empty one.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index building block."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle (id_a < id_b), count common shingles per pair, then
+    ``J = common / (|A| + |B| - common)``. All integer arithmetic until
+    the final division, so the result is bit-deterministic.
+
+    ``max_shingle_freq`` drops shingles occurring in more than that many
+    docs before the self-join — the standard guard against the quadratic
+    blowup on boilerplate shingles at corpus scale (slightly lowers J for
+    affected pairs; leave None for exact semantics).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    joinable = sh
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(freq_ok, "shingle")
+
+    a = joinable.select(F.col("id").alias("id_a"), "shingle")
+    b = joinable.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures over word n-grams.
+
+    Hash family: ``xxhash64(shingle, seed=i)`` for i in [0, num_hashes) —
+    deterministic, JVM-side, no UDF. min per seed approximates the
+    permutation min. One explode + one groupBy; signature size is
+    num_hashes longs per doc regardless of doc length.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    minhashes = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*minhashes)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-estimate filter.
+
+    LSH: split the signature into ``bands`` bands of r = num_hashes/bands
+    rows; docs colliding on any band's hash become candidates (prob of a
+    pair with Jaccard J colliding = 1-(1-J^r)^b, the usual S-curve around
+    (1/b)^(1/r)). Candidates are then scored by full-signature agreement
+    (the unbiased MinHash estimate of J) and filtered at ``threshold``.
+
+    Plan shape: signatures (1 shuffle) → explode bands → groupBy band
+    bucket (1 shuffle) → within-bucket pairs → distinct → score. Only
+    bucket-mates ever meet, so cost tracks true-duplicate density, not n^2.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[band * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash bigint): sign of per-bit sums of token hashes.
+
+    Classic SimHash (Charikar): hash each token (with multiplicity) to
+    ``bits`` bits; bit i of the fingerprint is 1 iff the count of tokens
+    with bit i set exceeds half the token count. Near-identical docs land
+    within small Hamming distance. Implemented as one explode + one
+    groupBy with ``bits`` conditional-sum aggregates — no UDF.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"), *bit_sums)
+    fingerprint = None
+    for i in range(bits):
+        bit_on = (F.col(f"b{i}") * 2 > F.col("n_tok")).cast("long")
+        term = F.shiftleft(bit_on, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: two fingerprints within Hamming distance d < bands must agree
+    exactly on at least one of ``bands`` contiguous bit-blocks (pigeonhole)
+    — so an equi-join per block finds all such pairs without n^2.
+    Requires max_hamming < bands for completeness.
+    """
+    if max_hamming >= bands:
+        raise ValueError("completeness requires max_hamming < bands")
+    block = bits // bands
+    fp = simhash(df, id_col, text_col, bits)
+    mask = (1 << block) - 1
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * block)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

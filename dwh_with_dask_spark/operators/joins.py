@@ -1,0 +1,115 @@
+"""Join operators Spark lacks as single builtins: as-of join, range join.
+
+ABSENT-IN-REFERENCE (SURVEY.md §2B): the reference performs zero joins;
+these are capability-surface operators, designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    suffix: str = "",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_time <= left_time`` (backward) sharing the key(s).
+
+    Spark-first implementation — the union trick, ONE shuffle+sort total:
+    tag both sides, union them, and for each left row take the running
+    ``last(<right col>, ignorenulls=True)`` over a window partitioned by
+    key and ordered by (time, side-tag). Right rows sort before left rows
+    at equal timestamps, so ties match (<= semantics). This scales as a
+    single sort-within-key — no per-key loops, no broadcast of either
+    side, no O(n*m) range-join blowup; skewed keys are handled by AQE like
+    any other window shuffle.
+
+    ``direction='forward'`` gives the smallest ``right_time >= left_time``
+    (implemented by negating the sort order).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    left_cols = left.columns
+    right_payload = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + suffix if c in left_cols else c) for c in right_payload}
+
+    # Common layout: keys, event time, side tag, left payload, right payload.
+    lhs = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols if c not in keys],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_payload],
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
+        *[F.col(c).alias(out_names[c]) for c in right_payload],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(out_names[c], ignorenulls=True).over(w).alias("__f_" + out_names[c])
+            for c in right_payload
+        ],
+    )
+    result = (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *keys,
+            F.col("__t").alias(left_time),
+            *[F.col(c) for c in left_cols if c not in keys and c != left_time],
+            *[F.col("__f_" + out_names[c]).alias(out_names[c]) for c in right_payload],
+        )
+    )
+    return result
+
+
+def range_join(
+    left: DataFrame,
+    buckets: DataFrame,
+    value: str | Column,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+    broadcast_buckets: bool = True,
+) -> DataFrame:
+    """Join rows to interval buckets: ``lo <= value < hi``.
+
+    With a small bucket dimension (the normal case) the bucket side is
+    broadcast, so the non-equi condition evaluates as a broadcast
+    nested-loop join — no shuffle of the fact side at all. For two LARGE
+    interval sets, pre-bucket both sides to a common grid and equi-join on
+    the grid cell before applying the residual range predicate.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    b = F.broadcast(buckets) if broadcast_buckets else buckets
+    cond = (v >= b[lo]) & (v < b[hi])
+    return left.join(b, cond, how)

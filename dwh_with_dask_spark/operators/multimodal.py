@@ -1,0 +1,156 @@
+"""Multimodal (image/audio/video) column operators.
+
+North-star addition (SURVEY.md §2B): media are opaque ``binary`` columns
+plus a typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched Pandas UDFs over mapInPandas. The
+image/audio libraries are NOT in this container, so the decode kernels
+are stubbed (clearly-marked deterministic fakes or NotImplementedError)
+— while the Spark-side contract (schemas, batch iteration, partition
+sizing, UDF signatures) is real and tested.
+
+Scale notes: media rows are large and skew-prone. The operators assume
+(a) binary payloads stay in their own column so column pruning skips
+them unless needed, (b) repartitioning before decode targets
+~N_CORES×2 tasks of bounded bytes (use maxRecordsPerBatch to cap Arrow
+batch memory), (c) derived features are written to their own (narrow)
+table keyed by content hash, never re-decoded in place.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "path string, media_type string, n_bytes long, content_hash string"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "content_hash string, width int, height int, n_channels int, "
+    "mean_luma double, embedding array<float>"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "content_hash string, n_samples long, sample_rate int, duration_s double, "
+    "rms double"
+)
+
+
+def media_table(binaries: DataFrame, media_type: str) -> DataFrame:
+    """binaryFile scan rows → canonical media table:
+    (path, media_type, n_bytes, content_hash, content).
+
+    content_hash (sha256 of bytes) is the stable join key for derived
+    features — dedup before decode is a groupBy on this 64-char key.
+    """
+    return binaries.select(
+        F.col("path"),
+        F.lit(media_type).alias("media_type"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_hash"),
+        F.col("content"),
+    )
+
+
+def _decode_image_stub(content: bytes) -> np.ndarray:
+    """STUB — real impl: PIL/cv2 decode. Deterministic fake: a 4x4 gray
+    image whose intensity derives from the byte length, so tests get
+    stable, content-dependent output with the real array contract."""
+    level = len(content) % 256
+    return np.full((4, 4, 3), level, dtype=np.uint8)
+
+
+def _decode_audio_stub(content: bytes) -> tuple[np.ndarray, int]:
+    """STUB — real impl: soundfile/librosa. Deterministic fake: 1600
+    samples of a byte-length-seeded ramp at 16 kHz."""
+    n = 1600
+    x = np.linspace(0.0, (len(content) % 97) / 97.0, n, dtype=np.float32)
+    return x, 16_000
+
+
+def image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas.
+
+    Output one narrow row per content_hash (width/height/channels,
+    mean luma, a placeholder embedding). The UDF iterates Arrow batches —
+    per-batch memory is bounded by batch_rows × payload size.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content_hash, content in zip(pdf["content_hash"], pdf["content"]):
+                img = _decode_image_stub(bytes(content))
+                h, w, c = img.shape
+                luma = float(img.mean())
+                emb = (img.astype(np.float32).mean(axis=(0, 1)) / 255.0).tolist()
+                rows.append(
+                    {
+                        "content_hash": content_hash,
+                        "width": w,
+                        "height": h,
+                        "n_channels": c,
+                        "mean_luma": luma,
+                        "embedding": emb,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "content_hash",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "mean_luma",
+                    "embedding",
+                ],
+            )
+
+    deduped = media.dropDuplicates(["content_hash"]).select("content_hash", "content")
+    return deduped.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas (stubbed decode)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content_hash, content in zip(pdf["content_hash"], pdf["content"]):
+                samples, sr = _decode_audio_stub(bytes(content))
+                rows.append(
+                    {
+                        "content_hash": content_hash,
+                        "n_samples": len(samples),
+                        "sample_rate": sr,
+                        "duration_s": len(samples) / sr,
+                        "rms": float(np.sqrt(np.mean(samples**2))),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "content_hash",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_s",
+                    "rms",
+                ],
+            )
+
+    deduped = media.dropDuplicates(["content_hash"]).select("content_hash", "content")
+    return deduped.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling contract — NOT implementable without a video
+    decoder in this runtime."""
+    raise NotImplementedError(
+        "video decode requires ffmpeg/av on executors; the contract is "
+        "(content_hash, frame_no, frame_png binary) rows sampled every "
+        f"{every_n} frames via the same mapInPandas pattern as image_features"
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star additions (ABSENT-IN-REFERENCE, SURVEY.md §2B): brute-force
+cosine top-k as the exact baseline, and a random-hyperplane LSH bucketed
+variant as the scale path. Vector math uses built-in higher-order
+functions (zip_with / aggregate) — JVM-side, no Python in the hot loop.
+
+Scale notes: brute force is a single scan per query vector (fine for one
+query over 100 TB — it's embarrassingly parallel; wrong for n×n). The
+LSH path buckets vectors by sign-pattern of random projections so
+candidate sets shrink exponentially with bits; recall/latency trades off
+via ``bits`` and multi-probe (hamming-adjacent buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (double math)."""
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    The query vector is a literal array (broadcast implicitly in the
+    plan); the scan computes one fused projection per row and TopK runs
+    as TakeOrderedAndProject — no full sort, no shuffle of vectors.
+    Deterministic tie-break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col), q).alias("cosine_sim")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _projection_matrix(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (public SRP-LSH construction)."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim))
+
+
+def srp_signature(
+    vec_col: Column, planes: np.ndarray
+) -> Column:
+    """Sign-random-projection bucket id: bit i = (v · plane_i) >= 0."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseXOR(F.shiftleft((proj >= 0).cast("long"), i))
+    return sig
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: multi-table SRP-LSH prefilter, then exact cosine.
+
+    Classic (b, L) LSH: ``tables`` independent b-bit sign-random-projection
+    signatures; a vector is a candidate if ANY table's signature lands
+    within ``multiprobe_hamming`` bits of the query's signature for that
+    table. Multiple small tables, not one big signature, is what makes
+    recall controllable: P(candidate) = 1-(1-p_table)^L climbs steeply
+    with L for true neighbors while staying low for random vectors.
+
+    At corpus scale the L signatures are precomputed columns and the
+    table is bucketed by them, so a query probes L×(1+b·h) buckets
+    instead of scanning; here the prefilter is a single fused scan.
+    """
+    dim = len(query_vec)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    cond = None
+    for t in range(tables):
+        planes = _projection_matrix(dim, bits, seed + 1000 * t)
+        qsig = 0
+        for i, plane in enumerate(planes):
+            if float(np.dot(qv, plane)) >= 0:
+                qsig |= 1 << i
+        # All buckets within the probe radius of this table's query sig.
+        probes = [qsig]
+        if multiprobe_hamming >= 1:
+            probes += [qsig ^ (1 << i) for i in range(bits)]
+        if multiprobe_hamming >= 2:
+            probes += [
+                qsig ^ (1 << i) ^ (1 << j)
+                for i in range(bits)
+                for j in range(i + 1, bits)
+            ]
+        hit = srp_signature(F.col(vec_col), planes).isin(probes)
+        cond = hit if cond is None else (cond | hit)
+
+    candidates = df.filter(cond)
+    return (
+        candidates.select(
+            F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_self_join_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs approximate kNN: LSH-bucket equi-join, then per-row top-k.
+
+    The n^2 cross join is replaced by an equi-join on the SRP bucket —
+    only same-bucket pairs are scored. Per-id top-k via row_number over a
+    (bucket-pruned) window.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(df.select(F.size(vec_col)).first()[0] * [0])
+    planes = _projection_matrix(dim, bits, seed)
+    with_sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    a, b = with_sig.alias("a"), with_sig.alias("b")
+    pairs = a.join(
+        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine_sim").desc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

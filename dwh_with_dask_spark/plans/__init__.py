@@ -1,0 +1,16 @@
+"""Query plans: the driver-facing query registry + the reference ETL pipelines.
+
+``QUERIES`` maps query name → callable(spark, sf_dir) -> DataFrame.
+``ORACLES`` maps the same names → ANSI SQL for the DuckDB oracle (absent
+for non-SQL-expressible operators, which the driver checks rows-only).
+"""
+
+from dwh_with_dask_spark.plans.relational import ORACLES as _REL_ORACLES
+from dwh_with_dask_spark.plans.relational import QUERIES as _REL_QUERIES
+from dwh_with_dask_spark.plans.llm import ORACLES as _LLM_ORACLES
+from dwh_with_dask_spark.plans.llm import QUERIES as _LLM_QUERIES
+
+QUERIES = {**_REL_QUERIES, **_LLM_QUERIES}
+ORACLES = {**_REL_ORACLES, **_LLM_ORACLES}
+
+__all__ = ["QUERIES", "ORACLES"]

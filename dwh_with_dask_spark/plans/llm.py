@@ -1,0 +1,299 @@
+"""LLM training-data pipeline queries (north-star additions, SURVEY.md §2B).
+
+Dedup / similarity / text-analysis over the ``documents`` and
+``embeddings`` tables. Oracle-able queries carry DuckDB SQL that
+reproduces the semantics exactly (same md5/sha256 hex, same integer
+arithmetic, same regex classes); sketch-based operators (MinHash-LSH,
+SimHash, SRP-ANN) have no cross-engine oracle — those are covered by
+property tests against their exact counterparts in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.catalog import load_table
+from dwh_with_dask_spark.operators import dedup as D
+from dwh_with_dask_spark.operators import similarity as S
+from dwh_with_dask_spark.operators import textstats as TS
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB twin of dedup.normalize_text.
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB twin of textstats.tokens (split normalized text on single spaces).
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_docs",
+    f"""
+    SELECT sha256({_NORM_SQL}) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groupBy sha256 of normalized text (operators.dedup).
+    Shuffle key is 64 hex chars, never the document body."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id AS id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      FROM t
+    ),
+    sh AS (SELECT DISTINCT id, shingle FROM raw),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+               AS jaccard
+    FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.30
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.30 via the inverted shingle
+    index (operators.dedup.ngram_jaccard_pairs) — integer arithmetic up
+    to one final division, so it hash-matches the oracle exactly."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.30
+    )
+
+
+@query("dedup_minhash_lsh")  # sketch-based: no SQL oracle; see tests/test_dedup.py
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 hashes) + LSH(16 bands) candidate pairs with estimated
+    Jaccard >= 0.30. Property-tested against the exact Jaccard query."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.30,
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based fingerprint: engine-specific, rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (operators.dedup.simhash)."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash_pairs")  # rows-only (same reason as above)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates within Hamming distance 3 via 4-band
+    pigeonhole join."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3, bands=4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(qv AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 vector — the exact
+    ANN baseline (operators.similarity.cosine_topk): one fused scan,
+    TakeOrderedAndProject, no shuffle. Rounded to 6 dp for cross-engine
+    float stability; ordering uses the unrounded value."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    out = S.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@query("embedding_ann_lsh")  # LSH sketch: no oracle; recall-tested in tests/
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-10 for the same query vector —
+    the 100 TB path (multi-table bucket prune, then exact cosine on
+    candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.ann_lsh_topk(
+        emb, _query_vec(spark, sf_dir), k=10, bits=8, tables=16, multiprobe_hamming=1
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE))
+                 AS DOUBLE) / COUNT(*), 6) AS mean_sq_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column aggregation: per-label second moment of dimension 0
+    (element_at + agg) — the shape of centroid/statistics passes over
+    embedding columns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d0 = F.element_at("embedding", 1).cast("double")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(d0 * d0) / F.count(F.lit(1)), 6).alias("mean_sq_dim0"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "text_tokens_docs",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])'))
+               AS n_subword_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.bpe_ish_token_count("text").alias("n_subword_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "text_quality_docs",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','and','is','of','to','in','that'], x))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS mean_token_len
+    FROM t
+    """,
+)
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: stopword ratio, punctuation ratio, mean token
+    length — int/int double divisions, bit-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.stopword_ratio("text").alias("stopword_ratio"),
+        TS.punct_ratio("text").alias("punct_ratio"),
+        TS.mean_token_len("text").alias("mean_token_len"),
+    )
+
+
+_LANG_CASE = """
+    CASE
+      WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh, 1) THEN 'de'
+      WHEN s_en >= greatest(s_es, s_fr, s_zh, 1) THEN 'en'
+      WHEN s_es >= greatest(s_fr, s_zh, 1) THEN 'es'
+      WHEN s_fr >= greatest(s_zh, 1) THEN 'fr'
+      WHEN s_zh >= 1 THEN 'zh'
+      ELSE 'und'
+    END
+"""
+
+
+@query(
+    "lang_id_docs",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_intersect(list_distinct({_TOKS_SQL}),
+            ['der','die','und','ist','nicht','das','ein','zu'])) AS s_de,
+        len(list_intersect(list_distinct({_TOKS_SQL}),
+            ['the','a','and','is','of','to','in','that'])) AS s_en,
+        len(list_intersect(list_distinct({_TOKS_SQL}),
+            ['el','la','que','los','una','por','con','para'])) AS s_es,
+        len(list_intersect(list_distinct({_TOKS_SQL}),
+            ['le','la','les','est','une','dans','pour','que'])) AS s_fr,
+        len(list_intersect(list_distinct({_TOKS_SQL}),
+            ['的','是','了','在','我','有','和','不'])) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM scored
+    """,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (argmax with alphabetical tie-break)
+    alongside the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TS.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprint_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 3, 1)),
+                            i -> md5(array_to_string(toks[i:i+4], ' '))) AS hashes,
+             md5(array_to_string(toks, ' ')) AS whole
+      FROM t
+    )
+    SELECT doc_id, coalesce(list_min(hashes), whole) AS fingerprint FROM g
+    """,
+)
+def doc_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: min-md5 over word 5-grams (1-hash MinHash),
+    falling back to md5 of the whole normalized text for short docs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.doc_fingerprint("text", n=5).alias("fingerprint"))

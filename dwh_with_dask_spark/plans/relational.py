@@ -1,0 +1,878 @@
+"""Relational query suite (SURVEY.md §2B capability surface).
+
+Every query here is a declarative DataFrame/SQL plan — Catalyst supplies
+predicate pushdown, column pruning, join selection (broadcast for the
+dimension tables), partial aggregation, and TopK rewrite. Double
+aggregates use the decimal-sum idiom (functions.numeric.dsum) so results
+are order-independent and hash-match the DuckDB oracle bit-for-bit.
+
+Each query has a twin entry in ORACLES: the same semantics in ANSI SQL
+for DuckDB. Computed columns are aliased identically on both sides (the
+driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dwh_with_dask_spark.catalog import load_table, register_views
+from dwh_with_dask_spark.functions.numeric import dsum
+from dwh_with_dask_spark.operators.joins import asof_join, range_join
+from dwh_with_dask_spark.operators.sessionize import sessionize_by_gap
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Aggregation core
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(23,6)))
+               AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(23,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → filter → hash agg.
+
+    Filter and the 7-column projection push into the parquet scan; the
+    groupBy is a 6-group hash aggregate with map-side partials — the plan
+    is scan-bound at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            (dsum("l_extendedprice", 2) / cnt).alias("avg_price"),
+            (dsum("l_discount", 2) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30'
+      AND l_shipdate > TIMESTAMP '1997-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → fact join → agg → top-k.
+
+    customer is small → Catalyst broadcasts it into orders; only the
+    filtered orders shuffle against lineitem. Top-10 runs as
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    cutoff = F.lit("1997-06-30").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS DOUBLE)
+               AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join.
+
+    region/nation/supplier are broadcast (hinted; they are always tiny) —
+    the only shuffle is orders⋈lineitem on orderkey, and AQE may turn
+    even that into a broadcast once the date filter prunes orders.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@query(
+    "agg_orders_monthly",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total_sales,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: date_trunc keys + min/max/sum/count in one agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("total_sales"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "count_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("approx_distinct_parts")  # no oracle: HLL sketches are engine-specific
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
+    countDistinct (no expand, mergeable partials). Rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter / project / sort / top-k
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_project_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-03-01'
+      AND l_quantity < 5
+    """,
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: both predicates and the 5-column ReadSchema reach
+    the parquet reader (verified via explain in tests). Per-row double
+    arithmetic is IEEE-deterministic — no decimal guard needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_quantity") < 5)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@query(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject — each task
+    keeps a 20-row heap; no global sort, no shuffle of the full table."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query("distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate on the value; partials kill duplicates
+    before the shuffle."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@query(
+    "window_rank_customers",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense
+    FROM customer
+    """,
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per nation: one shuffle on the partition key, sort
+    within partitions. Ranking on the raw value keeps ties well-defined."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense"),
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS order_seq
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer; decimal accumulation keeps every prefix
+    exact. Deterministic order via (date, key) tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(23,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_lag_events",
+    """
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0)
+               AS delta
+    FROM events
+    """,
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the event stream per user (offset window frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        prev.alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("value") - F.coalesce(prev, F.lit(0.0))).alias("delta"),
+    )
+
+
+@query(
+    "ntile_order_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY quartile
+    """,
+)
+def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles then per-bucket stats. The global window is the
+    documented cost (single-partition sort); for 100 TB use approx
+    percentile_approx breakpoints instead — kept exact here to match the
+    oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins: semi / anti / subqueries / asof / range
+# --------------------------------------------------------------------------
+
+@query(
+    "semi_join_open_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def semi_join_open_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): no payload from the right side, dedup-free."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — customers that never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "exists_big_order_customers",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def exists_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front end — Catalyst rewrites it
+    to the same left-semi hash join the DataFrame API would produce."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "asof_join_events_orders",
+    """
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_orderkey) AS last_orderkey,
+             MAX_BY(o_totalprice, o_orderkey) AS last_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o1.last_orderkey, o1.last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): each event picks the most
+    recent order of the same customer. Right side is pre-reduced to one
+    row per (custkey, date) so the match is deterministic; the operator
+    itself is the union+window single-shuffle plan."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+        )
+    )
+    out = asof_join(e, o, on="user_id", left_time="ts", right_time="o_orderdate")
+    return out.select("event_id", "user_id", "ts", "last_orderkey", "last_totalprice")
+
+
+@query(
+    "range_join_order_buckets",
+    """
+    WITH buckets(bucket, lo, hi) AS (
+      VALUES ('xs', 0.0, 50000.0), ('s', 50000.0, 150000.0),
+             ('m', 150000.0, 300000.0), ('l', 300000.0, 450000.0),
+             ('xl', 450000.0, 1e18)
+    )
+    SELECT bucket, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS bucket_sales
+    FROM orders JOIN buckets ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY bucket
+    """,
+)
+def range_join_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via operators.joins.range_join: the bucket
+    dim broadcasts, so the non-equi predicate runs as a broadcast
+    nested-loop — zero shuffle of the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [
+            ("xs", 0.0, 50_000.0),
+            ("s", 50_000.0, 150_000.0),
+            ("m", 150_000.0, 300_000.0),
+            ("l", 300_000.0, 450_000.0),
+            ("xl", 450_000.0, 1e18),
+        ],
+        "bucket string, lo double, hi double",
+    )
+    joined = range_join(o, buckets, value="o_totalprice")
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("bucket_sales"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+@query(
+    "intersect_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — customers with both F and O orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersect(o_side)
+
+
+@query(
+    "except_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — P-order customers with no F orders."""
+    o = load_table(spark, sf_dir, "orders")
+    p_side = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return p_side.subtract(f_side)
+
+
+@query(
+    "union_high_value_keys",
+    """
+    SELECT o_custkey AS key, 'order' AS src FROM orders WHERE o_totalprice > 450000
+    UNION ALL
+    SELECT c_custkey AS key, 'customer' AS src FROM customer WHERE c_acctbal > 9900
+    """,
+)
+def union_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name (the reference's pd.concat analog, §2A #22)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_totalprice") > 450_000).select(
+        F.col("o_custkey").alias("key"), F.lit("order").alias("src")
+    )
+    b = c.filter(F.col("c_acctbal") > 9_900).select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
+    )
+    return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# Reshape: pivot / unpivot / cube / rollup / grouping sets
+# --------------------------------------------------------------------------
+
+@query(
+    "pivot_returnflag",
+    """
+    SELECT l_returnflag,
+           SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_F,
+           SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit values (no extra pass to discover
+    them — required practice at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS val
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (wide → long), Spark ≥3.4 builtin."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "cube_sales",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations in one pass (Expand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "rollup_order_year_status",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS sales
+    FROM orders GROUP BY ROLLUP (order_year, o_orderstatus)
+    """,
+)
+def rollup_order_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals year → (year,status) → grand total."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return o.rollup("order_year", "o_orderstatus").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", 2).alias("sales"),
+    )
+
+
+@query(
+    "grouping_sets_priority",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL front end."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured: JSON + date parts + strings
+# --------------------------------------------------------------------------
+
+@query(
+    "json_props_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column
+    (get_json_object — no full from_json schema needed for one path)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "date_parts_events",
+    """
+    SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS h,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+)
+def date_parts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp part extraction. Convention note: Spark dayofweek is
+    1=Sunday..7=Saturday while DuckDB's is 0=Sunday..6 — the oracle adds
+    1 to line up."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            (F.dayofweek("ts")).alias("dow"),
+            F.hour("ts").alias("h"),
+        )
+        .groupBy("y", "m", "dow", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "string_funcs_docs",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 20)) AS head_upper,
+           length(text) AS text_len,
+           length(replace(text, ' ', '')) AS n_nonspace,
+           CASE WHEN length(text) >= 40
+                THEN substr(text, length(text) - 19, 20) ELSE text END AS tail20,
+           concat(source, ':', lang) AS src_lang
+    FROM documents
+    """,
+)
+def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family over documents (upper/substr/length/replace
+    /concat) — all codegen'd builtins."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 20)).alias("head_upper"),
+        F.length("text").alias("text_len"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        F.when(
+            F.length("text") >= 40, F.col("text").substr(F.length("text") - 19, F.lit(20))
+        )
+        .otherwise(F.col("text"))
+        .alias("tail20"),
+        F.concat_ws(":", "source", "lang").alias("src_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows (batch twins of the streaming operators)
+# --------------------------------------------------------------------------
+
+@query(
+    "tumbling_window_events",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (F.window) — identical code path runs
+    under Structured Streaming with a watermark (streaming/events.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "sessionize_events_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators.sessionize.sessionize_by_gap)
+    aggregated to per-user session counts."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize_by_gap(e, "user_id", "ts", "5 minutes", order_cols=("event_id",))
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "session_window_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts >= LAG(ts) OVER w + INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (native session windows, 10-minute gap). The
+    oracle reproduces the merge semantics as gaps-and-islands SQL: a new
+    session starts when the gap is >= the timeout (events at exactly
+    start+gap fall outside the half-open window)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Replaces the reference's execution substrate (pandas eager + a degenerate
+1-partition Dask graph, ``project-dask.py:82``) with a properly configured
+Spark session: AQE on (runtime shuffle coalescing, broadcast selection,
+skew-join splitting), Arrow enabled for the pandas interop paths, UTC
+session time zone so timestamp semantics are reproducible.
+
+Local mode is a single JVM with N executor threads; on a real cluster the
+same code runs unchanged — the configs below are safe in both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dwh_with_dask_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``). ``shuffle_partitions`` defaults to the core count in
+    local mode — 200 tasks on a 32-thread box just adds scheduling
+    overhead; on a real cluster pass an explicit value sized to the data
+    (rule of thumb: ~128 MB of shuffle data per partition) or rely on AQE
+    coalescing from a higher initial value.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime re-planning — coalesce small shuffle partitions,
+        # convert to broadcast join when a side turns out small, split
+        # skewed partitions. Free scale-robustness; always on.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for createDataFrame(pandas)/toPandas/pandas_udf batches.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics across engines (DuckDB oracle
+        # reads the same parquet with naive timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if master.startswith("local"):
+        # Local mode: the driver is the only JVM, give it the memory.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,129 @@
+"""Structured Streaming over the events table shape.
+
+Design rule: every streaming aggregation here shares its transformation
+body with a batch twin in plans/relational.py (tumbling_window_events,
+session_window_events) — the DataFrame code is identical; only the
+source (read vs readStream) and sink differ. That is the Spark-native
+"kappa" guarantee: one definition, two execution modes.
+
+Watermarks bound state: an aggregation over event-time windows with a
+watermark drops state for windows older than (max event time - delay) —
+without it, streaming state grows forever. Late rows beyond the delay
+are dropped (counted in the StreamingQueryProgress).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Event time is TIMESTAMP (instant), not TIMESTAMP_NTZ: Spark's
+# EventTimeWatermark only accepts instant-typed event time. The session
+# runs in UTC, so wall-clock values line up with the batch NTZ columns.
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over events parquet: each micro-batch picks up
+    newly arrived files — the standard bridge for replay/testing and for
+    landing-zone ingestion (swap for Kafka in production; the schema and
+    every downstream transform stay identical)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, event_type) counts + sums; works on batch AND stream.
+
+    On a stream, the watermark lets Spark finalize and evict each hour's
+    state once event time passes window end + 2 hours.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows per user (merge-on-overlap, gap timeout).
+
+    Streaming requires the watermark so closed sessions finalize; batch
+    path matches plans.relational.session_window_events.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Append-mode parquet sink with checkpointing (exactly-once files)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+):
+    """Streaming JDBC sink via foreachBatch — the streaming analog of the
+    reference's to_sql load (§2A #26): each micro-batch is written with
+    the same distributed JDBC writer the batch path uses."""
+    from dwh_with_dask_spark.sources.jdbc import write_jdbc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(batch_df, url, table, mode="append")
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -1,0 +1,79 @@
+"""Dev loop: run every oracle-backed query vs DuckDB, report ALL diffs.
+
+Usage: python scripts/dev_diff.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from dwh_with_dask_spark.session import get_spark
+from tests.conftest import make_duck
+from tests.test_driver_contract import canon
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    spark = get_spark(app_name="dev_diff", master="local[8]", shuffle_partitions=8)
+    duck = make_duck(sf_dir)
+
+    failures = []
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception:
+            failures.append(name)
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name} (rows-only): {len(spark_rows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = duck.sql(oracles[name])
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            continue
+        msgs = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            msgs.append(f"cols spark={spark_cols} duck={duck_cols}")
+        elif len(spark_rows) != len(duck_rows):
+            msgs.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        else:
+            a = canon(spark_rows, spark_cols)
+            b = canon(duck_rows, duck_cols)
+            bad = [(x, y) for x, y in zip(a, b) if x != y]
+            if bad:
+                msgs.append(
+                    f"{len(bad)}/{len(a)} rows differ; first:\n"
+                    f"      spark={bad[0][0]}\n      duck ={bad[0][1]}"
+                )
+        if msgs:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(msgs)}")
+        else:
+            print(f"ok   {name}: {len(spark_rows)} rows match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,146 @@
+"""Golden-output tests for the three reference pipelines (SURVEY.md §5.2).
+
+Fixtures are shaped like the real inputs per FIXTURES.md A1-A4: Excel
+statement sheets (label / current / prior / english), the key-value
+general-info sheet, and PDF page text with date lines, section markers,
+statement lines, and a CALK outline region.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.plans.calk import detail_notes
+from dwh_with_dask_spark.plans.financial_etl import (
+    pipeline_v2,
+    pipeline_v3,
+)
+from dwh_with_dask_spark.sources.pdf import full_text, pages_from_rows
+
+
+@pytest.fixture()
+def statement_sheets(spark):
+    """Three raw sheets as read with header=1 (FIXTURES.md A1)."""
+    schema = "label_id string, current_value string, prior_value string, label_en string"
+    laba = spark.createDataFrame(
+        [
+            ("Pendapatan bersih!", "1,000.50", "900.25", "Net revenue"),
+            ("Beban pokok (penjualan)", "400", "350", "COGS"),
+            ("Laba koto®", "600.50", "550.25", None),
+        ],
+        schema,
+    )
+    posisi = spark.createDataFrame(
+        [
+            ("Kas & setara kas", "123.45", "garbage", "Cash"),
+            (None, "1", "2", "NullLabel"),
+        ],
+        schema,
+    )
+    arus = spark.createDataFrame(
+        [("Arus kas operasi.", "", None, "Operating CF")],
+        schema,
+    )
+    return {"Laba Rugi": laba, "Posisi Keuangan": posisi, "Arus Kas": arus}
+
+
+def test_pipeline_v2_golden(spark, statement_sheets):
+    out = pipeline_v2(statement_sheets, emitent="ACES")
+    assert out.columns == [
+        "ID",
+        "emitent",
+        "LaporanKeuangan",
+        "LaporanDetail",
+        "CurrentYearInstant",
+        "PriorYearInstant",
+    ]
+    rows = out.orderBy("ID").collect()
+    # Contiguous 1-based IDs in union order (sheet insertion order).
+    assert [r["ID"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert all(r["emitent"] == "ACES" for r in rows)
+    assert [r["LaporanKeuangan"] for r in rows] == (
+        ["Laba Rugi"] * 3 + ["Posisi Keuangan"] * 2 + ["Arus Kas"]
+    )
+    # clean_text_v2: punctuation stripped.
+    assert rows[0]["LaporanDetail"] == "Pendapatan bersih"
+    assert rows[1]["LaporanDetail"] == "Beban pokok penjualan"
+    # numeric coercion: thousands separators parsed, garbage/empty → 0.
+    assert rows[0]["CurrentYearInstant"] == 1000.50
+    assert rows[3]["PriorYearInstant"] == 0.0
+    assert rows[5]["CurrentYearInstant"] == 0.0
+
+
+PDF_PAGES = [
+    (
+        "doc1",
+        1,
+        "PT Contoh Tbk\n"
+        "Pada Tanggal 31 Desember 2023 dan 2022\n"
+        "Laporan laba rugi\n"
+        "Pendapatan bersih 1,000.50 rupiah\n"
+        "garbage line without numbers\n"
+        "Beban pokok 400 cost",
+    ),
+    (
+        "doc1",
+        2,
+        "Laporan arus kas\n"
+        "Arus kas operasi 55.5 op\n"
+        "Laporan neraca\n"
+        "Kas 123.45 cash\n"
+        "Catatan atas laporan selesai",
+    ),
+    (
+        "doc1",
+        3,
+        "Catatan Atas Laporan Keuangan\n"
+        "1. Umum\n"
+        "Perusahaan didirikan tahun 1995.\n"
+        "Berkedudukan di Jakarta.\n"
+        "1.a. Anak perusahaan\n"
+        "Memiliki 3 anak perusahaan.\n"
+        "2. Kebijakan akuntansi\n"
+        "Disusun berdasarkan SAK.",
+    ),
+]
+
+
+def test_pipeline_v3_golden(spark, statement_sheets):
+    pages = pages_from_rows(spark, PDF_PAGES)
+    out = pipeline_v3(statement_sheets, "ACES", pdf_full_text=full_text(pages))
+    rows = out.orderBy("ID").collect()
+    assert out.columns == ["ID", "emitent", "grup_lk", "item", "value", "quarter"]
+    # PDF rows come first (union order), quarter propagated everywhere.
+    assert all(r["quarter"] == "Q4 2023" for r in rows)
+    assert [r["ID"] for r in rows] == list(range(1, len(rows) + 1))
+    pdf_rows = [r for r in rows if r["ID"] <= 4]
+    assert {(r["grup_lk"], r["item"], r["value"]) for r in pdf_rows} == {
+        ("Laba Rugi", "Pendapatan bersih", 1000.50),
+        ("Laba Rugi", "Beban pokok", 400.0),
+        ("Arus Kas", "Arus kas operasi", 55.5),
+        ("Posisi Keuangan", "Kas", 123.45),
+    }
+    # Excel branch follows with the PDF-derived quarter (cross-source dep).
+    assert rows[4]["grup_lk"] == "Laba Rugi"
+    assert rows[4]["item"] == "Pendapatan bersih"
+
+
+def test_pipeline_v3_no_pdf_quarter_unknown(spark, statement_sheets):
+    out = pipeline_v3(statement_sheets, "ACES", pdf_full_text=None)
+    assert out.select(F.collect_set("quarter")).first()[0] == ["Unknown"]
+
+
+def test_detail_notes_golden(spark):
+    pages = pages_from_rows(spark, PDF_PAGES)
+    notes = detail_notes(pages).orderBy("id").collect()
+    # 3 notes; lines before the CALK marker are ignored; trailing note flushed.
+    assert [(n["Nomor"], n["calk"]) for n in notes] == [
+        ("1.", "Umum"),
+        ("1.a.", "Anak perusahaan"),
+        ("2.", "Kebijakan akuntansi"),
+    ]
+    assert notes[0]["deskripsi"] == "Perusahaan didirikan tahun 1995. Berkedudukan di Jakarta."
+    assert notes[1]["deskripsi"] == "Memiliki 3 anak perusahaan."
+    assert notes[2]["deskripsi"] == "Disusun berdasarkan SAK."
+    assert [n["id"] for n in notes] == [1, 2, 3]

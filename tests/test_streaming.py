@@ -1,0 +1,157 @@
+"""Structured Streaming tests (SURVEY.md §5.5).
+
+Strategy: stream the events parquet through the file source one file per
+micro-batch into a memory sink, and assert the streamed result equals
+the batch twin of the same transformation — plus an explicit
+watermark/late-data drop check with a crafted out-of-order stream.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.catalog import load_table
+from dwh_with_dask_spark.streaming.events import (
+    read_events_stream,
+    session_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir_spark(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def run_stream_to_memory(spark, stream_df, name: str, checkpoint: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_equals_batch(spark, tmpdir_spark):
+    # Stage the events table as a multi-file stream input.
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = f"{tmpdir_spark}/events_in"
+    events.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    streamed = run_stream_to_memory(
+        spark, tumbling_counts(stream), name, f"{tmpdir_spark}/ckpt1"
+    )
+    batch = tumbling_counts(events)
+
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+
+
+def test_streaming_session_counts_equals_batch(spark, tmpdir_spark):
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = f"{tmpdir_spark}/events_in2"
+    events.repartition(2).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    streamed = run_stream_to_memory(
+        spark, session_counts(stream), name, f"{tmpdir_spark}/ckpt2"
+    )
+    batch = session_counts(events)
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+
+
+def test_watermark_drops_late_rows(spark, tmpdir_spark):
+    """A row arriving behind the watermark must be excluded from its
+    (already finalized) window in append mode."""
+    import glob
+    import os
+    import shutil as sh
+    from datetime import datetime
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = f"{tmpdir_spark}/late_in"
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 5), 1, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 3, 0), 1, "click", 1.0, "{}"),  # advances watermark
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(3, datetime(2024, 1, 1, 3, 30), 1, "click", 1.0, "{}")],  # on time
+        schema,
+    )
+    batch3 = spark.createDataFrame(
+        [(4, datetime(2024, 1, 1, 0, 10), 1, "click", 1.0, "{}")],  # late beyond 1h
+        schema,
+    )
+
+    # The file source processes in modification-time order — stage the
+    # micro-batches with explicit names and mtimes so batch order is
+    # deterministic (plain writes would get random UUID part names).
+    # The watermark advances at the START of the batch after the data
+    # that moved it, and state eviction happens at END of batch — so the
+    # hour-0 window is finalized+evicted at the end of batch 2, and the
+    # late row in batch 3 must be dropped (a late row arriving in batch 2
+    # would legally still be aggregated; Spark's watermark is a drop
+    # *bound*, not an exact cut).
+    def stage(df, name, mtime):
+        tmp = f"{tmpdir_spark}/stage_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        sh.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    stage(batch1, "00-first", 1_700_000_000)
+    stage(batch2, "01-ontime", 1_700_000_100)
+    stage(batch3, "02-late", 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r["ws"]): r["n"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # Batch 1 advances the watermark to 02:00 and finalizes the hour-0
+    # window with exactly the on-time row; batch 2's late row (00:10)
+    # is behind the watermark and must be dropped, never resurrecting
+    # the finalized window.
+    assert rows["2024-01-01 00:00:00"] == 1
