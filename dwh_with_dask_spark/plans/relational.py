@@ -876,3 +876,272 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Statistics / arrays / dates / more window frames (§2B widening)
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_order_prices",
+    """
+    WITH s AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           sx / n AS mean_price,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price,
+           (sxx - sx * sx / n) / (n - 1) AS var_price
+    FROM s
+    """,
+)
+def stats_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (mean/stddev/variance) computed from exact
+    decimal power sums, then finished in double — deterministic across
+    engines and partitionings, unlike the built-in one-pass stddev whose
+    float accumulation is order-dependent. The per-group scan is still
+    single-pass; only the final scalar math changes."""
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    sx = dsum("o_totalprice", 2)
+    sxx = F.sum(
+        (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(30,4)")
+    ).cast("double")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            sx.alias("sx"),
+            sxx.alias("sxx"),
+        )
+        .select(
+            "o_orderstatus",
+            "n",
+            (F.col("sx") / F.col("n")).alias("mean_price"),
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("stddev_price"),
+            (
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("var_price"),
+        )
+    )
+
+
+@query(
+    "minmax_by_priority",
+    """
+    SELECT o_orderpriority,
+           MAX_BY(o_orderkey, ROW(o_totalprice, o_orderkey)) AS best_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS best_price,
+           MIN_BY(o_orderkey, ROW(o_totalprice, o_orderkey)) AS worst_order,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS worst_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation). Duplicate prices exist, so the
+    ordering value is a (price, key) struct — lexicographic comparison
+    makes the argmax deterministic in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    tie = F.struct("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", tie).alias("best_order"),
+        F.max("o_totalprice").alias("best_price"),
+        F.min_by("o_orderkey", tie).alias("worst_order"),
+        F.min("o_totalprice").alias("worst_price"),
+    )
+
+
+@query(
+    "array_funcs_docs",
+    """
+    WITH t AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                          AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           array_to_string(toks[1:3], '_') AS first3,
+           list_contains(toks, 'the') AS has_the,
+           len(list_distinct(toks)) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS alpha3
+    FROM t
+    """,
+)
+def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order function family: slice / contains / distinct /
+    sort — all codegen'd builtins over the token array."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(toks, 1, 3), "_").alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "alpha3"
+        ),
+    )
+
+
+@query(
+    "from_json_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json → struct) with a filter on the
+    extracted field — unlike get_json_object, the parsed struct is
+    reusable across many fields in one parse."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .select(
+            "event_id",
+            F.col("p.k").alias("k"),
+            (F.col("p.k") % 10).alias("k_mod"),
+        )
+    )
+
+
+@query(
+    "date_arith_orders",
+    """
+    SELECT o_orderkey,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+               AS days_to_2002,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def date_arith_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: datediff / add_months (with month-end
+    clamping) / last_day / quarter truncation."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+    )
+
+
+@query(
+    "string_agg_nations",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered in a
+    distributed engine, so sort the array before joining — the
+    deterministic idiom for string_agg parity."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): peers within
+    10000 price units below the current row."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+    )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value window functions with explicit frames (the
+    unbounded-following frame is what makes LAST_VALUE meaningful)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
+    "percentile_prices",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (sort-based). Note for 100 TB:
+    percentile_approx (t-digest sketch, mergeable) is the scale path;
+    exact kept here for oracle parity."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    )

@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the scale properties we claim must be
+visible in the actual plan (SURVEY.md §4; the .explain-and-iterate
+discipline). These tests parse explain() output — they catch silent
+regressions like a filter that stops pushing down or a dimension join
+that stops broadcasting.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from dwh_with_dask_spark.plans import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_push_into_scan(spark):
+    plan = plan_of(QUERIES["filter_project_pushdown"](spark, SF_CORRECT))
+    assert "PushedFilters:" in plan
+    # Both range predicates and the quantity predicate reach the reader.
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # Column pruning: the scan must read only the needed columns — the
+    # wide ones (l_comment-style) must be absent from ReadSchema.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(QUERIES["q3_shipping_priority"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(QUERIES["q5_local_supplier_volume"](spark, SF_CORRECT))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(QUERIES["topk_orders"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    # i.e. NOT a global sort followed by limit
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_CORRECT))
+    # Two-phase agg: map-side partial + final after exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "WholeStageCodegen" in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(QUERIES["range_join_order_buckets"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semi_and_anti_join_physical(spark):
+    semi = plan_of(QUERIES["semi_join_open_customers"](spark, SF_CORRECT))
+    anti = plan_of(QUERIES["anti_join_customers"](spark, SF_CORRECT))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """The shuffle key for exact dedup must be the 64-char sha2, and the
+    full text column must not survive past the scan projection."""
+    plan = plan_of(QUERIES["dedup_exact_docs"](spark, SF_CORRECT))
+    assert "sha2" in plan
+    # partial agg before the exchange: text never shuffles
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange]
