@@ -46,25 +46,63 @@ def exact_dedup(
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram shingles (space-joined), [] if too short."""
+    """Array of word n-gram shingles (space-joined), [] if too short.
+
+    Higher-order-function lambdas evaluate interpreted (outside codegen),
+    and any subexpression referenced inside the lambda re-evaluates PER
+    ELEMENT — naively inlining split() makes this O(len²) per document.
+    The outer single-element transform binds the token array once per row
+    (a poor man's `let`), so the inner lambda only slices and concats.
+    """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(normalize_text(c), " ")
-    # slice is 1-based. Guard the short case explicitly: Spark's
-    # sequence(1, 0) yields a DESCENDING sequence, not an empty one.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    per_row = F.transform(
+        F.array(toks),  # 1-element wrapper: forces single evaluation
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.transform(
+                # sequence(1, 0) would be DESCENDING, hence the guard.
+                F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+    return F.element_at(per_row, 1)
+
+
+def _grams_from_tokens(tk: Column, n: int) -> Column:
+    """n-gram array from an ALREADY-BOUND token-array column."""
+    grams = F.transform(
+        # sequence(1, 0) would be DESCENDING, hence the guard below.
+        F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+    )
+    return F.when(F.size(tk) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index building block."""
+    """(id, shingle) distinct pairs — the inverted-index building block.
+
+    Two deliberate plan choices:
+    - Tokenize BEFORE a repartition exchange, generate grams after it.
+      The exchange is a projection barrier: without it Catalyst collapses
+      the projects and re-inlines the split() into the per-element gram
+      lambda (higher-order lambdas evaluate interpreted), making gram
+      generation O(len²) per document.
+    - The repartition also fixes parallelism: a corpus arriving as few
+      large files would otherwise run this CPU-heavy stage at file
+      parallelism (here: 1 task).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        toks_df.repartition(parallelism, F.col("id"))
+        .select("id", F.explode(_grams_from_tokens(F.col("__toks"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -235,10 +273,15 @@ def simhash(
     within small Hamming distance. Implemented as one explode + one
     groupBy with ``bits`` conditional-sum aggregates — no UDF.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(parallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)

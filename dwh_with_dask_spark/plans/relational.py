@@ -937,12 +937,19 @@ def stats_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minmax_by_priority",
     """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        FROM orders)
     SELECT o_orderpriority,
-           MAX_BY(o_orderkey, ROW(o_totalprice, o_orderkey)) AS best_order,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
            CAST(MAX(o_totalprice) AS DOUBLE) AS best_price,
-           MIN_BY(o_orderkey, ROW(o_totalprice, o_orderkey)) AS worst_order,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order,
            CAST(MIN(o_totalprice) AS DOUBLE) AS worst_price
-    FROM orders GROUP BY o_orderpriority
+    FROM ranked GROUP BY o_orderpriority
     """,
 )
 def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

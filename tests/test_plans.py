@@ -52,10 +52,14 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_q1_partial_aggregation(spark):
-    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_CORRECT))
+    df = QUERIES["q1_pricing_summary"](spark, SF_CORRECT)
+    df.collect()  # AQE: codegen ids only appear in the final plan
+    plan = plan_of(df)
     # Two-phase agg: map-side partial + final after exchange.
     assert plan.count("HashAggregate") >= 2
-    assert "WholeStageCodegen" in plan
+    # Spark 4 formatted explain marks whole-stage-codegen membership as
+    # "[codegen id : N]" per node — the agg pipeline must be codegen'd.
+    assert "codegen id" in plan
 
 
 def test_range_join_is_broadcast_nested_loop(spark):
