@@ -148,6 +148,140 @@ def ann_lsh_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    This is the oracle baseline for embedding near-dedup: an n^2 self-join
+    with the cosine fused into the join projection. Vectors are L2-normalized
+    once *before* the join (map-side, one pass) so the pair computation is a
+    plain dot product — half the flops of naive cosine-per-pair and the
+    normalized column is what gets shuffled.
+
+    Scale note: exact all-pairs is quadratic and is NOT the 100 TB path —
+    at corpus scale run an LSH prefilter (``cosine_self_join_topk`` buckets,
+    or SimHash banding) and verify candidates with this same fused dot
+    product. Kept exact here because it is the ground truth the approximate
+    paths are recall-tested against.
+    """
+    inv = F.lit(1.0) / norm(_as_double(F.col(vec_col)))
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * inv).alias("nv"),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    sim = dot(F.col("a.nv"), F.col("b.nv"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _kmeans_centroids(
+    df: DataFrame,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: k-means with id-ordered seeds.
+
+    Seeds are the ``nlist`` vectors with the smallest ids (deterministic,
+    no RNG in the distributed path); each refinement iteration is one
+    assign (fused argmin expression, JVM-side) + one mean (posexplode →
+    groupBy(cell, pos) avg). The centroid table is nlist×dim — tiny by
+    construction — so collecting it to the driver is the standard IVF
+    design, not a scalability leak.
+    """
+    seeds = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assigned = df.select(
+            _nearest_centroid(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cell"], r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def _nearest_centroid(vec_col: Column, cents: np.ndarray) -> Column:
+    """Argmin over literal centroids as one fused expression.
+
+    Builds the array of squared distances and takes
+    array_position(dists, array_min(dists)) — first-match semantics give a
+    deterministic smallest-index tie-break, all JVM-side, no UDF.
+    """
+    vd = _as_double(vec_col)
+    dists = []
+    for c in cents:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vd, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize, probe nearest cells, exact
+    cosine inside them.
+
+    The inverted-file layout: every vector is assigned to its nearest of
+    ``nlist`` centroids; a query scores only the ``nprobe`` cells whose
+    centroids are closest to it, scanning nprobe/nlist of the data. At
+    corpus scale the cell id is a materialized partition column, so the
+    probe is partition pruning on the Parquet scan rather than a filter —
+    the same plan shape Faiss-IVF/Milvus use, expressed relationally.
+    """
+    cents = _kmeans_centroids(df, nlist, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qv) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cell = _nearest_centroid(F.col(vec_col), cents)
+    return (
+        df.filter(cell.isin(probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     k: int = 5,

@@ -153,6 +153,37 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query(
+    "embedding_near_dup_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.35), exact: normalize
+    map-side, fused dot-product self-join (operators.similarity.
+    cosine_pairs). Ground truth for the LSH/SimHash approximate dedup
+    paths; rounded to 6 dp for cross-engine float stability."""
+    out = S.cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@query("embedding_ann_ivf")  # approximate by design: no oracle; recall-tested
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the vec_id=0 query vector: deterministic
+    k-means coarse quantizer (nlist=16), probe the 4 nearest cells, exact
+    cosine within them (operators.similarity.ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nlist=16, nprobe=4)
+
+
 @query("embedding_ann_lsh")  # LSH sketch: no oracle; recall-tested in tests/
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-10 for the same query vector —

@@ -131,6 +131,42 @@ def test_ann_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"ANN recall@10 too low: {recall} (exact={exact}, ann={approx})"
 
 
+def test_cosine_pairs_exact(spark):
+    """cosine_pairs on a tiny controlled set: known geometry."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in S.cosine_topk(rest, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in S.ivf_topk(rest, q, k=10, nlist=16, nprobe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    # Near-orthogonal random vectors: cells are essentially arbitrary
+    # Voronoi chunks, so probing 4/16 cells should still catch a solid
+    # fraction of the true top-10; assert above the 25% scan-fraction
+    # baseline with margin for the planted-cluster structure.
+    assert recall >= 0.3, f"IVF recall@10 too low: {recall} (exact={exact}, ivf={approx})"
+
+
 def test_word_ngrams_short_doc(spark):
     df = spark.createDataFrame([("one two",)], "text string")
     out = df.select(D.word_ngrams("text", 3).alias("g")).first()["g"]
