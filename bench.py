@@ -46,6 +46,19 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def jvm_gc(spark) -> None:
+    """Inter-trial driver GC (JMH-style benchmark hygiene).
+
+    Spark frees broadcast blocks and shuffle state via ContextCleaner,
+    which only acts when driver GC collects the references. Local-mode
+    ParallelGC with an 8g heap can go the whole suite without a full
+    collection, so earlier queries' state piles up and penalizes later
+    shuffle-heavy ones (measured: up to 6x on the shingle join). A forced
+    GC between queries isolates each measurement.
+    """
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -55,12 +68,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         materialize(fn(spark, sf_dir))  # warmup (JIT, code cache, FS cache)
+        jvm_gc(spark)
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        jvm_gc(spark)
 
     total = round(sum(timings.values()), 3)
     print(

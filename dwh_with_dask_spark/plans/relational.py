@@ -1152,3 +1152,176 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
         F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
     )
+
+
+# --------------------------------------------------------------------------
+# Outer joins / subqueries / bivariate stats
+# --------------------------------------------------------------------------
+
+@query(
+    "q6_revenue_filter",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(23,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg.
+    Everything pushes to the Parquet scan (date/decimal range filters are
+    all pushable); the agg is a partial+final over one narrow projection —
+    the canonical 'filter must reach the scan' plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(23,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(23,2))), 0) AS DOUBLE)
+               AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers: COUNT(col) skips
+    the nulls the outer side introduces, COALESCE(SUM) turns the null
+    group into 0. Shuffle key is c_custkey on both sides — at scale,
+    bucketing both tables by custkey makes this join shuffle-free."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice", 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "full_outer_daily_activity",
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+               FROM events GROUP BY 1),
+         o AS (SELECT o_orderdate AS d, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT COALESCE(e.d, o.d) AS day,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.d = o.d
+    """,
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated daily series — aggregate
+    BEFORE joining so the outer join runs on ~days rows, not raw events
+    × orders (the at-scale ordering that keeps the shuffle tiny)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    e_day = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    o_day = o.groupBy(F.col("o_orderdate").alias("d2")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = e_day.join(o_day, e_day.d == o_day.d2, "full_outer")
+    return j.select(
+        F.coalesce("d", "d2").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice >
+          (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(23,2))) AS DOUBLE)
+                  / COUNT(*) FROM part)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced above the global mean.
+    Spark plans the subquery as an independent stage whose single-row
+    result broadcasts into the filter — two scans of part, no join
+    shuffle. Mean from exact decimal sums for cross-engine determinism."""
+    p = load_table(spark, sf_dir, "part")
+    mean = p.agg(
+        (dsum("p_retailprice", 2) / F.count(F.lit(1))).alias("m")
+    )
+    return (
+        p.join(F.broadcast(mean))
+        .filter(F.col("p_retailprice") > F.col("m"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@query(
+    "corr_quantity_price",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(23,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+    FROM s
+    """,
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per return flag from exact
+    decimal power sums (same idiom as stats_order_prices): one scan, one
+    partial+final agg, deterministic under any partitioning — unlike the
+    built-in one-pass corr whose float accumulation is order-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", 2).alias("sx"),
+        dsum("l_extendedprice", 2).alias("sy"),
+        F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(30,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return g.select(
+        "l_returnflag",
+        "n",
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+    )
