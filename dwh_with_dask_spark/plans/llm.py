@@ -218,6 +218,65 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; SURVEY.md §2B)
+# --------------------------------------------------------------------------
+
+@query(
+    "multimodal_media_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_hash,
+           'text' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media plumbing: payload bytes + typed metadata
+    (n_bytes, sha256 content hash as the derived-feature join key) — the
+    media_table contract from operators.multimodal, driven here with text
+    bytes as the payload since real media blobs aren't in the testdata.
+    Column pruning keeps the payload out of any plan not selecting it."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_hash"),
+        F.lit("text").alias("media_type"),
+    )
+
+
+@query("multimodal_image_features")  # stubbed decoder: engine-specific, rows-only
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (operators.multimodal.image_features; decode kernel is the documented
+    deterministic stub). Exercises the real distributed plumbing: dedup
+    on content_hash before decode, bounded Arrow batches, narrow typed
+    output keyed by hash."""
+    from dwh_with_dask_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    binaries = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("length"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    media = MM.media_table(binaries, "image")
+    feats = MM.image_features(media)
+    # Project the embedding to its mean so the driver's value compare has
+    # scalar columns only; full array output is covered in tests/.
+    return feats.select(
+        "content_hash",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6).alias("mean_emb"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
