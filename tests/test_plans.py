@@ -74,6 +74,40 @@ def test_semi_and_anti_join_physical(spark):
     assert "LeftAnti" in anti
 
 
+def test_q6_filters_reach_scan(spark):
+    plan = plan_of(QUERIES["q6_revenue_filter"](spark, SF_CORRECT))
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 4-column projection: the scan must not read the rest of lineitem.
+    assert "l_returnflag" not in read_schema
+    assert "l_discount" in read_schema
+
+
+def test_scalar_subquery_broadcasts_single_row(spark):
+    """The global-mean subquery must join as a broadcast (one-row side),
+    never a shuffle of part against itself."""
+    plan = plan_of(QUERIES["scalar_subquery_above_avg"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_full_outer_pre_aggregates(spark):
+    """Both daily series must aggregate before the full outer join — the
+    join's inputs are HashAggregates, not raw scans."""
+    plan = plan_of(QUERIES["full_outer_daily_activity"](spark, SF_CORRECT))
+    assert "FullOuter" in plan
+    join_pos = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
+    assert plan[:join_pos].count("HashAggregate") == 0 or plan.count("HashAggregate") >= 4
+
+
+def test_media_meta_prunes_to_payload_columns(spark):
+    plan = plan_of(QUERIES["multimodal_media_meta"](spark, SF_CORRECT))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
 def test_exact_dedup_shuffles_hash_not_text(spark):
     """The shuffle key for exact dedup must be the 64-char sha2, and the
     full text column must not survive past the scan projection."""
