@@ -127,3 +127,44 @@ def foreach_batch_jdbc(
         .outputMode("update")
         .start()
     )
+
+
+STATE_SCHEMA = "n_events long, total_value double"
+USER_STATS_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user totals across
+    micro-batches via ``applyInPandasWithState``.
+
+    The state (event count, value sum) lives in the state store keyed by
+    user_id and survives batches — the Arrow-batched general form of what
+    a windowed agg does internally, for logic the built-ins can't express
+    (per-key accumulators, custom eviction, model state, ...). Each batch
+    emits one updated row per user seen in that batch (update semantics).
+
+    Scale: state is partitioned by the grouping key across executors and
+    checkpointed incrementally; key cardinality (distinct users), not
+    stream length, bounds its size. Production code adds a timeout
+    (``GroupStateTimeout``) to evict idle keys — NoTimeout here keeps the
+    totals exact for the equivalence test.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -155,3 +155,50 @@ def test_watermark_drops_late_rows(spark, tmpdir_spark):
     # is behind the watermark and must be dropped, never resurrecting
     # the finalized window.
     assert rows["2024-01-01 00:00:00"] == 1
+
+
+def test_stateful_user_stats_carries_state_across_batches(spark, tmpdir_spark):
+    """applyInPandasWithState: per-user running totals must accumulate
+    across micro-batches (state store), and the final emitted row per
+    user must equal the batch groupBy over all the data."""
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.streaming.events import stateful_user_stats
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = f"{tmpdir_spark}/events_state"
+    events.repartition(3).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"st_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # Update mode emits one row per (user, batch-it-appeared-in); the row
+    # with the max n_events per user is the final state.
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            f"""SELECT user_id, n_events, total_value FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rk
+                  FROM {name}) WHERE rk = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
