@@ -28,6 +28,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_filter",
     "window_running_total",
     "asof_join_events_orders",
     "tumbling_window_events",
@@ -35,6 +36,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
+    "embedding_near_dup_cosine",
+    "multimodal_image_features",
     "text_tokens_docs",
     "json_props_events",
 ]

@@ -165,12 +165,15 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.35), exact: normalize
-    map-side, fused dot-product self-join (operators.similarity.
-    cosine_pairs). Ground truth for the LSH/SimHash approximate dedup
-    paths; rounded to 6 dp for cross-engine float stability."""
-    out = S.cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    """Embedding-cosine near-dup pairs (cos >= 0.35), exact, via
+    block-partitioned GEMM (operators.similarity.cosine_pairs_blocked):
+    vectors replicate to block-pairs, one numpy float64 matmul per
+    block-pair, only above-threshold pairs materialize. Ground truth for
+    the LSH/SimHash approximate paths; 6 dp rounding for cross-engine
+    float stability. (operators.similarity.cosine_pairs is the naive
+    joined-pairs twin it is property-tested against.)"""
+    out = S.cosine_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, n_blocks=8
     )
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 

@@ -148,6 +148,25 @@ def test_cosine_pairs_exact(spark):
     assert got[(1, 2)] > 0.99
 
 
+def test_cosine_pairs_blocked_equals_naive(spark):
+    """Block-GEMM all-pairs must return exactly the naive join's pairs
+    (ids and 6-dp similarities) on real data."""
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+
+    def canon(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["cosine_sim"], 6))
+            for r in df.collect()
+        )
+
+    naive = canon(S.cosine_pairs(emb, threshold=0.35))
+    blocked = canon(S.cosine_pairs_blocked(emb, threshold=0.35, n_blocks=8))
+    assert naive == blocked
+    assert len(naive) > 0  # threshold chosen so the check isn't vacuous
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from dwh_with_dask_spark.catalog import load_table
 
