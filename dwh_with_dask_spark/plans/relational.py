@@ -703,7 +703,7 @@ def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -1293,9 +1293,10 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price,
-           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+           round((sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 12)
+             AS corr_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price
     FROM s
     """,
 )
@@ -1319,9 +1320,10 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         "n",
-        (
+        F.round(
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            12,
         ).alias("corr_qty_price"),
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
     )

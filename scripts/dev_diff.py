@@ -17,6 +17,46 @@ from tests.conftest import make_duck
 from tests.test_driver_contract import canon
 
 
+def coarse_arrow_type(t) -> str:
+    """Collapse an Arrow type to the class the driver's value-hash is
+    sensitive to. int64 vs decimal128 (the DuckDB HUGEINT trap) differ;
+    string vs large_string do not."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{coarse_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+def arrow_type_diffs(spark_df, duck_rel) -> list[str]:
+    """Compare per-column coarse Arrow types between Spark and DuckDB."""
+    s_schema = spark_df.toArrow().schema
+    d_schema = duck_rel.arrow().schema
+    s = {f.name: coarse_arrow_type(f.type) for f in s_schema}
+    d = {f.name: coarse_arrow_type(f.type) for f in d_schema}
+    return [
+        f"{c}: spark={s[c]} duck={d[c]}"
+        for c in sorted(set(s) & set(d))
+        if s[c] != d[c]
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -57,6 +97,9 @@ def main() -> int:
         elif len(spark_rows) != len(duck_rows):
             msgs.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         else:
+            tdiffs = arrow_type_diffs(df, duck.sql(oracles[name]))
+            if tdiffs:
+                msgs.append(f"arrow types differ: {'; '.join(tdiffs)}")
             a = canon(spark_rows, spark_cols)
             b = canon(duck_rows, duck_cols)
             bad = [(x, y) for x, y in zip(a, b) if x != y]
