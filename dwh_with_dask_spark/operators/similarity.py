@@ -10,11 +10,21 @@ query over 100 TB — it's embarrassingly parallel; wrong for n×n). The
 LSH path buckets vectors by sign-pattern of random projections so
 candidate sets shrink exponentially with bits; recall/latency trades off
 via ``bits`` and multi-probe (hamming-adjacent buckets).
+
+PRIMARY APIs at corpus scale are the index-then-probe pairs:
+``build_srp_index`` → ``ann_lsh_topk_indexed`` and ``build_ivf_index``
+→ ``ivf_topk_indexed``. Signatures / cell ids are computed ONCE by an
+Arrow-batched GEMM kernel and stored as columns (write bucketed /
+partitioned by them); each query then probes the stored column with
+integer comparisons — per-query cost independent of embedding dim. The
+un-suffixed ``ann_lsh_topk`` / ``ivf_topk`` are one-shot conveniences
+that build the index in-plan.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,23 +81,124 @@ def _projection_matrix(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(bits, dim))
 
 
-def srp_signature(
-    vec_col: Column, planes: np.ndarray
-) -> Column:
-    """Sign-random-projection bucket id: bit i = (v · plane_i) >= 0."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(w)) for w in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseXOR(F.shiftleft((proj >= 0).cast("long"), i))
-    return sig
+def _all_planes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    """Stacked hyperplanes for all tables: shape (tables*bits, dim)."""
+    return np.vstack(
+        [_projection_matrix(dim, bits, seed + 1000 * t) for t in range(tables)]
+    )
+
+
+def _srp_sigs_udf(planes: np.ndarray, tables: int, bits: int):
+    """Arrow-batched signature kernel: one float64 GEMM per batch packs
+    all ``tables`` b-bit sign-random-projection signatures at once.
+
+    This is the dim-scalable replacement for per-plane column
+    expressions: the plan carries ONE vectorized UDF whose cost is a
+    (batch × dim) @ (dim × tables·bits) matmul, instead of
+    O(tables·bits·dim) fused literal expressions that blow up codegen at
+    real embedding dims (768+).
+    """
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        proj = mat @ planes.T  # (n, tables*bits)
+        b = (proj >= 0).astype(np.int64).reshape(len(mat), tables, bits)
+        return pd.Series(list(b @ weights))  # (n, tables)
+
+    return sigs
+
+
+def _query_sigs(query_vec: list[float], bits: int, tables: int, seed: int) -> list[int]:
+    """Driver-side signatures of the query vector — same planes, same
+    packing order as ``_srp_sigs_udf``."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = _all_planes(len(query_vec), bits, tables, seed)
+    b = (planes @ qv >= 0).astype(np.int64).reshape(tables, bits)
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+    return [int(x) for x in b @ weights]
+
+
+def build_srp_index(
+    df: DataFrame,
+    bits: int = 8,
+    tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sig_col: str = "srp_sigs",
+) -> DataFrame:
+    """Materialize SRP-LSH signatures as a stored column — the PRIMARY
+    ANN path. Compute once, write once (ideally bucketed/partitioned by a
+    signature), then answer every query by probing the stored column.
+
+    ``sig_col`` is an ``array<long>`` of length ``tables``; element t is
+    the b-bit signature under table t's hyperplanes. One Arrow-batched
+    GEMM per input batch; no per-dimension expressions in the plan.
+    """
+    dim = df.select(F.size(vec_col)).first()[0]
+    planes = _all_planes(dim, bits, tables, seed)
+    kernel = _srp_sigs_udf(planes, tables, bits)
+    return df.withColumn(sig_col, kernel(F.col(vec_col)))
+
+
+def _probe_lists(
+    qsigs: list[int], bits: int, multiprobe_hamming: int
+) -> list[list[int]]:
+    """Per-table bucket ids within the probe radius of the query sig."""
+    out = []
+    for qsig in qsigs:
+        probes = [qsig]
+        if multiprobe_hamming >= 1:
+            probes += [qsig ^ (1 << i) for i in range(bits)]
+        if multiprobe_hamming >= 2:
+            probes += [
+                qsig ^ (1 << i) ^ (1 << j)
+                for i in range(bits)
+                for j in range(i + 1, bits)
+            ]
+        out.append(probes)
+    return out
+
+
+def ann_lsh_topk_indexed(
+    index_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    sig_col: str = "srp_sigs",
+) -> DataFrame:
+    """Approximate top-k against a ``build_srp_index`` table.
+
+    A vector is a candidate if ANY table's STORED signature lands within
+    ``multiprobe_hamming`` bits of the query's signature for that table.
+    The per-query plan is tables × (1 + b·h) integer comparisons on a
+    stored column plus exact cosine on the surviving candidates — query
+    cost is independent of embedding dim. On a table written bucketed by
+    signature this filter becomes bucket/partition pruning.
+    """
+    qsigs = _query_sigs(query_vec, bits, tables, seed)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    cond = None
+    for t, probes in enumerate(_probe_lists(qsigs, bits, multiprobe_hamming)):
+        hit = F.element_at(F.col(sig_col), t + 1).isin(probes)
+        cond = hit if cond is None else (cond | hit)
+
+    return (
+        index_df.filter(cond)
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def ann_lsh_topk(
@@ -101,50 +212,30 @@ def ann_lsh_topk(
     seed: int = 42,
     multiprobe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: multi-table SRP-LSH prefilter, then exact cosine.
+    """Convenience wrapper: build the SRP index in-plan, then probe it.
 
-    Classic (b, L) LSH: ``tables`` independent b-bit sign-random-projection
-    signatures; a vector is a candidate if ANY table's signature lands
-    within ``multiprobe_hamming`` bits of the query's signature for that
-    table. Multiple small tables, not one big signature, is what makes
-    recall controllable: P(candidate) = 1-(1-p_table)^L climbs steeply
-    with L for true neighbors while staying low for random vectors.
+    Classic (b, L) LSH: ``tables`` independent b-bit signatures; multiple
+    small tables, not one big signature, keeps recall controllable:
+    P(candidate) = 1-(1-p_table)^L climbs steeply with L for true
+    neighbors while staying low for random vectors.
 
-    At corpus scale the L signatures are precomputed columns and the
-    table is bucketed by them, so a query probes L×(1+b·h) buckets
-    instead of scanning; here the prefilter is a single fused scan.
+    For repeated queries, call ``build_srp_index`` once, persist/write
+    the result, and use ``ann_lsh_topk_indexed`` — that is the corpus-
+    scale path (signatures computed once, probed as stored buckets).
     """
-    dim = len(query_vec)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-
-    cond = None
-    for t in range(tables):
-        planes = _projection_matrix(dim, bits, seed + 1000 * t)
-        qsig = 0
-        for i, plane in enumerate(planes):
-            if float(np.dot(qv, plane)) >= 0:
-                qsig |= 1 << i
-        # All buckets within the probe radius of this table's query sig.
-        probes = [qsig]
-        if multiprobe_hamming >= 1:
-            probes += [qsig ^ (1 << i) for i in range(bits)]
-        if multiprobe_hamming >= 2:
-            probes += [
-                qsig ^ (1 << i) ^ (1 << j)
-                for i in range(bits)
-                for j in range(i + 1, bits)
-            ]
-        hit = srp_signature(F.col(vec_col), planes).isin(probes)
-        cond = hit if cond is None else (cond | hit)
-
-    candidates = df.filter(cond)
-    return (
-        candidates.select(
-            F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
-        )
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-        .limit(k)
+    idx = build_srp_index(
+        df, bits=bits, tables=tables, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    return ann_lsh_topk_indexed(
+        idx,
+        query_vec,
+        k=k,
+        bits=bits,
+        tables=tables,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        multiprobe_hamming=multiprobe_hamming,
     )
 
 
@@ -209,8 +300,6 @@ def cosine_pairs_blocked(
     rows. Block count trades replication factor against per-task memory:
     a block-pair task holds 2·(n/n_blocks) vectors.
     """
-    import pandas as pd
-
     nb = F.lit(n_blocks)
     blk = (F.col(id_col) % nb).cast("int")
     base = df.select(
@@ -278,7 +367,7 @@ def _kmeans_centroids(
     cents = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
     for _ in range(iters):
         assigned = df.select(
-            _nearest_centroid(F.col(vec_col), cents).alias("cell"),
+            _nearest_cell_udf(cents)(F.col(vec_col)).alias("cell"),
             F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
         )
         rows = (
@@ -293,26 +382,80 @@ def _kmeans_centroids(
     return cents
 
 
-def _nearest_centroid(vec_col: Column, cents: np.ndarray) -> Column:
-    """Argmin over literal centroids as one fused expression.
+def _nearest_cell_udf(cents: np.ndarray):
+    """Arrow-batched argmin-over-centroids: one (batch × dim) @
+    (dim × nlist) GEMM per batch, first-index tie-break (np.argmin).
 
-    Builds the array of squared distances and takes
-    array_position(dists, array_min(dists)) — first-match semantics give a
-    deterministic smallest-index tie-break, all JVM-side, no UDF.
+    Replaces the earlier fused-literal-expression argmin whose plan size
+    was O(nlist·dim) and which was re-evaluated per query — the
+    dim-scalable kernel for both k-means assignment and index build.
     """
-    vd = _as_double(vec_col)
-    dists = []
-    for c in cents:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(vd, carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-    darr = F.array(*dists)
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    c = np.ascontiguousarray(cents, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int32)
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row →
+        # argmin needs only the last two terms.
+        d2 = c_sq - 2.0 * (mat @ c.T)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return cell
+
+
+def build_ivf_index(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    iters: int = 2,
+) -> tuple[DataFrame, np.ndarray]:
+    """Materialize the IVF cell id as a stored column — the PRIMARY path.
+
+    Returns ``(indexed_df, centroids)``. Write ``indexed_df`` partitioned
+    by ``cell_col`` and keep the tiny (nlist × dim) centroid matrix with
+    the table metadata; every subsequent query is partition pruning plus
+    exact cosine inside the probed cells. Assignment is one Arrow-batched
+    GEMM — no per-centroid expressions in the plan.
+    """
+    cents = _kmeans_centroids(df, nlist, id_col, vec_col, iters=iters)
+    indexed = df.withColumn(cell_col, _nearest_cell_udf(cents)(F.col(vec_col)))
+    return indexed, cents
+
+
+def ivf_topk_indexed(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF top-k against a ``build_ivf_index`` table: pick the ``nprobe``
+    cells whose centroids are closest to the query (driver-side, nlist×dim
+    flops), filter the STORED cell column, exact cosine inside.
+
+    On a table written ``partitionBy(cell_col)`` the filter is Parquet
+    partition pruning — the query reads nprobe/nlist of the data, the
+    same physical shape Faiss-IVF/Milvus use, expressed relationally.
+    """
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - qv) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        index_df.filter(F.col(cell_col).isin(probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def ivf_topk(
@@ -324,28 +467,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: coarse-quantize, probe nearest cells, exact
-    cosine inside them.
+    """Convenience wrapper: build the IVF index in-plan, then probe it.
 
-    The inverted-file layout: every vector is assigned to its nearest of
-    ``nlist`` centroids; a query scores only the ``nprobe`` cells whose
-    centroids are closest to it, scanning nprobe/nlist of the data. At
-    corpus scale the cell id is a materialized partition column, so the
-    probe is partition pruning on the Parquet scan rather than a filter —
-    the same plan shape Faiss-IVF/Milvus use, expressed relationally.
+    For repeated queries call ``build_ivf_index`` once, write the result
+    partitioned by cell, and use ``ivf_topk_indexed`` — the corpus-scale
+    path (assignment computed once, probes become partition pruning).
     """
-    cents = _kmeans_centroids(df, nlist, id_col, vec_col)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((cents - qv) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
-
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cell = _nearest_centroid(F.col(vec_col), cents)
-    return (
-        df.filter(cell.isin(probes))
-        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-        .limit(k)
+    indexed, cents = build_ivf_index(
+        df, nlist=nlist, id_col=id_col, vec_col=vec_col
+    )
+    return ivf_topk_indexed(
+        indexed,
+        cents,
+        query_vec,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 
@@ -365,12 +503,13 @@ def cosine_self_join_topk(
     """
     from pyspark.sql.window import Window
 
-    dim = len(df.select(F.size(vec_col)).first()[0] * [0])
-    planes = _projection_matrix(dim, bits, seed)
+    dim = df.select(F.size(vec_col)).first()[0]
+    planes = _all_planes(dim, bits, tables=1, seed=seed)
+    kernel = _srp_sigs_udf(planes, tables=1, bits=bits)
     with_sig = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        srp_signature(F.col(vec_col), planes).alias("sig"),
+        F.element_at(kernel(F.col(vec_col)), 1).alias("sig"),
     )
     a, b = with_sig.alias("a"), with_sig.alias("b")
     pairs = a.join(

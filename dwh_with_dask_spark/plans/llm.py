@@ -182,16 +182,22 @@ def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the vec_id=0 query vector: deterministic
     k-means coarse quantizer (nlist=16), probe the 4 nearest cells, exact
-    cosine within them (operators.similarity.ivf_topk)."""
+    cosine within them. One-shot wrapper here; the corpus-scale path is
+    build_ivf_index (cell id materialized by an Arrow GEMM kernel, table
+    written partitionBy(cell)) + ivf_topk_indexed (partition pruning) —
+    round-tripped in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nlist=16, nprobe=4)
 
 
 @query("embedding_ann_lsh")  # LSH sketch: no oracle; recall-tested in tests/
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed approximate top-10 for the same query vector —
-    the 100 TB path (multi-table bucket prune, then exact cosine on
-    candidates)."""
+    """SRP-LSH bucketed approximate top-10 for the same query vector
+    (multi-table bucket prune, then exact cosine on candidates).
+    One-shot wrapper here; the corpus-scale path is build_srp_index
+    (signatures materialized once by an Arrow GEMM kernel) +
+    ann_lsh_topk_indexed (integer probes on the stored column) —
+    round-tripped in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return S.ann_lsh_topk(
         emb, _query_vec(spark, sf_dir), k=10, bits=8, tables=16, multiprobe_hamming=1

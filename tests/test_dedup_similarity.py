@@ -186,6 +186,55 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall@10 too low: {recall} (exact={exact}, ivf={approx})"
 
 
+def test_srp_index_roundtrip_probe(spark, tmp_path):
+    """PRIMARY ANN path: materialize signatures, write, reload, probe the
+    stored column — results must equal the in-plan wrapper, and the probe
+    plan must not recompute signatures (no pandas UDF after reload)."""
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+
+    idx_path = str(tmp_path / "srp_index")
+    S.build_srp_index(rest, bits=8, tables=16).write.parquet(idx_path)
+    reloaded = spark.read.parquet(idx_path)
+
+    via_index = S.ann_lsh_topk_indexed(
+        reloaded, q, k=10, bits=8, tables=16, multiprobe_hamming=1
+    )
+    wrapper = S.ann_lsh_topk(rest, q, k=10, bits=8, tables=16, multiprobe_hamming=1)
+    assert [r["vec_id"] for r in via_index.collect()] == [
+        r["vec_id"] for r in wrapper.collect()
+    ]
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, "probe must use stored sigs, not recompute"
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """PRIMARY IVF path: write the index partitioned by cell, reload,
+    probe — equal to the wrapper, and the scan must be partition-pruned
+    to nprobe cells."""
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+
+    indexed, cents = S.build_ivf_index(rest, nlist=16)
+    idx_path = str(tmp_path / "ivf_index")
+    indexed.write.partitionBy("ivf_cell").parquet(idx_path)
+    reloaded = spark.read.parquet(idx_path)
+
+    via_index = S.ivf_topk_indexed(reloaded, cents, q, k=10, nprobe=4)
+    wrapper = S.ivf_topk(rest, q, k=10, nlist=16, nprobe=4)
+    assert [r["vec_id"] for r in via_index.collect()] == [
+        r["vec_id"] for r in wrapper.collect()
+    ]
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, "probe must use the stored cell column"
+
+
 def test_word_ngrams_short_doc(spark):
     df = spark.createDataFrame([("one two",)], "text string")
     out = df.select(D.word_ngrams("text", 3).alias("g")).first()["g"]
