@@ -34,6 +34,7 @@ HEADLINE = [
     "tumbling_window_events",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
     "embedding_near_dup_cosine",
@@ -68,6 +69,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         materialize(fn(spark, sf_dir))  # warmup (JIT, code cache, FS cache)
@@ -78,6 +80,7 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         jvm_gc(spark)
 
     total = round(sum(timings.values()), 3)
@@ -88,6 +91,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n": RUNS,
                 "sf": float(sf),
             }
         )

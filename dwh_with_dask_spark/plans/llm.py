@@ -94,6 +94,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id AS id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      FROM t
+    ),
+    sh AS (SELECT DISTINCT id, shingle FROM raw),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    freq_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN freq_ok USING (shingle)),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+               AS jaccard
+    FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.30
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for shingle dedup: same inverted-index join but
+    shingles appearing in more than 50 documents are dropped before the
+    self-join (max_shingle_freq) — the standard guard against the
+    quadratic blowup on boilerplate shingles, whose cost grows with the
+    square of the hottest shingle's document frequency. Denominator
+    sizes |A|, |B| stay uncapped, so J is exact for pairs untouched by
+    the cap and slightly underestimated for capped ones; the DuckDB
+    oracle applies the identical cap, so this is hash-checked too."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.30,
+        max_shingle_freq=50,
+    )
+
+
 @query("dedup_minhash_lsh")  # sketch-based: no SQL oracle; see tests/test_dedup.py
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 hashes) + LSH(16 bands) candidate pairs with estimated

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dwh_with_dask_spark.catalog import load_table, register_views
-from dwh_with_dask_spark.functions.numeric import dsum
+from dwh_with_dask_spark.functions.numeric import dsum, exact_group_sums
 from dwh_with_dask_spark.operators.joins import asof_join, range_join
 from dwh_with_dask_spark.operators.sessionize import sessionize_by_gap
 
@@ -62,29 +62,43 @@ def query(name: str, oracle: str | None = None):
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: scan → filter → hash agg.
+    """TPC-H Q1-shaped pricing summary: scan → filter → two-level agg.
 
-    Filter and the 7-column projection push into the parquet scan; the
-    groupBy is a 6-group hash aggregate with map-side partials — the plan
-    is scan-bound at any scale.
+    Filter and the 7-column projection push into the parquet scan. The
+    exact order-independent sums run as scaled-long partials per
+    (group, partition) — codegen long adds on the data path — with
+    decimal finalization over the tiny partial table
+    (functions.numeric.exact_group_sums): same bit-exact results as the
+    pure-decimal ``dsum`` idiom at ~2x the scan throughput (profiled
+    ~1.0 → ~0.58 s median at sf0.1).
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    cnt = F.count(F.lit(1))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice", 2).alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
-            (F.sum("l_quantity") / cnt).alias("avg_qty"),
-            (dsum("l_extendedprice", 2) / cnt).alias("avg_price"),
-            (dsum("l_discount", 2) / cnt).alias("avg_disc"),
-            cnt.alias("count_order"),
-        )
+    sums = exact_group_sums(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        keys=["l_returnflag", "l_linestatus"],
+        measures={
+            "sum_base_price": (F.col("l_extendedprice"), 2),
+            "sum_disc_price": (disc_price, 4),
+            "sum_charge": (charge, 6),
+            "__sum_disc": (F.col("l_discount"), 2),
+        },
+        plain_sums={"sum_qty": F.col("l_quantity")},
+        count_alias="count_order",
+    )
+    n = F.col("count_order")
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / n).alias("avg_qty"),
+        (F.col("sum_base_price") / n).alias("avg_price"),
+        (F.col("__sum_disc") / n).alias("avg_disc"),
+        "count_order",
     )
 
 

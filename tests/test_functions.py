@@ -89,3 +89,37 @@ def test_truncate_names(spark):
     df = spark.createDataFrame([(1, 2)], ["a" * 80, "b"])
     out = truncate_names(df, 64)
     assert out.columns == ["a" * 64, "b"]
+
+
+def test_exact_group_sums_matches_dsum(spark):
+    """Two-level scaled-long path must reproduce the pure-decimal dsum
+    results bit-for-bit on exact-decimal data, across a repartition (i.e.
+    independent of partitioning)."""
+    from dwh_with_dask_spark.functions.numeric import dsum, exact_group_sums
+
+    df = (
+        spark.range(0, 20000, 1, 8)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.round(F.rand(seed=11) * 100000, 2)).alias("price"),
+            (F.round(F.rand(seed=12), 2)).alias("disc"),
+        )
+        .withColumn("prod", F.round(F.col("price") * F.col("disc"), 4))
+    )
+    ref = (
+        df.groupBy("g")
+        .agg(
+            dsum("price", 2).alias("sp"),
+            dsum("prod", 4).alias("spr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    fast = exact_group_sums(
+        df.repartition(5),
+        keys=["g"],
+        measures={"sp": (F.col("price"), 2), "spr": (F.col("prod"), 4)},
+        count_alias="n",
+    )
+    a = {r["g"]: (r["sp"], r["spr"], r["n"]) for r in ref.collect()}
+    b = {r["g"]: (r["sp"], r["spr"], r["n"]) for r in fast.collect()}
+    assert a == b
