@@ -12,8 +12,13 @@ of XML, no splittable row groups), so the honest architecture is
 openpyxl), write Parquet, and let every downstream query run
 distributed. ``excel_to_parquet`` is that step; ``read_excel_sheet``
 covers the interactive path. For *many* workbooks, parallelize across
-files: binaryFile scan + mapInPandas with openpyxl per executor —
-``read_excel_many`` sketches that path (gated on openpyxl presence).
+files: binaryFile scan + mapInPandas parsing per executor —
+``read_excel_many``.
+
+Engines: pandas+openpyxl when installed; otherwise the stdlib OOXML
+parser (sources.xlsx_lite — zipfile + ElementTree over the public
+ECMA-376 format), so ingestion of the reference workbook works in a
+bare runtime too.
 """
 
 from __future__ import annotations
@@ -27,16 +32,51 @@ except ImportError:  # pragma: no cover
     pd = None
 
 
+def _have_openpyxl() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _require_excel_engine() -> None:
     if pd is None:
         raise NotImplementedError("pandas not available for the Excel bridge")
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "openpyxl not installed in this runtime; Excel ingestion requires "
-            "it (or pre-convert workbooks to Parquet/CSV upstream)"
-        ) from e
+
+
+def _read_sheet_pdf(source, sheet_name: str | int, header: int | None):
+    """One sheet → pandas DataFrame, via pd.read_excel when openpyxl is
+    present, else the stdlib OOXML parser (sources.xlsx_lite) with
+    pandas-compatible header semantics (Unnamed: N for blank header
+    cells, '.k' suffixes for duplicate names)."""
+    if _have_openpyxl():
+        pdf = pd.read_excel(source, sheet_name=sheet_name, header=header)
+        if header is None:
+            pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
+        else:
+            pdf.columns = [str(c) for c in pdf.columns]
+        return pdf
+
+    from dwh_with_dask_spark.sources import xlsx_lite
+
+    grid = xlsx_lite.sheet_rows(source, sheet_name)
+    if header is None:
+        names = [f"_c{i}" for i in range(len(grid[0]) if grid else 0)]
+        data = grid
+    else:
+        head, data = grid[header], grid[header + 1 :]
+        names, seen = [], {}
+        for i, cell in enumerate(head):
+            name = f"Unnamed: {i}" if cell is None else str(cell)
+            if name in seen:
+                seen[name] += 1
+                name = f"{name}.{seen[name]}"
+            else:
+                seen[name] = 0
+            names.append(name)
+    return pd.DataFrame(data, columns=names)
 
 
 def read_excel_sheet(
@@ -45,17 +85,15 @@ def read_excel_sheet(
     sheet_name: str | int = 0,
     header: int | None = 1,
 ) -> DataFrame:
-    """One sheet → DataFrame via the driver-side pandas bridge (Arrow).
+    """One sheet → DataFrame via the driver-side bridge (Arrow).
 
     ``header=1`` skips the title row like the reference; ``header=None``
     gives positional _c0.._cN columns (the key/value sheet case).
+    Engine: pandas+openpyxl when available, stdlib OOXML parser
+    otherwise — same shape either way.
     """
     _require_excel_engine()
-    pdf = pd.read_excel(path, sheet_name=sheet_name, header=header)
-    if header is None:
-        pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
-    else:
-        pdf.columns = [str(c) for c in pdf.columns]
+    pdf = _read_sheet_pdf(path, sheet_name, header)
     return spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
 
 
@@ -99,9 +137,10 @@ def read_excel_many(
 ) -> DataFrame:
     """Distributed many-workbook reader: binaryFile scan + mapInPandas.
 
-    Each executor parses its own workbooks (openpyxl over the binary
-    content), so ingest scales with the number of files. ``schema`` must
-    be supplied (arbitrary sheets can't be schema-inferred distributedly).
+    Each executor parses its own workbooks (openpyxl or the stdlib OOXML
+    parser over the binary content), so ingest scales with the number of
+    files. ``schema`` must be supplied (arbitrary sheets can't be
+    schema-inferred distributedly).
     """
     _require_excel_engine()
     if schema is None:
@@ -115,7 +154,7 @@ def read_excel_many(
     def parse(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                sheet = pd.read_excel(
+                sheet = _read_sheet_pdf(
                     io.BytesIO(row["content"]), sheet_name=sheet_name, header=header
                 )
                 sheet["source_path"] = row["path"]
