@@ -10,9 +10,11 @@ partitioned JDBC on both directions:
   (``batchsize``); ``mode('overwrite')`` + ``truncate`` reproduces the
   reference's if_exists='replace' without dropping indexes.
 
-No database server exists in this container, so these are thin, untested
-wrappers — the logic is all option plumbing; the distributed execution
-is Spark's own JDBC connector.
+No MySQL server exists in this container; the wrappers are integration-
+tested against embedded Derby (shipped with Spark) in tests/test_jdbc.py
+— replace/append modes, createTableColumnTypes DDL passthrough, and
+partitioned range reads all execute against a real database. The
+distributed execution is Spark's own JDBC connector.
 """
 
 from __future__ import annotations

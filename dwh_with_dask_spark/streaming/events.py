@@ -168,3 +168,67 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+SESSION_STATE_SCHEMA = "n_events long, total_value double, last_ms long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, closed boolean"
+)
+
+
+def stateful_user_sessions(
+    events: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom sessionization with state TTL (``EventTimeTimeout``).
+
+    The GroupStateTimeout companion to ``stateful_user_stats``: per-user
+    accumulators carry across batches, and each update re-arms an
+    event-time timeout at (last event + gap). When the watermark passes
+    that timestamp and the key receives no new data, the group fires with
+    ``hasTimedOut`` — the session emits one final ``closed=true`` row and
+    its state is REMOVED from the store. This is the idle-key eviction
+    that bounds state size on unbounded key spaces (the scale concern
+    NoTimeout leaves open), and the same mechanism to use for
+    order-timeout alerts, cart abandonment, model-state GC, etc.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            n, total, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed": [True],
+                }
+            )
+        else:
+            n, total, last = state.get if state.exists else (0, 0.0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last = max(last, int(pdf["ts"].max().timestamp() * 1000))
+            state.update((n, total, last))
+            state.setTimeoutTimestamp(last + gap_ms)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "closed": [False],
+                }
+            )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )

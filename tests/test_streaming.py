@@ -202,3 +202,74 @@ def test_stateful_user_stats_carries_state_across_batches(spark, tmpdir_spark):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_sessions_event_time_timeout(spark, tmpdir_spark):
+    """EventTimeTimeout eviction: a user idle past (last event + gap)
+    once the watermark passes must emit a final closed=true row and lose
+    its state; a user with fresh data must stay open."""
+    import glob
+    import os
+    import shutil as sh
+    import uuid as _uuid
+    from datetime import datetime
+
+    from dwh_with_dask_spark.streaming.events import stateful_user_sessions
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = f"{tmpdir_spark}/sess_in"
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 5), 1, "click", 2.0, "{}"),
+            (3, datetime(2024, 1, 1, 0, 0), 2, "click", 5.0, "{}"),
+        ],
+        schema,
+    )
+    # User 1 stays active much later; user 2 goes idle.
+    batch2 = spark.createDataFrame(
+        [(4, datetime(2024, 1, 1, 6, 0), 1, "click", 3.0, "{}")], schema
+    )
+    # Any further batch: watermark (6:00 - 1h = 5:00) now exceeds user
+    # 2's timeout (0:00 + 30min) -> its group fires with hasTimedOut.
+    batch3 = spark.createDataFrame(
+        [(5, datetime(2024, 1, 1, 6, 10), 3, "click", 1.0, "{}")], schema
+    )
+
+    def stage(df, name, mtime):
+        tmp = f"{tmpdir_spark}/sess_stage_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        sh.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    stage(batch1, "00-open", 1_700_000_000)
+    stage(batch2, "01-later", 1_700_000_100)
+    stage(batch3, "02-tick", 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_sessions(stream, gap_ms=30 * 60 * 1000, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+
+    closed = {r["user_id"]: r for r in rows if r["closed"]}
+    # User 2 evicted with its full accumulated session.
+    assert set(closed) == {2}
+    assert closed[2]["n_events"] == 1 and closed[2]["total_value"] == 5.0
+    # User 1 never closed; its last open row carries both batches' data.
+    open_u1 = [r for r in rows if r["user_id"] == 1 and not r["closed"]]
+    assert max(r["n_events"] for r in open_u1) == 3
+    assert max(round(r["total_value"], 6) for r in open_u1) == 6.0
