@@ -132,13 +132,18 @@ def ngram_jaccard_pairs(
 
     joinable = sh
     if max_shingle_freq is not None:
-        freq_ok = (
+        # The HOT set (df > cap) is small by construction — it is exactly
+        # the boilerplate tail the cap exists to remove — so subtract it
+        # with a broadcast anti-join: one map-side-combined agg shuffle to
+        # find it, zero shuffle to apply it. (Joining the full <=cap
+        # frequency table back instead would shuffle the corpus again.)
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
+            .filter(F.col("df") > max_shingle_freq)
             .select("shingle")
         )
-        joinable = sh.join(freq_ok, "shingle")
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
 
     a = joinable.select(F.col("id").alias("id_a"), "shingle")
     b = joinable.select(F.col("id").alias("id_b"), "shingle")
