@@ -146,11 +146,52 @@ def audio_features(media: DataFrame) -> DataFrame:
     return deduped.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FRAMES_SCHEMA = (
+    "content_hash string, frame_no int, ts_s double, frame_bytes binary"
+)
+
+
+def _decode_video_stub(content: bytes) -> tuple[int, float]:
+    """STUB — real impl: av/ffmpeg demux on executors. Deterministic
+    fake: (n_frames, fps) derived from byte length, so tests get stable
+    content-dependent output with the real contract."""
+    n_frames = 30 + (len(content) % 271)
+    return n_frames, 30.0
+
+
 def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling contract — NOT implementable without a video
-    decoder in this runtime."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/av on executors; the contract is "
-        "(content_hash, frame_no, frame_png binary) rows sampled every "
-        f"{every_n} frames via the same mapInPandas pattern as image_features"
-    )
+    """Sample every ``every_n``-th video frame via mapInPandas (UDTF
+    shape: each input row yields multiple frame rows).
+
+    Output (content_hash, frame_no, ts_s, frame_bytes) — frames keyed by
+    the video's content hash, written to their own narrow-ish table and
+    never stored back on the media row. The decode kernel is the
+    documented deterministic stub (no video codec in this runtime:
+    frame payloads are sha256(content ‖ frame_no) bytes); the
+    distributed shape — dedup before decode, Arrow batch iteration,
+    bounded per-batch memory, one-to-many row expansion — is real.
+    """
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["content_hash", "frame_no", "ts_s", "frame_bytes"]
+        for pdf in batches:
+            rows = []
+            for content_hash, content in zip(pdf["content_hash"], pdf["content"]):
+                b = bytes(content)
+                n_frames, fps = _decode_video_stub(b)
+                for fno in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "content_hash": content_hash,
+                            "frame_no": fno,
+                            "ts_s": fno / fps,
+                            "frame_bytes": hashlib.sha256(
+                                b + fno.to_bytes(4, "big")
+                            ).digest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    deduped = media.dropDuplicates(["content_hash"]).select("content_hash", "content")
+    return deduped.mapInPandas(extract, schema=VIDEO_FRAMES_SCHEMA)

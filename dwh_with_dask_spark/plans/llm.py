@@ -330,6 +330,30 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_frame_sample")  # stubbed decoder: engine-specific, rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (operators.multimodal.frame_sample):
+    one-to-many mapInPandas expansion — every 30th frame per payload,
+    keyed by content hash. Decode is the documented deterministic stub;
+    the distributed shape (dedup before decode, Arrow batches, UDTF-style
+    row expansion) is real. Scalar projection for the driver compare."""
+    from dwh_with_dask_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    binaries = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("length"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    frames = MM.frame_sample(MM.media_table(binaries, "video"), every_n=30)
+    return frames.select(
+        "content_hash",
+        "frame_no",
+        F.round("ts_s", 6).alias("ts_s"),
+        F.sha2("frame_bytes", 256).alias("frame_digest"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -58,9 +58,26 @@ def test_audio_features_contract(spark, media):
     assert f["rms"] >= 0.0
 
 
-def test_frame_sample_is_explicit_stub(spark, media):
-    with pytest.raises(NotImplementedError):
-        frame_sample(media)
+def test_frame_sample_expansion(spark, media):
+    """UDTF-shape one-to-many expansion: every 30th frame per distinct
+    payload, deterministic bytes, frame numbers 0, 30, 60, ..."""
+    frames = frame_sample(media, every_n=30).collect()
+    by_hash = {}
+    for r in frames:
+        by_hash.setdefault(r["content_hash"], []).append(r)
+    # 3 files, 2 distinct contents -> frames decoded per distinct hash
+    assert len(by_hash) == 2
+    for rows in by_hash.values():
+        nos = sorted(r["frame_no"] for r in rows)
+        assert nos == list(range(0, max(nos) + 1, 30))
+        for r in rows:
+            assert r["ts_s"] == pytest.approx(r["frame_no"] / 30.0)
+            assert isinstance(r["frame_bytes"], (bytes, bytearray))
+            assert len(r["frame_bytes"]) == 32
+    # Determinism: a second run yields identical frame digests.
+    again = frame_sample(media, every_n=30).collect()
+    key = lambda r: (r["content_hash"], r["frame_no"], bytes(r["frame_bytes"]))
+    assert sorted(map(key, frames)) == sorted(map(key, again))
 
 
 def test_binary_column_pruning(spark, media):
