@@ -7,7 +7,7 @@ lazily and Catalyst optimizes across operator boundaries.
 """
 
 from dwh_with_dask_spark.operators.ids import fast_id, sequential_id
-from dwh_with_dask_spark.operators.joins import asof_join, range_join
+from dwh_with_dask_spark.operators.joins import asof_join, range_join, salted_join
 from dwh_with_dask_spark.operators.sessionize import sessionize_outline
 
 __all__ = [
@@ -15,5 +15,6 @@ __all__ = [
     "sequential_id",
     "asof_join",
     "range_join",
+    "salted_join",
     "sessionize_outline",
 ]

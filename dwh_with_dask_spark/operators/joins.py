@@ -92,6 +92,49 @@ def asof_join(
     return result
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side, replicate
+    the right side ``salt`` ways, join on (keys, salt).
+
+    The classic manual remedy when one join key carries a hot fraction of
+    the data and a plain shuffle join puts that whole key into one task:
+    each left row gets a random salt in [0, salt), the right side is
+    exploded across all salt values, and the join key becomes
+    (keys…, salt) — the hot key's rows spread over ``salt`` tasks. Cost:
+    the right side shuffles ``salt``× its size, so use it when the right
+    side is much smaller than the hot key's row count (but too big to
+    broadcast — broadcast is always the first choice when it fits).
+
+    Prefer AQE's automatic skew-join splitting
+    (spark.sql.adaptive.skewJoin.enabled, on by default in this engine's
+    session factory) for sort-merge joins; salting remains the tool when
+    the skew is in a hash aggregation upstream, when AQE's split
+    thresholds don't trigger, or on engines/paths AQE doesn't cover.
+    Semantics: identical row multiset to ``left.join(right, on, how)``
+    for 'inner' and 'left' joins (each left row matches exactly its salt
+    replica).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalted = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    rsalted = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = lsalted.join(rsalted, [*keys, "__salt"], how)
+    return out.drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     buckets: DataFrame,

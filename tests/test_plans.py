@@ -10,6 +10,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+from pyspark.sql import functions as F
+
 from dwh_with_dask_spark.plans import QUERIES
 from tests.conftest import SF_CORRECT
 
@@ -116,3 +118,76 @@ def test_exact_dedup_shuffles_hash_not_text(spark):
     # partial agg before the exchange: text never shuffles
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[:first_exchange]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change the join's row multiset — inner and left —
+    on a deliberately skewed key distribution (90% one key)."""
+    from collections import Counter
+
+    from dwh_with_dask_spark.operators.joins import salted_join
+
+    left = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (13, "cold"), (99999, "unmatched-right")], "k long, name string"
+    )
+
+    for how in ("inner", "left"):
+        plain = Counter(
+            (r["k"], r["v"], r["name"]) for r in left.join(right, "k", how).collect()
+        )
+        salted = Counter(
+            (r["k"], r["v"], r["name"])
+            for r in salted_join(left, right, "k", salt=8, how=how).collect()
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in multiple salt buckets (the whole
+    point): every salt value should see a share of the hot key."""
+    from dwh_with_dask_spark.operators.joins import salted_join
+
+    left = spark.range(0, 8000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([(1, "hot")], "k long, name string")
+    lsalted = left.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+    buckets = {r["__salt"] for r in lsalted.select("__salt").distinct().collect()}
+    assert buckets == set(range(8))
+    assert salted_join(left, right, "k", salt=8).count() == 8000
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange on either side — the co-location contract that makes big-big
+    joins shuffle-free at scale (write once bucketed, join many times)."""
+    from dwh_with_dask_spark.sinks import write_bucketed_table
+
+    try:
+        orders = spark.range(0, 5000).select(
+            F.col("id").alias("o_custkey"), (F.col("id") % 7).alias("o_flag")
+        )
+        cust = spark.range(0, 1000).select(
+            F.col("id").alias("o_custkey"), F.concat(F.lit("c"), F.col("id")).alias("name")
+        )
+        write_bucketed_table(orders, "b_orders", ["o_custkey"], num_buckets=8)
+        write_bucketed_table(cust, "b_cust", ["o_custkey"], num_buckets=8)
+
+        a = spark.table("b_orders")
+        b = spark.table("b_cust")
+        # Disable broadcast so the planner must pick SMJ, the join type
+        # bucketing de-shuffles.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "o_custkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
