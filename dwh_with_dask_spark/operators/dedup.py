@@ -355,3 +355,96 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair-edge list by min-label
+    propagation: (node, component) where component = smallest node id
+    reachable through the edges. The step a dedup pipeline needs after
+    ANY pairwise candidate generator (Jaccard / MinHash / SimHash /
+    embedding pairs): transitive closure of "is a duplicate of" so each
+    cluster keeps one representative.
+
+    Distributed shape: edges are symmetrized once; each iteration is one
+    equi-join (neighbor label candidates) + one min-aggregate, i.e. two
+    shuffles over label-sized rows (two longs), never the documents.
+    Iterations converge in O(cluster diameter) — near-dup clusters are
+    shallow (stars/cliques), so 2-4 rounds in practice; ``max_iter``
+    bounds pathological chains. Each round persists its labels and
+    unpersists the previous round to keep lineage flat (an iterative
+    driver loop with per-round actions is the standard Spark shape for
+    fixpoint algorithms; cf. large-star/small-star in the public
+    connected-components literature).
+
+    ``nodes`` (optional) adds isolated nodes: they come out as their own
+    singleton components.
+    """
+    a, b = F.col(src).alias("a"), F.col(dst).alias("b")
+    bidir = (
+        edges.select(a, b)
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = bidir.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    if nodes is not None:
+        labels = (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(labels.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+            .unionByName(labels)
+        )
+    labels = labels.persist()
+    labels.count()
+
+    for _ in range(max_iter):
+        cand = bidir.join(
+            labels, bidir["a"] == labels["node"], "inner"
+        ).select(F.col("b").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(doc_id, component, is_keeper) for every document: transitive
+    near-dup clusters from a candidate pair list, keeper = the smallest
+    id in each cluster. Filter ``is_keeper`` to materialize the deduped
+    corpus."""
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=df.select(id_col), node_col=id_col
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

@@ -139,6 +139,57 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_connected_groups",
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id AS id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      FROM t
+    ),
+    sh AS (SELECT DISTINCT id, shingle FROM raw),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.30
+    ),
+    bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN bidir e ON e.a = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(lab) AS component,
+           node = MIN(lab) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: exact Jaccard pairs (>= 0.30) →
+    distributed connected components (min-label propagation,
+    operators.dedup.connected_components) → keeper = min id per cluster.
+    The step that turns pairwise candidates into a deduplicated corpus.
+    The DuckDB oracle computes the same fixpoint with a recursive CTE —
+    one of the rare iterative operators with an exact SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.30).select("id_a", "id_b")
+    return D.dedup_components(docs, pairs)
+
+
 @query("dedup_minhash_lsh")  # sketch-based: no SQL oracle; see tests/test_dedup.py
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 hashes) + LSH(16 bands) candidate pairs with estimated

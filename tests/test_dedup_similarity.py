@@ -239,3 +239,27 @@ def test_word_ngrams_short_doc(spark):
     df = spark.createDataFrame([("one two",)], "text string")
     out = df.select(D.word_ngrams("text", 3).alias("g")).first()["g"]
     assert out == []
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b and b-c edges must merge into ONE component even though a and
+    c never share an edge (the transitivity the pairwise ops lack), and
+    isolated nodes come out as singletons."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id long")
+    out = {r["doc_id"]: (r["component"], r["is_keeper"]) for r in
+           D.dedup_components(nodes, edges).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    for n in (20, 21, 22, 23):
+        assert out[n][0] == 20
+    assert out[99] == (99, True)  # isolated singleton
+    # exactly one keeper per component
+    comps = {}
+    for doc, (c, k) in out.items():
+        comps.setdefault(c, 0)
+        comps[c] += int(k)
+    assert all(v == 1 for v in comps.values())
