@@ -232,3 +232,25 @@ def stateful_user_sessions(
         outputMode="update",
         timeoutConf="EventTimeTimeout",
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (Kafka replays, file
+    re-deliveries) → exactly-once rows downstream.
+
+    On a stream this uses ``dropDuplicatesWithinWatermark``: the state
+    store remembers each key only until the watermark passes its event
+    time, so dedup state is bounded by (keys arriving per watermark
+    window), not stream lifetime — the property that makes it runnable
+    forever. A duplicate arriving later than the watermark delay is out
+    of contract (size the delay to the source's max redelivery lag).
+    Batch twin: plain dropDuplicates, same keys.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -273,3 +273,64 @@ def test_stateful_sessions_event_time_timeout(spark, tmpdir_spark):
     open_u1 = [r for r in rows if r["user_id"] == 1 and not r["closed"]]
     assert max(r["n_events"] for r in open_u1) == 3
     assert max(round(r["total_value"], 6) for r in open_u1) == 6.0
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmpdir_spark):
+    """An event redelivered in a later micro-batch (within the watermark)
+    must appear exactly once; the batch twin agrees."""
+    import glob
+    import os
+    import shutil as sh
+    import uuid as _uuid
+    from datetime import datetime
+
+    from dwh_with_dask_spark.streaming.events import dedup_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = f"{tmpdir_spark}/dedup_in"
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 1), 1, "view", 2.0, "{}"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, "{}"),  # redelivery
+            (3, datetime(2024, 1, 1, 0, 2), 2, "click", 3.0, "{}"),
+        ],
+        schema,
+    )
+
+    def stage(df, name, mtime):
+        tmp = f"{tmpdir_spark}/dedup_stage_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        sh.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    stage(batch1, "00-a", 1_700_000_000)
+    stage(batch2, "01-b", 1_700_000_100)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = f"dd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_dd")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == [1, 2, 3]
+
+    batch_twin = dedup_stream(batch1.unionByName(batch2))
+    assert sorted(r["event_id"] for r in batch_twin.collect()) == [1, 2, 3]
