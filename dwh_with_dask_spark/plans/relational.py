@@ -188,6 +188,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(revenue, 4).alias("revenue"))
+        # exact_group_sums was tried here and measured SLOWER: after the
+        # join the row count is modest, so the decimal casts are cheap
+        # and the two-level structure only adds a shuffle. The scaled-
+        # long path pays off on wide scans (q1), not post-join aggs.
     )
 
 
