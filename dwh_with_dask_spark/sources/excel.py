@@ -151,12 +151,42 @@ def read_excel_many(
         spark.read.format("binaryFile").option("pathGlobFilter", "*.xlsx").load(path_glob)
     )
 
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        StringType,
+        StructType,
+        TimestampType,
+    )
+
+    fields = [f for f in StructType.fromDDL(schema).fields if f.name != "source_path"]
+
+    def _coerce(col: pd.Series, dtype) -> pd.Series:
+        # Schema-driven coercion, matching the engine's to_numeric_coerce
+        # stance: spreadsheet cells are untyped, stray header/section rows
+        # put strings into numeric columns — coerce, don't crash.
+        if isinstance(dtype, NumericType):
+            return pd.to_numeric(col, errors="coerce")
+        if isinstance(dtype, (TimestampType, DateType)):
+            return pd.to_datetime(col, errors="coerce")
+        if isinstance(dtype, StringType):
+            return col.map(lambda v: None if pd.isna(v) else str(v))
+        return col
+
     def parse(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
                 sheet = _read_sheet_pdf(
                     io.BytesIO(row["content"]), sheet_name=sheet_name, header=header
                 )
+                # The caller's schema names the output positionally —
+                # sheet headers vary per workbook and mapInPandas matches
+                # columns by name.
+                sheet = sheet.iloc[:, : len(fields)]
+                sheet.columns = [f.name for f in fields][: len(sheet.columns)]
+                for f in fields:
+                    if f.name in sheet.columns:
+                        sheet[f.name] = _coerce(sheet[f.name], f.dataType)
                 sheet["source_path"] = row["path"]
                 yield sheet
 

@@ -80,3 +80,32 @@ def test_real_workbook_pipeline_v2_golden(spark, tmp_path):
     # Spot-check a real P&L line exists with a nonzero current value.
     laba = [r for r in out if r["LaporanKeuangan"] == "Laba Rugi"]
     assert any(abs(r["CurrentYearInstant"]) > 0 for r in laba)
+
+
+def test_read_excel_many_distributed(spark, tmp_path):
+    """Distributed many-workbook ingest: binaryFile scan + executor-side
+    OOXML parse (no openpyxl needed). Two copies of the real workbook →
+    per-file rows tagged with their source path."""
+    import shutil
+
+    from dwh_with_dask_spark.sources.excel import read_excel_many
+
+    for name in ("wb_a.xlsx", "wb_b.xlsx"):
+        shutil.copyfile(WORKBOOK, str(tmp_path / name))
+
+    schema = (
+        "LaporanDetail string, CurrentYearInstant double, "
+        "PriorYearInstant double, label_en string, source_path string"
+    )
+    out = read_excel_many(
+        spark, str(tmp_path), sheet_name="1311000", header=1, schema=schema
+    )
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source_path"].rsplit("/", 1)[-1], 0)
+        by_src[r["source_path"].rsplit("/", 1)[-1]] += 1
+    assert set(by_src) == {"wb_a.xlsx", "wb_b.xlsx"}
+    # 64 sheet rows - title - header = 62 data rows per copy.
+    assert by_src["wb_a.xlsx"] == by_src["wb_b.xlsx"] == 62
+    assert any(r["CurrentYearInstant"] is not None for r in rows)
