@@ -373,15 +373,19 @@ def connected_components(
     cluster keeps one representative.
 
     Distributed shape: edges are symmetrized once; each iteration is one
-    equi-join (neighbor label candidates) + one min-aggregate, i.e. two
-    shuffles over label-sized rows (two longs), never the documents.
-    Iterations converge in O(cluster diameter) — near-dup clusters are
-    shallow (stars/cliques), so 2-4 rounds in practice; ``max_iter``
-    bounds pathological chains. Each round persists its labels and
-    unpersists the previous round to keep lineage flat (an iterative
-    driver loop with per-round actions is the standard Spark shape for
-    fixpoint algorithms; cf. large-star/small-star in the public
-    connected-components literature).
+    equi-join (neighbor label candidates) + one pointer-jumping join
+    (label-of-my-label, the classic shortcut that collapses chains
+    logarithmically) + one min-aggregate — shuffles over label-sized rows
+    (two longs), never the documents. Near-dup clusters are shallow
+    (stars/cliques), so 2-4 rounds in practice; pointer jumping bounds
+    pathological chains at O(log diameter) and ``max_iter`` is the hard
+    stop. Each round the labels are checkpointed (reliable checkpoint
+    when the session has a checkpoint dir, ``localCheckpoint`` otherwise)
+    — persist alone is NOT enough for a fixpoint loop: it caches data but
+    leaves the logical plan growing exponentially round over round, which
+    blows up plan compilation long before any executor does real work
+    (cf. large-star/small-star in the public connected-components
+    literature, which uses the same per-round materialization).
 
     ``nodes`` (optional) adds isolated nodes: they come out as their own
     singleton components.
@@ -403,18 +407,40 @@ def connected_components(
             .select("node", F.col("node").alias("component"))
             .unionByName(labels)
         )
-    labels = labels.persist()
-    labels.count()
+    spark = edges.sparkSession
+    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # Truncate lineage so the plan stays flat across iterations.
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    labels = _pin(labels)
 
     for _ in range(max_iter):
         cand = bidir.join(
             labels, bidir["a"] == labels["node"], "inner"
         ).select(F.col("b").alias("node"), "component")
-        new_labels = (
+        # Pointer jumping: adopt my component's own component, so a chain
+        # of length d resolves in O(log d) rounds instead of O(d).
+        jump = (
+            labels.alias("l1")
+            .join(
+                labels.select(
+                    F.col("node").alias("jnode"),
+                    F.col("component").alias("jcomp"),
+                ),
+                F.col("l1.component") == F.col("jnode"),
+                "inner",
+            )
+            .select(F.col("l1.node").alias("node"), F.col("jcomp").alias("component"))
+        )
+        new_labels = _pin(
             labels.unionByName(cand)
+            .unionByName(jump)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -422,7 +448,6 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

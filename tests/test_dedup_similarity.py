@@ -263,3 +263,45 @@ def test_connected_components_transitive_chain(spark):
         comps.setdefault(c, 0)
         comps[c] += int(k)
     assert all(v == 1 for v in comps.values())
+
+
+def test_connected_components_random_graphs_property(spark):
+    """Property check vs a union-find oracle on random graphs (seeded):
+    identical component partition, not just identical min labels."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n_nodes, n_edges = 60, 45
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in range(n_nodes)}
+        # canonical: min node id per component
+        roots = {}
+        for x, r in want.items():
+            roots.setdefault(r, x)
+            roots[r] = min(roots[r], x)
+        want = {x: roots[find(x)] for x in range(n_nodes)}
+
+        edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+        ndf = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in D.dedup_components(ndf, edf).collect()
+        }
+        assert got == want, f"seed {seed}"
