@@ -1,0 +1,286 @@
+"""Corpus-curation operators for training-data pipelines.
+
+North-star additions (ABSENT-IN-REFERENCE, SURVEY.md §2B): the
+selection/splitting/packing/scrubbing steps a large-scale LLM training
+corpus needs between dedup and tokenization. All pure Column
+expressions — whole-stage codegen over the scan, no Python.
+
+Determinism contract (what makes these oracle-able cross-engine):
+
+- Randomness is derived from ``md5(key)`` hex prefixes, not from an
+  engine RNG or engine-specific hash (Spark xxhash64 and DuckDB hash
+  disagree; md5 hex is identical everywhere). Fixed-width lowercase hex
+  compares lexicographically == numerically, so thresholds are hex
+  string literals and the comparison never leaves string land.
+- Scores avoid transcendentals: IEEE +,-,*,/ are correctly rounded and
+  reproducible across engines, ``ln``/``exp`` are not. The BM25 scorer
+  therefore uses the rational idf (N - df + .5)/(df + .5) by default and
+  documents the trade; pass ``log_idf=True`` for the classic form when
+  cross-engine bit equality is not required.
+
+Scale notes per operator are in the docstrings; the common theme is
+that sampling/splitting is stateless map-side work (no shuffle), and
+anything needing a total order is sharded first so no single window
+partition sees more than one shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dwh_with_dask_spark.operators.textstats import tokens
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def md5_prefix(key: Column | str, chars: int = 8, salt: str = "") -> Column:
+    """Deterministic pseudo-uniform draw: first ``chars`` hex chars of
+    md5(key [|| salt]). Uniform over [0, 16^chars) when the key is
+    unique; identical in any engine with md5."""
+    k = _col(key).cast("string")
+    if salt:
+        k = F.concat(k, F.lit(salt))
+    return F.substring(F.md5(k), 1, chars)
+
+
+def frac_to_hex(fraction: float, chars: int = 8) -> str:
+    """Hex threshold t such that P[md5_prefix < t] == fraction (up to
+    1/16^chars granularity)."""
+    space = 16**chars
+    return format(min(int(fraction * space), space - 1), f"0{chars}x")
+
+
+def bernoulli_sample(
+    df: DataFrame, fraction: float, key: Column | str, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose md5 draw falls
+    under the fraction threshold.
+
+    The 100 TB sampling path: a pure filter, no shuffle, no state, no
+    seed coordination across executors — the sample is a property of the
+    row, so retries/stragglers/re-runs select the same rows (unlike
+    ``DataFrame.sample``, whose partition-seeded RNG changes with the
+    partitioning). Different ``salt`` values give independent samples.
+    """
+    return df.filter(md5_prefix(key, 8, salt) < F.lit(frac_to_hex(fraction)))
+
+
+def hash_split(
+    key: Column | str,
+    train: float = 0.90,
+    val: float = 0.05,
+    salt: str = "split",
+) -> Column:
+    """'train' / 'val' / 'test' assignment from the md5 draw.
+
+    Stateless and stable: a document keeps its split forever, across
+    reshuffles, re-partitions, and corpus growth — the property a
+    training pipeline actually needs from a splitter (an RNG split
+    leaks val docs into train on every re-run). 4 hex chars = 1/65536
+    granularity on the boundaries.
+    """
+    draw = md5_prefix(key, 4, salt)
+    t_hex = frac_to_hex(train, 4)
+    v_hex = frac_to_hex(train + val, 4)
+    return (
+        F.when(draw < F.lit(t_hex), F.lit("train"))
+        .when(draw < F.lit(v_hex), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: Column | str,
+    n_per_stratum: int,
+    key: Column | str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, chosen by the md5
+    order (deterministic, uniform within the stratum).
+
+    One shuffle on the stratum key + a bounded per-stratum window. Skew
+    warning for the 1000-executor case: a stratum holding half the
+    corpus funnels through one window partition. When quotas are large
+    and strata skewed, pre-filter with ``bernoulli_sample`` at a few x
+    the quota rate first so the window sees a bounded candidate set —
+    same final sample (the md5 order is preserved by the pre-filter).
+    """
+    order = md5_prefix(key, 16, salt)
+    w = Window.partitionBy(_col(strata)).orderBy(order, _col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: Column | str,
+    budget: int,
+    key: Column | str,
+    n_shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign each document a
+    ``pack_id`` so consecutive documents (in deterministic md5-shard
+    order) fill a ``budget``-token context window.
+
+    A pack may overflow by at most its last document (standard
+    streaming-packing semantics — the alternative, splitting documents,
+    is a tokenizer-level concern). Output adds ``shard``, ``pack_id``
+    (globally unique = shard * 2^32 + local pack), and ``pack_pos``
+    (cumulative tokens before this doc within its pack).
+
+    Scale shape: documents are hashed into ``n_shards`` independent
+    shards; the running sum is a window WITHIN a shard, so no global
+    total order and no single-partition funnel — raise ``n_shards`` so
+    each shard's token mass fits one task comfortably. Packing quality
+    is unaffected (packs never span shards by construction).
+    """
+    toks = _col(token_count_col).cast("long")
+    shard = (
+        F.conv(md5_prefix(key, 4, salt), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    order = md5_prefix(key, 16, salt)
+    d = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order, _col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)
+    before = cum - toks  # tokens already placed ahead of this doc
+    local_pack = F.floor(before / F.lit(budget))
+    return (
+        d.withColumn("__cum", cum)
+        .withColumn(
+            "pack_id",
+            (F.col("shard") * F.lit(2**32) + local_pack).cast("long"),
+        )
+        .withColumn(
+            "pack_pos",
+            ((F.col("__cum") - toks) - local_pack * F.lit(budget)).cast("long"),
+        )
+        .drop("__cum")
+    )
+
+
+# --- PII scrubbing -------------------------------------------------------
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, explicit classes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_ipv4) occurrence counts."""
+    c = F.coalesce(_col(text), F.lit(""))
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)),
+        F.regexp_count(c, F.lit(IPV4_RE)),
+    )
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Text with emails/IPv4s replaced by typed placeholder tokens.
+    Pure regexp_replace — codegen'd, single pass over the corpus."""
+    c = F.coalesce(_col(text), F.lit(""))
+    scrubbed = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+
+
+# --- BM25 ----------------------------------------------------------------
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Per-(doc, term) BM25 relevance scores over the whole corpus:
+    (doc_id, term, tf, df, score).
+
+    Distributed shape (the inverted-index build a search/quality
+    pipeline runs at corpus scale):
+
+    1. explode normalized tokens -> groupBy(doc, term).count() — ONE
+       shuffle with map-side partial counts (the explode never
+       materializes; Tungsten pipelines scan->explode->partial-agg);
+    2. document frequency df = groupBy(term).count() over the (doc,
+       term) pairs — shuffles term-cardinality rows, not token
+       occurrences;
+    3. corpus stats (N, avgdl) — a 1-row aggregate, broadcast;
+    4. score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) joined
+       back on term (shuffle join: the term vocabulary of a 100 TB
+       corpus is NOT broadcastable; AQE may still pick broadcast at
+       small SF).
+
+    ``log_idf=False`` (default) uses the rational idf
+    (N - df + 0.5)/(df + 0.5): same ordering information, but only
+    IEEE-exact ops so results reproduce bit-for-bit on any engine —
+    ``ln`` is implementation-defined at the last ulp and breaks
+    cross-engine hash checks. Set ``log_idf=True`` for textbook BM25.
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col), F.explode(toks).alias("term"), F.size(toks).alias("dl")
+    )
+    tf = base.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(tokens(text_col))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    joined = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
+    idf_rational = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    idf = F.log(idf_rational + F.lit(1.0)) if log_idf else idf_rational
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0)
+        - F.lit(b)
+        + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    score = idf * ((tf_d * F.lit(k1 + 1.0)) / norm)
+    return joined.select(
+        id_col, "term", "tf", "df", score.alias("score")
+    )
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Top-k characteristic terms per document by BM25.
+
+    Rank by (tf desc, df asc, term asc) — integer-deterministic, so the
+    selected rows are identical cross-engine even where two scores tie
+    in the last ulp; the score column itself is IEEE-exact (see
+    bm25_scores).
+    """
+    scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("__rn").alias("rank"))
+    )

@@ -1,0 +1,203 @@
+"""Corpus-curation queries (north-star additions, SURVEY.md §2B).
+
+Deterministic sampling / splitting / packing / scrubbing / scoring over
+the ``documents`` table, each with a DuckDB oracle that reproduces the
+semantics exactly — md5-hex draws instead of engine RNGs, hex-literal
+thresholds, ln-free IEEE-exact scores (operators/curation.py documents
+the determinism contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.catalog import load_table
+from dwh_with_dask_spark.operators import curation as C
+from dwh_with_dask_spark.operators.textstats import tokens
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB twins of dedup.normalize_text / textstats.tokens (kept in sync
+# with plans/llm.py).
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+_SPLIT_T = C.frac_to_hex(0.90, 4)
+_SPLIT_V = C.frac_to_hex(0.95, 4)
+_BERN_T = C.frac_to_hex(0.25, 8)
+
+
+@query(
+    "corpus_split_hash",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < '{_SPLIT_T}' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < '{_SPLIT_V}' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/5/5 train/val/test assignment from an md5 draw on
+    doc_id — stateless, survives re-partitioning and corpus growth."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", C.hash_split("doc_id", 0.90, 0.05).alias("split"))
+
+
+@query(
+    "corpus_sample_bernoulli",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'samp'), 1, 8) < '{_BERN_T}'
+    """,
+)
+def corpus_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample — a pure filter (no shuffle,
+    no seed coordination), the scale path for corpus subsampling."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.bernoulli_sample(d, 0.25, "doc_id", salt="samp").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "corpus_sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 16),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, chosen by md5 order within the
+    stratum (uniform, deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.stratified_sample_exact(d, "lang", 20, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 4))
+                  AS BIGINT) % 16 AS shard,
+             substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 16) AS ord
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST(shard * 4294967296 + ((cum - n_tokens) // 512) AS BIGINT)
+               AS pack_id,
+           CAST((cum - n_tokens) - ((cum - n_tokens) // 512) * 512 AS BIGINT)
+               AS pack_pos
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 512-token sequence packing in deterministic md5-shard
+    order: 16 independent shards, per-shard running sum, pack overflows
+    bounded by one document."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    packed = C.pack_sequences(d, "n_tokens", 512, "doc_id", n_shards=16)
+    return packed.select("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
+
+
+@query(
+    "pii_scrub_docs",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{C.IPV4_RE}')) AS n_ipv4,
+           sha256(regexp_replace(
+               regexp_replace(text, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{C.IPV4_RE}', '<IP>', 'g')) AS scrub_hash
+    FROM documents
+    """,
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + replace emails/IPv4s with placeholder
+    tokens (patterns valid in both Java regex and RE2). The hash of the
+    scrubbed text proves byte-identical replacement cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    n_email, n_ip = C.pii_counts("text")
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        F.sha2(C.pii_scrub("text"), 256).alias("scrub_hash"),
+    )
+
+
+@query(
+    "text_bm25_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t),
+    tfs AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf
+      FROM base GROUP BY doc_id, term, dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM t),
+    scored AS (
+      SELECT tfs.doc_id, tfs.term, tfs.tf, dfreq.df,
+             ((CAST(n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                / (CAST(dfreq.df AS DOUBLE) + 0.5))
+             * ((CAST(tfs.tf AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tfs.tf AS DOUBLE)
+                   + 1.2 * ((1.0 - 0.75)
+                            + 0.75 * (CAST(tfs.dl AS DOUBLE) / avgdl)))) AS score
+      FROM tfs JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by BM25 (rational idf —
+    IEEE-exact, see operators/curation.py): the inverted-index build +
+    score a corpus-quality pipeline runs at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    out = C.bm25_top_terms(d, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long")).withColumn(
+        "tf", F.col("tf").cast("long")
+    ).withColumn("df", F.col("df").cast("long"))

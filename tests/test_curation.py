@@ -1,0 +1,134 @@
+"""Corpus-curation operators: determinism, quotas, packing invariants,
+PII scrubbing, BM25 — behavior tests complementing the DuckDB oracle
+diff (plans/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc {i} " + ("alpha beta " * (i % 7 + 1)) + f"tail{i}", ["en", "de", "fr"][i % 3])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hash_split_fractions_and_stability(docs):
+    out = docs.select("doc_id", C.hash_split("doc_id", 0.90, 0.05).alias("split"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == 300
+    assert counts["train"] / n == pytest.approx(0.90, abs=0.08)
+    # Stability: the assignment is a pure function of the key — identical
+    # across plans, partitionings, and runs.
+    again = docs.repartition(7).select(
+        "doc_id", C.hash_split("doc_id", 0.90, 0.05).alias("split")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bernoulli_sample_deterministic_subset(docs):
+    s1 = {r["doc_id"] for r in C.bernoulli_sample(docs, 0.3, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in C.bernoulli_sample(docs, 0.3, "doc_id").collect()}
+    assert s1 == s2
+    assert len(s1) == pytest.approx(90, abs=30)
+    # A smaller fraction with the same salt is a strict subset (the draw
+    # is fixed per row; only the threshold moves).
+    s_small = {r["doc_id"] for r in C.bernoulli_sample(docs, 0.1, "doc_id").collect()}
+    assert s_small <= s1
+    # Different salts give (almost surely) different samples.
+    s_other = {r["doc_id"] for r in C.bernoulli_sample(docs, 0.3, "doc_id", salt="x").collect()}
+    assert s_other != s1
+
+
+def test_stratified_sample_exact_quota(docs):
+    out = C.stratified_sample_exact(docs, "lang", 15, "doc_id")
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"en": 15, "de": 15, "fr": 15}
+    # Quota above stratum size returns the whole stratum.
+    tiny = docs.filter(F.col("doc_id") < 5)
+    got = C.stratified_sample_exact(tiny, "lang", 15, "doc_id").count()
+    assert got == 5
+
+
+def test_pack_sequences_invariants(docs):
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    budget = 64
+    packed = C.pack_sequences(d, "n_tokens", budget, "doc_id", n_shards=4).collect()
+    assert len(packed) == 300
+    by_pack: dict[int, list] = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for rows in by_pack.values():
+        rows.sort(key=lambda r: r["pack_pos"])
+        # pack_pos is the running token count before each doc, starts at
+        # a point below budget (a pack only opens if there is room).
+        assert rows[0]["pack_pos"] >= 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["pack_pos"] == prev["pack_pos"] + prev["n_tokens"]
+            # every doc except possibly the last STARTS inside the budget
+            assert cur["pack_pos"] < budget
+        # shard consistency: packs never span shards
+        assert len({r["shard"] for r in rows}) == 1
+
+
+def test_pii_scrub_counts_and_replacement(spark):
+    rows = [
+        (1, "contact a.user+tag@example.co.uk or admin@x.io today"),
+        (2, "server at 192.168.0.1 and 10.0.0.254, port 8080"),
+        (3, "no pii here"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    n_email, n_ip = C.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id", n_email.alias("e"), n_ip.alias("i"),
+            C.pii_scrub("text").alias("s"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"]) == (2, 0)
+    assert out[1]["s"] == "contact <EMAIL> or <EMAIL> today"
+    assert (out[2]["e"], out[2]["i"]) == (0, 2)
+    assert out[2]["s"] == "server at <IP> and <IP>, port 8080"
+    assert (out[3]["e"], out[3]["i"]) == (0, 0)
+    assert out[4]["s"] == ""
+
+
+def test_bm25_top_terms_ranks_distinctive_token(spark):
+    # doc 1 repeats 'zebra' which appears nowhere else -> its top term;
+    # 'the' is in every doc -> low idf, never a top term despite high tf.
+    rows = [
+        (1, "the zebra zebra zebra runs the field the"),
+        (2, "the quick fox jumps over the lazy dog the"),
+        (3, "the rain in spain stays mainly the plain the"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    top = C.bm25_top_terms(d, k=3)
+    t1 = [r["term"] for r in top.filter(F.col("doc_id") == 1).orderBy("rank").collect()]
+    assert t1[0] == "zebra"
+    scores = C.bm25_scores(d)
+    z = scores.filter((F.col("doc_id") == 1) & (F.col("term") == "zebra")).first()
+    the = scores.filter((F.col("doc_id") == 1) & (F.col("term") == "the")).first()
+    assert z["df"] == 1 and the["df"] == 3
+    assert z["score"] > the["score"] > 0
+
+
+def test_split_and_sample_have_no_shuffle(docs):
+    """Stateless curation ops must not introduce an Exchange — they are
+    map-side at any scale."""
+    split_plan = docs.select(
+        C.hash_split("doc_id").alias("s")
+    )._jdf.queryExecution().executedPlan().toString()
+    samp_plan = C.bernoulli_sample(
+        docs, 0.5, "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in split_plan
+    assert "Exchange" not in samp_plan
