@@ -1,0 +1,85 @@
+"""Hypertable-style multi-resolution time rollup.
+
+North-star addition (SURVEY.md §2B): the continuous-aggregate /
+hypertable-rollup pattern of time-series stores, re-expressed for
+Spark's execution model.
+
+The scale-correct shape is CASCADED re-aggregation, not grouping sets:
+an expand-based GROUPING SETS over (minute, hour, day) replicates every
+input row once per granularity before the shuffle (3x the scan exiting
+the map side), while sum/count/min/max are re-aggregable, so only the
+finest level ever needs to see raw rows. We aggregate to minute once
+(the single data-sized shuffle), then fold minute partials into hour
+and hour into day — each a shuffle over bucket-cardinality rows,
+negligible at any corpus size. Catalyst's ReuseExchange recognizes the
+shared minute-level aggregate across the union branches, so the fact
+table is scanned and shuffled exactly once.
+
+Sums are carried as DECIMAL partials (exact, order-independent — the
+repo's dsum idiom) and cast to double only on output, so cascaded
+re-aggregation is bit-identical to a direct group-by at every level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Finest-to-coarsest; each level folds from the previous one.
+LEVELS = ("minute", "hour", "day")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    levels: tuple[str, ...] = LEVELS,
+) -> DataFrame:
+    """(level, bucket, *key_cols, n_events, sum_value, min_value,
+    max_value) for every granularity in ``levels`` (finest first).
+
+    ``date_trunc`` is closed under coarsening (trunc('hour', minute
+    bucket) == trunc('hour', ts)), which is what makes the cascade
+    exact; count/min/max/decimal-sum are the re-aggregable partials.
+    """
+    keys = [F.col(k) for k in key_cols]
+
+    finest = (
+        df.groupBy(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"), *keys
+        ).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(23,6)")).alias("__sdec"),
+            F.min(value_col).alias("__mn"),
+            F.max(value_col).alias("__mx"),
+        )
+    )
+
+    def out(level_df: DataFrame, level: str) -> DataFrame:
+        return level_df.select(
+            F.lit(level).alias("level"),
+            "bucket",
+            *key_cols,
+            F.col("__n").cast("long").alias("n_events"),
+            F.col("__sdec").cast("double").alias("sum_value"),
+            F.col("__mn").alias("min_value"),
+            F.col("__mx").alias("max_value"),
+        )
+
+    result = out(finest, levels[0])
+    prev = finest
+    for level in levels[1:]:
+        folded = (
+            prev.groupBy(
+                F.date_trunc(level, F.col("bucket")).alias("bucket"), *keys
+            ).agg(
+                F.sum("__n").alias("__n"),
+                F.sum("__sdec").alias("__sdec"),
+                F.min("__mn").alias("__mn"),
+                F.max("__mx").alias("__mx"),
+            )
+        )
+        result = result.unionByName(out(folded, level))
+        prev = folded
+    return result

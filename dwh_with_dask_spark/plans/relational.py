@@ -797,6 +797,43 @@ def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hypertable_rollup_events",
+    """
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(23,6))) AS sdec,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT date_trunc('hour', bucket) AS bucket, event_type,
+             SUM(n) AS n, SUM(sdec) AS sdec, MIN(mn) AS mn, MAX(mx) AS mx
+      FROM m GROUP BY 1, 2),
+    d AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             SUM(n) AS n, SUM(sdec) AS sdec, MIN(mn) AS mn, MAX(mx) AS mx
+      FROM h GROUP BY 1, 2)
+    SELECT 'minute' AS level, bucket, event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(sdec AS DOUBLE) AS sum_value, mn AS min_value, mx AS max_value
+    FROM m
+    UNION ALL
+    SELECT 'hour', bucket, event_type, CAST(n AS BIGINT),
+           CAST(sdec AS DOUBLE), mn, mx FROM h
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT),
+           CAST(sdec AS DOUBLE), mn, mx FROM d
+    """,
+)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution (minute/hour/day) continuous-aggregate rollup —
+    cascaded re-aggregation so the fact table is scanned and shuffled
+    once, coarser levels fold the finer partials (operators/rollup.py)."""
+    from dwh_with_dask_spark.operators.rollup import hypertable_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    return hypertable_rollup(e, "ts", ("event_type",), "value")
+
+
 # --------------------------------------------------------------------------
 # Event-time windows (batch twins of the streaming operators)
 # --------------------------------------------------------------------------
