@@ -119,6 +119,37 @@ def stratified_sample_exact(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column | str,
+    key: Column | str,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic size-k weighted sample (probability-proportional-
+    to-size) by sequential Poisson sampling: priority = u / w with a
+    uniform md5 draw u, keep the k smallest priorities (Ohlsson's
+    published order-sampling scheme — heavier rows draw systematically
+    smaller priorities).
+
+    Cross-engine determinism: u is an 8-hex-digit md5 prefix divided by
+    16^8 — one IEEE division, one more for the priority, both exact; no
+    RNG, no pow(). The top-k itself is a TakeOrderedAndProject (partial
+    per-partition heaps, no full sort, no shuffle of the data — the
+    same physical shape as any Spark top-k).
+    """
+    u = F.conv(md5_prefix(key, 8, salt), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    w = _col(weight).cast("double")
+    return (
+        df.withColumn("__prio", u / w)
+        .orderBy(F.col("__prio").asc(), _col(key).asc())
+        .limit(k)
+        .drop("__prio")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col: Column | str,

@@ -81,6 +81,29 @@ def corpus_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_sample_weighted",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'wsamp'),
+                                      1, 8)) AS BIGINT)::DOUBLE / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS prio
+      FROM documents)
+    ORDER BY prio ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-100 probability-proportional-to-length sample via sequential
+    Poisson order sampling (priority = md5 draw / weight, smallest k) —
+    deterministic, runs as TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.weighted_sample(d, 100, "n_chars", "doc_id").select(
+        "doc_id", "n_chars"
+    )
+
+
+@query(
     "corpus_sample_stratified",
     """
     SELECT doc_id, lang FROM (

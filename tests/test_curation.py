@@ -132,3 +132,15 @@ def test_split_and_sample_have_no_shuffle(docs):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in split_plan
     assert "Exchange" not in samp_plan
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    rows = [(i, 1.0 if i < 150 else 100.0) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    got = C.weighted_sample(d, 50, "w", "doc_id").collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["w"] == 100.0)
+    # P(pick light) ~ 1/100 of heavy per row; expect nearly all heavy.
+    assert heavy >= 45
+    again = C.weighted_sample(d, 50, "w", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)

@@ -214,3 +214,22 @@ def test_hypertable_rollup_reuses_minute_stage(spark):
         by_level[r["level"]] = by_level.get(r["level"], 0) + r["n_events"]
     assert set(by_level) == {"minute", "hour", "day"}
     assert by_level["minute"] == by_level["hour"] == by_level["day"]
+
+
+def test_q7_q8_broadcast_dims_no_cartesian(spark):
+    """The deep multi-join queries must broadcast every dimension and
+    never fall back to a cartesian product; the only data-sized shuffle
+    is lineitem⋈orders."""
+    from dwh_with_dask_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = (
+            QUERIES[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
