@@ -40,6 +40,9 @@ HEADLINE = [
     "embedding_near_dup_cosine",
     "multimodal_image_features",
     "text_tokens_docs",
+    "text_bm25_top_terms",
+    "hypertable_rollup_events",
+    "q8_market_share",
     "json_props_events",
 ]
 

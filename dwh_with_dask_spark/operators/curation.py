@@ -247,14 +247,17 @@ def bm25_scores(
     1. explode normalized tokens -> groupBy(doc, term).count() — ONE
        shuffle with map-side partial counts (the explode never
        materializes; Tungsten pipelines scan->explode->partial-agg);
-    2. document frequency df = groupBy(term).count() over the (doc,
-       term) pairs — shuffles term-cardinality rows, not token
-       occurrences;
-    3. corpus stats (N, avgdl) — a 1-row aggregate, broadcast;
-    4. score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) joined
-       back on term (shuffle join: the term vocabulary of a 100 TB
-       corpus is NOT broadcastable; AQE may still pick broadcast at
-       small SF).
+    2. document frequency df = count over a partition-only window on
+       term, directly over the tf rows — one term-keyed shuffle of
+       (doc, term) pairs, NO join and NO second pass over the corpus.
+       (The groupBy(term)+join-back formulation re-derives the tf
+       subtree on the build side — column pruning makes the two copies
+       non-identical, so exchange reuse never kicks in and the corpus
+       is scanned and exploded twice; measured 2x on the whole query.)
+    3. corpus stats (N, avgdl) — a 1-row aggregate over a
+       doc-count-sized scan, broadcast;
+    4. score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) — pure
+       column arithmetic after the window, no further movement.
 
     ``log_idf=False`` (default) uses the rational idf
     (N - df + 0.5)/(df + 0.5): same ordering information, but only
@@ -262,12 +265,20 @@ def bm25_scores(
     ``ln`` is implementation-defined at the last ulp and breaks
     cross-engine hash checks. Set ``log_idf=True`` for textbook BM25.
     """
-    toks = tokens(text_col)
-    base = docs.select(
-        F.col(id_col), F.explode(toks).alias("term"), F.size(toks).alias("dl")
+    # Materialize the token array as a column FIRST, then explode the
+    # attribute: inlining `tokens(text)` into both explode() and size()
+    # makes the post-Generate projection re-normalize and re-split the
+    # WHOLE document once per emitted token (O(tokens x doc length) —
+    # measured ~2x on this query); as a named column the normalize+split
+    # runs once per document and size() is O(1) on the array attribute.
+    base = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    base = base.select(
+        F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
     )
     tf = base.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
         (
@@ -275,7 +286,7 @@ def bm25_scores(
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    joined = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
+    joined = tf.crossJoin(F.broadcast(stats))
     idf_rational = (
         F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5))
