@@ -29,32 +29,38 @@ from pyspark.sql import functions as F
 LEVELS = ("minute", "hour", "day")
 
 
-def hypertable_rollup(
+def minute_partials(
     df: DataFrame,
     ts_col: str = "ts",
     key_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    level: str = LEVELS[0],
+) -> DataFrame:
+    """The finest-level re-aggregable partials: (bucket, *keys, __n,
+    __sdec, __mn, __mx). The ONLY data-sized aggregation of the rollup;
+    also the exact shape the streaming leg appends per finalized window
+    (streaming/events.py:minute_rollup_stream)."""
+    keys = [F.col(k) for k in key_cols]
+    return df.groupBy(
+        F.date_trunc(level, F.col(ts_col)).alias("bucket"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(23,6)")).alias("__sdec"),
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+    )
+
+
+def cascade_from_partials(
+    finest: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
     levels: tuple[str, ...] = LEVELS,
 ) -> DataFrame:
-    """(level, bucket, *key_cols, n_events, sum_value, min_value,
-    max_value) for every granularity in ``levels`` (finest first).
-
-    ``date_trunc`` is closed under coarsening (trunc('hour', minute
-    bucket) == trunc('hour', ts)), which is what makes the cascade
-    exact; count/min/max/decimal-sum are the re-aggregable partials.
-    """
+    """Fold finest-level partials into every granularity in ``levels``
+    (finest first). Works identically over a freshly computed aggregate
+    (hypertable_rollup) or a streamed/stored minute-partials table —
+    the continuous-aggregate read path."""
     keys = [F.col(k) for k in key_cols]
-
-    finest = (
-        df.groupBy(
-            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"), *keys
-        ).agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col(value_col).cast("decimal(23,6)")).alias("__sdec"),
-            F.min(value_col).alias("__mn"),
-            F.max(value_col).alias("__mx"),
-        )
-    )
 
     def out(level_df: DataFrame, level: str) -> DataFrame:
         return level_df.select(
@@ -83,3 +89,21 @@ def hypertable_rollup(
         result = result.unionByName(out(folded, level))
         prev = folded
     return result
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    levels: tuple[str, ...] = LEVELS,
+) -> DataFrame:
+    """(level, bucket, *key_cols, n_events, sum_value, min_value,
+    max_value) for every granularity in ``levels`` (finest first).
+
+    ``date_trunc`` is closed under coarsening (trunc('hour', minute
+    bucket) == trunc('hour', ts)), which is what makes the cascade
+    exact; count/min/max/decimal-sum are the re-aggregable partials.
+    """
+    finest = minute_partials(df, ts_col, key_cols, value_col, levels[0])
+    return cascade_from_partials(finest, key_cols, levels)

@@ -1337,6 +1337,21 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_percentile_prices")  # no oracle: sketch is engine-specific
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE quantile path for 100 TB: percentile_approx's mergeable
+    KLL/GK-style sketch aggregates map-side and merges in one reduce —
+    no global sort, bounded memory per group. Accuracy 10000 ≈ 0.01%%
+    rank error; property-tested against the exact percentiles in
+    tests/test_plans.py (the driver records rows-only)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.75), F.lit(10000)).alias("p75"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Outer joins / subqueries / bivariate stats
 # --------------------------------------------------------------------------

@@ -89,6 +89,46 @@ def session_counts(
     )
 
 
+def minute_rollup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming leg of the hypertable rollup (operators/rollup.py): the
+    same minute-level re-aggregable partials (count / decimal sum / min
+    / max per (minute bucket, event_type)), computed over the stream.
+
+    In APPEND mode each minute window emits exactly once — when the
+    watermark passes its end — so the sink accumulates an immutable,
+    exactly-once minute-partials table. Coarser levels are then folded
+    on read with ``cascade_from_partials`` (hour/day shuffles touch
+    bucket-cardinality rows only), which is the continuous-aggregate
+    architecture: the stream maintains only the finest level, and it is
+    bit-identical to what the batch cascade computes over the same rows
+    because the partials are exact (decimal sum) and re-aggregable.
+
+    Batch twin: ``operators.rollup.minute_partials`` — the same
+    expression body; only the watermark wrapper differs.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(23,6)")).alias("__sdec"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "__n",
+            "__sdec",
+            "__mn",
+            "__mx",
+        )
+    )
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

@@ -233,3 +233,53 @@ def test_q7_q8_broadcast_dims_no_cartesian(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet + a partition-key filter must prune at
+    planning time: the scan's PartitionFilters is non-empty and only the
+    matching partition directory is read — the data-skipping contract
+    that turns a 100 TB scan into a one-partition read."""
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.sinks import write_parquet
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_parquet(e, path, partition_by=["event_date"])
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear in PartitionFilters, not as a
+    # post-scan Filter over all rows
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf
+    n_total_days = e.select("event_date").distinct().count()
+    assert n_total_days > 1
+    got_days = one_day.select("event_date").distinct().collect()
+    assert [r["event_date"].isoformat() for r in got_days] == ["2024-01-02"]
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """percentile_approx at accuracy 10000 must land within 0.5% of the
+    exact sort-based percentiles on the orders table."""
+    from dwh_with_dask_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["percentile_prices"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["approx_percentile_prices"](spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for status, er in exact.items():
+        ar = approx[status]
+        for p in ("p25", "p50", "p75"):
+            assert abs(ar[p] - er[p]) <= 0.005 * abs(er[p]), (status, p)

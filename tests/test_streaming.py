@@ -334,3 +334,91 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmpdir_spark):
 
     batch_twin = dedup_stream(batch1.unionByName(batch2))
     assert sorted(r["event_id"] for r in batch_twin.collect()) == [1, 2, 3]
+
+
+def test_streaming_minute_rollup_append_then_fold(spark, tmpdir_spark):
+    """Continuous-aggregate path: the stream appends finalized minute
+    partials (exactly-once, append mode); folding them with the batch
+    cascade gives values bit-identical to the batch rollup for every
+    emitted bucket — and the watermark guarantees full coverage of all
+    but the stream's final watermark-delay tail."""
+    import uuid
+
+    from dwh_with_dask_spark.operators.rollup import (
+        cascade_from_partials,
+        minute_partials,
+    )
+    from dwh_with_dask_spark.streaming.events import minute_rollup_stream
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # Stage files in CHRONOLOGICAL order (one time-slice per file, oldest
+    # first): the file source reads oldest-mtime first, so the watermark
+    # advances monotonically — the arrival pattern append-mode
+    # finalization is designed for. (A randomly time-interleaved file set
+    # would jump the watermark to near-max after one batch and every
+    # older window from later files would be late data.)
+    import time as _time
+
+    src = f"{tmpdir_spark}/events_roll"
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    for i in range(4):
+        part = events.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 3 else hi + span))
+        )
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"r_{uuid.uuid4().hex[:8]}"
+    q = (
+        minute_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_roll")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(f"SELECT * FROM {name}")
+
+    batch = minute_partials(events)
+    skey = {
+        (r["bucket"], r["event_type"]): (r["__n"], r["__sdec"], r["__mn"], r["__mx"])
+        for r in streamed.collect()
+    }
+    bkey = {
+        (r["bucket"], r["event_type"]): (r["__n"], r["__sdec"], r["__mn"], r["__mx"])
+        for r in batch.collect()
+    }
+    assert skey, "stream emitted nothing"
+    # every finalized window is exactly the batch value (exactly-once)
+    for k, v in skey.items():
+        assert bkey[k] == v, k
+    # coverage: all buckets except the final watermark tail are emitted
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=3)
+    missing = [k for k in bkey if k not in skey and k[0] < cutoff]
+    assert missing == []
+
+    # folding streamed partials == batch rollup, restricted to streamed buckets
+    folded = cascade_from_partials(streamed).filter(F.col("level") == "minute")
+    direct = cascade_from_partials(batch).filter(F.col("level") == "minute")
+    fold_map = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"],
+                                         r["min_value"], r["max_value"])
+        for r in folded.collect()
+    }
+    direct_map = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"],
+                                         r["min_value"], r["max_value"])
+        for r in direct.collect()
+    }
+    for k, v in fold_map.items():
+        assert direct_map[k] == v, k
