@@ -211,11 +211,21 @@ def minhash_lsh_pairs(
     Plan shape: signatures (1 shuffle) → explode bands → groupBy band
     bucket (1 shuffle) → within-bucket pairs → distinct → score. Only
     bucket-mates ever meet, so cost tracks true-duplicate density, not n^2.
+
+    The signature table is persisted: it is consumed three times (band
+    explode + both sides of the verification join), and without
+    materialization each consumer re-derives the whole
+    scan→shingle→64-hash aggregation (column pruning makes the copies
+    canonically different, so exchange reuse never fires — measured 3
+    scans and ~2x wall clock). num_hashes longs per doc is the cheap
+    thing to store; recomputing it per use is the expensive thing —
+    exactly why production LSH persists its signature table (see
+    similarity.build_srp_index for the same pattern as stored columns).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
 
     banded = sigs.select(
         "id",
