@@ -202,6 +202,83 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks:
+    (id, chunk_id, n_tokens, chunk_text) — the context-window splitting
+    step before tokenization/embedding.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; a doc
+    shorter than one chunk yields exactly one chunk. Pure higher-order
+    column functions (sequence -> transform -> slice -> posexplode):
+    the token array materializes once per document and chunking is
+    array slicing in whole-stage codegen — no UDF, no shuffle at all
+    (chunking is embarrassingly row-local; the output is written
+    straight back out or fed to the next map-side stage).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("__toks"), i * stride + 1, chunk_tokens),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__chunk"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("__chunk").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+def contamination_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: Column | None = None,
+    train: float = 0.90,
+    val: float = 0.05,
+) -> DataFrame:
+    """Train→eval contamination check: eval-split documents whose
+    content fingerprint also appears in the train split.
+
+    The decontamination step of an LLM data pipeline, composed from the
+    engine's own parts: ``hash_split`` assigns splits statelessly,
+    ``textstats.doc_fingerprint`` (min-md5 over word 5-grams) keys the
+    match, and the probe is a semi-join on the fingerprint — shuffles
+    16-byte keys, never documents; at 100 TB the (smaller) eval side
+    builds the hash table.
+    """
+    from dwh_with_dask_spark.operators.textstats import doc_fingerprint
+
+    fp = fingerprint_col if fingerprint_col is not None else doc_fingerprint(text_col)
+    tagged = df.select(
+        F.col(id_col),
+        hash_split(id_col, train, val).alias("split"),
+        fp.alias("fingerprint"),
+    )
+    train_fps = tagged.filter(F.col("split") == "train").select("fingerprint")
+    return (
+        tagged.filter(F.col("split") != "train")
+        .join(train_fps, "fingerprint", "left_semi")
+        .select(id_col, "split", "fingerprint")
+    )
+
+
 # --- PII scrubbing -------------------------------------------------------
 
 # Patterns chosen to mean the same thing in Java regex (Spark) and RE2

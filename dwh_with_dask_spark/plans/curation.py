@@ -160,6 +160,63 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_chunk_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT))),
+               i -> struct_pack(chunk_id := i,
+                                chunk := toks[(i*24+1):(i*24+32)]))) AS u
+      FROM t)
+    SELECT doc_id,
+           CAST(u.chunk_id AS INT) AS chunk_id,
+           len(u.chunk) AS n_tokens,
+           array_to_string(u.chunk, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunks with 8-token overlap (stride 24; sized to the
+    10-100-token synthetic docs) — the context-window splitting step;
+    pure array slicing, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "corpus_contamination_check",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE
+               WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                    < '{_SPLIT_T}' THEN 'train'
+               WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                    < '{_SPLIT_V}' THEN 'val'
+               ELSE 'test'
+             END AS split,
+             coalesce(list_min(list_transform(
+                 range(1, greatest(len(toks) - 3, 1)),
+                 i -> md5(array_to_string(toks[i:i+4], ' ')))),
+               md5(array_to_string(toks, ' '))) AS fingerprint
+      FROM t)
+    SELECT doc_id, split, fingerprint FROM g
+    WHERE split <> 'train'
+      AND fingerprint IN (SELECT fingerprint FROM g WHERE split = 'train')
+    """,
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe: eval-split docs whose min-5-gram-md5
+    fingerprint appears in the train split — semi-join on 32-char keys,
+    never document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.contamination_pairs(d)
+
+
+@query(
     "pii_scrub_docs",
     f"""
     SELECT doc_id,

@@ -144,3 +144,57 @@ def test_weighted_sample_favors_heavy_rows(spark):
     assert heavy >= 45
     again = C.weighted_sample(d, 50, "w", "doc_id").collect()
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+
+
+def test_chunk_documents_invariants(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    d = spark.createDataFrame([(1, text), (2, "short doc only")],
+                              "doc_id long, text string")
+    out = C.chunk_documents(d, chunk_tokens=32, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc -> exactly one chunk, all tokens
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc only"
+    # 100 tokens, stride 24 -> ceil((100-8)/24) = 4 chunks
+    chunks = by_doc[1]
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2, 3]
+    toks = text.split(" ")
+    for r in chunks:
+        start = r["chunk_id"] * 24
+        expect = toks[start : start + 32]
+        assert r["chunk_text"].split(" ") == expect
+        assert r["n_tokens"] == len(expect)
+    # consecutive chunks overlap by 8 tokens (when both are full)
+    a, b = chunks[0]["chunk_text"].split(" "), chunks[1]["chunk_text"].split(" ")
+    assert a[-8:] == b[:8]
+    # coverage: every token appears in some chunk
+    seen = set()
+    for r in chunks:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == set(toks)
+
+
+def test_contamination_catches_copied_eval_doc(spark):
+    # find concrete ids per split under the default salt
+    probe = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    splits = {
+        r["doc_id"]: r["s"]
+        for r in probe.select("doc_id", C.hash_split("doc_id").alias("s")).collect()
+    }
+    train_id = next(i for i, s in splits.items() if s == "train")
+    val_id = next(i for i, s in splits.items() if s == "val")
+    other_val = next(i for i, s in splits.items() if s == "val" and i != val_id)
+
+    leaked = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (train_id, leaked),
+        (val_id, leaked),                      # contaminated
+        (other_val, "completely different text with no shared fingerprint"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = {r["doc_id"] for r in C.contamination_pairs(d).collect()}
+    assert val_id in hits
+    assert other_val not in hits
+    assert train_id not in hits
