@@ -324,6 +324,72 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped double aggregation: orders-per-customer (left
+    join keeps zero-order customers), then the histogram of those
+    counts. The second aggregate shuffles customer-cardinality rows
+    down to distinct-count cardinality — negligible after the first."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(23,2))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(23,2))) > 150
+      ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds a
+    threshold. The HAVING filter runs on the exact decimal sum BEFORE
+    the joins, so only qualifying orderkeys (a tiny set) ever join —
+    AQE turns the filtered aggregate into the broadcast side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(23,2)")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey", F.col("__sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
     "agg_orders_monthly",
     """
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
