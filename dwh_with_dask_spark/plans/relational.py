@@ -244,6 +244,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10")
     ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12"))
+    # The pair disjunction spans both sides so it can only apply above
+    # the joins — but it IMPLIES supp/cust ∈ {12,10}, and that redundant
+    # per-side conjunct is pushable: filter each nation dim to the two
+    # candidates before broadcasting, so supplier/customer rows from the
+    # other 23 nations never enter the join at all (the classic Q7
+    # implied-predicate derivation, done by hand since Catalyst does not
+    # infer it through a disjunction).
+    both = ("NATION_12", "NATION_10")
+    n1 = n1.filter(F.col("supp_nation").isin(*both))
+    n2 = n2.filter(F.col("cust_nation").isin(*both))
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -335,16 +345,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13-shaped double aggregation: orders-per-customer (left
-    join keeps zero-order customers), then the histogram of those
-    counts. The second aggregate shuffles customer-cardinality rows
-    down to distinct-count cardinality — negligible after the first."""
+    """TPC-H Q13-shaped double aggregation: orders-per-customer (zero-
+    order customers kept), then the histogram of those counts.
+
+    The Spark side pre-aggregates orders to per-custkey counts BEFORE
+    the outer join (algebraically identical to the oracle's
+    join-then-count: COUNT(o_orderkey) over a left join == COALESCE of
+    the pre-aggregated count) — so the join probes customer-cardinality
+    rows against an already-reduced build side instead of streaming
+    every order row through the join. At 100 TB that is the difference
+    between shuffling the orders fact once into a partial agg and
+    shuffling it raw into a join."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    per_cust_orders = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(per_cust_orders, c.c_custkey == per_cust_orders.o_custkey, "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
@@ -988,6 +1007,42 @@ def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("tail20"),
         F.concat_ws(":", "source", "lang").alias("src_lang"),
+    )
+
+
+@query(
+    "sliding_window_events",
+    """
+    SELECT window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes']) AS window_start
+      FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 hour every 30 minutes): each event
+    lands in duration/slide = 2 overlapping windows. Spark's F.window
+    expands the row per window before the aggregate — the oracle
+    reproduces that with an explicit 2-bucket unnest. Same code runs
+    under Structured Streaming with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
     )
 
 
