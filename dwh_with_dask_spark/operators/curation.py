@@ -266,11 +266,15 @@ def contamination_pairs(
     from dwh_with_dask_spark.operators.textstats import doc_fingerprint
 
     fp = fingerprint_col if fingerprint_col is not None else doc_fingerprint(text_col)
+    # Persisted: both sides of the semi-join consume it, and without
+    # materialization each side re-scans and re-fingerprints the whole
+    # corpus (min-md5 over every 5-gram — the expensive part). Three
+    # narrow columns per doc is the cheap thing to store.
     tagged = df.select(
         F.col(id_col),
         hash_split(id_col, train, val).alias("split"),
         fp.alias("fingerprint"),
-    )
+    ).persist()
     train_fps = tagged.filter(F.col("split") == "train").select("fingerprint")
     return (
         tagged.filter(F.col("split") != "train")
