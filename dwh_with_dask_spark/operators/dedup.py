@@ -127,7 +127,13 @@ def ngram_jaccard_pairs(
     blowup on boilerplate shingles at corpus scale (slightly lowers J for
     affected pairs; leave None for exact semantics).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    # Persisted: the shingle table feeds doc sizes, (when capped) the
+    # hot-set aggregate, and BOTH sides of the self-join — without
+    # materialization each consumer re-derives scan→normalize→explode→
+    # distinct (measured 6 scans in the capped plan). One (id, shingle)
+    # row per distinct shingle occurrence is exactly the inverted index
+    # production systems store.
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     joinable = sh
