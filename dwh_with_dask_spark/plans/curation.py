@@ -243,6 +243,80 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_prepare_pipeline",
+    f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY sha256({_NORM_SQL})),
+    kept AS (
+      SELECT d.doc_id, len({_TOKS_SQL}) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio,
+             CASE
+               WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || 'split'), 1, 4)
+                    < '{_SPLIT_T}' THEN 'train'
+               WHEN substring(md5(CAST(d.doc_id AS VARCHAR) || 'split'), 1, 4)
+                    < '{_SPLIT_V}' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents d JOIN keepers USING (doc_id)),
+    q AS (
+      SELECT doc_id, n_tokens FROM kept
+      WHERE n_tokens >= 20 AND punct_ratio < 0.25 AND split = 'train'),
+    t AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 4))
+                  AS BIGINT) % 16 AS shard,
+             substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 16) AS ord
+      FROM q),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST(shard * 4294967296 + ((cum - n_tokens) // 256) AS BIGINT)
+               AS pack_id,
+           CAST((cum - n_tokens) - ((cum - n_tokens) // 256) * 256 AS BIGINT)
+               AS pack_pos
+    FROM c
+    """,
+)
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation composed from the engine's own
+    operators: exact dedup (keep min doc_id per normalized-text sha256)
+    → quality gate (>=20 tokens, punctuation ratio < 0.25) → stable
+    hash split (train only) → greedy 256-token packing in 16 md5
+    shards. One narrow-key shuffle for the dedup, one bounded per-shard
+    window for packing; everything between is map-side. The shape of a
+    real training-data prep DAG, verified end-to-end against a single
+    composed DuckDB oracle."""
+    from dwh_with_dask_spark.operators.dedup import exact_dedup
+    from dwh_with_dask_spark.operators.textstats import punct_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    q = (
+        kept.select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_tokens"),
+            punct_ratio("text").alias("__punct"),
+            C.hash_split("doc_id", 0.90, 0.05).alias("__split"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("__punct") < 0.25)
+            & (F.col("__split") == "train")
+        )
+        .select("doc_id", "n_tokens")
+    )
+    packed = C.pack_sequences(q, "n_tokens", 256, "doc_id", n_shards=16)
+    return packed.select("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
+
+
+@query(
     "text_bm25_top_terms",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
