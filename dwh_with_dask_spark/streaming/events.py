@@ -46,20 +46,32 @@ def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-(window, event_type) counts + sums; works on batch AND stream.
 
     On a stream, the watermark lets Spark finalize and evict each hour's
-    state once event time passes window end + 2 hours.
+    state once event time passes window end + 2 hours. ``slide`` turns
+    the tumbling window into a sliding one (each event lands in
+    duration/slide overlapping windows — state grows by the same
+    factor; batch twin: plans.relational.sliding_window_events).
     """
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_value"),
+            # Exact decimal accumulation (the repo's dsum idiom): a raw
+            # double sum is addition-order dependent, and a stream adds
+            # in micro-batch arrival order — measured last-ulp drift vs
+            # the batch twin on ~3-row windows. Decimal partials make
+            # stream == batch EXACT, not approximately equal.
+            F.sum(F.col("value").cast("decimal(23,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )

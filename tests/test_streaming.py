@@ -422,3 +422,26 @@ def test_streaming_minute_rollup_append_then_fold(spark, tmpdir_spark):
     }
     for k, v in fold_map.items():
         assert direct_map[k] == v, k
+
+
+def test_streaming_sliding_window_equals_batch(spark, tmpdir_spark):
+    import uuid
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = f"{tmpdir_spark}/events_slide"
+    events.repartition(3).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"sl_{uuid.uuid4().hex[:8]}"
+    streamed = run_stream_to_memory(
+        spark,
+        tumbling_counts(stream, window="1 hour", slide="30 minutes"),
+        name,
+        f"{tmpdir_spark}/ckpt_slide",
+    )
+    batch = tumbling_counts(events, window="1 hour", slide="30 minutes")
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
