@@ -109,3 +109,30 @@ def test_read_excel_many_distributed(spark, tmp_path):
     # 64 sheet rows - title - header = 62 data rows per copy.
     assert by_src["wb_a.xlsx"] == by_src["wb_b.xlsx"] == 62
     assert any(r["CurrentYearInstant"] is not None for r in rows)
+
+
+def test_xlsx_python_datasource_grid(spark):
+    """Spark 4 Python DataSource: spark.read.format('xlsx') parses one
+    worksheet per input partition executor-side (stdlib OOXML, no
+    optional deps) and emits the positional grid the Excel surface
+    consumes."""
+    from dwh_with_dask_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    df = (
+        spark.read.format("xlsx")
+        .option("sheets", "1000000,1311000")
+        .load(WORKBOOK)
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per sheet
+    rows = df.collect()
+    per_sheet = {}
+    for r in rows:
+        per_sheet[r["sheet"]] = per_sheet.get(r["sheet"], 0) + 1
+    # raw row counts per BASELINE.md: 45 (general info) + 64 (Laba Rugi)
+    assert per_sheet == {"1000000": 45, "1311000": 64}
+    lk = [r for r in rows if r["cells"] and r["cells"][0] == "Kode entitas"]
+    assert lk and lk[0]["cells"][1] == "ACES"
+    # row_idx is dense per sheet
+    idx = sorted(r["row_idx"] for r in rows if r["sheet"] == "1000000")
+    assert idx == list(range(45))
