@@ -101,6 +101,44 @@ def pipeline_v2(
     return combine_statements(normalized, emitent)
 
 
+def pipeline_v2_observed(
+    statement_sheets: dict[str, DataFrame], emitent: str
+):
+    """EP1 with native stage metrics: the Spark answer to the
+    reference's per-stage row-count logging (§2A #29 — print(len(df))
+    after each step, each print forcing an eager pandas materialization).
+
+    ``DataFrame.observe`` attaches accumulator-backed metrics to points
+    IN the single lazy plan: per-sheet post-normalization row counts and
+    final-table stats are collected DURING the one write/collect action
+    — zero extra jobs, zero extra scans, and they keep working
+    unchanged under Structured Streaming (where a count() per stage is
+    not even expressible).
+
+    Returns (df, observations): read ``observations[name].get`` after
+    the first action on ``df``.
+    """
+    from pyspark.sql import Observation
+
+    observations: dict[str, Observation] = {}
+    normalized = {}
+    for label, raw in statement_sheets.items():
+        o = Observation(f"sheet {label}")
+        normalized[label] = normalize_statement_sheet(raw, label).observe(
+            o, F.count(F.lit(1)).alias("rows")
+        )
+        observations[label] = o
+    final = Observation("final")
+    df = combine_statements(normalized, emitent).observe(
+        final,
+        F.count(F.lit(1)).alias("rows"),
+        F.min("ID").alias("min_id"),
+        F.max("ID").alias("max_id"),
+    )
+    observations["final"] = final
+    return df, observations
+
+
 # ---------------------------------------------------------------------------
 # v3: PDF text + Excel → `financial_statement` (EP2)
 # ---------------------------------------------------------------------------

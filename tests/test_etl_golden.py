@@ -144,3 +144,20 @@ def test_detail_notes_golden(spark):
     assert notes[1]["deskripsi"] == "Memiliki 3 anak perusahaan."
     assert notes[2]["deskripsi"] == "Disusun berdasarkan SAK."
     assert [n["id"] for n in notes] == [1, 2, 3]
+
+
+def test_pipeline_v2_observed_metrics(spark, statement_sheets):
+    """Observation metrics (the #29 stage-logging parity, zero extra
+    jobs): per-sheet row counts and final-table stats arrive with the
+    single action, matching the actual data."""
+    from dwh_with_dask_spark.plans.financial_etl import pipeline_v2_observed
+
+    df, obs = pipeline_v2_observed(statement_sheets, "ACES")
+    out = df.collect()
+
+    assert obs["Laba Rugi"].get["rows"] == 3
+    assert obs["Posisi Keuangan"].get["rows"] == 2
+    assert obs["Arus Kas"].get["rows"] == 1
+    final = obs["final"].get
+    assert final["rows"] == len(out) == 6
+    assert (final["min_id"], final["max_id"]) == (1, 6)
