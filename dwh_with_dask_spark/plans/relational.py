@@ -954,6 +954,37 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse the JSON
+    string ONCE into the binary variant encoding, then run typed
+    ``try_variant_get`` extractions against it — at 100 TB the parse
+    happens once per row however many fields you pull, vs
+    get_json_object re-parsing the string per path (json_props_events
+    keeps that classic path for comparison). The oracle is path-
+    equivalent DuckDB JSON extraction — VARIANT changes the encoding,
+    not the semantics."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count("k").alias("n_with_k"),
+    )
+
+
+@query(
     "date_parts_events",
     """
     SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
