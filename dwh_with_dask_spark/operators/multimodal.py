@@ -114,6 +114,57 @@ def image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return deduped.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "content_hash string, width int, height int, n_channels int, pixels binary"
+)
+
+
+def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample — REAL resize logic in pure numpy (only
+    the upstream decode is stubbed): each output pixel takes the source
+    pixel at floor(i * src / dst), the standard NN index map."""
+    h, w = img.shape[:2]
+    ri = np.arange(out_h) * h // out_h
+    ci = np.arange(out_w) * w // out_w
+    return img[ri][:, ci]
+
+
+def image_resize(
+    media: DataFrame, width: int = 8, height: int = 8, batch_rows: int = 64
+) -> DataFrame:
+    """Decode → resize → re-emit raw pixels, via mapInPandas.
+
+    The standard thumbnail/normalize step before vision-model feature
+    extraction. Same distributed contract as image_features: dedup on
+    content_hash upstream, bounded Arrow batches, output keyed by hash;
+    ``pixels`` is the row-major uint8 buffer (height x width x channels
+    — the array contract a downstream vision UDF consumes).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content_hash, content in zip(pdf["content_hash"], pdf["content"]):
+                img = _decode_image_stub(bytes(content))
+                out = _resize_nn(img, height, width)
+                rows.append(
+                    {
+                        "content_hash": content_hash,
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "n_channels": int(out.shape[2]),
+                        "pixels": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["content_hash", "width", "height", "n_channels", "pixels"],
+            )
+
+    deduped = media.dropDuplicates(["content_hash"]).select("content_hash", "content")
+    return deduped.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract audio via mapInPandas (stubbed decode)."""
 

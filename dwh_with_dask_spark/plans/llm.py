@@ -381,6 +381,30 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_image_resize")  # stubbed decoder: engine-specific, rows-only
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/normalize plumbing (operators.multimodal.image_resize):
+    decode (stub) → real nearest-neighbor resample → raw pixel buffer
+    keyed by content hash. Scalar projection for the driver compare."""
+    from dwh_with_dask_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    binaries = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("length"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    resized = MM.image_resize(MM.media_table(binaries, "image"), width=8, height=8)
+    return resized.select(
+        "content_hash",
+        "width",
+        "height",
+        "n_channels",
+        F.octet_length("pixels").alias("n_pixel_bytes"),
+        F.sha2("pixels", 256).alias("pixel_digest"),
+    )
+
+
 @query("multimodal_frame_sample")  # stubbed decoder: engine-specific, rows-only
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling plumbing (operators.multimodal.frame_sample):

@@ -86,3 +86,41 @@ def test_binary_column_pruning(spark, media):
     meta_only = media.select("path", "n_bytes").filter(F.col("n_bytes") > 1500)
     assert "content" not in meta_only.columns
     assert meta_only.count() == 1
+
+
+def test_resize_nn_index_map():
+    """The numpy NN resample is real logic: verify the index map on an
+    asymmetric image (no Spark involved)."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import _resize_nn
+
+    img = np.arange(2 * 4 * 1, dtype=np.uint8).reshape(2, 4, 1)
+    # upscale 2x4 -> 4x4: rows repeat [0,0,1,1]
+    up = _resize_nn(img, 4, 4)
+    assert up.shape == (4, 4, 1)
+    assert (up[0] == img[0]).all() and (up[1] == img[0]).all()
+    assert (up[2] == img[1]).all() and (up[3] == img[1]).all()
+    # downscale 2x4 -> 1x2: picks rows [0], cols [0, 2]
+    down = _resize_nn(img, 1, 2)
+    assert down.shape == (1, 2, 1)
+    assert down[0, 0, 0] == img[0, 0, 0] and down[0, 1, 0] == img[0, 2, 0]
+
+
+def test_image_resize_plumbing(spark):
+    """Distributed contract: dedup-by-hash, fixed output dims, pixel
+    buffer length = h*w*c, deterministic per content."""
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.operators.multimodal import image_resize, media_table
+
+    rows = [("a", b"payload-one"), ("b", b"payload-two"), ("c", b"payload-one")]
+    binaries = spark.createDataFrame(rows, "path string, content binary").select(
+        "path", F.octet_length("content").alias("length"), "content"
+    )
+    out = image_resize(media_table(binaries, "image"), width=6, height=3).collect()
+    # 3 inputs but 2 distinct payloads -> 2 rows (dedup before decode)
+    assert len(out) == 2
+    for r in out:
+        assert (r["width"], r["height"], r["n_channels"]) == (6, 3, 3)
+        assert len(r["pixels"]) == 3 * 6 * 3
