@@ -245,6 +245,41 @@ def chunk_documents(
     )
 
 
+def chunk_text_udtf():
+    """The same chunking semantics as a Spark 4 Python UDTF — the
+    lateral-join form usable straight from SQL:
+
+        spark.udtf.register("chunk_text", chunk_text_udtf())
+        SELECT d.doc_id, c.* FROM documents d,
+               LATERAL chunk_text(d.text, 32, 8) c
+
+    Row-at-a-time Python, so the VECTORIZED ``chunk_documents`` is the
+    hot-path implementation (higher-order array ops, whole-stage
+    codegen); this exists to complete the UDF API surface for callers
+    who need ad-hoc SQL-side table functions, and is equivalence-tested
+    against the vectorized op (tests/test_curation.py). Returns the
+    UDTF object (created lazily so importing this module never requires
+    an active Spark context).
+    """
+    from pyspark.sql.functions import udtf
+
+    class _ChunkText:
+        def eval(self, text: str, chunk_tokens: int, overlap: int):
+            import re
+
+            stride = chunk_tokens - overlap
+            toks = re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+            n_chunks = max(1, -(-(len(toks) - overlap) // stride))
+            for i in range(n_chunks):
+                chunk = toks[i * stride : i * stride + chunk_tokens]
+                yield i, len(chunk), " ".join(chunk)
+
+    return udtf(
+        _ChunkText,
+        returnType="chunk_id int, n_tokens int, chunk_text string",
+    )
+
+
 def contamination_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -198,3 +198,20 @@ def test_contamination_catches_copied_eval_doc(spark):
     assert val_id in hits
     assert other_val not in hits
     assert train_id not in hits
+
+
+def test_chunk_udtf_equals_vectorized(spark):
+    """The SQL-side UDTF must produce exactly the vectorized
+    chunk_documents output (same normalize, stride, tail semantics)."""
+    rows = [(1, " ".join(f"t{i}" for i in range(75))), (2, "Tiny  Doc")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    d.createOrReplaceTempView("chunk_udtf_docs")
+
+    spark.udtf.register("chunk_text", C.chunk_text_udtf())
+    via_udtf = spark.sql(
+        """SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+           FROM chunk_udtf_docs d, LATERAL chunk_text(d.text, 32, 8) c"""
+    ).collect()
+    via_vec = C.chunk_documents(d, chunk_tokens=32, overlap=8).collect()
+    assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, via_vec))
+    assert len(via_udtf) > 3  # doc 1 actually splits
