@@ -141,6 +141,59 @@ def minute_rollup_stream(
     )
 
 
+def upsert_rollup_sink(path: str):
+    """foreachBatch upsert of minute-rollup partials into a queryable,
+    day-partitioned parquet table — the merge half of the continuous
+    aggregate (the append leg only lands FINALIZED windows; this one
+    keeps in-flight windows current too, so the table is always
+    readable at the latest watermark).
+
+    Merge strategy per micro-batch (update-mode input: the batch holds
+    the new TOTAL for every (bucket, key) touched):
+
+    1. tag rows with their day partition;
+    2. anti-join the existing table's affected days against the batch
+       keys (rows in touched days that did NOT change are kept);
+    3. union the batch and rewrite ONLY the affected day partitions via
+       dynamic partition overwrite — untouched days are never read or
+       written, so the cost per batch is bounded by the watermark span,
+       not table history.
+
+    The combined frame is pinned with ``localCheckpoint`` before the
+    write: it breaks plan lineage to the files being replaced (Spark
+    rightly refuses to overwrite a path its own plan still reads), and
+    it materializes the read BEFORE the overwrite starts. Swap the
+    parquet rewrite for MERGE INTO on Delta/Iceberg when a table format
+    is available — the batch-side logic is identical.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("day", F.to_date("bucket"))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            existing = spark.read.parquet(path)
+            have = True
+        except Exception:
+            have = False
+        if not have:
+            batch.write.mode("overwrite").partitionBy("day").parquet(path)
+            return
+        days = [r["day"] for r in batch.select("day").distinct().collect()]
+        kept = (
+            existing.filter(F.col("day").isin(days))
+            .join(
+                batch.select("bucket", "event_type"),
+                ["bucket", "event_type"],
+                "left_anti",
+            )
+        )
+        out = kept.unionByName(batch).localCheckpoint(eager=True)
+        out.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    return sink
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

@@ -445,3 +445,55 @@ def test_streaming_sliding_window_equals_batch(spark, tmpdir_spark):
     a = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_upsert_rollup_sink_maintains_complete_table(spark, tmpdir_spark):
+    """Update-mode minute partials + foreachBatch upsert => the parquet
+    table equals the batch aggregate over ALL events (in-flight windows
+    included), across multiple micro-batches touching the same days."""
+    import uuid
+
+    from dwh_with_dask_spark.operators.rollup import minute_partials
+    from dwh_with_dask_spark.streaming.events import (
+        minute_rollup_stream,
+        upsert_rollup_sink,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # chronological staging (see rollup append test)
+    import time as _time
+
+    src = f"{tmpdir_spark}/events_upsert"
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    for i in range(4):
+        part = events.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 3 else hi + span))
+        )
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    table = f"{tmpdir_spark}/rollup_table"
+    q = (
+        minute_rollup_stream(stream)
+        .writeStream.foreachBatch(upsert_rollup_sink(table))
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_upsert")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["bucket"], r["event_type"]): (r["__n"], r["__sdec"], r["__mn"], r["__mx"])
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (r["__n"], r["__sdec"], r["__mn"], r["__mx"])
+        for r in minute_partials(events).collect()
+    }
+    assert got == want
