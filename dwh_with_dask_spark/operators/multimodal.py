@@ -197,6 +197,55 @@ def audio_features(media: DataFrame) -> DataFrame:
     return deduped.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+RESAMPLED_AUDIO_SCHEMA = (
+    "content_hash string, sample_rate int, n_samples int, samples binary"
+)
+
+
+def _resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample — REAL DSP logic in pure numpy
+    (only the upstream decode is stubbed): output sample i sits at
+    source position i * sr_in / sr_out and interpolates its two
+    neighbors. The standard cheap resampler (a production pipeline
+    would swap in a polyphase filter; the operator contract — bounded
+    Arrow batches in, hash-keyed float32 buffer out — is identical)."""
+    n_out = int(round(len(x) * sr_out / sr_in))
+    pos = np.arange(n_out, dtype=np.float64) * sr_in / sr_out
+    i0 = np.minimum(pos.astype(np.int64), len(x) - 1)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    frac = (pos - i0).astype(np.float32)
+    return (x[i0] * (1.0 - frac) + x[i1] * frac).astype(np.float32)
+
+
+def audio_resample(media: DataFrame, target_rate: int = 8_000) -> DataFrame:
+    """Decode → resample to ``target_rate`` → re-emit raw float32 PCM,
+    via mapInPandas. The normalize-sample-rate step before any audio
+    model; same distributed contract as the other kernels (dedup on
+    content_hash upstream, narrow hash-keyed output)."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content_hash, content in zip(pdf["content_hash"], pdf["content"]):
+                samples, sr = _decode_audio_stub(bytes(content))
+                out = _resample_linear(samples, sr, target_rate)
+                rows.append(
+                    {
+                        "content_hash": content_hash,
+                        "sample_rate": target_rate,
+                        "n_samples": len(out),
+                        "samples": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["content_hash", "sample_rate", "n_samples", "samples"],
+            )
+
+    deduped = media.dropDuplicates(["content_hash"]).select("content_hash", "content")
+    return deduped.mapInPandas(resample, schema=RESAMPLED_AUDIO_SCHEMA)
+
+
 VIDEO_FRAMES_SCHEMA = (
     "content_hash string, frame_no int, ts_s double, frame_bytes binary"
 )

@@ -124,3 +124,35 @@ def test_image_resize_plumbing(spark):
     for r in out:
         assert (r["width"], r["height"], r["n_channels"]) == (6, 3, 3)
         assert len(r["pixels"]) == 3 * 6 * 3
+
+
+def test_resample_linear_math():
+    """Real interpolation math, no Spark: downsample 2:1 picks every
+    other sample exactly; upsample 1:2 interpolates midpoints."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import _resample_linear
+
+    x = np.array([0.0, 1.0, 2.0, 3.0], dtype=np.float32)
+    down = _resample_linear(x, 16000, 8000)
+    assert np.allclose(down, [0.0, 2.0])
+    up = _resample_linear(x, 8000, 16000)
+    assert len(up) == 8
+    assert np.allclose(up[:6], [0.0, 0.5, 1.0, 1.5, 2.0, 2.5])
+
+
+def test_audio_resample_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.operators.multimodal import audio_resample, media_table
+
+    rows = [("a", b"clip-one"), ("b", b"clip-two"), ("c", b"clip-one")]
+    binaries = spark.createDataFrame(rows, "path string, content binary").select(
+        "path", F.octet_length("content").alias("length"), "content"
+    )
+    out = audio_resample(media_table(binaries, "audio"), target_rate=8000).collect()
+    assert len(out) == 2  # dedup before decode
+    for r in out:
+        # stub decodes 1600 samples at 16 kHz -> 800 at 8 kHz
+        assert (r["sample_rate"], r["n_samples"]) == (8000, 800)
+        assert len(r["samples"]) == 800 * 4  # float32
