@@ -79,3 +79,54 @@ def test_binary_files_scan(spark, tmp_path):
     row = df.select("path", "length", "content").first()
     assert row["length"] == len(payload)
     assert bytes(row["content"]) == payload
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across parquet batches (a fact of life for any
+    long-lived 100 TB table): mergeSchema unions the fields; files
+    written before a column existed read as null."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.parquet(path)
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.5
+    # without mergeSchema Spark picks one file's schema arbitrarily —
+    # assert the option is what makes the union schema reliable
+    assert merged.filter(F.col("score").isNotNull()).count() == 1
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE JSON ingestion: malformed lines land in
+    _corrupt_record instead of failing the scan — the triage contract
+    for dirty landing zones (count them, quarantine them, keep going)."""
+    p = tmp_path / "dirty.json"
+    p.write_text(
+        '{"id": 1, "v": 10}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": 20}\n'
+        '{"id": 3, "v": }\n'
+    )
+    schema = "id long, v long, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        # Spark disallows querying ONLY the corrupt column from raw
+        # files (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+        # cache-then-filter is the documented triage pattern.
+        .cache()
+    )
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 2
