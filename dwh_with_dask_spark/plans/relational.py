@@ -334,6 +334,42 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_sql_text",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(23,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the same Q6 semantics submitted as a SQL
+    TEXT string over registered temp views (catalog.register_views) —
+    proving spark.sql() and the DataFrame API meet in the identical
+    Catalyst plan and identical results. The SQL here is ANSI enough to
+    be byte-identical to the DuckDB oracle."""
+    from dwh_with_dask_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(23,4)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
     "q13_customer_distribution",
     """
     SELECT c_count, COUNT(*) AS custdist
