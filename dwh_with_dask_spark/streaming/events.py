@@ -141,6 +141,58 @@ def minute_rollup_stream(
     )
 
 
+def enrich_with_users(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension
+    table — THE standard streaming enrichment. The static side is
+    (re)read per micro-batch and broadcast when small; no state store
+    is involved, so there is nothing to bound with a watermark. Works
+    identically on batch inputs (same code, both modes)."""
+    return events.join(F.broadcast(users), "user_id", "left")
+
+
+def self_join_follow_events(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each 'click' with 'purchase'
+    events by the same user within ``within`` afterwards.
+
+    Both sides are watermarked and the join condition bounds event time
+    (b.ts in [a.ts, a.ts + within]), so Spark can evict buffered rows
+    once the watermark passes their join range — the REQUIREMENT for an
+    unbounded stream-stream inner join (without the time bound, both
+    sides buffer forever). Batch inputs run the identical expression.
+    """
+    a = events_a
+    b = events_b
+    if a.isStreaming:
+        a = a.withWatermark("ts", watermark)
+    if b.isStreaming:
+        b = b.withWatermark("ts", watermark)
+    a = a.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_type").alias("a_type"),
+    ).filter(F.col("a_type") == "click")
+    b = b.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_type").alias("b_type"),
+    ).filter(F.col("b_type") == "purchase")
+    cond = (
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond, "inner").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
 def upsert_rollup_sink(path: str):
     """foreachBatch upsert of minute-rollup partials into a queryable,
     day-partitioned parquet table — the merge half of the continuous

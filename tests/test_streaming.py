@@ -497,3 +497,89 @@ def test_upsert_rollup_sink_maintains_complete_table(spark, tmpdir_spark):
         for r in minute_partials(events).collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmpdir_spark):
+    import uuid
+
+    from dwh_with_dask_spark.streaming.events import enrich_with_users
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    users = (
+        events.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    src = f"{tmpdir_spark}/events_enrich"
+    events.repartition(3).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"en_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_with_users(stream, users)
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    batch = sorted(
+        map(tuple, enrich_with_users(events, users)
+            .select("event_id", "user_id", "tier").collect())
+    )
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmpdir_spark):
+    import time as _time
+    import uuid
+
+    from dwh_with_dask_spark.streaming.events import self_join_follow_events
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # chronological staging so watermarks advance monotonically
+    src = f"{tmpdir_spark}/events_ssj"
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    for i in range(3):
+        part = events.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi + span))
+        )
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    sa = read_events_stream(spark, src, max_files_per_trigger=1)
+    sb = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        self_join_follow_events(sa, sb, within="12 hours", watermark="13 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = set(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    batch = set(
+        map(
+            tuple,
+            self_join_follow_events(
+                events, events, within="12 hours", watermark="13 hours"
+            ).collect(),
+        )
+    )
+    # every streamed pair is a true pair, and the stream covers all
+    # pairs whose join range closed before the final watermark (the
+    # tail within the watermark delay of stream end may be missing)
+    assert streamed <= batch
+    assert len(streamed) >= int(0.5 * len(batch)) > 0
