@@ -485,6 +485,40 @@ def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bitmap_distinct_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_custkey) AS n_distinct
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct via bitmap aggregation: keys map to (bucket, bit
+    position), bitmaps OR together per group, cardinality = sum of
+    bitmap_count over buckets. Unlike COUNT(DISTINCT)'s expand+dedup,
+    bitmap partials are tiny, mergeable, and STORABLE — materialize the
+    per-bucket bitmaps once and every later distinct query over any
+    group combination is a re-aggregation of kilobyte blobs instead of
+    a rescan (the production pattern for repeated exact distincts at
+    warehouse scale). Oracle: plain COUNT(DISTINCT) — same answer,
+    different physical shape."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_mktsegment",
+            F.expr("bitmap_bucket_number(c_custkey)").alias("__bucket"),
+            F.expr("bitmap_bit_position(c_custkey)").alias("__pos"),
+        )
+        .groupBy("c_mktsegment", "__bucket")
+        .agg(F.expr("bitmap_construct_agg(__pos)").alias("__bm"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("n_distinct")
+        )
+    )
+
+
 @query("approx_distinct_parts")  # no oracle: HLL sketches are engine-specific
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
