@@ -1112,6 +1112,29 @@ def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_join_click_purchase",
+    """
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '2 hours'
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence interval join (click → purchase by the same user
+    within 2 h) — the batch twin of the watermarked stream-stream join
+    (streaming/events.py:self_join_follow_events): identical expression
+    body, and on a stream the same time bound is what lets Spark evict
+    join-buffer state."""
+    from dwh_with_dask_spark.streaming.events import self_join_follow_events
+
+    e = load_table(spark, sf_dir, "events")
+    return self_join_follow_events(e, e, within="2 hours")
+
+
+@query(
     "sliding_window_events",
     """
     SELECT window_start, event_type,
