@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dwh_with_dask_spark.catalog import load_table
 from dwh_with_dask_spark.operators import curation as C
@@ -239,6 +240,68 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_email.alias("n_emails"),
         n_ip.alias("n_ipv4"),
         F.sha2(C.pii_scrub("text"), 256).alias("scrub_hash"),
+    )
+
+
+@query(
+    "corpus_vocab_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (
+      SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
+      FROM base GROUP BY term),
+    tot AS (SELECT SUM(tf_total) AS n_tokens FROM tf),
+    ranked AS (
+      SELECT term, tf_total, df,
+             row_number() OVER (ORDER BY tf_total DESC, term ASC) AS rank,
+             SUM(tf_total) OVER (ORDER BY tf_total DESC, term ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tf
+      FROM tf)
+    SELECT term, CAST(tf_total AS BIGINT) AS tf_total, CAST(df AS BIGINT) AS df,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(CAST(cum_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS DOUBLE)
+               AS coverage
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= 200
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (the tokenizer-prep step): top-200 terms by
+    total frequency with document frequency, rank, and cumulative
+    corpus coverage.
+
+    Shape: explode → one map-side-combined agg to (term, tf, df) —
+    the only data-sized shuffle — then ranking/cumsum run over
+    vocabulary-cardinality rows. The global window is a single ordered
+    pass over the vocab, fine up to tens of millions of terms; at
+    larger vocabularies rank within hash shards and merge the tails.
+    Coverage is integer sums with ONE final division (deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id"), tokens("text").alias("__toks")).select(
+        "doc_id", F.explode("__toks").alias("term")
+    )
+    tf = base.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    stats = tf.agg(F.sum("tf_total").alias("n_tokens"))
+    w = Window.orderBy(F.col("tf_total").desc(), F.col("term").asc())
+    ranked = tf.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_tf", F.sum("tf_total").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .filter(F.col("rank") <= 200)
+        .select(
+            "term",
+            "tf_total",
+            "df",
+            F.col("rank").cast("long").alias("rank"),
+            (
+                F.col("cum_tf").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("coverage"),
+        )
     )
 
 
