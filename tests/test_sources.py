@@ -130,3 +130,33 @@ def test_json_corrupt_record_capture(spark, tmp_path):
     bad = df.filter(df._corrupt_record.isNotNull())
     assert {r["id"] for r in good.collect()} == {1, 2}
     assert bad.count() == 2
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """CSV ingestion with dirty rows: PERMISSIVE captures the raw line
+    in _corrupt_record, DROPMALFORMED silently drops it — the two
+    contracts a landing-zone loader chooses between."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,v\n1,10\nnot-a-number,oops,extra\n2,20\n")
+
+    schema = "id long, v long, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    good = permissive.filter(permissive._corrupt_record.isNull())
+    bad = permissive.filter(permissive._corrupt_record.isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+
+    dropped = (
+        spark.read.schema("id long, v long")
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {r["id"] for r in dropped.collect()} == {1, 2}
