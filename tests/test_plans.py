@@ -283,3 +283,35 @@ def test_approx_percentile_tracks_exact(spark):
         ar = approx[status]
         for p in ("p25", "p50", "p75"):
             assert abs(ar[p] - er[p]) <= 0.005 * abs(er[p]), (status, p)
+
+
+def test_bitmap_partials_are_storable_and_reaggregable(spark, tmp_path):
+    """The claim behind bitmap_distinct_customers: materialize per-group
+    per-bucket bitmaps ONCE, then answer a different distinct question
+    (global cardinality) purely from the stored blobs — no rescan of the
+    source, bitmap_or_agg merges partials exactly."""
+    from dwh_with_dask_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    c = load_table(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "bitmaps")
+    (
+        c.select(
+            "c_mktsegment",
+            F.expr("bitmap_bucket_number(c_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(c_custkey)").alias("pos"),
+        )
+        .groupBy("c_mktsegment", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .write.parquet(path)
+    )
+
+    stored = spark.read.parquet(path)
+    got = (
+        stored.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("merged"))
+        .agg(F.sum(F.expr("bitmap_count(merged)")).alias("n"))
+        .first()["n"]
+    )
+    want = c.select(F.countDistinct("c_custkey")).first()[0]
+    assert got == want > 0
