@@ -122,9 +122,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter → fact join → agg → top-k.
 
-    customer is small → Catalyst broadcasts it into orders; only the
-    filtered orders shuffle against lineitem. Top-10 runs as
-    TakeOrderedAndProject (no global sort materialization).
+    customer grows with the scale factor, so it carries NO broadcast
+    hint: at small SF the size-based planner / AQE picks a broadcast
+    join on its own, and at warehouse SF it correctly falls back to a
+    shuffle join instead of OOMing on a forced multi-GB broadcast.
+    Top-10 runs as TakeOrderedAndProject (no global sort
+    materialization).
     """
     cutoff = F.lit("1997-06-30").cast("timestamp")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -133,7 +136,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -163,9 +166,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way join.
 
-    region/nation/supplier are broadcast (hinted; they are always tiny) —
-    the only shuffle is orders⋈lineitem on orderkey, and AQE may turn
-    even that into a broadcast once the date filter prunes orders.
+    region (5 rows) and nation (25 rows) are broadcast-hinted — their
+    cardinality is FIXED regardless of scale factor, so the hint is
+    always safe. supplier and customer scale with SF and are left
+    unhinted: the size-based planner / AQE broadcasts them at small SF
+    and shuffles them at warehouse SF. The only mandatory shuffle is
+    orders⋈lineitem on orderkey.
     """
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
@@ -181,7 +187,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -255,7 +261,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n1.filter(F.col("supp_nation").isin(*both))
     n2 = n2.filter(F.col("cust_nation").isin(*both))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -297,9 +303,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped: one nation's share of regional order volume for
-    one part type — an 8-way join where every dimension broadcasts and
-    the only data-sized shuffle is lineitem⋈orders. Share = exact
-    decimal sums, ONE double division at the end (deterministic)."""
+    one part type — an 8-way join. Only the fixed-cardinality dims
+    (nation ×2, region) are broadcast-hinted; part/supplier/customer
+    scale with SF, so they carry no hint and the size-based planner /
+    AQE chooses broadcast-vs-shuffle per scale. Share = exact decimal
+    sums, ONE double division at the end (deterministic)."""
     cut_lo = F.lit("1996-01-01").cast("timestamp")
     cut_hi = F.lit("1998-01-01").cast("timestamp")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -319,8 +327,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     num = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -434,7 +442,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",

@@ -141,13 +141,22 @@ def minute_rollup_stream(
     )
 
 
-def enrich_with_users(events: DataFrame, users: DataFrame) -> DataFrame:
+def enrich_with_users(
+    events: DataFrame, users: DataFrame, broadcast: bool = False
+) -> DataFrame:
     """Stream-static join: enrich the event stream with a dimension
     table — THE standard streaming enrichment. The static side is
-    (re)read per micro-batch and broadcast when small; no state store
-    is involved, so there is nothing to bound with a watermark. Works
-    identically on batch inputs (same code, both modes)."""
-    return events.join(F.broadcast(users), "user_id", "left")
+    (re)read per micro-batch; no state store is involved, so there is
+    nothing to bound with a watermark. Works identically on batch
+    inputs (same code, both modes).
+
+    ``broadcast=True`` adds an explicit hint for callers who KNOW the
+    dimension is bounded; the default leaves the decision to the
+    size-based planner, because a user table generally grows with the
+    deployment and a forced broadcast of a multi-GB dimension OOMs
+    every micro-batch."""
+    dim = F.broadcast(users) if broadcast else users
+    return events.join(dim, "user_id", "left")
 
 
 def self_join_follow_events(
