@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
 from dwh_with_dask_spark.operators.textstats import tokens
 
 
@@ -287,6 +288,7 @@ def contamination_pairs(
     fingerprint_col: Column | None = None,
     train: float = 0.90,
     val: float = 0.05,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Train→eval contamination check: eval-split documents whose
     content fingerprint also appears in the train split.
@@ -304,18 +306,23 @@ def contamination_pairs(
     # Persisted: both sides of the semi-join consume it, and without
     # materialization each side re-scans and re-fingerprints the whole
     # corpus (min-md5 over every 5-gram — the expensive part). Three
-    # narrow columns per doc is the cheap thing to store.
-    tagged = df.select(
-        F.col(id_col),
-        hash_split(id_col, train, val).alias("split"),
-        fp.alias("fingerprint"),
-    ).persist()
+    # narrow columns per doc is the cheap thing to store. Lifecycle:
+    # caller-owned via ``scope`` (operators.caching).
+    scope, created = scoped(df, scope)
+    tagged = scope.persist(
+        df.select(
+            F.col(id_col),
+            hash_split(id_col, train, val).alias("split"),
+            fp.alias("fingerprint"),
+        )
+    )
     train_fps = tagged.filter(F.col("split") == "train").select("fingerprint")
-    return (
+    out = (
         tagged.filter(F.col("split") != "train")
         .join(train_fps, "fingerprint", "left_semi")
         .select(id_col, "split", "fingerprint")
     )
+    return attach(out, scope, created)
 
 
 # --- PII scrubbing -------------------------------------------------------

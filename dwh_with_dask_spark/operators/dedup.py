@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
+
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for dedup: lowercase, collapse whitespace, trim."""
@@ -114,6 +116,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     max_shingle_freq: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
 
@@ -132,8 +135,10 @@ def ngram_jaccard_pairs(
     # materialization each consumer re-derives scan→normalize→explode→
     # distinct (measured 6 scans in the capped plan). One (id, shingle)
     # row per distinct shingle occurrence is exactly the inverted index
-    # production systems store.
-    sh = _doc_shingles(df, id_col, text_col, n).persist()
+    # production systems store. Lifecycle: caller-owned via ``scope``
+    # (see operators.caching) — release after the final action.
+    scope, created = scoped(df, scope)
+    sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     joinable = sh
@@ -161,7 +166,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -172,6 +177,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+    return attach(out, scope, created)
 
 
 def minhash_signatures(
@@ -205,6 +211,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-estimate filter.
 
@@ -231,7 +238,8 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+    scope, created = scoped(df, scope)
+    sigs = scope.persist(minhash_signatures(df, id_col, text_col, n, num_hashes))
 
     banded = sigs.select(
         "id",
@@ -271,13 +279,14 @@ def minhash_lsh_pairs(
             lambda m: m,
         )
     )
-    return (
+    out = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "est_jaccard")
     )
+    return attach(out, scope, created)
 
 
 def simhash(

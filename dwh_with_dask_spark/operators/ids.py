@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
+
+from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
 
 
 def fast_id(df: DataFrame, name: str = "ID") -> DataFrame:
@@ -35,6 +36,7 @@ def sequential_id(
     order_by: list[Column | str] | None = None,
     name: str = "ID",
     start: int = 1,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Gap-free IDs ``start, start+1, ...`` in ``order_by`` order.
 
@@ -63,9 +65,10 @@ def sequential_id(
     ``range(1, len+1)`` (project-dask.py:46-48) without collapsing to one
     partition. The one materialization pass (persist, MEMORY_AND_DISK) is
     the price of cross-job determinism — the same cost profile as RDD
-    ``zipWithIndex``, minus its Python round-trip. Call
-    ``result.unpersist()``-equivalent via ``spark.catalog.clearCache()``
-    or drop the reference when done if memory pressure matters.
+    ``zipWithIndex``, minus its Python round-trip. Lifecycle: pass a
+    ``CacheScope`` (operators.caching) and release it after the final
+    action; without one, a private scope rides on the result as
+    ``result.cache_scope``.
     """
     if order_by:
         df = df.orderBy(*order_by)
@@ -73,7 +76,8 @@ def sequential_id(
     stamped = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
-    stamped = stamped.persist(StorageLevel.MEMORY_AND_DISK)
+    scope, created = scoped(df, scope)
+    stamped = scope.persist(stamped)
 
     part_stats = (
         stamped.groupBy("__pid")
@@ -90,7 +94,7 @@ def sequential_id(
     offsets_df = spark.createDataFrame(
         offsets, "__pid int, __off long, __minmid long"
     )
-    return (
+    out = (
         stamped.join(F.broadcast(offsets_df), "__pid")
         .withColumn(
             name,
@@ -100,6 +104,7 @@ def sequential_id(
         )
         .drop("__pid", "__mid", "__off", "__minmid")
     )
+    return attach(out, scope, created)
 
 
 def sequential_id_window(
