@@ -138,13 +138,20 @@ def weighted_sample(
     RNG, no pow(). The top-k itself is a TakeOrderedAndProject (partial
     per-partition heaps, no full sort, no shuffle of the data — the
     same physical shape as any Spark top-k).
+
+    Rows with NULL or non-positive weight are excluded up front: PPS
+    gives them zero inclusion probability, and without the filter a
+    zero weight makes ``u/w`` NULL, which Spark orders FIRST ascending
+    (DuckDB orders it LAST) — the filter removes both the wrong-answer
+    and the cross-engine-divergence path at once.
     """
     u = F.conv(md5_prefix(key, 8, salt), 16, 10).cast("double") / F.lit(
         float(16**8)
     )
     w = _col(weight).cast("double")
     return (
-        df.withColumn("__prio", u / w)
+        df.filter(w > 0)
+        .withColumn("__prio", u / w)
         .orderBy(F.col("__prio").asc(), _col(key).asc())
         .limit(k)
         .drop("__prio")

@@ -89,7 +89,8 @@ def corpus_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'wsamp'),
                                       1, 8)) AS BIGINT)::DOUBLE / 4294967296.0)
                / CAST(n_chars AS DOUBLE) AS prio
-      FROM documents)
+      FROM documents
+      WHERE n_chars > 0)
     ORDER BY prio ASC, doc_id ASC
     LIMIT 100
     """,

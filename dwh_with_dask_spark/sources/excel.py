@@ -181,12 +181,15 @@ def read_excel_many(
                 )
                 # The caller's schema names the output positionally —
                 # sheet headers vary per workbook and mapInPandas matches
-                # columns by name.
+                # columns by name. Sheets narrower than the schema are
+                # padded with NULL columns (a ragged workbook degrades
+                # to nulls instead of an opaque Arrow conversion error),
+                # wider ones are truncated.
                 sheet = sheet.iloc[:, : len(fields)]
                 sheet.columns = [f.name for f in fields][: len(sheet.columns)]
+                sheet = sheet.reindex(columns=[f.name for f in fields])
                 for f in fields:
-                    if f.name in sheet.columns:
-                        sheet[f.name] = _coerce(sheet[f.name], f.dataType)
+                    sheet[f.name] = _coerce(sheet[f.name], f.dataType)
                 sheet["source_path"] = row["path"]
                 yield sheet
 

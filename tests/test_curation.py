@@ -146,6 +146,17 @@ def test_weighted_sample_favors_heavy_rows(spark):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
 
 
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    # PPS: weight <= 0 or NULL means zero inclusion probability. Without
+    # the guard, u/0 is NULL and Spark's NULLS-FIRST ascending order
+    # would put exactly those rows at the top of the sample.
+    rows = [(1, 0.0), (2, None), (3, -5.0)] + [(i, 1.0) for i in range(10, 40)]
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    got = C.weighted_sample(d, 10, "w", "doc_id").collect()
+    assert len(got) == 10
+    assert all(r["doc_id"] >= 10 for r in got)
+
+
 def test_chunk_documents_invariants(spark):
     text = " ".join(f"t{i}" for i in range(100))
     d = spark.createDataFrame([(1, text), (2, "short doc only")],

@@ -111,6 +111,29 @@ def test_read_excel_many_distributed(spark, tmp_path):
     assert any(r["CurrentYearInstant"] is not None for r in rows)
 
 
+def test_read_excel_many_sheet_narrower_than_schema(spark, tmp_path):
+    """A worksheet with fewer columns than the supplied schema degrades
+    to NULL-padded columns (per-file data quality issue), not an opaque
+    Arrow conversion failure inside mapInPandas."""
+    import shutil
+
+    from dwh_with_dask_spark.sources.excel import read_excel_many
+
+    shutil.copyfile(WORKBOOK, str(tmp_path / "short.xlsx"))
+    schema = (
+        "LaporanDetail string, CurrentYearInstant double, "
+        "PriorYearInstant double, label_en string, "
+        "extra_metric double, extra_note string, source_path string"
+    )
+    out = read_excel_many(
+        spark, str(tmp_path), sheet_name="1311000", header=1, schema=schema
+    )
+    rows = out.collect()
+    assert len(rows) == 62
+    assert all(r["extra_metric"] is None and r["extra_note"] is None for r in rows)
+    assert any(r["CurrentYearInstant"] is not None for r in rows)
+
+
 def test_xlsx_python_datasource_grid(spark):
     """Spark 4 Python DataSource: spark.read.format('xlsx') parses one
     worksheet per input partition executor-side (stdlib OOXML, no
