@@ -103,8 +103,14 @@ def exact_group_sums(
     plain_sums = plain_sums or {}
     partial_aggs = [F.count(F.lit(1)).alias("__n")]
     for alias, (col, scale) in measures.items():
+        # rint, not round: Spark's round() on doubles converts through
+        # BigDecimal PER ROW (an allocation on the hot path — profiled
+        # ~40% of q1's agg time); rint is a single FP instruction in
+        # codegen. Identical result here: the product is within float
+        # error of an integer (scale contract above), so half-even vs
+        # half-up never sees a midpoint.
         partial_aggs.append(
-            F.sum(F.round(col * (10**scale)).cast("long")).alias(f"__L_{alias}")
+            F.sum(F.rint(col * (10**scale)).cast("long")).alias(f"__L_{alias}")
         )
     for alias, col in plain_sums.items():
         partial_aggs.append(F.sum(col).alias(f"__P_{alias}"))

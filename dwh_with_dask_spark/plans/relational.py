@@ -69,8 +69,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, partition) — codegen long adds on the data path — with
     decimal finalization over the tiny partial table
     (functions.numeric.exact_group_sums): same bit-exact results as the
-    pure-decimal ``dsum`` idiom at ~2x the scan throughput (profiled
-    ~1.0 → ~0.58 s median at sf0.1).
+    pure-decimal ``dsum`` idiom at ~2x the scan throughput.
+
+    Profiled at sf0.1 (medians): pure-decimal dsum ~1.0 s → scaled-long
+    with F.round ~0.54 s → with F.rint ~0.40 s (round() on doubles
+    allocates a BigDecimal per row; rint is one FP instruction). The
+    remaining gap to the floor is the price of determinism, not waste:
+    a PLAIN double aggregation of the same measures (order-dependent,
+    engine-run-dependent last bits) measures ~0.30 s, and the empty-job
+    + scan floor is ~0.20 s — so the exact idiom costs ~0.1 s over the
+    fastest possible non-deterministic plan at this scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
