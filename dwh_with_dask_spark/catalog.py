@@ -45,18 +45,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long, then convert exactly with
-        # integral division (double math would lose precision on 2^60-ns
-        # values) and align to TIMESTAMP_NTZ like every other timestamp
-        # column (parquet isAdjustedToUTC=false → NTZ inference).
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # version this arrives two ways, so dispatch on the read type:
+        # - Spark versions without native nanos support reject the column
+        #   unless spark.sql.legacy.parquet.nanosAsLong=true, which yields
+        #   a LONG of epoch-nanos → convert exactly with integral division
+        #   (double math would lose precision on 2^60-ns values);
+        # - newer Sparks read it natively as TIMESTAMP_NTZ truncated to
+        #   micros (same floor semantics as the division) and ignore the
+        #   legacy conf → use the column as-is.
+        # Both paths land on identical TIMESTAMP_NTZ micros values
+        # (parquet isAdjustedToUTC=false → NTZ inference).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed: native nanos read is available
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
