@@ -44,7 +44,19 @@ class CacheScope:
         self._dfs: list[DataFrame] = []
 
     def persist(self, df: DataFrame) -> DataFrame:
-        """Persist ``df`` at the scope's storage level and track it."""
+        """Persist ``df`` at the scope's storage level and track it.
+
+        Spark's CacheManager keys entries by analyzed plan, so two scopes
+        persisting identical plans share ONE cache entry. If ``df``'s plan
+        is already cached (storageLevel shows memory/disk use), this scope
+        neither re-persists (CacheManager would only warn) nor claims the
+        entry — claiming it would let this scope's release unpersist the
+        shared entry out from under the original owner, silently
+        recomputing their expensive stage. The owning scope releases it.
+        """
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+            return df
         out = df.persist(self.level)
         self._dfs.append(out)
         return out
@@ -61,7 +73,7 @@ class CacheScope:
         self.release()
 
 
-def scoped(df: DataFrame, scope: CacheScope | None) -> tuple[CacheScope, bool]:
+def scoped(scope: CacheScope | None) -> tuple[CacheScope, bool]:
     """Resolve an operator's ``scope`` argument: reuse the caller's scope
     or create a private one (returned flag = created-here, meaning the
     operator should attach it to its result)."""
@@ -80,7 +92,12 @@ def attach(result: DataFrame, scope: CacheScope, created: bool) -> DataFrame:
 
 
 def release_caches(df: DataFrame, blocking: bool = False) -> None:
-    """Release the private scope attached by an operator, if any."""
+    """Release the private scope attached by an operator, if any.
+
+    Guarded by an isinstance check: ``getattr`` on a DataFrame falls
+    through to column resolution, so a real column named ``cache_scope``
+    would return a Column here rather than a scope.
+    """
     scope = getattr(df, "cache_scope", None)
-    if scope is not None:
+    if isinstance(scope, CacheScope):
         scope.release(blocking)

@@ -315,7 +315,7 @@ def contamination_pairs(
     # corpus (min-md5 over every 5-gram — the expensive part). Three
     # narrow columns per doc is the cheap thing to store. Lifecycle:
     # caller-owned via ``scope`` (operators.caching).
-    scope, created = scoped(df, scope)
+    scope, created = scoped(scope)
     tagged = scope.persist(
         df.select(
             F.col(id_col),

@@ -137,7 +137,7 @@ def ngram_jaccard_pairs(
     # row per distinct shingle occurrence is exactly the inverted index
     # production systems store. Lifecycle: caller-owned via ``scope``
     # (see operators.caching) — release after the final action.
-    scope, created = scoped(df, scope)
+    scope, created = scoped(scope)
     sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -238,7 +238,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    scope, created = scoped(df, scope)
+    scope, created = scoped(scope)
     sigs = scope.persist(minhash_signatures(df, id_col, text_col, n, num_hashes))
 
     banded = sigs.select(

@@ -69,6 +69,15 @@ def sequential_id(
     ``CacheScope`` (operators.caching) and release it after the final
     action; without one, a private scope rides on the result as
     ``result.cache_scope``.
+
+    .. warning:: Unlike pure-transform operators, a ``sequential_id``
+       result must NOT be re-actioned after its scope is released. The
+       offsets were collected from the first materialization of the
+       nondeterministic ``__mid`` stamp; once the cache is dropped, a new
+       action recomputes ``__mid`` under possibly different partitioning
+       and the stale offsets would yield wrong or non-contiguous IDs.
+       Write or checkpoint the result before releasing the scope if you
+       need to act on it again.
     """
     if order_by:
         df = df.orderBy(*order_by)
@@ -76,7 +85,7 @@ def sequential_id(
     stamped = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
-    scope, created = scoped(df, scope)
+    scope, created = scoped(scope)
     stamped = scope.persist(stamped)
 
     part_stats = (
