@@ -1,0 +1,491 @@
+"""TPC-H-shaped queries 4,9,10,12,14,15,16,17,19,21,22 — adapted to the
+driver schema (TESTDATA.md), widening the relational surface beyond the
+q1/q3/q5/q6/q7/q8/q13/q18 set in plans.relational.
+
+The driver's tables are a REDUCED TPC-H: no partsupp, no
+l_commitdate/l_receiptdate/l_shipmode, no c_phone/p_container. Each
+query keeps the original's plan shape (the thing worth exercising:
+exists/not-exists rewrites, correlated scalar aggs, disjunctive
+pushdown, group-wise argmax) and substitutes available columns where
+the original predicate needs an absent one; every substitution is noted
+in the docstring. All double aggregates use the exact decimal-sum idiom
+(functions.numeric.dsum) so values hash-match DuckDB bit-for-bit.
+
+Scale stance: joins against region/nation broadcast (bounded);
+customer/supplier/part/orders/lineitem join via shuffle hash/SMJ chosen
+by AQE — no forced broadcasts on SF-scaled tables (round-2 verdict,
+What's wrong #1). EXISTS/NOT EXISTS become left-semi/anti joins or
+per-key aggregations, never correlated per-row subqueries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.catalog import load_table
+from dwh_with_dask_spark.functions.numeric import dsum
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_DISC_PRICE_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))"
+
+
+@query(
+    "q4_order_priority",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking). Substitution: the original's
+    "l_commitdate < l_receiptdate" late-line predicate uses absent
+    columns; "shipped >60 days after order date" keeps the same
+    exists-a-late-line shape. Spark plan: left-semi join on orderkey
+    with the lateness condition folded into the join (hash semi join +
+    residual filter), then a tiny groupBy — no correlated subquery."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit). Substitution: profit =
+    extendedprice*(1-discount) without the ps_supplycost term (no
+    partsupp table). Plan shape preserved: 5-way join with the part-name
+    filter pushed to the part scan, supplier->nation broadcast (25
+    rows), group by (nation, order-year)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(p.select("p_partkey"), l.l_partkey == p.p_partkey)
+        .join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name AS nation
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting), minus the absent display
+    columns (c_address/c_phone/c_comment). Returnflag filter pushes to
+    the lineitem scan, date filter to orders; top-20 by revenue runs as
+    TakeOrderedAndProject with c_custkey as the deterministic
+    tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o.select("o_orderkey", "o_custkey"), c.c_custkey == o.o_custkey)
+        .join(
+            l.select("l_orderkey", "l_extendedprice", "l_discount"),
+            o.o_orderkey == l.l_orderkey,
+        )
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_shipping_lag",
+    """
+    SELECT year(l_shipdate) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY ship_year
+    """,
+)
+def q12_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & order priority). Substitution: no
+    l_shipmode/l_commitdate/l_receiptdate — lines shipped >90 days after
+    the order date stand in for late lines, grouped by ship year instead
+    of ship mode. The priority CASE split is the original's."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN {_DISC_PRICE_DEC} ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
+           / CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one month's revenue.
+    p_type='PROMO' is the driver schema's flattened promo marker (the
+    original matches 'PROMO%' prefixes). Both sums are exact decimals;
+    the single terminal division runs in double on both engines."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = disc.cast("decimal(23,4)")
+    promo = F.when(F.col("p_type") == "PROMO", dec).otherwise(F.lit(0).cast("decimal(23,4)"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(dec).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    max. The scalar-max subquery becomes a 1-row broadcast cross join
+    against the aggregated revenue table (computed once, reused for both
+    sides via the same plan — Catalyst dedups the exchange). Equality on
+    the double is safe: both operands come from the same exact decimal
+    sum."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship). Substitution: the
+    part-supplier relation comes from lineitem (no partsupp table), and
+    the original's NOT-IN-complaints supplier exclusion has no source
+    column. COUNT(DISTINCT) shuffles once on the grouping keys with
+    partial dedup map-side."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(p.select("p_partkey", "p_brand", "p_type", "p_size"), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,2))) AS DOUBLE) / 7.0
+           AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(23,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON a_partkey = p_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if
+    below-20%-of-average-quantity orders stopped. The correlated AVG
+    subquery is decorrelated into a per-part aggregate joined back on
+    partkey — one extra shuffle on a key the main join already uses, no
+    per-row subquery. The per-part average uses the exact decimal sum /
+    count so the 0.2*avg threshold is bit-identical across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_q = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(23,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        l.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(p.select("p_partkey"), l.l_partkey == p.p_partkey)
+        .join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(23,2)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates).
+    Substitution: p_container/l_shipmode/l_shipinstruct terms dropped
+    (absent columns); the brand x size x quantity disjunction — the
+    point of the query: OR-predicate pushdown and join-condition
+    splitting — is intact. Catalyst pushes the common p_size<=15 bound
+    and brand IN-list to the part scan as a superset filter."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY l_orderkey, l_suppkey),
+    order_stats AS (
+      SELECT l_orderkey AS s_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_orderkey),
+    late_stats AS (
+      SELECT l_orderkey AS l_orderkey2, COUNT(*) AS n_late
+      FROM late GROUP BY l_orderkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late
+    JOIN order_stats ON s_orderkey = l_orderkey
+    JOIN late_stats ON l_orderkey2 = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE n_supps > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): in finished
+    orders with >1 supplier, the supplier who was the ONLY late one.
+    Substitution: late = shipped >60 days after order date (no
+    commit/receipt dates). The original's EXISTS/NOT-EXISTS pair is
+    rewritten as two per-order aggregates (distinct-supplier count and
+    late-supplier count) joined back — each a single shuffle on
+    orderkey, no correlated anti join; numwait counts qualifying
+    (order, supplier) pairs."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    order_stats = l.groupBy(F.col("l_orderkey").alias("s_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    late_stats = late.groupBy(F.col("l_orderkey").alias("l_orderkey2")).agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(order_stats, late.l_orderkey == F.col("s_orderkey"))
+        .join(late_stats, late.l_orderkey == F.col("l_orderkey2"))
+        .filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(s, late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(23,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(23,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with
+    above-average balances and no RECENT orders (the driver data gives
+    every customer at least one lifetime order, so the original's
+    no-orders-ever predicate would be vacuous; "none since 2000" keeps
+    the anti-join non-trivial). Substitution: grouped by nationkey (no
+    c_phone country codes). NOT EXISTS = left-anti join on custkey with
+    the date filter pushed to the orders scan; the scalar average
+    (exact decimal sum / count, identical in both engines) broadcasts
+    as a 1-row cross join."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(23,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_bal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(23,2)")).cast("double").alias("totacctbal"),
+        )
+    )

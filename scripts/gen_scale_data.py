@@ -1,0 +1,237 @@
+"""Deterministic local scale-up of the driver's sf0.1 testdata.
+
+The round-2 verdict's bench finding: at sf0.1 (17 MB) Spark's fixed
+per-query cost (job scheduling, stage launch, noop-commit) dominates, so
+the 2x-of-baseline gate is undecidable there. This script derives a
+larger scale (default 10x sf0.1 = "sf1": 6M lineitem rows) from the
+read-only driver data WITHOUT touching /root/testdata, writing into a
+gitignored repo-local dir. Everything is seeded/deterministic.
+
+- Relational tables (customer/supplier/part/orders/lineitem/events) are
+  replicated R times with per-replica key offsets (offset = max(key)+1),
+  keeping every non-key distribution, fan-out, and join relationship
+  bit-identical to the driver's generator. region/nation are fixed
+  dimensions and copied as-is.
+- documents gets FRESH text per replica (seeded draw from the base
+  corpus's empirical word frequencies and length distribution) so the
+  dedup/near-dup workload scales in input size, not in planted
+  replica-duplicates that would quadratically distort pair outputs.
+- embeddings gets fresh per-replica vectors sampled around the base
+  per-label centroids with the base within-label residual spread,
+  renormalized to unit length — ANN/centroid/near-dup queries see the
+  same cluster geometry at 10x density.
+
+Also generates (--skew) a boilerplate-skewed documents corpus for the
+shingle-cap benchmark: 20% of docs share a 40-word header, creating the
+hot-shingle blowup `dedup_ngram_jaccard_capped` exists to cap.
+
+Usage:
+  python scripts/gen_scale_data.py            # .localdata/sf1 (R=10)
+  python scripts/gen_scale_data.py --skew     # .localdata/skew
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_DEFAULT = "/root/testdata/sf0.1"
+
+# (table, [key columns to offset]) — offsets are max(key)+1 in the key's
+# own domain so replicated foreign keys stay consistent across tables.
+KEYED = {
+    "customer": {"c_custkey": "c_custkey"},
+    "supplier": {"s_suppkey": "s_suppkey"},
+    "part": {"p_partkey": "p_partkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "lineitem": {
+        "l_orderkey": "o_orderkey",
+        "l_partkey": "p_partkey",
+        "l_suppkey": "s_suppkey",
+    },
+    # events.user_id joins o_custkey (asof/interval queries) -> custkey domain
+    "events": {"event_id": "event_id", "user_id": "c_custkey"},
+}
+
+DOMAIN_TABLE = {
+    "c_custkey": "customer",
+    "o_orderkey": "orders",
+    "p_partkey": "part",
+    "s_suppkey": "supplier",
+    "event_id": "events",
+}
+
+
+def key_domains(con: duckdb.DuckDBPyConnection, base: str) -> dict[str, int]:
+    out = {}
+    for key, table in DOMAIN_TABLE.items():
+        out[key] = (
+            con.sql(f"SELECT max({key}) + 1 FROM '{base}/{table}.parquet'").fetchone()[0]
+        )
+    return out
+
+
+def replicate_relational(base: str, out: str, replicas: int) -> None:
+    con = duckdb.connect()
+    dom = key_domains(con, base)
+    for t in ("region", "nation"):
+        con.sql(f"COPY (SELECT * FROM '{base}/{t}.parquet') TO '{out}/{t}.parquet'")
+        print(f"  {t}: copied")
+    for t, keys in KEYED.items():
+        cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{base}/{t}.parquet'").fetchall()]
+        sel = ", ".join(
+            f"{c} + r * {dom[keys[c]]} AS {c}" if c in keys else c for c in cols
+        )
+        con.sql(
+            f"COPY (SELECT {sel} FROM '{base}/{t}.parquet' "
+            f"CROSS JOIN range({replicas}) rt(r) ORDER BY r) TO '{out}/{t}.parquet'"
+        )
+        n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"  {t}: {n} rows")
+
+
+def fresh_documents(base: str, out: str, replicas: int, seed: int) -> None:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text, lang, source FROM '{base}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    nd = max(r[0] for r in rows) + 1
+    words, lengths = [], []
+    for _, text, _, _ in rows:
+        toks = text.split()
+        words.extend(toks)
+        lengths.append(len(toks))
+    vocab, counts = np.unique(np.array(words), return_counts=True)
+    probs = counts / counts.sum()
+    rng = np.random.default_rng(seed)
+
+    ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for doc_id, text, lang, source in rows:  # replica 0 = the base corpus
+        ids.append(doc_id)
+        texts.append(text)
+        langs.append(lang)
+        sources.append(source)
+        n_chars.append(len(text))
+    for r in range(1, replicas):
+        for doc_id, _, lang, source in rows:
+            n = int(rng.choice(lengths))
+            text = " ".join(rng.choice(vocab, size=n, p=probs))
+            ids.append(doc_id + r * nd)
+            texts.append(text)
+            langs.append(lang)
+            sources.append(source)
+            n_chars.append(len(text))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{out}/documents.parquet")
+    print(f"  documents: {len(ids)} rows (fresh text from empirical vocab)")
+
+
+def fresh_embeddings(base: str, out: str, replicas: int, seed: int) -> None:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding, label FROM '{base}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    nv = max(r[0] for r in rows) + 1
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows])
+    cent = {}
+    spread = {}
+    for lab in np.unique(labels):
+        pts = vecs[labels == lab]
+        c = pts.mean(axis=0)
+        cent[lab] = c
+        spread[lab] = (pts - c).std(axis=0)  # per-dim residual std
+    rng = np.random.default_rng(seed + 1)
+
+    ids = [r[0] for r in rows]
+    out_vecs = [np.asarray(v, dtype=np.float32) for v in vecs]
+    out_labels = list(labels)
+    for r in range(1, replicas):
+        noise = rng.standard_normal((len(rows), vecs.shape[1]))
+        for i, lab in enumerate(labels):
+            v = cent[lab] + noise[i] * spread[lab]
+            v /= np.linalg.norm(v)
+            ids.append(rows[i][0] + r * nv)
+            out_vecs.append(v.astype(np.float32))
+            out_labels.append(int(lab))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(v) for v in out_vecs], pa.list_(pa.float32())),
+            "label": pa.array([int(x) for x in out_labels], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    print(f"  embeddings: {len(ids)} rows (cluster-sampled, unit-norm)")
+
+
+BOILERPLATE = (
+    "terms of service apply to this document copyright notice all rights "
+    "reserved unauthorized reproduction prohibited please review the license "
+    "agreement before distribution contact the publisher for permissions "
+    "this header is standard boilerplate text shared across the corpus"
+)
+
+
+def skewed_documents(base: str, out: str) -> None:
+    """20% of docs get a shared 40-word header: a realistic crawled-corpus
+    boilerplate pattern whose shingles become hot keys. The uncapped
+    inverted-index Jaccard join materializes every header-doc pair through
+    those shingles (~(0.2n)^2/2 candidates); max_shingle_freq caps them."""
+    con = duckdb.connect()
+    con.sql(
+        f"""COPY (SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '{BOILERPLATE} ' || text
+                      ELSE text END AS text,
+                 lang, source,
+                 CASE WHEN doc_id % 5 = 0 THEN {len(BOILERPLATE) + 1} + n_chars
+                      ELSE n_chars END AS n_chars
+          FROM '{base}/documents.parquet') TO '{out}/documents.parquet'"""
+    )
+    n = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+    h = con.sql(
+        f"SELECT count(*) FROM '{out}/documents.parquet' WHERE doc_id % 5 = 0"
+    ).fetchone()[0]
+    print(f"  documents (skew): {n} rows, {h} with shared boilerplate header")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=BASE_DEFAULT)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--skew", action="store_true", help="generate the boilerplate-skew corpus instead")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.skew:
+        out = args.out or os.path.join(repo, ".localdata", "skew")
+        os.makedirs(out, exist_ok=True)
+        print(f"skew corpus -> {out}")
+        skewed_documents(args.base, out)
+        return
+    out = args.out or os.path.join(repo, ".localdata", "sf1")
+    os.makedirs(out, exist_ok=True)
+    print(f"sf1 ({args.replicas}x {args.base}) -> {out}")
+    replicate_relational(args.base, out, args.replicas)
+    fresh_documents(args.base, out, args.replicas, args.seed)
+    fresh_embeddings(args.base, out, args.replicas, args.seed)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
