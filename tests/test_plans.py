@@ -315,3 +315,40 @@ def test_bitmap_partials_are_storable_and_reaggregable(spark, tmp_path):
     )
     want = c.select(F.countDistinct("c_custkey")).first()[0]
     assert got == want > 0
+
+
+def test_tpch_extra_plan_shapes(spark):
+    # The adapted TPC-H queries keep the original plan shapes: EXISTS
+    # becomes a semi join with the lateness predicate folded into the
+    # join, NOT EXISTS an anti join, top-k a TakeOrderedAndProject, and
+    # nothing degenerates into a cartesian product.
+    q4 = plan_of(QUERIES["q4_order_priority"](spark, SF_CORRECT))
+    assert "LeftSemi" in q4
+    assert "CartesianProduct" not in q4
+
+    q10 = plan_of(QUERIES["q10_returned_items"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in q10
+    assert "CartesianProduct" not in q10
+
+    q22 = plan_of(QUERIES["q22_idle_rich_customers"](spark, SF_CORRECT))
+    assert "LeftAnti" in q22
+    # the scalar average is a 1-row broadcast, not a shuffled join
+    assert "BroadcastNestedLoopJoin" in q22 or "BroadcastHashJoin" in q22
+
+
+def test_q19_pushes_superset_filter_to_part_scan(spark):
+    # The disjunctive brand x size x quantity predicate cannot push down
+    # whole, but Catalyst extracts the common p_size/p_brand superset
+    # bounds into the part scan.
+    plan = plan_of(QUERIES["q19_disjunctive_revenue"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "Or(" in plan or "In(p_brand" in plan or "p_size" in plan
+
+
+def test_q17_decorrelates_to_single_lineitem_reuse(spark):
+    # The correlated AVG subquery must appear as a per-part aggregate
+    # joined back on partkey — two scans of lineitem, no per-row
+    # subquery nodes, no cartesian.
+    plan = plan_of(QUERIES["q17_small_quantity_revenue"](spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") >= 2
