@@ -180,6 +180,123 @@ def ngram_jaccard_pairs(
     return attach(out, scope, created)
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= ``threshold`` via prefix filtering
+    (AllPairs-style) — same output as ``ngram_jaccard_pairs`` with
+    ``max_shingle_freq=None``, at a fraction of the join volume.
+
+    The naive inverted-index self-join costs sum(df(s)^2) over shingles
+    s — quadratic in the hottest shingle's document frequency, which is
+    what boilerplate text blows up. Prefix filtering prunes EXACTLY
+    (no semantic change, unlike the frequency cap):
+
+    1. order every document's shingles by global rarity (ascending
+       document frequency, shingle as tie-break);
+    2. index only each doc's PREFIX — its ``|A| - ceil(t*|A|) + 1``
+       rarest shingles. Theorem (Chaudhuri/Bayardo): two sets with
+       Jaccard >= t must share at least one prefix shingle under any
+       common total order — rarity order makes the surviving collision
+       lists the SHORTEST ones. Hot boilerplate shingles land in every
+       doc's suffix and never enter the index at all, removing the df^2
+       term the frequency cap only approximates away.
+    3. candidate pairs = prefix-index self-join + the length filter
+       (t*|A| <= |B| <= |A|/t, necessary for J >= t);
+    4. verify candidates EXACTLY: join the candidate pairs back to the
+       full shingle table on both sides and count the true
+       intersection, then apply the Jaccard threshold.
+
+    Cost shape: the verification join is proportional to candidates x
+    avg doc shingles, so the method wins exactly when the prefix index
+    makes candidates scarce — heavy-tailed shingle document frequencies
+    (natural-language corpora, where boilerplate is hot and content
+    shingles are near-unique) and high thresholds. MEASURED regime
+    boundary on the driver's synthetic corpus (tiny vocab, iid Zipf
+    words, 50k docs at local sf1): shingle df is near-uniform (~22
+    mean), nearly every doc pair shares a "rare" shingle, and
+    verification volume exceeds the naive plan's collision counting —
+    naive 22 s at any threshold vs prefix 189 s even at t=0.7. On that
+    distribution use ``ngram_jaccard_pairs`` (collision counting is one
+    map-side-combined groupBy, no distinct, no verify join) or the
+    frequency cap / MinHash-LSH scale paths. Prefix filtering is the
+    exact-answer tool for the boilerplate-skewed distributions the cap
+    would otherwise have to approximate on.
+
+    The ceil() guards subtract 1e-9 before rounding so float noise can
+    only lengthen a prefix or admit an extra candidate (both safe for
+    exactness), never drop a qualifying pair.
+    """
+    from pyspark.sql.window import Window
+
+    scope, created = scoped(scope)
+    sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = scope.persist(
+        ranked.filter(F.col("__rk") <= prefix_len).select("id", "shingle", "n_sh")
+    )
+
+    pa = prefix.select(
+        F.col("id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t <= |B|/|A| <= 1/t
+            & (F.col("n_b") >= F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
+            & (F.col("n_a") >= F.col("n_b") * F.lit(threshold) - F.lit(1e-9))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Exact verification: true intersection size for candidates only.
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return attach(out, scope, created)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

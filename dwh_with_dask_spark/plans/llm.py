@@ -59,9 +59,10 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    f"""
+# Shared by dedup_ngram_jaccard and dedup_ngram_jaccard_prefix: prefix
+# filtering is a pruning strategy, not a semantic change, so both Spark
+# plans must hash-match the SAME oracle.
+_JACCARD_EXACT_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     raw AS (
       SELECT doc_id AS id,
@@ -83,13 +84,33 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sa ON sa.id = id_a
       JOIN sizes sb ON sb.id = id_b
     WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.30
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", _JACCARD_EXACT_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.30 via the inverted shingle
     index (operators.dedup.ngram_jaccard_pairs) — integer arithmetic up
     to one final division, so it hash-matches the oracle exactly."""
     return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.30
+    )
+
+
+@query("dedup_ngram_jaccard_prefix", _JACCARD_EXACT_ORACLE)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs-style prefix-filtered exact Jaccard
+    (operators.dedup.ngram_jaccard_pairs_prefix): only each document's
+    rarest |A| - ceil(t|A|) + 1 shingles enter the index (pairs with
+    J >= t provably share a prefix shingle), candidates are verified
+    against the full shingle table — bit-identical to
+    dedup_ngram_jaccard, same oracle, no frequency-cap semantic
+    concession. This is the exact-answer plan for boilerplate-skewed
+    natural corpora (hot shingles never enter the index); on the
+    driver's near-uniform synthetic shingle distribution the naive
+    collision count is faster — see the operator docstring for the
+    measured regime boundary."""
+    return D.ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.30
     )
 
@@ -432,6 +453,104 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
+
+@query(
+    "explode_token_positions",
+    f"""
+    SELECT doc_id,
+           generate_subscripts(toks, 1) AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 50)
+    """,
+)
+def explode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving tokenization: posexplode emits (position, token)
+    pairs — the UNNEST WITH ORDINALITY of the Spark world and the
+    building block every sequence-aware text operator (chunker, CALK
+    sessionizer, packer) rests on. 1-based positions to match the SQL
+    convention."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    from dwh_with_dask_spark.operators.dedup import normalize_text
+
+    return d.select(
+        "doc_id", F.posexplode(F.split(normalize_text("text"), " "))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),
+        F.col("col").alias("token"),
+    )
+
+
+@query(
+    "text_bigram_lift",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    ucnt AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS total FROM uni),
+    big AS (
+      SELECT unnest(toks[1:len(toks)-1]) AS tok_a,
+             unnest(toks[2:len(toks)]) AS tok_b
+      FROM t WHERE len(toks) >= 2),
+    bcnt AS (SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM big GROUP BY tok_a, tok_b)
+    SELECT tok_a, tok_b, n_ab,
+           CAST(n_ab * total AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) AS lift
+    FROM bcnt
+      JOIN ucnt ua ON ua.tok = tok_a
+      JOIN ucnt ub ON ub.tok = tok_b
+      CROSS JOIN tot
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent token pairs by lift
+    P(ab)/(P(a)P(b)) — the PMI ranking without the log (same order,
+    and the ratio is ONE division of exact int64 products, so it
+    hash-matches cross-engine where log's libm rounding would not).
+    Plan: one explode for unigram counts, one for bigrams (struct
+    transform over token positions), two broadcast-joinable count
+    tables, 1-row total cross join; TakeOrderedAndProject for the
+    top-k. At corpus scale the counts tables are vocabulary-sized
+    (bounded), not corpus-sized."""
+    from dwh_with_dask_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split(normalize_text("text"), " ").alias("toks"))
+    uni = t.select(F.explode("toks").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.count(F.lit(1)).alias("total"))
+    big = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] AS tok_a, toks[i] AS tok_b))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.tok_a", "bg.tok_b")
+    )
+    bcnt = big.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ua = ucnt.select(F.col("tok").alias("tok_a"), F.col("n").alias("__na"))
+    ub = ucnt.select(F.col("tok").alias("tok_b"), F.col("n").alias("__nb"))
+    return (
+        bcnt.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_ab") >= 5)
+        .withColumn(
+            "lift",
+            (F.col("n_ab") * F.col("total")).cast("double")
+            / (F.col("__na") * F.col("__nb")).cast("double"),
+        )
+        .orderBy(F.desc("lift"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(20)
+        .select("tok_a", "tok_b", "n_ab", "lift")
+    )
+
 
 @query(
     "text_tokens_docs",

@@ -1577,6 +1577,33 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_percent_rank",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: percent_rank = (rank-1)/(n-1) and
+    cume_dist = rows<=current/n per segment. Both are rank-based — ties
+    get identical values regardless of physical row order, so results
+    are deterministic (c_custkey tie-break pins the ORDER BY anyway).
+    One hash-partition shuffle on the segment, in-partition sort."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
     "percentile_prices",
     """
     SELECT o_orderstatus,

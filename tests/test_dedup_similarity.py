@@ -305,3 +305,32 @@ def test_connected_components_random_graphs_property(spark):
             for r in D.dedup_components(ndf, edf).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_prefix_jaccard_equals_naive_across_thresholds(spark):
+    # Prefix filtering is pruning, not approximation: at every threshold
+    # the candidate-verify pipeline must return exactly the naive
+    # operator's rows (ids, counts, and the jaccard value itself).
+    # Deterministic varied corpus: overlapping word windows + planted
+    # dups across a range of doc lengths.
+    words = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(30):
+        start, length = (d * 7) % 40, 8 + (d % 13)
+        toks = [words[(start + k) % 60] for k in range(length)]
+        rows.append((d, " ".join(toks)))
+    rows += [(100, rows[3][1]), (101, rows[3][1] + " extra tail words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.1, 0.3, 0.5, 0.8):
+        naive = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == naive, f"threshold {t}: prefix != naive"
+    # planted exact dup (3,100) has J=1.0, so even t=0.8 is non-vacuous
+    assert naive
