@@ -615,3 +615,137 @@ def dedup_components(
         "component",
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def corpus_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, text_hash, sig) — the stored dedup index for a corpus.
+
+    Write this to parquet once per corpus; ``incremental_dedup`` then
+    checks NEW batches against it without ever re-shingling the corpus.
+    At 100 TB the index is num_hashes longs + one 64-char hash per doc
+    (~0.5 KB/doc independent of document size) — the thing you keep hot
+    while the corpus itself stays cold."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    hashes = df.select(
+        F.col(id_col).alias("id"),
+        F.sha2(normalize_text(text_col), 256).alias("text_hash"),
+    )
+    return hashes.join(sigs, "id")
+
+
+def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) from a stored signature column — pure column
+    arithmetic, no re-shingling."""
+    r = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[band * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against a stored ``corpus_index`` — the
+    production shape: the corpus is never reprocessed, only the batch is
+    shingled/hashed, and the corpus side of every join is the compact
+    index.
+
+    Returns the batch with three added columns:
+    - ``exact_dup_of``: smallest corpus id with identical normalized
+      text (sha256 join), else null;
+    - ``near_dup_of``: smallest corpus id whose MinHash signature agrees
+      on >= ``threshold`` of positions (LSH band join on the STORED
+      signatures for candidates, full-signature agreement to verify),
+      else null; exact dups are also near dups by construction;
+    - ``is_new``: neither, i.e. safe to append to the corpus (append its
+      ``corpus_index`` rows to keep the index current).
+
+    Plan: batch-side sha2 + signatures (batch-sized), broadcast-or-
+    shuffle joins against the index keyed on text_hash / band buckets.
+    Cost tracks the BATCH size and candidate density — corpus size only
+    enters through the index join, which at 100 TB is the point.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    scope, created = scoped(scope)
+
+    batch_hash = new_df.select(
+        F.col(id_col).alias("id"),
+        F.sha2(normalize_text(text_col), 256).alias("text_hash"),
+    )
+    exact = (
+        batch_hash.join(
+            index.select(F.col("text_hash"), F.col("id").alias("corpus_id")),
+            "text_hash",
+        )
+        .groupBy("id")
+        .agg(F.min("corpus_id").alias("exact_dup_of"))
+    )
+
+    batch_sigs = scope.persist(
+        minhash_signatures(new_df, id_col, text_col, n, num_hashes)
+    )
+    nb = _band_buckets(batch_sigs, num_hashes, bands).select(
+        F.col("id").alias("new_id"), "band", "bucket"
+    )
+    cb = _band_buckets(
+        index.select("id", "sig"), num_hashes, bands
+    ).select(F.col("id").alias("corpus_id"), "band", "bucket")
+    cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+
+    agree = F.size(
+        F.filter(F.zip_with("sig", "sig_c", lambda x, y: x == y), lambda m: m)
+    )
+    near = (
+        cand.join(batch_sigs.select(F.col("id").alias("new_id"), "sig"), "new_id")
+        .join(
+            index.select(
+                F.col("id").alias("corpus_id"), F.col("sig").alias("sig_c")
+            ),
+            "corpus_id",
+        )
+        .withColumn("agree_frac", agree / F.lit(num_hashes))
+        .filter(F.col("agree_frac") >= F.lit(threshold))
+        .groupBy("new_id")
+        .agg(F.min("corpus_id").alias("near_dup_of"))
+        .withColumnRenamed("new_id", "id")
+    )
+
+    out = (
+        new_df.join(exact, new_df[id_col] == exact.id, "left")
+        .drop("id")
+        .join(near, new_df[id_col] == near.id, "left")
+        .drop("id")
+        .withColumn(
+            "is_new",
+            F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull(),
+        )
+    )
+    return attach(out, scope, created)

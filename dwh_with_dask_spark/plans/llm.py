@@ -224,6 +224,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_incremental_batch")  # MinHash-index based: no SQL oracle; rows-only
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against a stored corpus index
+    (operators.dedup.corpus_index + incremental_dedup): even doc_ids act
+    as the already-indexed corpus, odd doc_ids as the arriving batch.
+    Only the batch is shingled/hashed; the corpus enters solely through
+    its ~0.5 KB/doc (sha256, MinHash) index — the production shape where
+    the corpus is 100 TB cold storage and the index is what stays hot.
+    Flag semantics (exact/near/novel) are parquet-round-trip tested in
+    tests/test_dedup_similarity.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.corpus_index(corpus)
+    out = D.incremental_dedup(batch, index, threshold=0.5)
+    return out.select("doc_id", "exact_dup_of", "near_dup_of", "is_new")
+
+
 @query("dedup_simhash")  # xxhash64-based fingerprint: engine-specific, rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per document (operators.dedup.simhash)."""

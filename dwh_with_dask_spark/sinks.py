@@ -47,3 +47,39 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def export_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic pseudorandom shuffle into exactly ``n_shards``
+    hive-partitioned shards — the training-data export shape: shard
+    membership AND within-shard order depend only on (id, seed), never
+    on input partitioning, cluster size, or execution order, so a rerun
+    (or a different cluster) reproduces byte-identical shards.
+
+    shard = pmod(xxhash64(id, seed), n_shards); rows are repartitioned
+    on the shard column, sorted by the same hash within partitions
+    (files inherit the sort), and written with partitionBy(shard).
+    Re-seeding gives an independent permutation — epochs without
+    rereading in a new order. Shards are balanced in expectation
+    (multinomial over a 64-bit hash).
+    """
+    from pyspark.sql import functions as F
+
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    (
+        df.withColumn("shard", F.pmod(key, F.lit(n_shards)).cast("int"))
+        .withColumn("__shuffle_key", key)
+        .repartition("shard")
+        .sortWithinPartitions("shard", "__shuffle_key", id_col)
+        .drop("__shuffle_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

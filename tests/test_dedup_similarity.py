@@ -334,3 +334,39 @@ def test_prefix_jaccard_equals_naive_across_thresholds(spark):
         assert pref == naive, f"threshold {t}: prefix != naive"
     # planted exact dup (3,100) has J=1.0, so even t=0.8 is non-vacuous
     assert naive
+
+
+def test_incremental_dedup_against_stored_index(spark, tmp_path):
+    # Corpus indexed once (round-tripped through parquet, as stored);
+    # a new batch is checked against the index without re-shingling the
+    # corpus: exact dup, near dup, and novel docs flagged correctly.
+    # Docs must be mutually DISSIMILAR so near_dup_of resolves uniquely
+    # (min corpus id among matches): give each doc its own vocabulary.
+    corpus_rows = [
+        (i, " ".join(f"tok{i}x{k}" for k in range(14)) + f" filler{i} end{i}")
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    idx_path = str(tmp_path / "corpus_index")
+    D.corpus_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    near_text = corpus_rows[4][1].replace("filler4", "padding4")
+    batch = spark.createDataFrame(
+        [
+            (100, corpus_rows[7][1]),        # exact dup of corpus id 7
+            (101, near_text),                # near dup of corpus id 4
+            (102, "entirely novel content nothing like the corpus at all "
+                  "with completely distinct vocabulary and structure"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["exact_dup_of"], r["near_dup_of"], r["is_new"])
+        for r in D.incremental_dedup(batch, index, threshold=0.5).collect()
+    }
+    assert out[100][0] == 7 and out[100][2] is False
+    assert out[101][0] is None and out[101][1] == 4 and out[101][2] is False
+    assert out[102] == (None, None, True)
+    # exact dups are near dups too (identical signatures)
+    assert out[100][1] == 7

@@ -160,3 +160,33 @@ def test_csv_malformed_row_modes(spark, tmp_path):
         .csv(str(p))
     )
     assert {r["id"] for r in dropped.collect()} == {1, 2}
+
+
+def test_export_shuffled_shards_deterministic(spark, tmp_path):
+    from dwh_with_dask_spark.sinks import export_shuffled_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+
+    def shards(path, seed):
+        export_shuffled_shards(df, path, n_shards=8, seed=seed)
+        got = spark.read.parquet(path)
+        rows = got.select("shard", "doc_id").collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+        return by_shard
+
+    a = shards(str(tmp_path / "a"), seed=1)
+    b = shards(str(tmp_path / "b"), seed=1)
+    c = shards(str(tmp_path / "c"), seed=2)
+
+    # same seed -> identical shard membership; every doc exactly once
+    assert {k: sorted(v) for k, v in a.items()} == {k: sorted(v) for k, v in b.items()}
+    assert sorted(x for v in a.values() for x in v) == list(range(500))
+    assert len(a) == 8
+    # a different seed is an independent permutation of shard membership
+    assert {k: sorted(v) for k, v in a.items()} != {k: sorted(v) for k, v in c.items()}
+    # shards are balanced in expectation (loose 3x bound on 500/8 ≈ 62)
+    assert all(15 <= len(v) <= 190 for v in a.values())
