@@ -749,3 +749,50 @@ def incremental_dedup(
         )
     )
     return attach(out, scope, created)
+
+
+def minhash_signatures_rowlocal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig) — identical output to ``minhash_signatures``, computed
+    entirely per-row: ``sig[i] = min(xxhash64(shingle, i))`` over the
+    document's own distinct-shingle ARRAY, no explode and no groupBy.
+
+    This is the STREAMING-SAFE form: Structured Streaming forbids
+    unwatermarked aggregations in append mode, and a signature is a
+    per-document property that never needed cross-row state in the
+    first place. The exploded+groupBy form remains the batch default
+    (column-pruned scans + partial aggregation beat 64 interpreted
+    array_min lambdas on large corpora); equality of the two is
+    asserted in tests. Same empty-doc contract as the exploded form:
+    documents with no shingles produce no signature row.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("__g"),
+    )
+    if not df.isStreaming:
+        # Same projection barrier as _doc_shingles: without it Catalyst
+        # inlines the gram expression into every one of the 64 lambdas.
+        grams = grams.repartition(parallelism, F.col("id"))
+    def hash_with_seed(i: int):
+        # NOTE: a `lambda s, i=i:` default-arg closure would be WRONG
+        # here — F.transform dispatches on lambda arity, so a 2-arg
+        # lambda gets (element, array_index) and the seed default is
+        # silently shadowed by the index. A factory keeps arity 1.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return grams.filter(F.size("__g") > 0).select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform("__g", hash_with_seed(i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )

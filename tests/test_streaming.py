@@ -583,3 +583,64 @@ def test_stream_stream_interval_join_equals_batch(spark, tmpdir_spark):
     # tail within the watermark delay of stream end may be missing)
     assert streamed <= batch
     assert len(streamed) >= int(0.5 * len(batch)) > 0
+
+
+def test_rowlocal_signatures_equal_exploded(spark):
+    # The streaming-safe per-row MinHash form must emit exactly the
+    # batch (explode + groupBy) signatures — same ids, same arrays.
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowlocal,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
+    b = {r["id"]: list(r["sig"]) for r in minhash_signatures_rowlocal(docs).collect()}
+    assert a == b and a
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmpdir_spark):
+    import uuid
+
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.dedup import corpus_index
+    from dwh_with_dask_spark.streaming.docs import (
+        flag_against_index,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_path = f"{tmpdir_spark}/docs_index"
+    corpus_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    src = f"{tmpdir_spark}/docs_stream"
+    batch.repartition(3).write.parquet(src)
+
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        flag_against_index(stream, index, threshold=0.4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_docs_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def match_set(df):
+        # near events are at-least-once (one per colliding band): both
+        # sides compare as idempotent (doc, corpus, kind) sets.
+        return {
+            (r["doc_id"], r["corpus_id"], r["kind"], round(r["agree_frac"], 6))
+            for r in df.collect()
+        }
+
+    streamed = match_set(spark.sql(f"SELECT * FROM {name}"))
+    batched = match_set(flag_against_index(batch, index, threshold=0.4))
+    assert streamed == batched
