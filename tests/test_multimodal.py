@@ -156,3 +156,151 @@ def test_audio_resample_plumbing(spark):
         # stub decodes 1600 samples at 16 kHz -> 800 at 8 kHz
         assert (r["sample_rate"], r["n_samples"]) == (8000, 800)
         assert len(r["samples"]) == 800 * 4  # float32
+
+
+def _png_encode(img, filters=None):
+    """Minimal PNG encoder for tests: per-row filter type exercised
+    explicitly (the decoder under test must invert all five)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        line = img[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            filt = (line - left) % 256
+        elif f == 2:  # Up
+            filt = (line - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            filt = (line - ((left + prev) >> 1)) % 256
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            pt = left + prev - upleft
+            pa, pb, pc = abs(pt - left), abs(pt - prev), abs(pt - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (line - pred) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_encode(samples_f32, sr, width=2, channels=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(channels)
+        wv.setsampwidth(width)
+        wv.setframerate(sr)
+        if width == 2:
+            pcm = (np.clip(samples_f32, -1, 1) * 32767).astype("<i2")
+        else:
+            raise NotImplementedError
+        wv.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_png_stdlib_decode_roundtrip_all_filters():
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import _decode_png_stdlib
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(5, 6, ch), dtype=np.uint8)
+        data = _png_encode(img, filters=[0, 1, 2, 3, 4])
+        got = _decode_png_stdlib(data)
+        assert got.shape == img.shape
+        assert (got == img).all(), f"channels={ch}"
+
+
+def test_wav_stdlib_decode_real_sine():
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import _decode_audio
+
+    sr = 16_000
+    t = np.arange(sr, dtype=np.float64) / sr
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    data = _wav_encode(sine, sr)
+    x, got_sr = _decode_audio(data)
+    assert got_sr == sr and len(x) == sr
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 16-bit quantization noise
+    assert abs(float(np.sqrt(np.mean(x**2))) - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_image_features_on_real_png(spark):
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import image_features, image_resize
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    data = _png_encode(img, filters=[4, 3, 2, 1, 0, 4, 3, 2, 1, 0])
+    media = spark.createDataFrame(
+        [("p1", "image", len(data), "h1", bytearray(data))],
+        "path string, media_type string, n_bytes long, content_hash string, content binary",
+    )
+    feat = image_features(media).collect()[0]
+    assert (feat["width"], feat["height"], feat["n_channels"]) == (8, 10, 3)
+    assert abs(feat["mean_luma"] - float(img.mean())) < 1e-6
+    rz = image_resize(media, width=4, height=5).collect()[0]
+    assert (rz["width"], rz["height"]) == (4, 5)
+    got = np.frombuffer(bytes(rz["pixels"]), dtype=np.uint8).reshape(5, 4, 3)
+    # nearest-neighbor: every output pixel must exist in the source image
+    ri = np.arange(5) * 10 // 5
+    ci = np.arange(4) * 8 // 4
+    assert (got == img[ri][:, ci]).all()
+
+
+def test_audio_features_on_real_wav(spark):
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import audio_features, audio_resample
+
+    sr = 16_000
+    t = np.arange(sr // 2, dtype=np.float64) / sr
+    sine = (0.25 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    data = _wav_encode(sine, sr)
+    media = spark.createDataFrame(
+        [("a1", "audio", len(data), "h2", bytearray(data))],
+        "path string, media_type string, n_bytes long, content_hash string, content binary",
+    )
+    feat = audio_features(media).collect()[0]
+    assert feat["sample_rate"] == sr and feat["n_samples"] == sr // 2
+    assert abs(feat["rms"] - 0.25 / np.sqrt(2)) < 1e-3
+    rs = audio_resample(media, target_rate=8_000).collect()[0]
+    assert rs["sample_rate"] == 8_000
+    assert rs["n_samples"] == sr // 4  # half duration at half the rate
