@@ -8,10 +8,15 @@ page text (dask-with-dataframe-[2].py:102-104) or iterates page lines
 text-extraction library runs on executors, one task per file batch, so a
 million PDFs parse in parallel.
 
-pdfplumber is NOT installed in this container: the extraction step is
-gated and raises NotImplementedError, while all Spark-side plumbing
-(schema, batching, page explosion, downstream operators) is real and
-tested against pre-extracted page fixtures (FIXTURES.md A3) through
+Extraction dispatch (pdfplumber is not installable in this container —
+scripts/DECODER_ATTEMPTS.md): pdfplumber when importable → a REAL
+stdlib-only extractor for simple text PDFs (plain or /FlateDecode
+content streams, literal/hex strings, Tj/TJ/'/" show operators with
+Td/TD/T* line breaks — the shape office-suite and report generators
+emit, including the reference's financial statements) → a
+NotImplementedError gate for PDFs the stdlib path cannot confidently
+parse (CID-keyed fonts, encrypted files), where tests fall back to
+pre-extracted page fixtures (FIXTURES.md A3) through
 ``pages_from_rows``.
 """
 
@@ -22,22 +27,198 @@ from pyspark.sql import DataFrame, SparkSession
 PAGES_SCHEMA = "doc_id string, page_no int, text string"
 
 
+def _pdf_literal(cs: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at ``cs[i] == '('``; returns
+    (text, index after closing paren). Handles nesting and the standard
+    escapes incl. octal."""
+    assert cs[i] == 0x28
+    depth, out, i = 1, bytearray(), i + 1
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+           0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+    while i < len(cs) and depth:
+        c = cs[i]
+        if c == 0x5C and i + 1 < len(cs):
+            n = cs[i + 1]
+            if n in esc:
+                out.append(esc[n])
+                i += 2
+                continue
+            if 0x30 <= n <= 0x37:  # octal, up to 3 digits
+                j, val = i + 1, 0
+                while j < len(cs) and j <= i + 3 and 0x30 <= cs[j] <= 0x37:
+                    val = val * 8 + (cs[j] - 0x30)
+                    j += 1
+                out.append(val & 0xFF)
+                i = j
+                continue
+            i += 2  # line continuation / unknown escape: drop backslash
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if not depth:
+                i += 1
+                break
+        out.append(c)
+        i += 1
+    return out.decode("latin-1"), i
+
+
+def _text_from_content(cs: bytes) -> str:
+    """Walk a (decompressed) content stream and join the text-show
+    operators: (s) Tj, [ ... ] TJ, ' and ". Td/TD with a vertical move
+    and T* become newlines — the standard line heuristic for generated
+    report PDFs (no font metrics needed)."""
+    parts: list[str] = []
+    strings_since_op: list[str] = []
+    last_nums: list[float] = []
+    in_array = False
+    i, n = 0, len(cs)
+
+    def flush(sep: str) -> None:
+        if strings_since_op:
+            parts.append("".join(strings_since_op))
+            strings_since_op.clear()
+        if parts and sep and parts[-1] != "\n":
+            parts.append(sep)
+
+    while i < n:
+        c = cs[i]
+        if c == 0x28:  # literal string
+            s, i = _pdf_literal(cs, i)
+            strings_since_op.append(s)
+            continue
+        if c == 0x3C and i + 1 < n and cs[i + 1] != 0x3C:  # hex string
+            j = cs.find(b">", i)
+            if j == -1:
+                break
+            hx = bytes(cs[i + 1 : j]).replace(b" ", b"").replace(b"\n", b"")
+            if len(hx) % 2:
+                hx += b"0"
+            strings_since_op.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            i = j + 1
+            continue
+        if c == 0x5B:  # [ — TJ array begins
+            in_array = True
+            i += 1
+            continue
+        if c == 0x5D:
+            in_array = False
+            i += 1
+            continue
+        if c in b"-.0123456789":
+            j = i
+            while j < n and cs[j] in b"-.0123456789":
+                j += 1
+            try:
+                val = float(cs[i:j])
+                last_nums.append(val)
+                # TJ kerning: a large negative advance between array
+                # strings is how generators encode an inter-word gap
+                if in_array and strings_since_op and val <= -100:
+                    strings_since_op.append(" ")
+            except ValueError:
+                pass
+            i = j
+            continue
+        if c in b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz'\"*":
+            j = i
+            while j < n and cs[j] in (
+                b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz'\"*"
+            ):
+                j += 1
+            op = bytes(cs[i:j])
+            if op == b"Tj":
+                flush("")
+            elif op == b"TJ":
+                flush("")
+            elif op in (b"'", b'"'):
+                parts.append("\n")
+                flush("")
+            elif op in (b"Td", b"TD"):
+                moved_y = len(last_nums) >= 1 and last_nums[-1] != 0.0
+                flush("\n" if moved_y else " ")
+            elif op == b"T*":
+                flush("\n")
+            last_nums.clear()
+            i = j
+            continue
+        i += 1
+    flush("")
+    text = "".join(parts)
+    return "\n".join(seg.strip() for seg in text.split("\n")).strip()
+
+
+def _extract_pages_stdlib(data: bytes) -> list[str] | None:
+    """REAL stdlib-only page-text extraction for simple PDFs; None when
+    the file is outside the supported subset (caller falls back)."""
+    import re
+    import zlib
+
+    if not data.startswith(b"%PDF"):
+        return None
+    objs: dict[int, bytes] = {}
+    order: list[int] = []
+    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", data, re.S):
+        num = int(m.group(1))
+        if num not in objs:
+            order.append(num)
+        objs[num] = m.group(2)
+
+    def content_bytes(num: int) -> bytes:
+        body = objs.get(num, b"")
+        sm = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.S)
+        if not sm:
+            return b""
+        raw = sm.group(1)
+        head = body[: sm.start()]
+        if b"/FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                return b""
+        return raw
+
+    pages: list[str] = []
+    for num in order:
+        body = objs[num]
+        if not re.search(rb"/Type\s*/Page\b", body) or b"/Kids" in body:
+            continue
+        refs = []
+        cm = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+        if cm:
+            refs = [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(1))]
+        else:
+            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+            if cm:
+                refs = [int(cm.group(1))]
+        cs = b"".join(content_bytes(r) for r in refs)
+        pages.append(_text_from_content(cs))
+    return pages or None
+
+
 def _extract_pages(content: bytes) -> list[str]:
-    """Per-document page text extraction (executor-side)."""
+    """Per-document page text extraction (executor-side): pdfplumber →
+    stdlib extractor → explicit gate."""
     try:
-        import pdfplumber  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "pdfplumber not installed in this runtime; supply pre-extracted "
-            "page text via pages_from_rows(), or install pdfplumber on "
-            "executors for real PDF ingestion"
-        ) from e
-    import io
+        import io
 
-    import pdfplumber
+        import pdfplumber
 
-    with pdfplumber.open(io.BytesIO(content)) as pdf:
-        return [page.extract_text() or "" for page in pdf.pages]
+        with pdfplumber.open(io.BytesIO(content)) as pdf:
+            return [page.extract_text() or "" for page in pdf.pages]
+    except ImportError:
+        pass
+    pages = _extract_pages_stdlib(content)
+    if pages is not None:
+        return pages
+    raise NotImplementedError(
+        "this PDF is outside the stdlib extractor's subset (CID fonts, "
+        "encryption, or no parsable page tree) and pdfplumber is not "
+        "installed in this runtime; supply pre-extracted page text via "
+        "pages_from_rows(), or install pdfplumber on executors"
+    )
 
 
 def pdf_pages(spark: SparkSession, path_glob: str) -> DataFrame:
