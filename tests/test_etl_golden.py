@@ -244,3 +244,35 @@ def test_pdf_pages_source_end_to_end(spark, tmp_path):
     ]
     ft = full_text(pdf_pages(spark, str(tmp_path))).collect()[0]
     assert ft["text"] == "halaman satu\nhalaman dua"
+
+
+def test_detail_notes_from_real_pdf_bytes(spark, tmp_path):
+    # EP3 end-to-end from ACTUAL PDF bytes: binaryFile scan ->
+    # executor-side stdlib extraction -> posexplode/sessionize ->
+    # detail_notes golden rows. The reference ran this pipeline on a
+    # driver-side pdfplumber loop (detail_notes.py:23-79).
+    from dwh_with_dask_spark.sources.pdf import pdf_pages
+
+    lines = [
+        "PT Contoh Tbk",
+        "Catatan Atas Laporan Keuangan",
+        "1. Umum",
+        "Perusahaan didirikan tahun 1995.",
+        "Berkedudukan di Jakarta.",
+        "1.a. Anak perusahaan",
+        "Memiliki 3 anak perusahaan.",
+        "2. Kebijakan akuntansi",
+        "Disusun berdasarkan SAK.",
+    ]
+    shows = " T* ".join(f"({ln}) Tj" for ln in lines)
+    stream = f"BT /F1 12 Tf 72 720 Td {shows} ET".encode()
+    (tmp_path / "notes.pdf").write_bytes(_mk_pdf([stream], flate={0}))
+
+    notes = (
+        detail_notes(pdf_pages(spark, str(tmp_path))).orderBy("id").collect()
+    )
+    assert [(n["Nomor"], n["calk"], n["deskripsi"]) for n in notes] == [
+        ("1.", "Umum", "Perusahaan didirikan tahun 1995. Berkedudukan di Jakarta."),
+        ("1.a.", "Anak perusahaan", "Memiliki 3 anak perusahaan."),
+        ("2.", "Kebijakan akuntansi", "Disusun berdasarkan SAK."),
+    ]
