@@ -384,8 +384,19 @@ def bm25_scores(
        subtree on the build side — column pruning makes the two copies
        non-identical, so exchange reuse never kicks in and the corpus
        is scanned and exploded twice; measured 2x on the whole query.)
-    3. corpus stats (N, avgdl) — a 1-row aggregate over a
-       doc-count-sized scan, broadcast;
+    3. corpus stats (N, avgdl) — derived from the SAME aggregated tf
+       frame (per-doc rollup of the inverted index, then a 1-row
+       aggregate), broadcast. The rollup deliberately references the
+       tf count column so column pruning cannot make the stats branch's
+       aggregate differ from the scoring branch's — the (doc, term)
+       exchange canonicalizes identically and ReusedExchange keeps the
+       whole query at ONE tokenize pass over the corpus (previously the
+       stats branch re-ran normalize+split over every document: at sf1
+       that second pass alone put the query 2.4x over the oracle).
+       Consequence: N and avgdl are over INDEXED documents (>= 1
+       token). A zero-token document has no postings, contributes no
+       output rows, and — like any inverted-index-backed BM25 — does
+       not dilute avgdl;
     4. score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) — pure
        column arithmetic after the window, no further movement.
 
@@ -406,15 +417,27 @@ def bm25_scores(
         F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
     )
     tf = base.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    # Per-doc rollup of the aggregated postings: doc-count-sized.
+    # sum(tf) per doc IS the doc length (total token occurrences), so
+    # avgdl = sum(__ntf)/n_docs is bit-identical to sum(dl)/n_docs —
+    # and because the stats branch genuinely CONSUMES the tf count,
+    # RemoveRedundantAggregates cannot fuse this rollup into a direct
+    # per-doc aggregate over the raw corpus: both branches keep the
+    # byte-identical (doc, term, dl) aggregate underneath, the shared
+    # exchange canonicalizes equal, and ReusedExchange makes the whole
+    # query a single tokenize pass. (Deriving avgdl from max(dl) alone
+    # reads nicer but lets column pruning drop the count and the
+    # optimizer collapse the branch back into a second corpus scan —
+    # verified in the physical plan.)
+    doclens = tf.groupBy(id_col).agg(F.sum("tf").alias("__ntf"))
+    stats = doclens.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("__ntf").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
     tf = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size(tokens(text_col))).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
     )
     joined = tf.crossJoin(F.broadcast(stats))
     idf_rational = (

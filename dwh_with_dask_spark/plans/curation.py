@@ -390,10 +390,11 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, term, dl, COUNT(*) AS tf
       FROM base GROUP BY doc_id, term, dl),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+    doclens AS (SELECT doc_id, MAX(dl) AS dl FROM tfs GROUP BY doc_id),
     stats AS (
       SELECT COUNT(*) AS n_docs,
-             CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-      FROM t),
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM doclens),
     scored AS (
       SELECT tfs.doc_id, tfs.term, tfs.tf, dfreq.df,
              ((CAST(n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
