@@ -636,15 +636,31 @@ def corpus_index(
         F.col(id_col).alias("id"),
         F.sha2(normalize_text(text_col), 256).alias("text_hash"),
     )
-    return hashes.join(sigs, "id")
+    # LEFT join: a doc too short to produce any n-token shingle has no
+    # signature row, but it must still keep its text_hash entry —
+    # otherwise an exact duplicate of a short corpus doc comes back
+    # is_new from incremental_dedup and short dups accumulate forever.
+    # Such docs carry sig = NULL; the LSH probe side filters them out.
+    return hashes.join(sigs, "id", "left")
 
 
-def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, band, bucket) from a stored signature column — pure column
-    arithmetic, no re-shingling."""
+def _band_buckets(
+    sigs: DataFrame, num_hashes: int, bands: int, carry_sig: bool = False
+) -> DataFrame:
+    """(id, band, bucket[, sig]) from a stored signature column — pure
+    column arithmetic, no re-shingling.
+
+    ``carry_sig=True`` keeps the signature array on every exploded row.
+    That is how a STREAMING caller gets the signature to the verify step
+    without joining the bucket frame back to the signature frame on id —
+    a stream-stream self-join whose state would grow without bound in a
+    continuous query. The sig is row-local, so carrying it is a wider
+    shuffle row (num_hashes longs × bands), not extra state."""
     r = num_hashes // bands
+    cols = ["id", "bb.band", "bb.bucket"] + (["sig"] if carry_sig else [])
     return sigs.select(
         "id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -658,7 +674,7 @@ def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select(*cols)
 
 
 def incremental_dedup(
@@ -716,7 +732,13 @@ def incremental_dedup(
         F.col("id").alias("new_id"), "band", "bucket"
     )
     cb = _band_buckets(
-        index.select("id", "sig"), num_hashes, bands
+        # sig is NULL for corpus docs too short to shingle (see
+        # corpus_index): they can never be near-dup candidates, and
+        # hashing their null positions would pile every one of them
+        # into a single constant bucket per band — a useless hot key.
+        index.select("id", "sig").where(F.col("sig").isNotNull()),
+        num_hashes,
+        bands,
     ).select(F.col("id").alias("corpus_id"), "band", "bucket")
     cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
 

@@ -202,7 +202,13 @@ def _decode_image(content: bytes) -> np.ndarray:
         except Exception:
             pass
     if content[:8] == _PNG_MAGIC:
-        return _decode_png_stdlib(content)
+        try:
+            return _decode_png_stdlib(content)
+        except ValueError:
+            # Valid-but-unsupported PNG (palette, 16-bit, interlaced):
+            # fall through to the stub instead of failing the whole
+            # Spark task from inside the mapInPandas UDF.
+            pass
     return _decode_image_stub(content)
 
 

@@ -239,7 +239,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     index = D.corpus_index(corpus)
     out = D.incremental_dedup(batch, index, threshold=0.5)
-    return out.select("doc_id", "exact_dup_of", "near_dup_of", "is_new")
+    res = out.select("doc_id", "exact_dup_of", "near_dup_of", "is_new")
+    # select() returns a NEW DataFrame without the operator's private
+    # cache_scope attribute — re-attach it so release_caches(result)
+    # can free the persisted batch signature table (otherwise it leaks
+    # one cache entry per invocation in long-lived sessions).
+    res.cache_scope = getattr(out, "cache_scope", None)
+    return res
 
 
 @query("dedup_simhash")  # xxhash64-based fingerprint: engine-specific, rows-only

@@ -180,11 +180,50 @@ def _extract_pages_stdlib(data: bytes) -> list[str] | None:
                 return b""
         return raw
 
+    def kids_order() -> list[int] | None:
+        """Page object numbers in page-tree (/Pages /Kids) order — the
+        DOCUMENT order, which can differ from byte-occurrence order in
+        incrementally-updated PDFs. None when no tree is parsable."""
+        root = None
+        for num in order:
+            cm = re.search(rb"/Type\s*/Catalog\b", objs[num])
+            if cm:
+                pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", objs[num])
+                if pm:
+                    root = int(pm.group(1))
+                break
+        if root is None:  # no catalog: try a /Pages node nobody references
+            nodes = [n for n in order if re.search(rb"/Type\s*/Pages\b", objs[n])]
+            if len(nodes) == 1:
+                root = nodes[0]
+        if root is None:
+            return None
+        out: list[int] = []
+        seen: set[int] = set()
+
+        def walk(num: int) -> None:
+            if num in seen or num not in objs or len(seen) > len(objs):
+                return
+            seen.add(num)
+            body = objs[num]
+            km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+            if km:
+                for x in re.findall(rb"(\d+)\s+\d+\s+R", km.group(1)):
+                    walk(int(x))
+            elif re.search(rb"/Type\s*/Page\b", body):
+                out.append(num)
+
+        walk(root)
+        return out or None
+
+    leaf_nums = kids_order() or [
+        num
+        for num in order
+        if re.search(rb"/Type\s*/Page\b", objs[num]) and b"/Kids" not in objs[num]
+    ]
     pages: list[str] = []
-    for num in order:
+    for num in leaf_nums:
         body = objs[num]
-        if not re.search(rb"/Type\s*/Page\b", body) or b"/Kids" in body:
-            continue
         refs = []
         cm = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
         if cm:

@@ -84,18 +84,27 @@ def flag_against_index(
     )
 
     sigs = minhash_signatures_rowlocal(docs, id_col, text_col, n, num_hashes)
-    nb = _band_buckets(sigs, num_hashes, bands).select(
-        F.col("id").alias("doc_id"), "band", "bucket"
+    # carry_sig=True keeps the (row-local) signature on every bucket row,
+    # so the ONLY joins below are against the static index — no
+    # stream-stream self-join back to the signature frame, hence no
+    # unbounded join state in a continuous query.
+    nb = _band_buckets(sigs, num_hashes, bands, carry_sig=True).select(
+        F.col("id").alias("doc_id"), "band", "bucket", "sig"
     )
-    cb = _band_buckets(index.select("id", "sig"), num_hashes, bands).select(
-        F.col("id").alias("corpus_id"), "band", "bucket"
-    )
+    cb = _band_buckets(
+        # corpus docs too short to shingle carry sig = NULL in the
+        # stored index (see corpus_index) — they cannot be near-dup
+        # candidates and their null positions would all hash into one
+        # constant hot bucket per band.
+        index.select("id", "sig").where(F.col("sig").isNotNull()),
+        num_hashes,
+        bands,
+    ).select(F.col("id").alias("corpus_id"), "band", "bucket")
     agree = F.size(
         F.filter(F.zip_with("sig", "sig_c", lambda x, y: x == y), lambda m: m)
     )
     near = (
         nb.join(cb, ["band", "bucket"])
-        .join(sigs.select(F.col("id").alias("doc_id"), "sig"), "doc_id")
         .join(
             index.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_c")),
             "corpus_id",

@@ -114,6 +114,27 @@ def test_shared_plan_single_cache_entry(spark, docs):
     assert not (plan.storageLevel.useMemory or plan.storageLevel.useDisk)
 
 
+def test_incremental_batch_plan_scope_releasable(spark):
+    # The registry's dedup_incremental_batch ends in a select(), which
+    # returns a NEW DataFrame — the plan must re-attach the operator's
+    # private scope so release_caches(result) frees the persisted batch
+    # signature table (regression: one leaked cache entry per call).
+    from dwh_with_dask_spark.plans.llm import dedup_incremental_batch
+    from tests.conftest import SF_SMOKE
+
+    base = _persisted_ids(spark)
+    out = dedup_incremental_batch(spark, SF_SMOKE)
+    # collect(), not count(): the flag columns come from left joins on
+    # grouped (unique) keys, so for a bare count Catalyst ELIMINATES
+    # both joins and the signature cache never materializes at all.
+    out.collect()
+    created = _persisted_ids(spark) - base
+    assert created
+    assert isinstance(getattr(out, "cache_scope", None), CacheScope)
+    release_caches(out)
+    assert not (_persisted_ids(spark) & created)
+
+
 def test_release_caches_ignores_column_named_cache_scope(spark):
     # DataFrame.__getattr__ resolves unknown attributes as columns; a
     # real column named cache_scope must not break release_caches.

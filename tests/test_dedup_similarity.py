@@ -370,3 +370,36 @@ def test_incremental_dedup_against_stored_index(spark, tmp_path):
     assert out[102] == (None, None, True)
     # exact dups are near dups too (identical signatures)
     assert out[100][1] == 7
+
+
+def test_incremental_dedup_short_corpus_doc_exact_match(spark, tmp_path):
+    # A corpus doc too short to produce any 3-token shingle has NO
+    # MinHash signature row — but its sha256 entry must survive in the
+    # index (left join), so an exact duplicate of it is still flagged.
+    # Regression: an inner hash⋈sig join dropped short docs entirely and
+    # their duplicates came back is_new forever.
+    corpus = spark.createDataFrame(
+        [(0, "tiny doc"),  # 2 tokens < n=3: no shingles, no signature
+         (1, " ".join(f"w{k}" for k in range(20)))],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "idx")
+    D.corpus_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    stored = {r["id"]: r for r in index.collect()}
+    assert set(stored) == {0, 1}            # short doc kept its row
+    assert stored[0]["text_hash"] is not None
+    assert stored[0]["sig"] is None         # ... with a null signature
+    assert stored[1]["sig"] is not None
+
+    batch = spark.createDataFrame(
+        [(100, "tiny doc"), (101, "another novel short")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["exact_dup_of"], r["is_new"])
+        for r in D.incremental_dedup(batch, index, threshold=0.5).collect()
+    }
+    assert out[100] == (0, False)
+    assert out[101] == (None, True)

@@ -228,6 +228,32 @@ def test_stdlib_pdf_extractor_real_pdf():
     ]
 
 
+def test_pdf_page_order_follows_kids_not_occurrence():
+    # Incrementally-updated PDFs serialize page objects in arbitrary
+    # byte order; page_no must follow the page tree's /Kids array, not
+    # object occurrence. This file stores page TWO's object before page
+    # ONE's while /Kids lists them in document order.
+    from dwh_with_dask_spark.sources.pdf import _extract_pages
+
+    c1 = b"BT 72 720 Td (first page) Tj ET"
+    c2 = b"BT 72 720 Td (second page) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R 3 0 R] /Count 2 >>"),
+        # object 3 = SECOND page in /Kids, serialized FIRST:
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        (5, f"<< /Length {len(c1)} >>".encode() + b"\nstream\n" + c1 + b"\nendstream"),
+        (6, f"<< /Length {len(c2)} >>".encode() + b"\nstream\n" + c2 + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in objs:
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+
+    assert _extract_pages(bytes(out)) == ["first page", "second page"]
+
+
 def test_pdf_pages_source_end_to_end(spark, tmp_path):
     # REAL path: bytes on disk -> binaryFile scan -> executor-side
     # stdlib extraction -> (doc_id, page_no, text) rows -> full_text.

@@ -246,6 +246,46 @@ def test_png_stdlib_decode_roundtrip_all_filters():
         assert (got == img).all(), f"channels={ch}"
 
 
+def test_png_unsupported_subset_falls_back_to_stub():
+    # A VALID 16-bit grayscale PNG is outside the stdlib decoder's
+    # subset: _decode_png_stdlib raises ValueError, and _decode_image
+    # must catch it and fall through to the stub instead of letting the
+    # error fail the whole Spark task from inside the mapInPandas UDF.
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dwh_with_dask_spark.operators.multimodal import (
+        _decode_image,
+        _decode_image_stub,
+        _decode_png_stdlib,
+    )
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)  # 1x1 gray16
+    idat = zlib.compress(b"\x00\xab\xcd")  # filter 0 + one 16-bit sample
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _decode_png_stdlib(png16)
+    got = _decode_image(png16)
+    assert (got == _decode_image_stub(png16)).all()
+    assert got.dtype == np.uint8 and got.shape == (4, 4, 3)
+
+
 def test_wav_stdlib_decode_real_sine():
     import numpy as np
 

@@ -644,3 +644,26 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmpdir_spark):
     streamed = match_set(spark.sql(f"SELECT * FROM {name}"))
     batched = match_set(flag_against_index(batch, index, threshold=0.4))
     assert streamed == batched
+
+
+def test_flag_against_index_joins_are_stream_static_only(spark, tmpdir_spark):
+    # State-growth contract: every join in the plan must have the static
+    # index on one side. Regression: the near leg used to join the
+    # band-bucket frame back to the signature frame on doc_id — a
+    # stream-stream self-join with unbounded state. With the signature
+    # carried through the bucket rows the whole query has exactly 3
+    # joins (exact: 1, near: bucket⋈index + verify⋈index), all
+    # stream-static.
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.dedup import corpus_index
+    from dwh_with_dask_spark.streaming.docs import flag_against_index
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    idx_path = f"{tmpdir_spark}/docs_index_plan"
+    corpus_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    out = flag_against_index(docs.filter(F.col("doc_id") % 2 == 1), index)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join ") == 3
