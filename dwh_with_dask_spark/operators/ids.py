@@ -37,6 +37,7 @@ def sequential_id(
     name: str = "ID",
     start: int = 1,
     scope: CacheScope | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Gap-free IDs ``start, start+1, ...`` in ``order_by`` order.
 
@@ -76,8 +77,15 @@ def sequential_id(
        nondeterministic ``__mid`` stamp; once the cache is dropped, a new
        action recomputes ``__mid`` under possibly different partitioning
        and the stale offsets would yield wrong or non-contiguous IDs.
-       Write or checkpoint the result before releasing the scope if you
-       need to act on it again.
+       Pass ``checkpoint=True`` if you need to act on the result after
+       release — it eagerly materializes the assigned IDs via
+       ``localCheckpoint`` and TRUNCATES the lineage, so nothing can ever
+       recompute the stamp; the internal persist is released before
+       returning and later actions replay the checkpointed blocks. (The
+       checkpoint blocks themselves are Spark-managed and reclaimed by
+       the ContextCleaner when the result is garbage collected; for a
+       result that must survive executor loss, write it to a table
+       instead.)
     """
     if order_by:
         df = df.orderBy(*order_by)
@@ -113,6 +121,11 @@ def sequential_id(
         )
         .drop("__pid", "__mid", "__off", "__minmid")
     )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        if created:
+            scope.release()  # stamp cache no longer needed post-truncation
+        return out
     return attach(out, scope, created)
 
 

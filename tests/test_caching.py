@@ -70,6 +70,22 @@ def test_sequential_id_scope_releases(spark, docs):
     assert not (_persisted_ids(spark) & created)
 
 
+def test_sequential_id_checkpoint_safe_after_release(spark, docs):
+    # The documented hazard: re-actioning a sequential_id result after
+    # its scope is released can recompute the nondeterministic stamp
+    # against stale offsets. checkpoint=True truncates lineage eagerly,
+    # releases the internal stamp cache itself, and stays correct across
+    # arbitrarily many later actions.
+    out = sequential_id(docs, order_by=["doc_id"], checkpoint=True)
+    ids1 = [r["ID"] for r in out.orderBy("doc_id").collect()]
+    release_caches(out)  # no private scope attached: must be a no-op
+    ids2 = [r["ID"] for r in out.orderBy("doc_id").collect()]
+    assert ids1 == ids2 == list(range(1, 41))
+    # lineage is truncated: the plan no longer contains the
+    # monotonically_increasing_id stamp that made re-actions hazardous.
+    assert "monotonically" not in out._jdf.queryExecution().analyzed().toString()
+
+
 def test_private_scope_attached_and_releasable(spark, docs):
     # No caller scope: the operator attaches its private scope to the
     # result so release_caches() can free it after the final action.
