@@ -5,11 +5,12 @@ plus a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched Pandas UDFs over mapInPandas.
 
 Decode status (the container forbids installing codec libraries — see
-scripts/DECODER_ATTEMPTS.md): PNG images and WAV/PCM audio decode FOR
-REAL via stdlib-only decoders in this module (zlib chunk walk + full
-scanline unfiltering; ``wave`` + PCM scaling); PIL/soundfile are used
-instead when importable; other formats (JPEG, MP3, video codecs) fall
-back to clearly-documented deterministic stubs. The Spark-side contract
+scripts/DECODER_ATTEMPTS.md): PNG and baseline JPEG images and WAV/PCM
+audio decode FOR REAL via stdlib+numpy-only decoders (zlib chunk walk +
+full scanline unfiltering; Huffman + dequant + IDCT in
+``operators.jpeg``; ``wave`` + PCM scaling); PIL/soundfile are used
+instead when importable; the rest (progressive JPEG, MP3, video codecs)
+fall back to clearly-documented deterministic stubs. The Spark-side contract
 (schemas, batch iteration, partition sizing, UDF signatures) is real
 and tested throughout.
 
@@ -29,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.operators.jpeg import decode_jpeg as _decode_jpeg_stdlib
 
 MEDIA_META_SCHEMA = (
     "path string, media_type string, n_bytes long, content_hash string"
@@ -72,6 +75,7 @@ except Exception:
     _soundfile = None
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8"
 
 
 def _decode_png_stdlib(data: bytes) -> np.ndarray:
@@ -190,10 +194,10 @@ def _decode_audio_stub(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_image(content: bytes) -> np.ndarray:
-    """Image decode dispatch: PIL when available → REAL stdlib PNG
-    decoder for PNG payloads → documented stub for anything else.
-    PNG (the dominant lossless web format) therefore decodes FOR REAL
-    even in this sealed container."""
+    """Image decode dispatch: PIL when available → REAL stdlib PNG /
+    baseline-JPEG decoders by magic bytes → documented stub for anything
+    else. The two dominant web formats therefore decode FOR REAL even in
+    this sealed container."""
     if _PIL_Image is not None:  # pragma: no cover - lib absent here
         import io
 
@@ -208,6 +212,13 @@ def _decode_image(content: bytes) -> np.ndarray:
             # Valid-but-unsupported PNG (palette, 16-bit, interlaced):
             # fall through to the stub instead of failing the whole
             # Spark task from inside the mapInPandas UDF.
+            pass
+    if content[:2] == _JPEG_MAGIC:
+        try:
+            return _decode_jpeg_stdlib(content)
+        except ValueError:
+            # Outside the baseline subset (progressive, arithmetic,
+            # 12-bit): stub fallback, same contract as PNG above.
             pass
     return _decode_image_stub(content)
 

@@ -246,6 +246,329 @@ def test_png_stdlib_decode_roundtrip_all_filters():
         assert (got == img).all(), f"channels={ch}"
 
 
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per T.81
+
+
+def _jpeg_encode_baseline(img, sub=1, restart=0, return_coeffs=False):
+    """Minimal baseline JPEG encoder for tests: forward DCT + flat
+    quantization (all-ones tables — near-lossless), custom fixed-length
+    canonical Huffman tables emitted in DHT, optional 2x2 chroma
+    subsampling (sub=2) and restart markers. Exercises every structure
+    the decoder under test must parse."""
+    import struct
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    M = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            M[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    f = img.astype(np.float64)
+    if ch == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = [(sub, sub), (1, 1), (1, 1)]
+    else:
+        planes = [f[..., 0]]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    prepped = []
+    for p, (sh, sv) in zip(planes, samp):
+        if (sh, sv) != (hmax, vmax):  # box-average downsample
+            fy, fx = vmax // sv, hmax // sh
+            py = p[: (p.shape[0] // fy) * fy, : (p.shape[1] // fx) * fx]
+            p = py.reshape(py.shape[0] // fy, fy, py.shape[1] // fx, fx).mean((1, 3))
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        pad = np.zeros((th, tw))
+        pad[: p.shape[0], : p.shape[1]] = p
+        pad[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pad[:, p.shape[1] :] = pad[:, p.shape[1] - 1 : p.shape[1]]
+        prepped.append(pad)
+
+    def category(v):
+        return abs(v).bit_length()
+
+    # pass 1: coefficients + symbol inventory
+    blocks, dc_syms, ac_syms = [], set(), set()
+    coeff_store = {}
+    pred = [0] * len(prepped)
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            pred = [0] * len(prepped)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (p, (sh, sv)) in enumerate(zip(prepped, samp)):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    F = M @ blk @ M.T
+                    q = np.rint(F).astype(np.int64)  # flat quant = 1
+                    coeff_store[(ci, mcu, by, bx)] = q.copy()
+                    zz = q.reshape(-1)[ZZ]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s = category(diff)
+                    dc_syms.add(s)
+                    events = [("dc", s, diff)]
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ac_syms.add(0xF0)
+                            events.append(("ac", 0xF0, 0))
+                            run -= 16
+                        s = category(v)
+                        sym = (run << 4) | s
+                        ac_syms.add(sym)
+                        events.append(("ac", sym, v))
+                        run = 0
+                    if run:
+                        ac_syms.add(0x00)
+                        events.append(("ac", 0x00, 0))
+                    blocks.append(events)
+
+    def fixed_table(symbols):
+        syms = sorted(symbols)
+        L = max(1, (len(syms)).bit_length())  # codes 0..k-1 of length L
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        codes = {s: (L, c) for c, s in enumerate(syms)}
+        return counts, syms, codes
+
+    dc_counts, dc_list, dc_codes = fixed_table(dc_syms)
+    ac_counts, ac_list, ac_codes = fixed_table(ac_syms)
+
+    # pass 2: entropy bytes
+    wtr = _JpegBitWriter()
+    chunks = []
+    for i, events in enumerate(blocks):
+        blocks_per_mcu = sum(sh * sv for sh, sv in samp)
+        mcu = i // blocks_per_mcu
+        if restart and mcu and mcu % restart == 0 and i % blocks_per_mcu == 0:
+            wtr.flush()
+            chunks.append(bytes(wtr.out))
+            chunks.append(bytes([0xFF, 0xD0 + ((mcu // restart - 1) % 8)]))
+            wtr = _JpegBitWriter()
+        for kind, sym, v in events:
+            L, code = dc_codes[sym] if kind == "dc" else ac_codes[sym]
+            wtr.put(code, L)
+            s = sym & 15 if kind == "ac" else sym
+            if kind == "dc":
+                s = sym
+            if s:
+                wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+    wtr.flush()
+    chunks.append(bytes(wtr.out))
+    entropy = b"".join(chunks)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qzz = bytes([1] * 64)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + qzz)
+    sof = struct.pack(">BHHB", 8, h, w, len(prepped))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(dc_list))
+    out += seg(0xC4, b"\x10" + bytes(ac_counts) + bytes(ac_list))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(prepped)])
+    for ci in range(len(prepped)):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy + b"\xff\xd9"
+    if return_coeffs:
+        return bytes(out), coeff_store, samp, (mcus_x, mcus_y)
+    return bytes(out)
+
+
+def test_jpeg_stdlib_decode_roundtrip_444():
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 13, 3), dtype=np.uint8)
+    got = decode_jpeg(_jpeg_encode_baseline(img))
+    assert got.shape == img.shape
+    # flat (all-ones) quantization: the only loss is coefficient
+    # rounding, bounded by the DCT basis mass — a few intensity levels.
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_stdlib_decode_grayscale():
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(9, 17, 1), dtype=np.uint8)
+    got = decode_jpeg(_jpeg_encode_baseline(img))
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_stdlib_decode_420_and_restart():
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    # Equal RGB channels -> constant chroma, so 2x2 subsampling loses
+    # nothing and the tolerance stays at coefficient-rounding level even
+    # with odd dimensions (pad/crop) and restart markers every 2 MCUs.
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(21, 19, 1), dtype=np.uint8)
+    img = np.repeat(gray, 3, axis=2)
+    data = _jpeg_encode_baseline(img, sub=2, restart=2)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data  # RST markers present
+    got = decode_jpeg(data)
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_exact_output_vs_independent_reconstruction():
+    # EXACT check of Huffman + dequant + IDCT + color conversion: the
+    # encoder hands back its quantized coefficient blocks; an
+    # independently-written IDCT (explicit cosine sums, no shared code
+    # with operators.jpeg) reconstructs the expected pixels, and the
+    # decoder must reproduce them bit-for-bit.
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    data, coeffs, samp, (mcus_x, mcus_y) = _jpeg_encode_baseline(
+        img, return_coeffs=True
+    )
+
+    xs = np.arange(8)
+    cos = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    cu = np.where(xs == 0, 1 / np.sqrt(2), 1.0)
+
+    def idct8(q):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                out[y, x] = 0.25 * np.sum(
+                    cu[:, None] * cu[None, :] * q
+                    * cos[:, y][:, None] * cos[:, x][None, :]
+                )
+        return out + 128.0
+
+    planes = []
+    for ci, (sh, sv) in enumerate(samp):
+        p = np.zeros((mcus_y * sv * 8, mcus_x * sh * 8))
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    p[y0 : y0 + 8, x0 : x0 + 8] = idct8(coeffs[(ci, mcu, by, bx)])
+        planes.append(p[: img.shape[0], : img.shape[1]])
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    expected = np.clip(
+        np.round(
+            np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    got = decode_jpeg(data)
+    assert (got == expected).all()
+
+
+def test_jpeg_progressive_falls_back_to_stub():
+    import struct
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+    from dwh_with_dask_spark.operators.multimodal import (
+        _decode_image,
+        _decode_image_stub,
+    )
+    import numpy as np
+    import pytest
+
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", len(sof2) + 2)
+        + sof2
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(data)
+    assert (np.asarray(_decode_image(data)) == _decode_image_stub(data)).all()
+
+
+def test_image_features_on_real_jpeg(spark):
+    # End-to-end through the Spark plumbing: real JPEG bytes in a media
+    # table -> mapInPandas decode -> width/height/luma from the actual
+    # pixels (not the stub).
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import image_features
+
+    img = np.full((24, 16, 3), 200, dtype=np.uint8)
+    img[:12, :, :] = 40  # top half dark: mean luma ~(40+200)/2
+    data = _jpeg_encode_baseline(img)
+    media = spark.createDataFrame(
+        [("m1", "h1", bytearray(data))],
+        "path string, content_hash string, content binary",
+    )
+    row = image_features(media).collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (16, 24, 3)
+    assert abs(row["mean_luma"] - 120.0) < 3.0
+
+
 def test_png_unsupported_subset_falls_back_to_stub():
     # A VALID 16-bit grayscale PNG is outside the stdlib decoder's
     # subset: _decode_png_stdlib raises ValueError, and _decode_image
