@@ -115,7 +115,14 @@ def salted_join(
     (spark.sql.adaptive.skewJoin.enabled, on by default in this engine's
     session factory) for sort-merge joins; salting remains the tool when
     the skew is in a hash aggregation upstream, when AQE's split
-    thresholds don't trigger, or on engines/paths AQE doesn't cover.
+    thresholds don't trigger (a partition must exceed BOTH
+    skewedPartitionThresholdInBytes — 256 MB by default — and
+    skewedPartitionFactor x the median partition), or on engines/paths
+    AQE doesn't cover. tests/test_plans.py::
+    test_aqe_splits_skewed_sort_merge_join demonstrates AQE's runtime
+    split on a hot-key sort-merge join and documents the governing
+    thresholds; BENCH_SCALE.md carries the measured AQE-vs-salted
+    comparison at sf1.
     Semantics: identical row multiset to ``left.join(right, on, how)``
     for 'inner' and 'left' joins (each left row matches exactly its salt
     replica).

@@ -159,6 +159,53 @@ def test_salted_join_spreads_hot_key(spark):
     assert salted_join(left, right, "k", salt=8).count() == 8000
 
 
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The other half of the skew story salted_join's docstring promises:
+    on a sort-merge join whose build input has one hot key, AQE's
+    skew-join handling must split the oversized partition at runtime
+    (SortMergeJoin(skew=true) / skewed AQEShuffleRead in the FINAL plan).
+    Production defaults need a >256 MB partition to trigger; the test
+    lowers the thresholds to hit the same code path at test scale, and
+    documents exactly which knobs govern it."""
+    confs = {
+        # a partition is "skewed" when > threshold AND > factor x median
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # force sort-merge: broadcast would dodge the skew entirely
+        # (and IS the right first answer when the dim side fits)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("name")
+        )
+        joined = left.join(right, "k")
+        # collect() (not count()) so THIS query execution finalizes and
+        # its adaptive plan is inspectable
+        n = len(joined.collect())
+        # hot key 7: 198,000 left rows x 1 right row; cold: ids 99..1999
+        # stepping 100 -> 20 matches
+        assert n == 198_000 + 20
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_skips_shuffle(spark):
     """Two tables bucketed on the join key must sort-merge join with NO
     Exchange on either side — the co-location contract that makes big-big
