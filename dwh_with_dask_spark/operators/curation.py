@@ -106,10 +106,9 @@ def stratified_sample_exact(
 
     One shuffle on the stratum key + a bounded per-stratum window. Skew
     warning for the 1000-executor case: a stratum holding half the
-    corpus funnels through one window partition. When quotas are large
-    and strata skewed, pre-filter with ``bernoulli_sample`` at a few x
-    the quota rate first so the window sees a bounded candidate set —
-    same final sample (the md5 order is preserved by the pre-filter).
+    corpus funnels through one window partition — use
+    ``stratified_sample_prefiltered`` there, which bounds the window's
+    input per stratum while returning the EXACT same rows.
     """
     order = md5_prefix(key, 16, salt)
     w = Window.partitionBy(_col(strata)).orderBy(order, _col(key))
@@ -117,6 +116,75 @@ def stratified_sample_exact(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
+    )
+
+
+def stratified_sample_prefiltered(
+    df: DataFrame,
+    strata: str,
+    n_per_stratum: int,
+    key: str,
+    salt: str = "strat",
+    margin: float = 4.0,
+) -> DataFrame:
+    """``stratified_sample_exact`` for skewed strata: EXACT same output,
+    but the per-stratum window never sees more than ~margin x quota rows
+    from any stratum, so a stratum holding half the corpus no longer
+    funnels through one sort partition.
+
+    Two-phase, both phases exact:
+
+    1. A counting pass (map-side-combined, |strata|-sized output) sets a
+       per-stratum md5 threshold t = min(1, margin*quota/count). The
+       n smallest md5 draws of a stratum all fall below t whenever at
+       least ``quota`` rows survive the threshold filter — in that case
+       filtering first provably cannot change the window's top-n.
+    2. Strata where fewer than ``quota`` rows survived (unlucky draws at
+       small margins, or strata smaller than the quota) fall back to
+       their FULL row set; by construction those strata are small or
+       near-exhausted, so the fallback is cheap. Survivors of safe
+       strata union fallback rows feed the same bounded window.
+
+    The per-stratum threshold/count frames are aggregates of size
+    |strata| (domain cardinality — metadata-scale next to the corpus),
+    hence the broadcast hints. Expected scan cost: one counting pass +
+    one filter pass instead of a full-corpus per-stratum sort.
+    """
+    s, k = F.col(strata), F.col(key)
+    order = md5_prefix(key, 16, salt)
+    hexspace = float(16**16)
+
+    counts = df.groupBy(strata).agg(F.count("*").alias("__cnt"))
+    thresholds = counts.select(
+        strata,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(margin) * n_per_stratum) / F.col("__cnt").cast("double"),
+        ).alias("__t"),
+    )
+    drawn = df.withColumn("__draw", order).join(F.broadcast(thresholds), strata)
+    survivors = drawn.filter(
+        F.conv(F.col("__draw"), 16, 10).cast("double") / F.lit(hexspace)
+        < F.col("__t")
+    )
+
+    surv_counts = survivors.groupBy(strata).agg(F.count("*").alias("__scnt"))
+    unsafe = surv_counts.filter(F.col("__scnt") < n_per_stratum).select(strata)
+    # Strata absent from survivors entirely (threshold rounded everything
+    # out) are unsafe too: detect against the full stratum list.
+    unsafe = unsafe.unionByName(
+        counts.select(strata).exceptAll(surv_counts.select(strata))
+    )
+
+    safe_rows = survivors.join(F.broadcast(unsafe), strata, "left_anti")
+    fallback_rows = drawn.join(F.broadcast(unsafe), strata, "left_semi")
+    candidates = safe_rows.unionByName(fallback_rows)
+
+    w = Window.partitionBy(s).orderBy(F.col("__draw"), k)
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .select(*df.columns)  # original order: the strata join moved its key first
     )
 
 

@@ -487,6 +487,74 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public method: Abbas et
+    al. 2023, arXiv:2303.09540): cluster embeddings into ``nlist``
+    k-means cells, then WITHIN each cell drop every vector that has a
+    lower-id neighbor with cosine >= ``threshold``. Returns one row per
+    input vector: (id, cell, dup_of, is_kept) where ``dup_of`` is the
+    smallest-id above-threshold neighbor (NULL when kept).
+
+    Semantics notes, matching the published method:
+    - Pruning is greedy by id order within the cell, not
+      connected-components: in a chain a~b~c with a!~c, b is dropped as
+      a duplicate of a and c as a duplicate of b even though b itself
+      was dropped. Deterministic given ids.
+    - Cross-cell near-duplicates are NOT detected — that is the
+      approximation that makes the method sub-quadratic (cells bound
+      the GEMM). The exact counterpart is ``cosine_pairs_blocked``;
+      tests check cell-local agreement between the two.
+
+    Physical shape: cell assignment is the stored-column IVF kernel
+    (one Arrow-batched GEMM, centroids are nlist x dim driver metadata);
+    the dedup pass is one ``applyInPandas`` task per cell — a single
+    float64 GEMM over the cell's members, shuffled once on the cell id.
+    A cell of m vectors costs m^2 flops and m*dim resident bytes;
+    at corpus scale pick nlist so corpus/nlist vectors fit one task
+    (the paper's regime), or split giant cells with
+    ``cosine_pairs_blocked`` inside the cell.
+    """
+    indexed, _cents = build_ivf_index(
+        df, nlist=nlist, id_col=id_col, vec_col=vec_col, iters=iters
+    )
+    out_schema = f"{id_col} long, ivf_cell int, dup_of long, is_kept boolean"
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        cell = pdf["ivf_cell"].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat /= norms
+        sims = mat @ mat.T
+        # strictly-lower-triangular mask: neighbors with smaller id
+        hit = np.tril(sims >= threshold, k=-1)
+        has_dup = hit.any(axis=1)
+        first_j = hit.argmax(axis=1)  # smallest index == smallest id
+        dup_of = np.where(has_dup, ids[first_j], -1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "ivf_cell": cell,
+                "dup_of": pd.array(
+                    [int(d) if d >= 0 else None for d in dup_of],
+                    dtype="Int64",
+                ),
+                "is_kept": ~has_dup,
+            }
+        )
+
+    return indexed.groupBy("ivf_cell").applyInPandas(dedup_cell, out_schema)
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     k: int = 5,

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dwh_with_dask_spark.operators.dedup import normalize_text, word_ngrams
+from dwh_with_dask_spark.operators.dedup import (
+    _grams_from_tokens,
+    normalize_text,
+    word_ngrams,
+)
 
 # Tiny high-frequency marker lists per language; enough for a coarse
 # n-gram/stopword language-ID heuristic (public fastText/langid approach,
@@ -127,6 +131,110 @@ def doc_fingerprint(col: Column | str, n: int = 5) -> Column:
     grams = word_ngrams(col, n)
     min_gram_hash = F.array_min(F.transform(grams, lambda g: F.md5(g)))
     return F.coalesce(min_gram_hash, F.md5(normalize_text(col)))
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-doc repetition stats — the Gopher/MassiveText repetition rules
+    (ABSENT-IN-REFERENCE; public rule set from Rae et al. 2021, §A1.1):
+    for each n in 1..``max_n`` the fraction of the document's n-gram
+    occurrences claimed by its single most frequent n-gram, plus the
+    distinct-unigram (type/token) ratio. High top-n-gram fractions mark
+    boilerplate/spam ("buy now buy now ..."); a low type/token ratio
+    marks low-entropy text.
+
+    Plan shape (the 100 TB story): ONE corpus scan. Tokens are bound
+    once behind a repartition projection barrier (same O(len^2)-lambda
+    hazard as ``dedup.word_ngrams`` — see that docstring); 1..max_n
+    grams are tagged and flattened row-locally so there is a single
+    explode; the only shuffle is the count aggregation keyed on
+    (id, n, gram) — short strings, never the document body — with
+    map-side partial aggregation.
+
+    Docs shorter than n tokens have no n-gram rows and surface NULL for
+    that n's fraction (mirrored exactly by the SQL oracle).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks_df = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    ).repartition(parallelism, F.col(id_col))
+
+    tk = F.col("__toks")
+
+    def _tag(n: int):
+        # single-arg lambda ONLY: a second parameter (even defaulted)
+        # makes pyspark pass the array index into it
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(_grams_from_tokens(tk, n), _tag(n))
+                for n in range(1, max_n + 1)
+            ]
+        )
+    )
+    exploded = toks_df.select(
+        F.col(id_col), F.explode(tagged).alias("t")
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+
+    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+
+    def frac_for(n: int) -> Column:
+        return F.max(
+            F.when(
+                F.col("n") == n,
+                F.col("top_c").cast("double") / F.col("total").cast("double"),
+            )
+        )
+
+    out = per_n.groupBy(id_col).agg(
+        frac_for(1).alias("top_unigram_frac"),
+        frac_for(2).alias("top_bigram_frac"),
+        frac_for(3).alias("top_trigram_frac"),
+        F.max(
+            F.when(
+                F.col("n") == 1,
+                F.col("n_distinct").cast("double") / F.col("total").cast("double"),
+            )
+        ).alias("distinct_unigram_ratio"),
+    )
+    if max_n < 3:  # drop the all-NULL columns for small max_n
+        keep = ["top_unigram_frac", "top_bigram_frac", "top_trigram_frac"][:max_n]
+        out = out.select(id_col, *keep, "distinct_unigram_ratio")
+    return out
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_bigram_frac: float = 0.18,
+    min_distinct_ratio: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition gate: keep docs whose top-bigram fraction
+    and type/token ratio pass the (public rule-of-thumb) thresholds.
+    Docs too short to have bigrams pass the bigram rule vacuously —
+    repetition rules exist to catch long boilerplate, not short docs.
+    """
+    prof = repetition_profile(df, id_col=id_col, text_col=text_col, max_n=2)
+    keep = prof.filter(
+        (
+            F.col("top_bigram_frac").isNull()
+            | (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        )
+        & (F.col("distinct_unigram_ratio") >= min_distinct_ratio)
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
 
 
 def text_profile(

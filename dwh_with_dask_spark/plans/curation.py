@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from dwh_with_dask_spark.catalog import load_table
 from dwh_with_dask_spark.operators import curation as C
+from dwh_with_dask_spark.operators import textstats as TS
 from dwh_with_dask_spark.operators.textstats import tokens
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -420,3 +421,120 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long")).withColumn(
         "tf", F.col("tf").cast("long")
     ).withColumn("df", F.col("df").cast("long"))
+
+
+# Shared CTE body for the repetition queries: per-(doc, n) top-gram and
+# distinct counts for n-grams tagged 1..3 (n=2/3 guards mirror the Spark
+# side's empty-array-for-short-docs).
+_REP_GRAMS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM t
+      UNION ALL
+      SELECT doc_id, 2,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> array_to_string(toks[i:i+1], ' ')))
+      FROM t
+      UNION ALL
+      SELECT doc_id, 3,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+2], ' ')))
+      FROM t),
+    c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    p AS (SELECT doc_id, n, MAX(c) AS top_c, SUM(c) AS total,
+                 COUNT(*) AS n_distinct
+          FROM c GROUP BY 1, 2)
+"""
+
+
+@query(
+    "text_repetition_profile",
+    _REP_GRAMS_SQL
+    + """
+    SELECT doc_id,
+           MAX(CASE WHEN n = 1 THEN CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) END)
+             AS top_unigram_frac,
+           MAX(CASE WHEN n = 2 THEN CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) END)
+             AS top_bigram_frac,
+           MAX(CASE WHEN n = 3 THEN CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) END)
+             AS top_trigram_frac,
+           MAX(CASE WHEN n = 1 THEN CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE) END)
+             AS distinct_unigram_ratio
+    FROM p GROUP BY doc_id
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition stats per doc (top-1/2/3-gram
+    occurrence fraction + type/token ratio) — one scan, one explode,
+    one (id, n, gram)-keyed count shuffle (operators/textstats.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TS.repetition_profile(d)
+
+
+@query(
+    "text_repetition_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM t
+      UNION ALL
+      SELECT doc_id, 2,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> array_to_string(toks[i:i+1], ' ')))
+      FROM t),
+    c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    p AS (SELECT doc_id, n, MAX(c) AS top_c, SUM(c) AS total,
+                 COUNT(*) AS n_distinct
+          FROM c GROUP BY 1, 2),
+    prof AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) END)
+               AS bf,
+             MAX(CASE WHEN n = 1 THEN CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE) END)
+               AS dr
+      FROM p GROUP BY doc_id)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN prof USING (doc_id)
+    WHERE (bf IS NULL OR bf <= 0.05) AND dr >= 0.35
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gate: docs passing the Gopher-style top-bigram and
+    type/token thresholds (semi-join back to the corpus). The operator's
+    defaults (0.18/0.20, the public rule-of-thumb values) pass the whole
+    clean synthetic corpus, so the registered query tightens them inside
+    the observed stat distribution (bf p90=0.069, dr p10=0.32 at sf0.01)
+    to keep both rules non-vacuous under the oracle diff."""
+    d = load_table(spark, sf_dir, "documents")
+    return TS.repetition_filter(
+        d, max_top_bigram_frac=0.05, min_distinct_ratio=0.35
+    ).select("doc_id", "lang")
+
+
+@query(
+    "corpus_sample_stratified_prefiltered",
+    # EXACT same output as corpus_sample_stratified: the prefilter is a
+    # physical strategy, not a semantic change, so it must hash-match
+    # the plain window oracle.
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 16),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def corpus_sample_stratified_prefiltered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-safe exact stratified sample: per-stratum md5-threshold
+    prefilter bounds the window's input (~margin x quota rows per
+    stratum), with a counted-sufficiency fallback that keeps the output
+    bit-identical to the plain per-stratum window."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.stratified_sample_prefiltered(d, "lang", 20, "doc_id").select(
+        "doc_id", "lang"
+    )

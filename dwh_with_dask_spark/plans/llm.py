@@ -319,6 +319,18 @@ def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query("semantic_dedup_keepers")  # k-means cells: engine-specific, rows-only
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cell-scoped cosine pruning —
+    drop vectors with a lower-id >=0.35-cosine neighbor in their cell,
+    one GEMM task per cell (operators.similarity.semantic_dedup). The
+    cell assignment is engine-specific (k-means), so no SQL oracle;
+    cell-local agreement with exact cosine_pairs is property-tested in
+    tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.35, nlist=8)
+
+
 @query("embedding_ann_ivf")  # approximate by design: no oracle; recall-tested
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the vec_id=0 query vector: deterministic

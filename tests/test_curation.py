@@ -226,3 +226,89 @@ def test_chunk_udtf_equals_vectorized(spark):
     via_vec = C.chunk_documents(d, chunk_tokens=32, overlap=8).collect()
     assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, via_vec))
     assert len(via_udtf) > 3  # doc 1 actually splits
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition stats (operators/textstats.py)
+# --------------------------------------------------------------------------
+
+def test_repetition_profile_exact_values(spark):
+    from dwh_with_dask_spark.operators import textstats as TS
+
+    rows = [
+        (1, "a b a b a b"),            # heavy bigram repetition
+        (2, "one two three four five"),  # fully diverse
+        (3, "x"),                       # too short for 2/3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.repetition_profile(df).collect()}
+
+    r1 = out[1]
+    assert r1["top_unigram_frac"] == pytest.approx(3 / 6)
+    assert r1["top_bigram_frac"] == pytest.approx(3 / 5)   # "a b" x3 of 5
+    assert r1["top_trigram_frac"] == pytest.approx(2 / 4)
+    assert r1["distinct_unigram_ratio"] == pytest.approx(2 / 6)
+
+    r2 = out[2]
+    assert r2["top_unigram_frac"] == pytest.approx(1 / 5)
+    assert r2["top_bigram_frac"] == pytest.approx(1 / 4)
+    assert r2["distinct_unigram_ratio"] == pytest.approx(1.0)
+
+    r3 = out[3]
+    assert r3["top_unigram_frac"] == pytest.approx(1.0)
+    assert r3["top_bigram_frac"] is None       # no bigrams: NULL, not 0
+    assert r3["top_trigram_frac"] is None
+    assert r3["distinct_unigram_ratio"] == pytest.approx(1.0)
+
+
+def test_repetition_filter_drops_boilerplate(spark):
+    from dwh_with_dask_spark.operators import textstats as TS
+
+    rows = [
+        (1, "buy now " * 30),                       # spam: top bigram ~0.5
+        (2, "the quick brown fox jumps over lazy dogs near riverbanks today"),
+        (3, "ok"),                                  # short: vacuous bigram pass
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in TS.repetition_filter(df).collect()}
+    assert kept == {2, 3}
+
+
+# --------------------------------------------------------------------------
+# Skew-safe exact stratified sampling
+# --------------------------------------------------------------------------
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stratified_prefiltered_equals_exact(docs):
+    exact = C.stratified_sample_exact(docs, "lang", 20, "doc_id")
+    pre = C.stratified_sample_prefiltered(docs, "lang", 20, "doc_id")
+    assert _canon(pre.select("doc_id", "lang")) == _canon(
+        exact.select("doc_id", "lang")
+    )
+
+
+def test_stratified_prefiltered_fallback_margin(docs):
+    """margin ~1.0 makes under-quota survivor sets likely, forcing the
+    counted-sufficiency fallback — output must STILL be identical."""
+    exact = C.stratified_sample_exact(docs, "lang", 50, "doc_id")
+    pre = C.stratified_sample_prefiltered(docs, "lang", 50, "doc_id", margin=1.0)
+    assert _canon(pre.select("doc_id", "lang")) == _canon(
+        exact.select("doc_id", "lang")
+    )
+
+
+def test_stratified_prefiltered_small_strata(spark):
+    """Strata smaller than the quota must return ALL their rows."""
+    rows = [(i, "s" if i < 3 else "big") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = C.stratified_sample_prefiltered(df, "grp", 10, "doc_id")
+    by_grp = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp == {"s": 3, "big": 10}
+    exact = C.stratified_sample_exact(df, "grp", 10, "doc_id")
+    assert _canon(out) == _canon(exact)
