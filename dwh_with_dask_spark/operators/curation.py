@@ -452,19 +452,20 @@ def bm25_scores(
        subtree on the build side — column pruning makes the two copies
        non-identical, so exchange reuse never kicks in and the corpus
        is scanned and exploded twice; measured 2x on the whole query.)
-    3. corpus stats (N, avgdl) — derived from the SAME aggregated tf
-       frame (per-doc rollup of the inverted index, then a 1-row
-       aggregate), broadcast. The rollup deliberately references the
-       tf count column so column pruning cannot make the stats branch's
-       aggregate differ from the scoring branch's — the (doc, term)
-       exchange canonicalizes identically and ReusedExchange keeps the
-       whole query at ONE tokenize pass over the corpus (previously the
-       stats branch re-ran normalize+split over every document: at sf1
-       that second pass alone put the query 2.4x over the oracle).
-       Consequence: N and avgdl are over INDEXED documents (>= 1
-       token). A zero-token document has no postings, contributes no
-       output rows, and — like any inverted-index-backed BM25 — does
-       not dilute avgdl;
+    3. corpus stats (N, avgdl) — derived from the aggregated tf frame
+       (per-doc rollup of the inverted index, then a 1-row aggregate),
+       broadcast. Whether the optimizer shares the (doc, term) exchange
+       between the stats and scoring branches (ReusedExchange) is
+       version- and pruning-sensitive — on the current engine it does
+       NOT fire, so the stats branch re-derives the tf subtree; the
+       sf1 measurements show that duplicate subtree costs far less
+       than the parallelism guard above, and persisting tf to force a
+       single pass measured SLOWER (2.14 s vs 1.97 s — cache write +
+       read outweighs the recompute at this shape). Consequence of the
+       rollup formulation: N and avgdl are over INDEXED documents
+       (>= 1 token). A zero-token document has no postings, contributes
+       no output rows, and — like any inverted-index-backed BM25 —
+       does not dilute avgdl;
     4. score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) — pure
        column arithmetic after the window, no further movement.
 
@@ -474,13 +475,21 @@ def bm25_scores(
     ``ln`` is implementation-defined at the last ulp and breaks
     cross-engine hash checks. Set ``log_idf=True`` for textbook BM25.
     """
-    # Materialize the token array as a column FIRST, then explode the
-    # attribute: inlining `tokens(text)` into both explode() and size()
-    # makes the post-Generate projection re-normalize and re-split the
-    # WHOLE document once per emitted token (O(tokens x doc length) —
-    # measured ~2x on this query); as a named column the normalize+split
-    # runs once per document and size() is O(1) on the array attribute.
-    base = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # Two plan guards on the tokenize stage, both measured at sf1:
+    # 1. Repartition BEFORE tokenizing. A corpus arriving as few large
+    #    parquet files otherwise runs the CPU-heavy normalize+split+
+    #    explode+partial-count at FILE parallelism (sf1: 2 tasks on 32
+    #    cores — 3.3 s vs 2.0 s for the whole query). Same hazard and
+    #    fix as dedup._doc_shingles; the exchange also doubles as the
+    #    projection-barrier below.
+    # 2. Materialize the token array as a named column, then explode
+    #    the attribute: inlining `tokens(text)` into both explode() and
+    #    size() makes the post-Generate projection re-normalize and
+    #    re-split the WHOLE document once per emitted token (O(tokens x
+    #    doc length) — measured ~2x on this query).
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(id_col, text_col).repartition(parallelism, F.col(id_col))
+    base = base.select(F.col(id_col), tokens(text_col).alias("__toks"))
     base = base.select(
         F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
     )

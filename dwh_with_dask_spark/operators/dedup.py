@@ -532,8 +532,22 @@ def connected_components(
     ``nodes`` (optional) adds isolated nodes: they come out as their own
     singleton components.
     """
+    spark = edges.sparkSession
+    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # Truncate lineage so the plan stays flat across iterations.
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
-    bidir = (
+    # Pin the symmetrized edge list BEFORE the loop: ``edges`` is
+    # usually the OUTPUT OF AN EXPENSIVE PAIR GENERATOR (the inverted-
+    # index Jaccard join here costs ~15 s at sf1), and the loop body
+    # references it every round — unpinned, each iteration re-runs the
+    # whole generator (measured 238 s vs ~30 s for the full query).
+    bidir = _pin(
         edges.select(a, b)
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
@@ -549,15 +563,6 @@ def connected_components(
             .select("node", F.col("node").alias("component"))
             .unionByName(labels)
         )
-    spark = edges.sparkSession
-    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-
-    def _pin(df: DataFrame) -> DataFrame:
-        # Truncate lineage so the plan stays flat across iterations.
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True
-        )
-
     labels = _pin(labels)
 
     for _ in range(max_iter):
@@ -707,6 +712,12 @@ def incremental_dedup(
     shuffle joins against the index keyed on text_hash / band buckets.
     Cost tracks the BATCH size and candidate density — corpus size only
     enters through the index join, which at 100 TB is the point.
+
+    ``index`` must be MATERIALIZED (a stored parquet table, or
+    persisted by the caller): it is consumed three times here (exact
+    hash join, band buckets, signature verify), so passing a live
+    ``corpus_index`` plan re-runs the corpus MinHash pipeline three
+    times (measured 27 s vs single-digit at sf1).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")

@@ -158,6 +158,8 @@ def repetition_profile(
     Docs shorter than n tokens have no n-gram rows and surface NULL for
     that n's fraction (mirrored exactly by the SQL oracle).
     """
+    if not 1 <= max_n <= 3:
+        raise ValueError("max_n must be 1..3 (output columns are fixed)")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks_df = df.select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")

@@ -234,17 +234,24 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is 100 TB cold storage and the index is what stays hot.
     Flag semantics (exact/near/novel) are parquet-round-trip tested in
     tests/test_dedup_similarity.py."""
+    from dwh_with_dask_spark.operators.caching import CacheScope
+
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    index = D.corpus_index(corpus)
-    out = D.incremental_dedup(batch, index, threshold=0.5)
+    scope = CacheScope()
+    # Persist the index: in production it is a STORED parquet table;
+    # passing the live corpus_index plan un-materialized makes
+    # incremental_dedup's three index consumers (exact-hash join,
+    # band buckets, signature verify) re-run the corpus MinHash
+    # pipeline three times (measured 27 s -> single-digit at sf1).
+    index = scope.persist(D.corpus_index(corpus))
+    out = D.incremental_dedup(batch, index, threshold=0.5, scope=scope)
     res = out.select("doc_id", "exact_dup_of", "near_dup_of", "is_new")
-    # select() returns a NEW DataFrame without the operator's private
-    # cache_scope attribute — re-attach it so release_caches(result)
-    # can free the persisted batch signature table (otherwise it leaks
-    # one cache entry per invocation in long-lived sessions).
-    res.cache_scope = getattr(out, "cache_scope", None)
+    # select() returns a NEW DataFrame without the scope attribute —
+    # re-attach so release_caches(result) frees the persisted index and
+    # batch signatures (otherwise they leak per invocation).
+    res.cache_scope = scope
     return res
 
 

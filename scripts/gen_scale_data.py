@@ -187,12 +187,20 @@ BOILERPLATE = (
 )
 
 
-def skewed_documents(base: str, out: str) -> None:
+def skewed_documents(base: str, out: str, limit: int | None = None) -> None:
     """20% of docs get a shared 40-word header: a realistic crawled-corpus
     boilerplate pattern whose shingles become hot keys. The uncapped
     inverted-index Jaccard join materializes every header-doc pair through
-    those shingles (~(0.2n)^2/2 candidates); max_shingle_freq caps them."""
+    those shingles (~(0.2n)^2/2 candidates); max_shingle_freq caps them.
+
+    ``limit`` takes the first N base docs — used with a larger base
+    (e.g. sf1's 50k fresh docs) to scale the HOT CLUSTER itself: at
+    limit=10000 the shared header spans 2,000 docs, whose ~39 header
+    shingles each generate C(2000,2)-scale candidate pairs in the naive
+    inverted-index join — the quadratic regime the prefix filter and
+    the frequency cap exist for."""
     con = duckdb.connect()
+    lim = f"LIMIT {limit}" if limit else ""
     con.sql(
         f"""COPY (SELECT doc_id,
                  CASE WHEN doc_id % 5 = 0 THEN '{BOILERPLATE} ' || text
@@ -200,13 +208,64 @@ def skewed_documents(base: str, out: str) -> None:
                  lang, source,
                  CASE WHEN doc_id % 5 = 0 THEN {len(BOILERPLATE) + 1} + n_chars
                       ELSE n_chars END AS n_chars
-          FROM '{base}/documents.parquet') TO '{out}/documents.parquet'"""
+          FROM (SELECT * FROM '{base}/documents.parquet'
+                ORDER BY doc_id {lim})) TO '{out}/documents.parquet'"""
     )
     n = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
     h = con.sql(
         f"SELECT count(*) FROM '{out}/documents.parquet' WHERE doc_id % 5 = 0"
     ).fetchone()[0]
     print(f"  documents (skew): {n} rows, {h} with shared boilerplate header")
+
+
+def natural_skew_documents(
+    out: str, n_docs: int = 20000, header_frac: float = 0.5, seed: int = 7
+) -> None:
+    """Boilerplate-skewed corpus with a NATURAL-LANGUAGE-SHAPED
+    vocabulary: body words drawn Zipf(1.1) from a 50k-word vocab plus
+    per-doc unique tokens (ids/names/numbers in real text), so shingle
+    document frequencies are heavy-tailed — most content shingles are
+    near-unique while the shared header's shingles are maximally hot.
+
+    This is the regime split the driver's own synthetic documents
+    cannot express (their ~200-word vocab gives every shingle a large,
+    corpus-proportional df): here the naive inverted-index Jaccard join
+    pays C(header_docs, 2) x header_shingles collision rows, while
+    prefix filtering indexes only rare shingles and never touches the
+    header at high thresholds."""
+    rng = np.random.default_rng(seed)
+    vocab_n = 50000
+    ranks = np.arange(1, vocab_n + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+    texts = []
+    for i in range(n_docs):
+        body_len = int(rng.integers(60, 120))
+        words = [f"w{r}" for r in rng.choice(vocab_n, size=body_len, p=probs)]
+        # ~10% per-doc unique tokens (serials, names): guaranteed-rare shingles
+        for j in range(max(1, body_len // 10)):
+            words[int(rng.integers(0, body_len))] = f"u{i}x{j}"
+        body = " ".join(words)
+        texts.append(f"{BOILERPLATE} {body}" if i % 2 < 2 * header_frac else body)
+    # Plant ~1% true near-duplicates (J >= ~0.9): copy an earlier doc's
+    # text with two word substitutions, so the high-threshold queries
+    # have a non-empty, checkable answer set.
+    for i in rng.choice(np.arange(10, n_docs), size=n_docs // 100, replace=False):
+        src_words = texts[int(i) - 5].split(" ")
+        for j in (3, 11):
+            src_words[j % len(src_words)] = f"sub{i}x{j}"
+        texts[int(i)] = " ".join(src_words)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array([f"src{i % 10}" for i in range(n_docs)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+    print(f"  documents (skew-nl): {n_docs} rows, {int(n_docs*header_frac)} with header, vocab {vocab_n}")
 
 
 def main() -> None:
@@ -216,14 +275,22 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--skew", action="store_true", help="generate the boilerplate-skew corpus instead")
+    ap.add_argument("--limit", type=int, default=None, help="with --skew: take only the first N base docs")
+    ap.add_argument("--skew-nl", action="store_true", help="generate the natural-vocabulary boilerplate corpus instead")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.skew_nl:
+        out = args.out or os.path.join(repo, ".localdata", "skewnl")
+        os.makedirs(out, exist_ok=True)
+        print(f"skew-nl corpus -> {out}")
+        natural_skew_documents(out)
+        return
     if args.skew:
         out = args.out or os.path.join(repo, ".localdata", "skew")
         os.makedirs(out, exist_ok=True)
         print(f"skew corpus -> {out}")
-        skewed_documents(args.base, out)
+        skewed_documents(args.base, out, args.limit)
         return
     out = args.out or os.path.join(repo, ".localdata", "sf1")
     os.makedirs(out, exist_ok=True)
