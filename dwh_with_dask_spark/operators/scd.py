@@ -1,0 +1,158 @@
+"""Slowly-changing-dimension (SCD type 2) operators.
+
+North-star additions (ABSENT-IN-REFERENCE, SURVEY.md §2B): the
+reference's warehouse loads (`project-dask.py:94` ``if_exists='replace'``,
+`dask-with-dataframe.py:105` ``if_exists='append'``) only overwrite or
+blindly append — a real warehouse dimension needs versioned history.
+These operators produce/maintain the standard SCD2 shape
+(``valid_from``, ``valid_to``, ``is_current``, ``version``) with pure
+DataFrame algebra:
+
+- ``scd2_from_changelog`` compacts an event/CDC stream into version
+  history: ONE shuffle on the business key, two bounded per-key windows
+  (change detection + interval stitching). No join, no corpus re-scan.
+- ``scd2_merge`` applies a daily update batch to an existing dimension:
+  ONE full-outer join on the key plus a row-local generator that emits
+  0–2 rows per key (close-old / open-new). Historical (already closed)
+  rows pass through untouched — at 100 TB the closed majority of the
+  dimension is never shuffled, only the current slice joins the batch.
+
+Determinism: change detection is a null-safe struct comparison
+(``eqNullSafe``), so NULL attribute values compare stably and the same
+semantics express in ANSI SQL as ``IS DISTINCT FROM`` — which is what
+makes these oracle-able cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tracked_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Compact a changelog (one row per observation of a key's tracked
+    attributes) into SCD2 history: consecutive observations with
+    identical tracked values collapse into one version row.
+
+    Output: key, *tracked, ``valid_from`` (first ts of the version),
+    ``valid_to`` (next version's valid_from; NULL = open), ``is_current``,
+    ``version`` (1-based per key).
+
+    Scale shape: partition by key once; both windows (lag for change
+    detection, lead/row_number for interval stitching) reuse that single
+    exchange — the second window runs over the already-compacted rows
+    (versions per key, not observations per key). Hot keys bound the
+    per-task work by their own observation count; there is no global
+    order and no driver-side state. Ties on ``ts_col`` are broken by
+    ``tiebreak_col`` (pass the event/lsn id) — without it, equal
+    timestamps would make version order nondeterministic.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+
+    cur = F.struct(*[F.col(c) for c in tracked_cols])
+    prev = F.lag(cur).over(w)
+    # eqNullSafe: first observation (prev IS NULL) and any NULL attribute
+    # compare deterministically — matches SQL `IS DISTINCT FROM`.
+    changed = ~cur.eqNullSafe(prev)
+
+    compacted = (
+        df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return compacted.select(
+        F.col(key_col),
+        *[F.col(c) for c in tracked_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull()).withColumn(
+        "version",
+        F.row_number()
+        .over(
+            Window.partitionBy(key_col).orderBy(
+                F.col("valid_from").asc()
+            )
+        )
+        .cast("long"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    load_ts: Column,
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension (MERGE semantics):
+
+    - key absent from the batch, or batch values identical → current row
+      passes through open;
+    - tracked values differ → current row closes at ``load_ts`` and a new
+      current row opens at ``load_ts``;
+    - brand-new key → one new current row.
+
+    ``dim`` must carry ``valid_from``, ``valid_to``, ``is_current``;
+    ``updates`` carries the key + tracked columns (one row per key — the
+    caller compacts intra-batch duplicates first, e.g. with
+    ``scd2_from_changelog`` on the batch).
+
+    Plan shape: ``is_current`` splits the dimension ONCE (with partition
+    or file pruning when the dimension is stored partitioned on it);
+    closed history is never joined or shuffled. The current slice
+    full-outer-joins the batch on the key — AQE broadcast-joins small
+    daily batches on its own (no forced hint; the round-2 lesson) — and a
+    row-local array+explode emits the 0–2 output rows per key, so the
+    whole merge is one join plus map-side work.
+    """
+    vt_type = dim.schema["valid_to"].dataType
+    hist = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current")).withColumn("__has_c", F.lit(True))
+    upd = updates.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
+        F.lit(True).alias("__has_u"),
+    )
+    j = cur.join(upd, key_col, "full_outer")
+
+    cur_vals = F.struct(*[F.col(c).alias(c) for c in tracked_cols])
+    upd_vals = F.struct(*[F.col(f"__u_{c}").alias(c) for c in tracked_cols])
+    same = cur_vals.eqNullSafe(upd_vals)
+
+    def _row(vals: Column, vfrom: Column, vto: Column, is_cur: Column) -> Column:
+        return F.struct(
+            vals.alias("vals"),
+            vfrom.alias("valid_from"),
+            vto.cast(vt_type).alias("valid_to"),
+            is_cur.alias("is_current"),
+        )
+
+    open_null = F.lit(None).cast(vt_type)
+    keep_open = _row(cur_vals, F.col("valid_from"), F.col("valid_to"), F.lit(True))
+    closed = _row(cur_vals, F.col("valid_from"), load_ts, F.lit(False))
+    fresh = _row(upd_vals, load_ts, open_null, F.lit(True))
+
+    rows = (
+        F.when(F.col("__has_u").isNull(), F.array(keep_open))
+        .when(F.col("__has_c").isNull(), F.array(fresh))
+        .when(same, F.array(keep_open))
+        .otherwise(F.array(closed, fresh))
+    )
+    merged = j.select(F.col(key_col), F.explode(rows).alias("__r")).select(
+        F.col(key_col),
+        *[F.col(f"__r.vals.{c}").alias(c) for c in tracked_cols],
+        F.col("__r.valid_from").alias("valid_from"),
+        F.col("__r.valid_to").alias("valid_to"),
+        F.col("__r.is_current").alias("is_current"),
+    )
+    out_cols = [key_col, *tracked_cols, "valid_from", "valid_to", "is_current"]
+    return hist.select(*out_cols).unionByName(merged.select(*out_cols))

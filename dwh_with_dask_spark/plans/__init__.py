@@ -13,8 +13,22 @@ from dwh_with_dask_spark.plans.curation import ORACLES as _CUR_ORACLES
 from dwh_with_dask_spark.plans.curation import QUERIES as _CUR_QUERIES
 from dwh_with_dask_spark.plans.tpch_extra import ORACLES as _TPCH_ORACLES
 from dwh_with_dask_spark.plans.tpch_extra import QUERIES as _TPCH_QUERIES
+from dwh_with_dask_spark.plans.warehouse import ORACLES as _WH_ORACLES
+from dwh_with_dask_spark.plans.warehouse import QUERIES as _WH_QUERIES
 
-QUERIES = {**_REL_QUERIES, **_LLM_QUERIES, **_CUR_QUERIES, **_TPCH_QUERIES}
-ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_CUR_ORACLES, **_TPCH_ORACLES}
+QUERIES = {
+    **_REL_QUERIES,
+    **_LLM_QUERIES,
+    **_CUR_QUERIES,
+    **_TPCH_QUERIES,
+    **_WH_QUERIES,
+}
+ORACLES = {
+    **_REL_ORACLES,
+    **_LLM_ORACLES,
+    **_CUR_ORACLES,
+    **_TPCH_ORACLES,
+    **_WH_ORACLES,
+}
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,190 @@
+"""Warehouse-maintenance queries (north-star additions, SURVEY.md §2B).
+
+SCD2 dimension versioning and Z-order clustering — the maintenance
+operations around the reference's flat replace/append MySQL loads
+(`project-dask.py:94`, `dask-with-dataframe.py:105`) that a versioned,
+prunable warehouse needs. Each query has an exact DuckDB oracle: change
+detection is null-safe (``eqNullSafe`` ⇔ ``IS DISTINCT FROM``) and the
+Z-curve is pure integer bit arithmetic, identical in any engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.catalog import load_table
+from dwh_with_dask_spark.operators.scd import scd2_from_changelog, scd2_merge
+from dwh_with_dask_spark.operators.zorder import zvalue
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@query(
+    "scd2_user_event_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE event_type IS DISTINCT FROM prev)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS BIGINT) AS version
+    FROM chg
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history built from a changelog: each user's event_type
+    stream compacts into versioned validity intervals — one key-shuffle,
+    two bounded windows (operators/scd.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        e, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
+    )
+
+
+# Deterministic update batch derived from the customer table itself (no
+# synthesized inputs): every 7th key is in the batch; every 14th is a
+# no-op update (exercises the unchanged-values branch), the rest change
+# segment and balance.
+_SCD2_DIM_SQL = """
+    dim AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2020-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer),
+    u AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                  ELSE 'SEG_' || CAST(c_custkey % 3 AS VARCHAR)
+             END AS c_mktsegment,
+             CASE WHEN c_custkey % 14 = 0 THEN c_acctbal
+                  ELSE c_acctbal + 100.0
+             END AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0),
+    chg AS (
+      SELECT d.c_custkey FROM dim d JOIN u ON d.c_custkey = u.c_custkey
+      WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+         OR d.c_acctbal IS DISTINCT FROM u.c_acctbal)
+"""
+
+
+@query(
+    "scd2_merge_customers",
+    f"""
+    WITH {_SCD2_DIM_SQL}
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+           d.valid_from, d.valid_to, d.is_current
+    FROM dim d
+    WHERE d.c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+           d.valid_from, TIMESTAMP '2024-01-01', FALSE
+    FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+           TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM u WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+    """,
+)
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE of a derived update batch into the customer dimension:
+    unchanged keys pass through open, changed keys close at the load
+    timestamp and re-open — one full-outer join + row-local generator
+    (operators/scd.py); the oracle enumerates the same three branches."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = c.filter(k % 7 == 0).select(
+        "c_custkey",
+        F.when(k % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(F.concat(F.lit("SEG_"), (k % 3).cast("string")))
+        .alias("c_mktsegment"),
+        F.when(k % 14 == 0, F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") + F.lit(100.0))
+        .alias("c_acctbal"),
+    )
+    return scd2_merge(
+        dim,
+        upd,
+        "c_custkey",
+        ["c_mktsegment", "c_acctbal"],
+        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+    )
+
+
+def _zvalue_sql(exprs: list[str], bits: int) -> str:
+    """DuckDB twin of operators/zorder.zvalue — same shift/mask terms."""
+    ncols = len(exprs)
+    masked = [f"(CAST({e} AS BIGINT) & {(1 << bits) - 1})" for e in exprs]
+    terms = [
+        f"((({m} >> {b}) & 1) << {b * ncols + i})"
+        for i, m in enumerate(masked)
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_SQL = _zvalue_sql(
+    [
+        "o_custkey",
+        "datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+    ],
+    16,
+)
+
+
+@query(
+    "zorder_orders_bucket",
+    f"""
+    SELECT o_orderkey,
+           CAST({_Z_SQL} AS BIGINT) AS zval,
+           CAST(({_Z_SQL} >> 26) AS BIGINT) AS bucket
+    FROM orders
+    """,
+)
+def zorder_orders_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value of (customer key, order day) per order plus its
+    64-way curve bucket — the clustering key ``write_zordered`` sorts
+    files by so min/max stats prune on BOTH dimensions. Pure codegen'd
+    integer arithmetic, zero shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+    )
+    z = zvalue([F.col("o_custkey"), day], 16)
+    return o.select(
+        "o_orderkey",
+        z.alias("zval"),
+        F.shiftright(z, 26).cast("long").alias("bucket"),
+    )
