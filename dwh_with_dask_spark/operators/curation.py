@@ -400,6 +400,139 @@ def contamination_pairs(
     return attach(out, scope, created)
 
 
+# --- Bloom-filter decontamination ---------------------------------------
+
+
+def bloom_positions(
+    fp: Column, k: int = 3, m: int = 4096, salt: str = "bloom"
+) -> Column:
+    """The ``k`` bloom-filter bit positions of a fingerprint: md5-derived
+    indices into an ``m``-bit filter (array<long>). md5-based so the SAME
+    filter rebuilds in any engine — the oracle contract."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(fp, F.lit(f"{salt}{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    m: int = 4096,
+    train: float = 0.90,
+    val: float = 0.05,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Bloom-filter variant of ``contamination_pairs``: eval docs whose
+    fingerprint's ``k`` bit positions are ALL set by the train split.
+
+    Same semantics class as a real bloom probe — false positives at the
+    standard (1 - e^{-kn/m})^k rate, never false negatives — but built
+    from relational parts: the "filter" is the distinct set of train
+    positions (≤ m rows ≈ m·8 bytes), which Spark broadcasts, so the
+    probe side is a map-side join however large the eval corpus is.
+    That is the 100 TB story: the train side reduces to a
+    constant-size, storable, UNIONABLE artifact (position sets from
+    disjoint corpus shards merge by set-union), and probing never
+    shuffles documents. Output: (doc_id, split, n_hits, contaminated)
+    for every eval doc, ``contaminated = (n_hits == k)`` — deliberately
+    including the filter's false positives, because that IS the bloom
+    contract the oracle must reproduce.
+    """
+    from dwh_with_dask_spark.operators.textstats import doc_fingerprint
+
+    scope, created = scoped(scope)
+    tagged = scope.persist(
+        df.select(
+            F.col(id_col),
+            hash_split(id_col, train, val).alias("split"),
+            bloom_positions(doc_fingerprint(text_col), k, m).alias("__pos"),
+        )
+    )
+    train_pos = (
+        tagged.filter(F.col("split") == "train")
+        .select(F.explode("__pos").alias("pos"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    probes = tagged.filter(F.col("split") != "train").select(
+        id_col, "split", F.explode("__pos").alias("pos")
+    )
+    out = (
+        probes.join(F.broadcast(train_pos), "pos", "left")
+        .groupBy(id_col, "split")
+        .agg(F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("n_hits"))
+        .withColumn("contaminated", F.col("n_hits") == k)
+    )
+    return attach(out, scope, created)
+
+
+# --- Out-of-vocabulary rate ----------------------------------------------
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` terms (by total frequency, ties to the
+    alphabetically-first term): (doc_id, n_tokens, n_oov, oov_rate).
+
+    The tokenizer-fit proxy a data pipeline scores before training: a
+    high OOV rate against the planned vocabulary marks junk or
+    out-of-domain text. Plan: one explode + (doc, term)-keyed count
+    [the corpus-sized shuffle], a vocabulary-sized ranking window, and
+    a broadcast join of the tiny vocab back onto the per-doc term
+    counts — the corpus is scanned and exploded ONCE.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col), F.explode("__toks").alias("term"))
+    )
+    tf = base.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("__tf").alias("__total"))
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.orderBy(F.col("__total").desc(), F.col("term").asc())
+            ),
+        )
+        .filter(F.col("__rank") <= vocab_size)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.col("__tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
 # --- PII scrubbing -------------------------------------------------------
 
 # Patterns chosen to mean the same thing in Java regex (Spark) and RE2

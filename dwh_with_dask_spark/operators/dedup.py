@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
 
@@ -43,6 +44,85 @@ def exact_dedup(
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    paragraphs: Column | None = None,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: remove REPEATED paragraphs
+    from documents (keeping each paragraph's first occurrence by
+    (doc_id, position) order) and reassemble the cleaned text.
+
+    The sub-document granularity exact dedup a web-scale corpus needs —
+    whole-document hashing misses boilerplate (headers, cookie banners,
+    license blocks) pasted across millions of otherwise-distinct pages;
+    CCNet (Wenzek et al. 2019, public) dedups on paragraph hashes for
+    exactly this reason. Output per doc: ``n_paras``, ``n_removed``,
+    ``dedup_text``.
+
+    ``paragraphs`` overrides the splitter (e.g. ``F.split(text, '\\n\\n')``
+    for real corpora); the default slices the normalized token stream
+    into fixed ``window``-token paragraphs — the corpus here is
+    single-line, and fixed windows make the semantics exact and
+    oracle-able either way.
+
+    Plan shape (100 TB): tokens bind behind a repartition projection
+    barrier (the O(len²) lambda-inlining hazard — see ``word_ngrams``),
+    then exactly two shuffles: the first-occurrence window keyed on
+    md5(paragraph) — 32-char keys, tiny groups (the duplicate count of
+    one paragraph), never document bodies — and the per-doc reassembly
+    agg. A skew note: a paragraph duplicated across millions of docs
+    makes one window group huge; since only rank-1 survives, swap the
+    window for a groupBy(hash).agg(min(struct(doc,pos))) + broadcast
+    join of the (small) duplicated-hash set when that regime matters.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if paragraphs is None:
+        src = df.select(
+            F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+        ).repartition(parallelism, F.col(id_col))
+        tk = F.col("__toks")
+        n_paras = F.greatest(
+            F.lit(1), F.ceil(F.size(tk) / F.lit(float(window))).cast("int")
+        )
+        paragraphs = F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * window + 1, window)),
+        )
+    else:
+        src = df.repartition(parallelism, F.col(id_col))
+    exploded = src.select(
+        F.col(id_col), F.posexplode(paragraphs).alias("pos", "para")
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col(id_col), F.col("pos")
+    )
+    ranked = exploded.withColumn("__keep", F.row_number().over(w) == 1)
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+                " ",
+            ).alias("dedup_text"),
         )
     )
 

@@ -1,0 +1,130 @@
+"""Frequency sketches: exact heavy hitters + count-min sketch.
+
+North-star additions (ABSENT-IN-REFERENCE, SURVEY.md §2B): frequency
+profiling a training-data pipeline runs over token/URL/domain streams.
+
+- ``heavy_hitters`` is the exact path: one map-side-combined count
+  aggregation (vocabulary-sized output), then a share filter against the
+  broadcast total. At 100 TB this is usually affordable BECAUSE of the
+  map-side combine — each task emits its local vocabulary, not its
+  token stream.
+- ``cms_build`` / ``cms_estimate`` are the bounded-memory path: a
+  count-min sketch of ``depth × width`` counters. The build aggregates
+  exact per-key counts first (map-side combine again) and then folds
+  them into cells — additive, so per-partition sketches merge by cell
+  sum, which is exactly the ``groupBy(row, cell).sum`` below. Estimates
+  are the classic min-over-rows upper bound: ``est >= true`` always,
+  with overestimates bounded by collisions (ε = e/width with the usual
+  analysis).
+
+Determinism contract: cell indices derive from md5 hex prefixes
+(``md5(key || salt || row)``), not Spark's xxhash64 — identical in any
+engine with md5, which is what lets the DuckDB oracle rebuild the SAME
+sketch and match estimates bit-for-bit (plans/curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(key: Column, row: int, width: int, salt: str) -> Column:
+    h = F.substring(F.md5(F.concat(key, F.lit(f"{salt}{row}"))), 1, 8)
+    return (F.conv(h, 16, 10).cast("long") % width).cast("long")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_share: float,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact heavy hitters: keys carrying at least ``min_share`` of the
+    total (row count, or ``weight_col`` mass). Output: key, cnt, share.
+
+    Plan: one count/sum aggregation keyed on ``key_col`` (map-side
+    partials — the shuffle moves vocabularies, not occurrences), a
+    1-row total broadcast, a filter. The share division happens once
+    per surviving key, so the only doubles in play are deterministic.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    counts = df.groupBy(key_col).agg(F.sum(w).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.col("cnt").cast("double") / F.col("__total").cast("double")
+        )
+        .filter(F.col("share") >= min_share)
+        .select(key_col, "cnt", "share")
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of the key frequency distribution:
+    ``depth × width`` cells as rows (row, cell, total).
+
+    Two aggregations, both with map-side combine: occurrences →
+    per-key counts (vocabulary-sized), then per-key counts → cells
+    (``depth × width`` rows — constant-sized, broadcastable, storable
+    as the persisted sketch). Folding AFTER the exact per-key agg means
+    the explode factor ``depth`` applies to the vocabulary, never the
+    corpus.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    counts = df.groupBy(key_col).agg(F.sum(w).alias("__cnt"))
+    k = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cell(k, r, width, salt).alias("cell")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        counts.select(F.explode(cells).alias("__c"), F.col("__cnt"))
+        .groupBy(F.col("__c.row").alias("row"), F.col("__c.cell").alias("cell"))
+        .agg(F.sum("__cnt").alias("total"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point estimates for ``keys`` from a built sketch: min over the
+    depth rows of the addressed cells — the CMS upper bound.
+
+    The sketch is depth×width rows; the join against it broadcasts the
+    sketch, so estimating any number of keys is map-side work.
+    """
+    k = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cell(k, r, width, salt).alias("cell")
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = keys.select(F.col(key_col), F.explode(cells).alias("__c")).select(
+        key_col, F.col("__c.row").alias("row"), F.col("__c.cell").alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy(key_col)
+        .agg(F.min("total").alias("cms_est"))
+    )

@@ -387,6 +387,160 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_heavy_hitters",
+    f"""
+    WITH base AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY term),
+    tot AS (SELECT SUM(cnt) AS total FROM tf)
+    SELECT term, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM tf CROSS JOIN tot
+    WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) >= 0.0335
+    """,
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: terms carrying >= 3.35% of all token
+    occurrences — one map-side-combined count agg (vocabulary-sized
+    shuffle) + a broadcast total (operators/sketches.py)."""
+    from dwh_with_dask_spark.operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(tokens("text").alias("__toks"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .select(F.explode("__toks").alias("term"))
+    )
+    return heavy_hitters(base, "term", 0.0335)
+
+
+# DuckDB twin of sketches._cell: md5-derived CMS cell index.
+def _cell_sql(key: str, row_expr: str, width: int, salt: str = "cms") -> str:
+    return (
+        f"CAST(('0x' || substring(md5({key} || '{salt}' || {row_expr}), 1, 8)) "
+        f"AS BIGINT) % {width}"
+    )
+
+
+@query(
+    "corpus_cms_counts",
+    f"""
+    WITH base AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY term),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    cells AS (
+      SELECT i AS row, {_cell_sql("term", "CAST(i AS VARCHAR)", 64)} AS cell,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM tf CROSS JOIN rows_ GROUP BY 1, 2),
+    probes AS (
+      SELECT term, cnt, i AS row,
+             {_cell_sql("term", "CAST(i AS VARCHAR)", 64)} AS cell
+      FROM tf CROSS JOIN rows_)
+    SELECT p.term, p.cnt, CAST(MIN(c.total) AS BIGINT) AS cms_est
+    FROM probes p JOIN cells c ON p.row = c.row AND p.cell = c.cell
+    GROUP BY p.term, p.cnt
+    """,
+)
+def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimates next to exact counts for every term:
+    the 4x64 sketch rebuilds identically in DuckDB (md5-derived cells),
+    so the min-over-rows estimates hash-match — and est >= cnt always,
+    the CMS bound (operators/sketches.py)."""
+    from dwh_with_dask_spark.operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(tokens("text").alias("__toks"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .select(F.explode("__toks").alias("term"))
+    )
+    exact = base.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    sketch = cms_build(base, "term", depth=4, width=64)
+    est = cms_estimate(sketch, exact.select("term"), "term", depth=4, width=64)
+    return exact.join(est, "term").select("term", "cnt", "cms_est")
+
+
+@query(
+    "corpus_oov_rate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM base GROUP BY 1, 2),
+    vocab AS (
+      SELECT term, 1 AS in_vocab FROM (
+        SELECT term,
+               row_number() OVER (ORDER BY SUM(tf) DESC, term ASC) AS rk
+        FROM tf GROUP BY term)
+      WHERE rk <= 30)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN in_vocab IS NULL THEN tf ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN in_vocab IS NULL THEN tf ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(tf) AS DOUBLE) AS oov_rate
+    FROM tf LEFT JOIN vocab USING (term)
+    GROUP BY doc_id
+    """,
+)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-30
+    vocabulary — one corpus explode, a vocabulary-sized ranking window,
+    a broadcast vocab join (operators/curation.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.oov_rate(d, vocab_size=30)
+
+
+# DuckDB twin of textstats.doc_fingerprint (min md5 over word 5-grams).
+_FP_SQL = (
+    "coalesce(list_min(list_transform("
+    "range(1, greatest(len(toks) - 3, 1)), "
+    "i -> md5(array_to_string(toks[i:i+4], ' ')))), "
+    "md5(array_to_string(toks, ' ')))"
+)
+
+
+@query(
+    "corpus_bloom_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE
+               WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                    < '{_SPLIT_T}' THEN 'train'
+               WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                    < '{_SPLIT_V}' THEN 'val'
+               ELSE 'test'
+             END AS split,
+             {_FP_SQL} AS fingerprint
+      FROM t),
+    ks AS (SELECT unnest([0, 1, 2]) AS i),
+    pos AS (
+      SELECT doc_id, split,
+             CAST(('0x' || substring(md5(fingerprint || 'bloom'
+                                          || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4096 AS pos
+      FROM g CROSS JOIN ks),
+    train_pos AS (SELECT DISTINCT pos FROM pos WHERE split = 'train')
+    SELECT doc_id, split,
+           CAST(SUM(CASE WHEN pos IN (SELECT pos FROM train_pos)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           SUM(CASE WHEN pos IN (SELECT pos FROM train_pos)
+                    THEN 1 ELSE 0 END) = 3 AS contaminated
+    FROM pos WHERE split <> 'train'
+    GROUP BY doc_id, split
+    """,
+)
+def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe: eval docs whose fingerprint's
+    3 bit positions are all set by the train split — the train side
+    reduces to a <=4096-row broadcastable position set; false positives
+    are part of the (deterministic) bloom contract and the oracle
+    reproduces them exactly (operators/curation.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.bloom_decontaminate(d, k=3, m=4096)
+
+
+@query(
     "text_bm25_top_terms",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -59,6 +59,42 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_paragraphs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, greatest(1, CAST(ceil(len(toks) / 5.0) AS INT))),
+                 i -> struct_pack(
+                        pos := i,
+                        para := array_to_string(toks[(i*5+1):(i*5+5)], ' '))))
+                   AS u
+        FROM t)),
+    x AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos)
+                 AS rn
+      FROM p)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+           coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                    '') AS dedup_text
+    FROM x GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup: drop repeated 5-token paragraphs
+    (first occurrence wins) and reassemble each document — two shuffles,
+    both on short keys (operators.dedup.paragraph_dedup)."""
+    return D.paragraph_dedup(
+        load_table(spark, sf_dir, "documents"), window=5
+    )
+
+
 # Shared by dedup_ngram_jaccard and dedup_ngram_jaccard_prefix: prefix
 # filtering is a pruning strategy, not a semantic change, so both Spark
 # plans must hash-match the SAME oracle.

@@ -1,0 +1,139 @@
+"""Unit tests: heavy hitters, count-min sketch, bloom decontamination,
+OOV rate, paragraph dedup — controlled-fixture semantics beyond the
+registry's oracle differential."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.catalog import load_table
+from dwh_with_dask_spark.operators.curation import bloom_decontaminate, oov_rate
+from dwh_with_dask_spark.operators.dedup import paragraph_dedup
+from dwh_with_dask_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    heavy_hitters,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_heavy_hitters_counts_and_weights(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    got = {r.k: (r.cnt, r.share) for r in heavy_hitters(df, "k", 0.25).collect()}
+    assert got == {"a": (6, 0.6), "b": (3, 0.3)}
+    # weighted: weight mass, not row count
+    wdf = spark.createDataFrame(
+        [("a", 1), ("b", 8), ("c", 1)], "k string, w int"
+    )
+    got = {r.k: r.cnt for r in heavy_hitters(wdf, "k", 0.5, "w").collect()}
+    assert got == {"b": 8}
+
+
+def test_cms_estimate_is_upper_bound_and_tight_when_wide(spark):
+    df = spark.createDataFrame(
+        [(f"t{i % 17}",) for i in range(500)], "k string"
+    )
+    exact = {r.k: r.cnt for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    # narrow sketch: collisions likely, but NEVER an underestimate
+    sk = cms_build(df, "k", depth=4, width=8)
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimate(sk, df.select("k").distinct(), "k", 4, 8).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide sketch: 17 keys in 4x1024 cells — w >> n makes collisions
+    # vanishingly unlikely, so estimates are exact
+    sk2 = cms_build(df, "k", depth=4, width=1024)
+    est2 = {
+        r.k: r.cms_est
+        for r in cms_estimate(sk2, df.select("k").distinct(), "k", 4, 1024).collect()
+    }
+    assert est2 == exact
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    # doc 17 hashes to 'test' under the default split salt; give an
+    # exact duplicate of its text to many train docs — the bloom probe
+    # must flag it (bloom filters cannot false-negative).
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    dup_text = docs.filter(F.col("doc_id") == 0).select("text").first()[0]
+    out = bloom_decontaminate(docs, k=3, m=4096)
+    rows = {r.doc_id: r for r in out.collect()}
+    # every eval doc appears exactly once with bounded hits
+    evals = docs.select(
+        "doc_id",
+    ).count()
+    assert all(0 <= r.n_hits <= 3 for r in rows.values())
+    assert all(r.split in ("val", "test") for r in rows.values())
+    # inject: copy an eval doc's text onto a train doc -> contaminated
+    from dwh_with_dask_spark.operators.curation import hash_split
+
+    tagged = docs.select(
+        "doc_id", hash_split("doc_id", 0.90, 0.05).alias("split"), "text"
+    )
+    ev = tagged.filter(F.col("split") != "train").first()
+    forged = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") != ev.doc_id, F.lit(ev.text)).otherwise(
+            F.col("text")
+        ),
+    )
+    out2 = {r.doc_id: r for r in bloom_decontaminate(forged, k=3, m=4096).collect()}
+    assert out2[ev.doc_id].contaminated
+
+
+def test_oov_rate_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a b"),
+            Row(doc_id=2, text="a c"),
+            Row(doc_id=3, text="c c c d"),
+        ]
+    )
+    # totals: c=4, a=3, b=1, d=1 -> vocab_size=2 keeps {c, a}
+    got = {r.doc_id: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert (got[1].n_tokens, got[1].n_oov) == (3, 1)  # 'b' is OOV
+    assert (got[2].n_tokens, got[2].n_oov) == (2, 0)
+    assert (got[3].n_tokens, got[3].n_oov) == (4, 1)  # 'd' is OOV
+    assert got[3].oov_rate == 0.25
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="p q r s t A B C D E"),
+            # doc 2 repeats doc 1's second paragraph, then unique tail
+            Row(doc_id=2, text="A B C D E x y z w v"),
+            # doc 3 repeats its OWN first paragraph
+            Row(doc_id=3, text="m n o u k m n o u k"),
+        ]
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, window=5).collect()}
+    assert (out[1].n_paras, out[1].n_removed) == (2, 0)
+    assert out[1].dedup_text == "p q r s t a b c d e"
+    assert (out[2].n_paras, out[2].n_removed) == (2, 1)
+    assert out[2].dedup_text == "x y z w v"
+    assert (out[3].n_paras, out[3].n_removed) == (2, 1)
+    assert out[3].dedup_text == "m n o u k"
+
+
+def test_paragraph_dedup_custom_splitter(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello world|unique bit"),
+            Row(doc_id=2, text="hello world|another part"),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            df, paragraphs=F.split(F.col("text"), r"\|")
+        ).collect()
+    }
+    assert out[1].dedup_text == "hello world unique bit"
+    assert out[2].n_removed == 1
+    assert out[2].dedup_text == "another part"
