@@ -163,3 +163,86 @@ def range_join(
     b = F.broadcast(buckets) if broadcast_buckets else buckets
     cond = (v >= b[lo]) & (v < b[hi])
     return left.join(b, cond, how)
+
+
+def _deletion_variants(s: Column, max_dist: int) -> Column:
+    """Distinct strings reachable from ``s`` by ≤ ``max_dist`` single
+    character deletions (including ``s`` itself). O(len^max_dist)
+    variants per row — the short-key regime (names, codes, titles) this
+    index is for."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+
+    def deletes(t: Column) -> Column:
+        # all single-deletions of t; [] for the empty string
+        return F.when(
+            F.length(t) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(
+                    F.substr(t, F.lit(1), i - F.lit(1)),
+                    F.substr(t, i + F.lit(1), F.length(t)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # Bind s once (the word_ngrams single-element-transform idiom) so
+    # lambda re-evaluation can't re-inline an upstream expression.
+    def build(t: Column) -> Column:
+        d1 = deletes(t)
+        out = F.concat(F.array(t), d1)
+        if max_dist == 2:
+            out = F.concat(out, F.flatten(F.transform(d1, deletes)))
+        return F.array_distinct(out)
+
+    return F.flatten(F.transform(F.array(s), build))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Approximate string join: ALL pairs with ``levenshtein(l, r) <=
+    max_dist``, without the |L|x|R| product.
+
+    Blocking is the FastSS / SymSpell deletion-neighborhood index
+    (Bocek et al. 2007, public): every string expands to its ≤d-deletion
+    variants, both sides explode to (row, variant), and candidates come
+    from an ordinary equi-join on the variant string. COMPLETE recall —
+    if ``lev(a, b) <= d`` then deleting the edited positions from each
+    side yields a common variant, so unlike prefix/suffix/q-gram
+    blocking there is no missed-pair regime; the exact ``levenshtein``
+    then verifies (deletion-variant collision is necessary, not
+    sufficient), with a length-band pre-filter ahead of the O(len²)
+    distance.
+
+    Scale shape: the variant index multiplies each side by
+    ~len^d (short keys only — names, SKUs, titles; for documents use
+    the MinHash path in operators/dedup.py), the join shuffles hashed
+    short strings with AQE handling hot variants like any skewed key,
+    and pairs dedupe before the verify so each candidate pays
+    levenshtein once.
+
+    Output: all left columns + all right columns + ``dist``. Column
+    names must not collide across sides.
+    """
+    lb = left.select(
+        "*",
+        F.explode(_deletion_variants(F.col(left_col), max_dist)).alias("__v"),
+    )
+    rb = right.select(
+        "*",
+        F.explode(_deletion_variants(F.col(right_col), max_dist)).alias("__v"),
+    )
+    cand = lb.join(rb, "__v").drop("__v").dropDuplicates()
+    lev = F.levenshtein(F.col(left_col), F.col(right_col))
+    band = (
+        F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col)))
+        <= F.lit(max_dist)
+    )
+    return cand.filter(band).filter(lev <= F.lit(max_dist)).select(
+        "*", lev.alias("dist")
+    )

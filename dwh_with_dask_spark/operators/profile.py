@@ -1,0 +1,103 @@
+"""Table profiling and robust (winsorized) aggregation.
+
+ABSENT-IN-REFERENCE (SURVEY.md §2B north-star): the data-quality
+summary a warehouse load should emit instead of the reference's
+``print(len(df))`` stage logging (project-dask.py) — per-column null /
+distinct / min / max in ONE pass — plus percentile-clamped aggregates
+for outlier-robust stats over heavy-tailed measures.
+
+Scale notes:
+- ``profile_table`` is a single wide aggregate: Catalyst plans the
+  multiple exact COUNT(DISTINCT) via one Expand (input replicated
+  n_cols ways, map-side partially aggregated) — one shuffle, no
+  per-column jobs. At 100 TB exact distinct per column is usually
+  replaced by ``approx=True`` (HLL partials, no Expand blowup);
+- ``winsorize_agg`` computes exact percentile bounds per group (a
+  sort-based JVM aggregate), broadcast-joins the tiny per-group bound
+  table back, clamps, and re-aggregates — two passes over the measure
+  column, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_val, max_val) — min/max rendered as strings so heterogeneous
+    column types stack into one long frame."""
+    cols = cols or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            distinct(c).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_rows"),
+                (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_val"),
+                F.col(f"__max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(rows))
+
+
+def winsorize_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_low: float = 0.05,
+    p_high: float = 0.95,
+) -> DataFrame:
+    """Winsorized mean per group: clamp ``value_col`` to its group's
+    exact [p_low, p_high] percentiles, then aggregate.
+
+    Output: (group, n, lo, hi, mean_winsorized, mean_raw). The bound
+    table is group-cardinality-sized, so the join back is a broadcast —
+    the fact side never shuffles for the clamp."""
+    bounds = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.percentile(F.col(value_col), F.lit(p_low)).alias("lo"),
+        F.percentile(F.col(value_col), F.lit(p_high)).alias("hi"),
+    )
+    joined = df.join(
+        F.broadcast(bounds), F.col(group_col) == F.col("__g"), "inner"
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi"))
+    # Means via exact DECIMAL partial sums + ONE double division (the q1
+    # idiom): order-independent across partitionings and engines, unlike
+    # a double SUM whose result depends on reduction order.
+    n = F.count(F.lit(1))
+    return (
+        joined.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            n.alias("n"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            (
+                F.sum(clamped.cast("decimal(25,8)")).cast("double") / n
+            ).alias("mean_winsorized"),
+            (
+                F.sum(F.col(value_col).cast("decimal(25,8)")).cast("double") / n
+            ).alias("mean_raw"),
+        )
+    )

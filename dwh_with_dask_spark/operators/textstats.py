@@ -239,6 +239,73 @@ def repetition_filter(
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram model — the SQL-expressible analog of the
+    CCNet/KenLM perplexity filter (public pipeline practice: score docs
+    with an n-gram LM, drop the tail). Low scores mark gibberish /
+    boilerplate whose word transitions the corpus never makes.
+
+    Model: ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` with ``c(w1·)``
+    the corpus count of bigrams starting at ``w1`` and ``V`` the count
+    of distinct context words. Output: (id, n_bigrams, avg_logprob)
+    for every doc with ≥2 tokens, the score rounded to 6 dp (the corr
+    idiom — float sum order across engines).
+
+    Plan: ONE tokenize pass (the repartition projection barrier from
+    ``repetition_profile``), one explode to (doc, w1, w2), then the two
+    corpus counts as window counts over the SAME exploded frame — no
+    join-back of a separate count table (the measured BM25 window-df
+    choice). V rides in as a broadcast 1-row cross join. Hot context
+    words make ``partition by w1`` skew at extreme scale — the
+    groupBy+join rewrite is the escape hatch there, same trade as BM25.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks_df = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    ).repartition(parallelism, F.col(id_col))
+    tk = F.col("__toks")
+    sz = F.size(tk)
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(tk, 1, sz - 1),
+            F.slice(tk, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = toks_df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+    from pyspark.sql.window import Window
+
+    c12 = F.count("*").over(Window.partitionBy("w1", "w2"))
+    c1 = F.count("*").over(Window.partitionBy("w1"))
+    scored = big.select(
+        F.col(id_col), c12.alias("c12"), c1.alias("c1")
+    )
+    v = big.agg(F.count_distinct(F.col("w1")).alias("v"))
+    return (
+        scored.crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c12") + F.lit(1.0))
+                        / (F.col("c1") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def text_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -15,6 +15,8 @@ from dwh_with_dask_spark.plans.tpch_extra import ORACLES as _TPCH_ORACLES
 from dwh_with_dask_spark.plans.tpch_extra import QUERIES as _TPCH_QUERIES
 from dwh_with_dask_spark.plans.warehouse import ORACLES as _WH_ORACLES
 from dwh_with_dask_spark.plans.warehouse import QUERIES as _WH_QUERIES
+from dwh_with_dask_spark.plans.analytics import ORACLES as _AN_ORACLES
+from dwh_with_dask_spark.plans.analytics import QUERIES as _AN_QUERIES
 
 QUERIES = {
     **_REL_QUERIES,
@@ -22,6 +24,7 @@ QUERIES = {
     **_CUR_QUERIES,
     **_TPCH_QUERIES,
     **_WH_QUERIES,
+    **_AN_QUERIES,
 }
 ORACLES = {
     **_REL_ORACLES,
@@ -29,6 +32,7 @@ ORACLES = {
     **_CUR_ORACLES,
     **_TPCH_ORACLES,
     **_WH_ORACLES,
+    **_AN_ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,286 @@
+"""Event/series analytics + data-quality queries (north-star additions).
+
+ABSENT-IN-REFERENCE (SURVEY.md §2B): time-series gap filling, funnel
+conversion, blocked fuzzy join, one-pass table profiling, winsorized
+aggregation, and n-gram LM outlier scoring — the analytics layer a
+warehouse serves once the reference's ETL (project-dask.py,
+dask-with-dataframe.py) has landed the tables. Every query has an exact
+DuckDB oracle; float results follow the repo's determinism idioms
+(exact DECIMAL partial sums / round-to-6dp for order-dependent sums).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.catalog import load_table
+from dwh_with_dask_spark.operators.funnel import funnel_counts
+from dwh_with_dask_spark.operators.joins import fuzzy_join
+from dwh_with_dask_spark.operators.profile import profile_table, winsorize_agg
+from dwh_with_dask_spark.operators.textstats import bigram_logprob_scores
+from dwh_with_dask_spark.operators.timeseries import gap_fill
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared oracle CTE: hourly per-event-type series, densified. The avg
+# runs as exact DECIMAL sums + one double division (bucketed()'s
+# value_decimals idiom) so both engines compute identical doubles.
+_GAPFILL_CTE = """
+    sparse AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+                 AS value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT key, min(bucket) AS lo, max(bucket) AS hi
+      FROM sparse GROUP BY key),
+    spine AS (
+      SELECT key,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    dense AS (
+      SELECT s.key, s.bucket, sp.value AS v
+      FROM spine s LEFT JOIN sparse sp
+        ON s.key = sp.key AND s.bucket = sp.bucket)
+"""
+
+
+@query(
+    "timeseries_gap_fill_locf",
+    f"""
+    WITH {_GAPFILL_CTE}
+    SELECT key, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           (v IS NULL) AS filled
+    FROM dense
+    """,
+)
+def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type value series, holes filled by LOCF.
+
+    Spine = per-key ``sequence(min,max,1h)`` exploded distributedly;
+    one spine-vs-sparse left join (co-shuffled on the key), one window
+    pass (operators/timeseries.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return gap_fill(
+        e, "event_type", "ts", "value", unit="hour", method="locf",
+        value_decimals=2,
+    )
+
+
+@query(
+    "timeseries_interpolate_linear",
+    f"""
+    WITH {_GAPFILL_CTE},
+    nb AS (
+      SELECT key, bucket, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                         IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM dense)
+    SELECT key, bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) *
+                     (CAST(date_diff('second', pt, bucket) AS DOUBLE) /
+                      CAST(date_diff('second', pt, nt) AS DOUBLE))
+           END AS value,
+           (v IS NULL) AS filled
+    FROM nb
+    """,
+)
+def timeseries_interpolate_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same dense series with linear interpolation between neighboring
+    observations (LOCF/NOCB at the edges). Both directional windows run
+    over one per-key sort — a single shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return gap_fill(
+        e, "event_type", "ts", "value", unit="hour", method="linear",
+        value_decimals=2,
+    )
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+    SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_keys
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered-conversion funnel: one key
+    shuffle + a codegen'd array fold per user (operators/funnel.py) vs
+    the oracle's per-step min-scan joins."""
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(e, _FUNNEL_STEPS, "user_id", "ts", "event_type")
+
+
+@query(
+    "fuzzy_join_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    probe AS (
+      SELECT DISTINCT substr(p_name, 1, length(p_name) - 1) AS dirty_name
+      FROM names)
+    SELECT p.dirty_name, t.p_name,
+           CAST(levenshtein(p.dirty_name, t.p_name) AS INTEGER) AS dist
+    FROM probe p, names t
+    WHERE abs(length(p.dirty_name) - length(t.p_name)) <= 2
+      AND levenshtein(p.dirty_name, t.p_name) <= 2
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood (FastSS) fuzzy join, levenshtein ≤ 2:
+    a deterministically-corrupted probe (last char dropped) resolves
+    back to the clean p_name dimension — entity resolution on product
+    names. The oracle is the ALL-PAIRS product, so the differential
+    proves the deletion-index blocking's complete-recall property
+    (operators/joins.py:fuzzy_join)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    probe = names.select(
+        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("dirty_name")
+    ).distinct()
+    out = fuzzy_join(probe, names, "dirty_name", "p_name", max_dist=2)
+    return out.select(
+        "dirty_name", "p_name", F.col("dist").cast("int").alias("dist")
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_orders_columns", _PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of orders (one Expand-backed wide
+    aggregate → long frame, operators/profile.py). The oracle pays one
+    scan per column; the Spark plan pays one total."""
+    return profile_table(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query(
+    "winsorized_order_prices",
+    """
+    WITH b AS (
+      SELECT o_orderpriority AS g,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority AS grp, count(*) AS n,
+           min(b.lo) AS lo, min(b.hi) AS hi,
+           CAST(SUM(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                         AS DECIMAL(25,8))) AS DOUBLE) / count(*)
+               AS mean_winsorized,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,8))) AS DOUBLE)
+               / count(*) AS mean_raw
+    FROM orders o JOIN b ON o.o_orderpriority = b.g
+    GROUP BY 1
+    """,
+)
+def winsorized_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean order price per priority: exact [p05, p95]
+    winsorization — tiny per-group bound table broadcast back, decimal
+    partial sums (operators/profile.py:winsorize_agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return winsorize_agg(o, "o_orderpriority", "o_totalprice", 0.05, 0.95)
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    cnt AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY w1, w2) AS c12,
+             count(*) OVER (PARTITION BY w1) AS c1
+      FROM big),
+    v AS (SELECT count(DISTINCT w1) AS v FROM big)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c12 + 1.0) / (c1 + v.v))), 6) AS avg_logprob
+    FROM cnt, v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-one-smoothed bigram log-probability per document under
+    the corpus's own bigram model — the SQL-expressible KenLM/CCNet
+    quality-filter analog (operators/textstats.py:
+    bigram_logprob_scores): one tokenize pass, window counts over the
+    exploded bigram frame, no count-table join-back."""
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d, "doc_id", "text")

@@ -1,0 +1,174 @@
+"""Unit tests for the analytics operators: gap fill / interpolation,
+funnel, deletion-neighborhood fuzzy join, profiling, winsorization,
+bigram LM scoring. (Their end-to-end DuckDB differentials run in
+test_driver_contract.py via plans/analytics.py.)"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.operators.funnel import funnel_counts, funnel_reach
+from dwh_with_dask_spark.operators.joins import _deletion_variants, fuzzy_join
+from dwh_with_dask_spark.operators.profile import profile_table, winsorize_agg
+from dwh_with_dask_spark.operators.textstats import bigram_logprob_scores
+from dwh_with_dask_spark.operators.timeseries import gap_fill
+
+
+def _ts(minute: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, hour, minute)
+
+
+# ---------------------------------------------------------------- gap fill
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    # key 'a': observations in hours 0, 3 (hole at 1, 2); key 'b': hour 1 only
+    rows = [
+        ("a", _ts(0, 0), 10.0),
+        ("a", _ts(30, 0), 20.0),  # same bucket as above -> avg 15.0
+        ("a", _ts(0, 3), 40.0),
+        ("b", _ts(0, 1), 7.0),
+    ]
+    return spark.createDataFrame(rows, "key_in string, t timestamp, v double")
+
+
+def test_gap_fill_locf(series_df):
+    out = gap_fill(
+        series_df, "key_in", "t", "v", unit="hour", method="locf",
+        value_decimals=2,
+    )
+    got = {
+        (r.key, r.bucket.hour): (r.value, r.filled) for r in out.collect()
+    }
+    assert got[("a", 0)] == (15.0, False)
+    assert got[("a", 1)] == (15.0, True)  # carried forward
+    assert got[("a", 2)] == (15.0, True)
+    assert got[("a", 3)] == (40.0, False)
+    assert got[("b", 1)] == (7.0, False)
+    assert len(got) == 5  # spine bounded per key, no cross-key spill
+
+
+def test_gap_fill_linear(series_df):
+    out = gap_fill(
+        series_df, "key_in", "t", "v", unit="hour", method="linear",
+        value_decimals=2,
+    )
+    got = {(r.key, r.bucket.hour): r.value for r in out.collect()}
+    # 15 -> 40 over 3 hours: 1/3 and 2/3 of the way
+    assert got[("a", 1)] == pytest.approx(15.0 + 25.0 / 3)
+    assert got[("a", 2)] == pytest.approx(15.0 + 50.0 / 3)
+    assert got[("a", 0)] == 15.0 and got[("a", 3)] == 40.0
+
+
+# ------------------------------------------------------------------ funnel
+
+
+@pytest.fixture(scope="module")
+def funnel_df(spark):
+    rows = [
+        # u1 completes a->b->c in order
+        (1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "c"),
+        # u2 does b BEFORE a: b must not count until after a
+        (2, _ts(0), "b"), (2, _ts(1), "a"), (2, _ts(2), "b"),
+        # u3 only reaches a; the later c (no b) must not count
+        (3, _ts(0), "a"), (3, _ts(5), "c"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_ordering(funnel_df):
+    out = {
+        r.step: r.n_keys
+        for r in funnel_counts(funnel_df, ["a", "b", "c"]).collect()
+    }
+    assert out == {"a": 3, "b": 2, "c": 1}
+
+
+def test_funnel_reach_takes_first_qualifying(funnel_df):
+    reach = {
+        r.key: r.reach
+        for r in funnel_reach(funnel_df, ["a", "b", "c"]).collect()
+    }
+    assert reach[2][0] == _ts(1)  # a at t1, not the pre-a b
+    assert reach[2][1] == _ts(2)  # the post-a b
+    assert reach[2][2] is None
+    assert reach[3] == [_ts(0), None, None]
+
+
+def test_funnel_rejects_repeated_steps(funnel_df):
+    with pytest.raises(ValueError):
+        funnel_counts(funnel_df, ["a", "a"])
+
+
+# -------------------------------------------------------------- fuzzy join
+
+
+def test_deletion_variants_counts(spark):
+    df = spark.range(1).select(
+        _deletion_variants(F.lit("abc"), 2).alias("v")
+    )
+    got = sorted(df.collect()[0].v)
+    # "abc", 3 single deletions, 3 distinct double deletions
+    assert got == ["a", "ab", "abc", "ac", "b", "bc", "c"]
+
+
+def test_fuzzy_join_complete_recall_both_ends_edited(spark):
+    # cold tub / gold tube: first AND last chars differ (prefix+suffix
+    # blocking both fail here) yet lev = 2 -> deletion index must find it
+    left = spark.createDataFrame([("cold tub",)], "l string")
+    right = spark.createDataFrame([("gold tube",), ("red bolt",)], "r string")
+    got = [(r.l, r.r, r.dist) for r in fuzzy_join(left, right, "l", "r", 2).collect()]
+    assert got == [("cold tub", "gold tube", 2)]
+
+
+def test_fuzzy_join_no_false_positives(spark):
+    left = spark.createDataFrame([("abcdef",)], "l string")
+    right = spark.createDataFrame([("abcxyz",)], "r string")  # lev 3
+    assert fuzzy_join(left, right, "l", "r", 2).count() == 0
+
+
+# -------------------------------------------------------------- profiling
+
+
+def test_profile_table_nulls_and_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (4, "y")], "a long, b string"
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["a"].n_rows == 3 and got["a"].n_nulls == 0
+    assert got["a"].n_distinct == 3
+    assert (got["a"].min_val, got["a"].max_val) == ("1", "4")
+    assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
+    assert got["b"].min_val == "x"
+
+
+def test_winsorize_clamps_outlier(spark):
+    rows = [("g", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    df = spark.createDataFrame(rows, "grp_in string, v double")
+    r = winsorize_agg(df, "grp_in", "v", 0.0, 0.9).collect()[0]
+    # p90 of 1..9,1000 (linear interp) = 9 + 0.1*991 = 108.1
+    assert r.hi == pytest.approx(108.1)
+    assert r.mean_winsorized < r.mean_raw
+    assert r.mean_winsorized == pytest.approx((sum(range(1, 10)) + 108.1) / 10)
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus: "a b" x2 and "a c": contexts {a}, V=1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+    # p(b|a) = (2+1)/(3+1); p(c|a) = (1+1)/(3+1)
+    assert got[1].avg_logprob == pytest.approx(round(math.log(3 / 4), 6))
+    assert got[3].avg_logprob == pytest.approx(round(math.log(2 / 4), 6))
+    assert got[1].n_bigrams == 1
+    assert 4 not in got  # single-token doc has no bigrams
