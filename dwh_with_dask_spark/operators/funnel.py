@@ -41,15 +41,21 @@ def funnel_reach(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """Per-key first-reach timestamps: (key, reach array<timestamp>).
 
     ``reach[i]`` is null iff the key never completed step i in order.
+    ``within`` (e.g. ``'3 days'``): step i only counts if it lands at
+    most that long after step i-1's first reach — the conversion-window
+    cap. First-touch semantics throughout: the window anchors on the
+    FIRST reach of the previous step, not on any later retry.
     """
     if len(steps) != len(set(steps)):
         raise ValueError("funnel steps must be pairwise distinct")
     n = len(steps)
     step_arr = F.array(*[F.lit(s) for s in steps])
+    within_ivl = F.expr(f"INTERVAL {within}") if within is not None else None
 
     per_key = (
         events.filter(F.col(type_col).isin(steps))
@@ -72,12 +78,12 @@ def funnel_reach(
         # index-0 access under ANSI mode.
         def slot(v, i):
             prev_slot = F.element_at(acc, F.greatest(i, F.lit(1)))
+            after_prev = prev_slot.isNotNull() & (ev["t"] >= prev_slot)
+            if within_ivl is not None:
+                after_prev = after_prev & (ev["t"] <= prev_slot + within_ivl)
             return F.when(v.isNotNull(), v).when(
                 (ev["s"] == F.element_at(step_arr, i + F.lit(1)))
-                & (
-                    (i == F.lit(0))
-                    | (prev_slot.isNotNull() & (ev["t"] >= prev_slot))
-                ),
+                & ((i == F.lit(0)) | after_prev),
                 ev["t"],
             )
 
@@ -92,10 +98,11 @@ def funnel_counts(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """Funnel summary: (step_no, step, n_keys) — keys reaching each step
     in order. Monotone non-increasing by construction."""
-    reach = funnel_reach(events, steps, key_col, ts_col, type_col)
+    reach = funnel_reach(events, steps, key_col, ts_col, type_col, within)
     counts = reach.agg(
         *[
             F.sum(

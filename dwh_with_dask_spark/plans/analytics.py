@@ -164,6 +164,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_within_12h",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t
+        AND e.ts <= s1.t + INTERVAL 12 HOUR GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+        AND e.ts <= s2.t + INTERVAL 12 HOUR GROUP BY 1)
+    SELECT CAST(1 AS INTEGER) AS step_no, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_keys
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def funnel_within_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same funnel with a 12-hour conversion window per step: a step
+    only counts within 12h of the previous step's first reach —
+    first-touch anchoring, identical in the fold and the oracle's
+    bounded min-scan."""
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        e, _FUNNEL_STEPS, "user_id", "ts", "event_type", within="12 HOURS"
+    )
+
+
+@query(
     "fuzzy_join_part_names",
     """
     WITH names AS (SELECT DISTINCT p_name FROM part),
@@ -250,6 +285,96 @@ def winsorized_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums (operators/profile.py:winsorize_agg)."""
     o = load_table(spark, sf_dir, "orders")
     return winsorize_agg(o, "o_orderpriority", "o_totalprice", 0.05, 0.95)
+
+
+@query(
+    "timeseries_rolling_zscore",
+    """
+    WITH sparse AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+                 AS value
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT key, bucket, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sigma,
+             count(*) OVER win AS n
+      FROM sparse
+      WINDOW win AS (PARTITION BY key ORDER BY bucket
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT key, bucket, value,
+           CASE WHEN n >= 2 AND sigma > 0
+                THEN round((value - mu) / sigma, 6) END AS zscore
+    FROM w
+    """,
+)
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour z-score per series — the monitoring/anomaly
+    companion of the hypertable rollup: one key shuffle, one window
+    frame computing trailing mean/stddev, row-local score (rounded to
+    6 dp — stddev accumulation order differs across engines)."""
+    from dwh_with_dask_spark.operators.timeseries import bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    sparse = bucketed(e, "event_type", "ts", "value", "hour", "avg", 2)
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    n = F.count(F.lit(1)).over(win)
+    return sparse.select(
+        "key",
+        "bucket",
+        "value",
+        F.when(
+            (n >= 2) & (sigma > 0), F.round((F.col("value") - mu) / sigma, 6)
+        ).alias("zscore"),
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INTEGER)
+               AS week_offset,
+           count(*) AS n_users
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted in each later activity week. Two aggregations + one
+    user-key join; both date_trunc('week') are ISO Monday-start so the
+    day-difference is always a whole number of weeks."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)
+    ).cast("int")
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
 
 
 @query(

@@ -445,7 +445,10 @@ def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4x64 sketch rebuilds identically in DuckDB (md5-derived cells),
     so the min-over-rows estimates hash-match — and est >= cnt always,
     the CMS bound (operators/sketches.py)."""
-    from dwh_with_dask_spark.operators.sketches import cms_build, cms_estimate
+    from dwh_with_dask_spark.operators.sketches import (
+        cms_build_from_counts,
+        cms_estimate,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     base = (
@@ -453,8 +456,12 @@ def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(d.sparkSession.sparkContext.defaultParallelism)
         .select(F.explode("__toks").alias("term"))
     )
+    # ONE tokenize+explode+count of the corpus: the sketch fold, the
+    # probe side, and the final join all reference the same counts
+    # aggregation, whose shuffle AQE reuses stage-wise across the plan
+    # (verified at sf1 — the query costs the counts aggregation alone).
     exact = base.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    sketch = cms_build(base, "term", depth=4, width=64)
+    sketch = cms_build_from_counts(exact, "term", "cnt", depth=4, width=64)
     est = cms_estimate(sketch, exact.select("term"), "term", depth=4, width=64)
     return exact.join(est, "term").select("term", "cnt", "cms_est")
 

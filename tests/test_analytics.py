@@ -105,6 +105,25 @@ def test_funnel_rejects_repeated_steps(funnel_df):
         funnel_counts(funnel_df, ["a", "a"])
 
 
+def test_funnel_within_window(spark):
+    rows = [
+        # u1: b 1 minute after a -> inside any window
+        (1, _ts(0), "a"), (1, _ts(1), "b"),
+        # u2: b 10 minutes after a -> outside a 5-minute window;
+        # the later b at +3min from... none. stays unconverted
+        (2, _ts(0), "a"), (2, _ts(10), "b"),
+        # u3: first-touch anchoring — a at t0, b at t8 (out of window
+        # even though a second a at t5 would put it in range)
+        (3, _ts(0), "a"), (3, _ts(5), "a"), (3, _ts(8), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.step: r.n_keys
+        for r in funnel_counts(df, ["a", "b"], within="5 MINUTES").collect()
+    }
+    assert out == {"a": 3, "b": 1}
+
+
 # -------------------------------------------------------------- fuzzy join
 
 
