@@ -420,3 +420,86 @@ def dedup_stream(
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+FUNNEL_STATE_SCHEMA = "reach array<timestamp>"
+FUNNEL_OUT_SCHEMA = "user_id long, step_no int, reached_at timestamp"
+
+
+def stateful_funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming ordered-funnel: emits (user_id, step_no, reached_at)
+    the moment a user first completes a funnel step in order — the
+    incremental twin of ``operators.funnel.funnel_reach``.
+
+    State per user is the reach array (one first-reach timestamp slot
+    per step) in the state store: fixed-size — len(steps) timestamps —
+    so state is bounded by user cardinality alone, never by stream
+    length, and each slot fills at most once so every output row is
+    emitted exactly once per completed step.
+
+    Within a micro-batch, rows replay in (ts, event_type) order — the
+    same tie order as the batch fold's ``array_sort`` over
+    struct(t, s). Equivalence contract with the batch operator: exact
+    when events arrive time-ordered ACROSS micro-batches (file replay,
+    per-key-ordered log partitions); an event arriving after a later
+    event already filled the next slot cannot retroactively re-anchor
+    the funnel — first-touch semantics over the arrival order, the
+    standard incremental-funnel behavior.
+
+    ``within`` (e.g. ``'12 HOURS'``) mirrors the batch conversion
+    window: step i must land within the cap after step i-1's reach.
+    """
+    import pandas as pd
+
+    if len(steps) != len(set(steps)):
+        raise ValueError("funnel steps must be pairwise distinct")
+    n = len(steps)
+    idx = {s: i for i, s in enumerate(steps)}
+    cap = None
+    if within is not None:
+        num, unit = within.split()
+        cap = pd.Timedelta(**{unit.lower().rstrip("s") + "s": int(num)})
+
+    def update(key, pdfs, state):
+        reach = list(state.get[0]) if state.exists else [None] * n
+        emits: list[tuple[int, object]] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["event_type"].isin(steps)]
+        for _, row in batch.sort_values(["ts", "event_type"]).iterrows():
+            i = idx[row["event_type"]]
+            if reach[i] is not None:
+                continue
+            if i > 0:
+                prev = reach[i - 1]
+                if prev is None or row["ts"] < prev:
+                    continue
+                if cap is not None and row["ts"] > prev + cap:
+                    continue
+            reach[i] = row["ts"]
+            emits.append((i + 1, row["ts"]))
+        state.update((reach,))
+        if not emits:
+            yield pd.DataFrame(
+                {"user_id": [], "step_no": [], "reached_at": []}
+            ).astype({"user_id": "int64", "step_no": "int32"})
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(emits),
+                "step_no": [e[0] for e in emits],
+                "reached_at": [e[1] for e in emits],
+            }
+        )
+
+    src = events.filter(F.col("event_type").isin(steps))
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -667,3 +667,103 @@ def test_flag_against_index_joins_are_stream_static_only(spark, tmpdir_spark):
     out = flag_against_index(docs.filter(F.col("doc_id") % 2 == 1), index)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join ") == 3
+
+
+def test_stateful_funnel_equals_batch(spark, tmpdir_spark):
+    """Streaming funnel: final per-user reach emitted across
+    time-ordered micro-batches must equal the batch array-fold
+    (operators.funnel.funnel_reach) — the contract when events arrive
+    time-ordered across batches."""
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.operators.funnel import funnel_reach
+    from dwh_with_dask_spark.streaming.events import stateful_funnel
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # Three contiguous time slices written sequentially -> the file
+    # source replays them oldest-first, preserving per-user time order
+    # across micro-batches.
+    src = f"{tmpdir_spark}/events_funnel"
+    bounds = events.selectExpr(
+        "percentile(cast(ts as double), 0.33) p1",
+        "percentile(cast(ts as double), 0.66) p2",
+    ).collect()[0]
+    slices = [
+        events.filter(F.col("ts").cast("double") <= bounds.p1),
+        events.filter(
+            (F.col("ts").cast("double") > bounds.p1)
+            & (F.col("ts").cast("double") <= bounds.p2)
+        ),
+        events.filter(F.col("ts").cast("double") > bounds.p2),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"fn_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_funnel")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {(r.user_id, r.step_no): r.reached_at for r in got_rows}
+    # each slot fills once -> no duplicate emissions
+    assert len(got) == len(got_rows)
+
+    want = {}
+    for r in funnel_reach(events, steps).collect():
+        for i, t in enumerate(r.reach):
+            if t is not None:
+                want[(r.key, i + 1)] = t
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stateful_funnel_within_caps_conversion(spark, tmpdir_spark):
+    """The streaming conversion-window cap must match the batch
+    operator's 'within' semantics on the same single-batch input."""
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.operators.funnel import funnel_reach
+    from dwh_with_dask_spark.streaming.events import stateful_funnel
+
+    steps = ["view", "click"]
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = f"{tmpdir_spark}/events_funnel_w"
+    events.coalesce(1).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"fw_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_funnel(stream, steps, within="12 HOURS")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_funnel_w")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.step_no): r.reached_at
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {}
+    for r in funnel_reach(events, steps, within="12 HOURS").collect():
+        for i, t in enumerate(r.reach):
+            if t is not None:
+                want[(r.key, i + 1)] = t
+    assert got == want
