@@ -17,16 +17,22 @@ profiling a training-data pipeline runs over token/URL/domain streams.
   with overestimates bounded by collisions (ε = e/width with the usual
   analysis).
 
-Determinism contract: cell indices derive from md5 hex prefixes
-(``md5(key || salt || row)``), not Spark's xxhash64 — identical in any
-engine with md5, which is what lets the DuckDB oracle rebuild the SAME
-sketch and match estimates bit-for-bit (plans/curation.py).
+- ``bottomk_sample`` / ``quantile_sketch`` are the mergeable quantile
+  path: a deterministic bottom-k sample under md5 priorities (per-
+  partition TakeOrderedAndProject partials, no full sort/shuffle) whose
+  exact sample percentiles estimate the column's quantiles.
+
+Determinism contract: cell indices and sample priorities derive from
+md5 hex, not Spark's xxhash64 or RNG — identical in any engine with
+md5, which is what lets the DuckDB oracle rebuild the SAME sketch and
+match estimates bit-for-bit (plans/curation.py, plans/analytics.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
 
 def _cell(key: Column, row: int, width: int, salt: str) -> Column:
     h = F.substring(F.md5(F.concat(key, F.lit(f"{salt}{row}"))), 1, 8)
@@ -152,3 +158,67 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("total").alias("cms_est"))
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Deterministic uniform value sample: the ``k`` rows with the
+    smallest ``md5(id || salt)`` priority — the mergeable bottom-k
+    sketch behind ``quantile_sketch``.
+
+    Why this shape: a bottom-k set under a FIXED priority function is
+    trivially mergeable (``bottomk(A ∪ B) = bottomk(bottomk(A) ∪
+    bottomk(B))``), which is exactly how Spark executes it — per-
+    partition TakeOrderedAndProject partials merged on the driver-side
+    reduce, no full sort, no full shuffle. Per-partition sketches can
+    also be persisted and merged later (incremental corpus growth), the
+    same lifecycle as the MinHash corpus index. md5 priorities make the
+    sample identical in any engine (no RNG), so estimates are oracle-
+    reproducible; re-salting draws an independent sample.
+    """
+    pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return (
+        df.select(F.col(value_col).alias("value"), pri.alias("__pri"))
+        .orderBy("__pri")
+        .limit(k)
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 500,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    salt: str = "qsk",
+) -> DataFrame:
+    """Quantile estimates from the deterministic bottom-k sample:
+    one row per requested quantile — (p, est, n_sample).
+
+    The estimate is the EXACT interpolated percentile of the k-row
+    sample (sample error ~O(1/sqrt(k)) per the standard bound; k is a
+    knob, not a hidden cap). The 100 TB story is the sample, not the
+    percentile: the full column never sorts and never shuffles — only
+    k rows reach the final aggregation."""
+    sample = bottomk_sample(df, value_col, id_col, k, salt)
+    aggs = [
+        F.percentile(F.col("value"), F.lit(p)).alias(f"__q{i}")
+        for i, p in enumerate(quantiles)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    wide = sample.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.col(f"__q{i}").alias("est"),
+                F.col("__n").alias("n_sample"),
+            )
+            for i, p in enumerate(quantiles)
+        ]
+    )
+    return wide.select(F.inline(rows))

@@ -377,6 +377,43 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSK_PS = (0.25, 0.5, 0.75, 0.95)
+_QSK_ORACLE = (
+    """
+    WITH s AS (
+      SELECT o_totalprice AS value FROM orders
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR) || 'qsk')
+      LIMIT 500),
+    agg AS (
+      SELECT """
+    + ", ".join(
+        f"quantile_cont(value, {p}) AS q{i}" for i, p in enumerate(_QSK_PS)
+    )
+    + """, count(*) AS n FROM s)
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS DOUBLE) AS p, q{i} AS est, n AS n_sample FROM agg"
+        for i, p in enumerate(_QSK_PS)
+    )
+)
+
+
+@query("quantile_sketch_prices", _QSK_ORACLE)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from the deterministic bottom-k sample
+    sketch (k=500, md5 priorities): per-partition TakeOrderedAndProject
+    partials, no full sort or shuffle of the column — the mergeable
+    quantile path next to percentile_approx
+    (operators/sketches.py:quantile_sketch). The oracle draws the SAME
+    sample, so estimates hash-match."""
+    from dwh_with_dask_spark.operators.sketches import quantile_sketch
+
+    o = load_table(spark, sf_dir, "orders")
+    return quantile_sketch(
+        o, "o_totalprice", "o_orderkey", k=500, quantiles=_QSK_PS
+    )
+
+
 @query(
     "text_bigram_logprob",
     """

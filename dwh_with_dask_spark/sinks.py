@@ -83,3 +83,118 @@ def export_shuffled_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = (),
+    seed: int = 0,
+) -> DataFrame:
+    """Training-data export in the webdataset convention: ``n_shards``
+    tar files, each sample a ``{key}.txt`` (payload) + ``{key}.json``
+    (metadata) member pair — the shard layout sequence-trainer loaders
+    stream without an engine.
+
+    Distribution shape: shard = pmod(xxhash64(id, seed), n_shards)
+    (the export_shuffled_shards assignment), rows hash-repartition on
+    the shard column — a shard never splits across partitions, so
+    exactly one task owns each tar — and a ``mapInPandas`` pass on the
+    executors streams its partition into one tar per shard it owns;
+    the driver never sees a sample.
+    Determinism: membership and order depend only on (id, seed); tar
+    members are written with zeroed mtime/uid/gid, so re-runs are
+    byte-identical (asserted by sha256 in tests). Returns the manifest
+    as a DataFrame: (shard, tar_path, n_samples, sha256).
+
+    Local paths here; at cluster scale the open() swaps for an object-
+    store filesystem — the partitioning and tar framing are unchanged.
+    """
+    import hashlib
+    import io
+    import json
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    cols = [id_col, text_col, *meta_cols]
+    prepared = (
+        df.select(*cols)
+        .withColumn("__shard", F.pmod(key, F.lit(n_shards)).cast("int"))
+        .withColumn("__pri", key)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__pri", id_col)
+    )
+
+    def write_partition(batches):
+        import pandas as pd
+
+        state: dict[int, tuple] = {}
+
+        def close_shard(shard):
+            tar, buf, n = state.pop(shard)
+            tar.close()
+            data = buf.getvalue()
+            tar_path = os.path.join(path, f"shard-{shard:05d}.tar")
+            with open(tar_path, "wb") as f:
+                f.write(data)
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "tar_path": [tar_path],
+                    "n_samples": [n],
+                    "sha256": [hashlib.sha256(data).hexdigest()],
+                }
+            )
+
+        meta_keys = (id_col, *meta_cols)
+        for pdf in batches:
+            # groupby(sort=True) preserves within-group row order, so
+            # samples stay in (__pri, id) order inside each tar.
+            for shard_key, grp in pdf.groupby("__shard", sort=True):
+                shard = int(shard_key)
+                if shard not in state:
+                    buf = io.BytesIO()
+                    state[shard] = (tarfile.open(fileobj=buf, mode="w"), buf, 0)
+                tar, buf, n = state[shard]
+                metas = [grp[c].tolist() for c in meta_keys]
+                for rid, text, *mvals in zip(
+                    grp[id_col], grp[text_col], *metas
+                ):
+                    payload = (text or "").encode("utf-8")
+                    meta = json.dumps(
+                        {
+                            c: _json_safe(v)
+                            for c, v in zip(meta_keys, mvals)
+                        },
+                        sort_keys=True,
+                    ).encode("utf-8")
+                    for suffix, blob in ((".txt", payload), (".json", meta)):
+                        info = tarfile.TarInfo(name=f"{rid}{suffix}")
+                        info.size = len(blob)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        tar.addfile(info, io.BytesIO(blob))
+                    n += 1
+                state[shard] = (tar, buf, n)
+        for shard in sorted(state):
+            yield close_shard(shard)
+
+    manifest_schema = (
+        "shard int, tar_path string, n_samples long, sha256 string"
+    )
+    return prepared.mapInPandas(write_partition, schema=manifest_schema)
+
+
+def _json_safe(v):
+    """JSON-encodable scalar: numpy/pandas scalars → Python natives."""
+    if hasattr(v, "item"):
+        return v.item()
+    return v

@@ -191,3 +191,82 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[3].avg_logprob == pytest.approx(round(math.log(2 / 4), 6))
     assert got[1].n_bigrams == 1
     assert 4 not in got  # single-token doc has no bigrams
+
+
+# -------------------------------------------------- quantile sketch
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    from dwh_with_dask_spark.operators.sketches import bottomk_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3 % 997).cast("double").alias("v")
+    )
+    half1 = df.filter(F.col("id") < 500)
+    half2 = df.filter(F.col("id") >= 500)
+    whole = {r.value for r in bottomk_sample(df, "v", "id", 50).collect()}
+    merged_input = bottomk_sample(half1, "v", "id", 50).unionByName(
+        bottomk_sample(half2, "v", "id", 50)
+    )
+    merged = {
+        r.value
+        for r in merged_input.orderBy("__pri").limit(50).collect()
+    }
+    assert whole == merged
+
+
+def test_quantile_sketch_tracks_exact(spark):
+    from dwh_with_dask_spark.operators.sketches import quantile_sketch
+
+    df = spark.range(10000).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    est = {r.p: r.est for r in quantile_sketch(df, "v", "id", k=1000).collect()}
+    # uniform 0..9999: exact quantile q = 9999*p; k=1000 sample error
+    # bound ~ 3/sqrt(k) of the range with overwhelming probability
+    for p, e in est.items():
+        assert abs(e - 9999 * p) < 9999 * 0.1
+
+
+# -------------------------------------------------- webdataset export
+
+
+def test_export_webdataset_deterministic_and_complete(spark, tmp_path):
+    import hashlib
+    import tarfile
+
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.sinks import export_webdataset
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+
+    def run(sub):
+        out = str(tmp_path / sub)
+        m = export_webdataset(
+            docs, out, n_shards=4, meta_cols=("lang", "source")
+        ).collect()
+        return out, sorted((r.shard, r.n_samples, r.sha256) for r in m)
+
+    out1, m1 = run("a")
+    out2, m2 = run("b")
+    assert m1 == m2  # byte-identical re-run (zeroed tar metadata)
+    assert {s for s, _, _ in m1} == {0, 1, 2, 3}
+    assert sum(n for _, n, _ in m1) == n_docs
+
+    # readback: every sample's .txt payload matches the source text
+    texts = {str(r.doc_id): (r.text or "") for r in docs.collect()}
+    seen = 0
+    for shard, _, sha in m1:
+        p = f"{out1}/shard-{shard:05d}.tar"
+        with open(p, "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == sha
+        with tarfile.open(p) as tar:
+            for member in tar.getmembers():
+                if member.name.endswith(".txt"):
+                    rid = member.name[:-4]
+                    got = tar.extractfile(member).read().decode("utf-8")
+                    assert got == texts[rid]
+                    seen += 1
+    assert seen == n_docs
