@@ -19,9 +19,15 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     suffix: str = "",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     greatest ``right_time <= left_time`` (backward) sharing the key(s).
+
+    ``tolerance`` (e.g. ``'30 days'``) additionally requires the match
+    to lie within that interval of the left time — stale matches null
+    out, the standard as-of tolerance cap. Row-local post-filter on the
+    carried match time: no extra shuffle, no plan change.
 
     Spark-first implementation — the union trick, ONE shuffle+sort total:
     tag both sides, union them, and for each left row take the running
@@ -80,13 +86,27 @@ def asof_join(
             for c in right_payload
         ],
     )
+    def value_of(c: str):
+        v = F.col("__f_" + out_names[c])
+        if tolerance is None:
+            return v
+        # match time rides along as the filled right_time column; a
+        # match farther than the tolerance (or missing) nulls out.
+        mt = F.col("__f_" + out_names[right_time])
+        ivl = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            ok = mt.isNotNull() & (F.col("__t") <= mt + ivl)
+        else:
+            ok = mt.isNotNull() & (mt <= F.col("__t") + ivl)
+        return F.when(ok, v)
+
     result = (
         filled.filter(F.col("__is_left") == 1)
         .select(
             *keys,
             F.col("__t").alias(left_time),
             *[F.col(c) for c in left_cols if c not in keys and c != left_time],
-            *[F.col("__f_" + out_names[c]).alias(out_names[c]) for c in right_payload],
+            *[value_of(c).alias(out_names[c]) for c in right_payload],
         )
     )
     return result

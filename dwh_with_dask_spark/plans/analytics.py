@@ -377,6 +377,54 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_tolerance_30d",
+    """
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_orderkey) AS last_orderkey,
+             MAX_BY(o_totalprice, o_orderkey) AS last_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    a AS (
+      SELECT e.event_id, e.user_id, e.ts, o1.o_orderdate,
+             o1.last_orderkey, o1.last_totalprice
+      FROM events e
+      ASOF LEFT JOIN o1
+        ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate)
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts <= o_orderdate + INTERVAL 30 DAY
+                THEN last_orderkey END AS last_orderkey,
+           CASE WHEN ts <= o_orderdate + INTERVAL 30 DAY
+                THEN last_totalprice END AS last_totalprice
+    FROM a
+    """,
+)
+def asof_join_tolerance_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 30-day staleness cap: each event picks the
+    most recent same-customer order, but a match older than 30 days
+    nulls out — the tolerance parameter of operators.joins.asof_join,
+    a row-local post-filter on the carried match time (no extra
+    shuffle vs the uncapped as-of)."""
+    from dwh_with_dask_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+        )
+    )
+    out = asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        tolerance="30 DAYS",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "last_orderkey", "last_totalprice"
+    )
+
+
 _QSK_PS = (0.25, 0.5, 0.75, 0.95)
 _QSK_ORACLE = (
     """

@@ -270,3 +270,26 @@ def test_export_webdataset_deterministic_and_complete(spark, tmp_path):
                     assert got == texts[rid]
                     seen += 1
     assert seen == n_docs
+
+
+# ------------------------------------------------------ asof tolerance
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from dwh_with_dask_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(0, 10)), (1, _ts(0, 23))], "k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0, 9), "fresh")], "k long, rt timestamp, v string"
+    )
+    out = {
+        r.lt.hour: r.v
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            tolerance="2 HOURS",
+        ).collect()
+    }
+    assert out[10] == "fresh"   # 1h-old match inside the cap
+    assert out[23] is None      # 14h-old match nulled out
