@@ -378,6 +378,110 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mad_outlier_orders",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS g,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT o.o_orderpriority AS g, o.o_orderkey, o.o_totalprice, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN m ON o.o_orderpriority = m.g),
+    s AS (
+      SELECT g, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY g)
+    SELECT d.g AS grp, count(*) AS n,
+           min(s.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN s ON d.g = s.g
+    GROUP BY 1
+    """,
+)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier count per order priority —
+    the robust companion to the z-score (unaffected by the outliers it
+    hunts). Two exact-median aggregations over group-cardinality-sized
+    frames broadcast back; the 3-sigma-equivalent cut uses the standard
+    1.4826 normal-consistency constant."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy(F.col("o_orderpriority").alias("__g")).agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("med")
+    )
+    d = o.join(
+        F.broadcast(med), F.col("o_orderpriority") == F.col("__g")
+    ).withColumn("adev", F.abs(F.col("o_totalprice") - F.col("med")))
+    mad = d.groupBy(F.col("__g").alias("__g2")).agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), F.col("__g") == F.col("__g2"))
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "session_path_counts",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_id)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path HAVING count(*) >= 5
+    """,
+)
+def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the event-type sequence of every 5-minute session,
+    counted across the corpus (paths seen ≥5 times). Reuses the gap
+    sessionizer; the path string assembles row-locally from the sorted
+    per-session collect_list — sessions are bounded, the corpus is not."""
+    from dwh_with_dask_spark.operators.sessionize import sessionize_by_gap
+
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize_by_gap(
+        e, "user_id", "ts", "5 minutes", order_cols=("event_id",)
+    )
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
+@query(
     "asof_join_tolerance_30d",
     """
     WITH o1 AS (
