@@ -1,0 +1,217 @@
+"""Distributed BPE vocabulary induction + encoding.
+
+ABSENT-IN-REFERENCE (SURVEY.md §2B north-star): the byte-pair-encoding
+merge-learning loop of Sennrich et al. 2016 (public algorithm) — the
+step that turns a curated corpus into a trainable tokenizer vocabulary.
+
+Scale design (what makes this 100 TB-shaped):
+
+- The corpus compresses to its WORD FREQUENCY table first — one
+  tokenize + count pass (map-side combined, vocabulary-sized output,
+  the ``heavy_hitters`` shuffle shape). The merge loop never touches
+  the corpus again: every iteration runs over vocab rows, each a
+  (symbol array, count) pair.
+- Each iteration is: weighted adjacent-pair count (explode + sum over
+  the vocab frame), a 1-row top-pair collect (metadata-sized, the IVF
+  centroid idiom), and a row-local fold applying the merge
+  left-to-right. The per-iteration frame is checkpointed with the
+  connected-components ``_pin`` idiom — a fixpoint loop that only
+  persists leaves its logical plan growing one fold per round, which
+  blows up compilation long before data does.
+- Encoding applies the learned ranks per word in an Arrow-batched
+  ``mapInPandas`` with a per-batch word memo — Python, but batch-
+  vectorized and embarrassingly parallel; the merge table broadcasts
+  as a closure (vocab-sized).
+
+Determinism: tie-break is (count desc, left asc, right asc); no RNG
+anywhere, so the merge sequence is reproducible across partitionings
+(asserted in tests against a reference single-machine implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dwh_with_dask_spark.operators.dedup import normalize_text
+
+END = "</w>"
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+        eager=True
+    )
+
+
+def word_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the normalized corpus — the one corpus pass."""
+    return (
+        df.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _chars(word) -> F.Column:
+    """Symbol array: one character per symbol + the end-of-word marker."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.substr(w, i, F.lit(1)),
+        ),
+        F.array(F.lit(END)),
+    )
+
+
+def _apply_merge(sym, left: str, right: str, merged: str):
+    """Left-to-right non-overlapping merge of adjacent (left, right) —
+    the BPE replacement pass as a row-local fold. Matches the reference
+    greedy scan: on 'aaa' with (a,a) the fold yields [aa, a]."""
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        do_merge = (last == F.lit(left)) & (s == F.lit(right))
+        return F.when(F.size(acc) == 0, F.array(s)).otherwise(
+            F.when(
+                do_merge,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+        )
+
+    return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    min_freq: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    [(rank, left, right, merged, freq), ...] (driver-side metadata —
+    a tokenizer vocab is small by definition).
+
+    Stops early when the best pair's weighted frequency drops below
+    ``min_freq``."""
+    words = _pin(
+        word_frequency(df, text_col).select(
+            _chars("word").alias("sym"), "cnt"
+        )
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        sz = F.size("sym")
+        pairs = F.when(
+            sz >= 2,
+            F.zip_with(
+                F.slice("sym", 1, sz - 1),
+                F.slice("sym", 2, sz - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        top = (
+            words.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.col("freq").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].freq < min_freq:
+            break
+        l, r, freq = top[0].l, top[0].r, int(top[0].freq)
+        merged = l + r
+        merges.append((rank, l, r, merged, freq))
+        words = _pin(
+            words.select(_apply_merge(F.col("sym"), l, r, merged).alias("sym"), "cnt")
+        )
+    return merges
+
+
+def merges_df(spark, merges) -> DataFrame:
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, freq long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with the learned merges: (id, n_words,
+    n_tokens, tokens) — tokens truncated to the first 32 for a bounded
+    row. Arrow-batched mapInPandas; per-batch word memo so repeated
+    words encode once."""
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    out_schema = (
+        f"{id_col} long, n_words long, n_tokens long, tokens array<string>"
+    )
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word) + [END]
+        while len(sym) >= 2:
+            best, best_i = None, -1
+            for i in range(len(sym) - 1):
+                rk = ranks.get((sym[i], sym[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best, best_i = rk, i
+            if best is None:
+                break
+            l, r = sym[best_i], sym[best_i + 1]
+            merged, out, i = l + r, [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        memo[word] = sym
+        return sym
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            ids, n_words, n_tokens, toks = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in _norm_py(text).split(" ") if w]
+                tokens: list[str] = []
+                for w in words:
+                    tokens.extend(encode_word(w, memo))
+                ids.append(rid)
+                n_words.append(len(words))
+                n_tokens.append(len(tokens))
+                toks.append(tokens[:32])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
+                    "tokens": toks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def _norm_py(text: str | None) -> str:
+    """Python twin of dedup.normalize_text (lower, collapse ws, trim)."""
+    import re
+
+    return re.sub(r"\s+", " ", (text or "").lower()).strip()

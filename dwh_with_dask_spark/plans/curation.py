@@ -704,3 +704,28 @@ def corpus_sample_stratified_prefiltered(
     return C.stratified_sample_prefiltered(d, "lang", 20, "doc_id").select(
         "doc_id", "lang"
     )
+
+
+@query("bpe_vocab_merges")
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 30-merge BPE vocabulary from the corpus (rows-only: the
+    merge loop is iterative — checkpointed fixpoint over the vocab-sized
+    word-frequency table; Sennrich et al. 2016). Deterministic merge
+    sequence: tie-break (freq desc, left, right); asserted equal to a
+    reference single-machine implementation in tests/test_bpe.py."""
+    from dwh_with_dask_spark.operators.bpe import bpe_learn, merges_df
+
+    d = load_table(spark, sf_dir, "documents")
+    return merges_df(spark, bpe_learn(d, "text", n_merges=30))
+
+
+@query("bpe_encode_tokens")
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with a corpus-learned 20-merge BPE vocab
+    (rows-only): Arrow-batched mapInPandas with a per-batch word memo;
+    output is per-doc word/token counts + a bounded token prefix."""
+    from dwh_with_dask_spark.operators.bpe import bpe_encode, bpe_learn
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn(d, "text", n_merges=20)
+    return bpe_encode(d, merges, "doc_id", "text")
