@@ -81,6 +81,13 @@ def gap_fill(
     - ``'linear'`` — linear interpolation between the neighboring
       observations (leading/trailing holes fall back to the single
       available neighbor, i.e. LOCF/NOCB at the edges).
+
+    Caveat shared with any gapfill engine: one pathological key whose
+    neighboring observations sit years apart at minute granularity
+    generates that many rows FROM ONE SOURCE ROW (here as one
+    ``sequence`` array before its explode) — bound the series span
+    upstream or bucket coarser; the operator intentionally does not
+    silently cap the fill.
     """
     if unit not in _UNIT_INTERVAL:
         raise ValueError(f"unit must be one of {sorted(_UNIT_INTERVAL)}")
