@@ -689,3 +689,59 @@ def bm25_top_terms(
         .filter(F.col("__rn") <= k)
         .select(id_col, "term", "tf", "df", "score", F.col("__rn").alias("rank"))
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key: Column | str,
+    alpha: float = 0.5,
+    target_rows: int = 300,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based group rebalancing: sample so group shares
+    follow ``c_g^alpha`` (normalized) instead of raw counts — the
+    multilingual alpha-sampling scheme of the public mT5/XLM-R
+    pipelines (alpha < 1 upsamples tail languages relative to head
+    ones; alpha = 1 keeps natural proportions, alpha = 0 equalizes).
+
+    Per-group acceptance rate ``r_g = min(1, target_rows * s_g / c_g)``
+    with ``s_g = c_g^alpha / Σ c^alpha``; each row keeps iff its md5
+    draw (the ``weighted_sample`` u idiom — no RNG) falls under its
+    group's rate, so the expected sample hits the target shares while
+    membership stays a stateless per-row filter — re-partitioning,
+    re-running, or growing the corpus never flips an accepted row.
+
+    Plan: one group-count aggregation (group-cardinality-sized), rates
+    derived row-locally on that tiny frame, broadcast back, filter.
+    Rates round to 9 dp so the one pow() lands on the same literal in
+    any engine (draws have 2^-32 granularity — a 1e-9-rounded rate
+    cannot disagree across engines' last-ulp pow differences).
+    Output: input rows that survive + their group's ``rate``.
+    """
+    cnt = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = F.pow(F.col("__c").cast("double"), F.lit(float(alpha)))
+    weights = cnt.select("__g", "__c", w.alias("__w"))
+    total_w = weights.agg(F.sum(F.col("__w").cast("decimal(38,12)")).alias("__tw"))
+    rates = weights.crossJoin(F.broadcast(total_w)).select(
+        "__g",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * (F.col("__w") / F.col("__tw").cast("double"))
+                / F.col("__c").cast("double"),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    u = F.conv(md5_prefix(key, 8, salt), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    return (
+        df.join(F.broadcast(rates), df[group_col] == F.col("__g"))
+        .filter(u < F.col("rate"))
+        .drop("__g")
+    )

@@ -247,7 +247,12 @@ def fuzzy_join(
     levenshtein once.
 
     Output: all left columns + all right columns + ``dist``. Column
-    names must not collide across sides.
+    names must not collide across sides. Contract: inputs are treated
+    as row-distinct — the variant join necessarily produces one
+    candidate row per colliding variant pair, and the dedup that
+    collapses those back to one row per (left row, right row) cannot
+    distinguish genuinely identical input rows; carry an id column if
+    duplicate rows must survive.
     """
     lb = left.select(
         "*",

@@ -729,3 +729,34 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = bpe_learn(d, "text", n_merges=20)
     return bpe_encode(d, merges, "doc_id", "text")
+
+
+@query(
+    "corpus_sample_temperature",
+    """
+    WITH cnt AS (SELECT lang AS g, count(*) AS c FROM documents GROUP BY lang),
+    w AS (SELECT g, c, pow(CAST(c AS DOUBLE), 0.5) AS w FROM cnt),
+    tw AS (SELECT SUM(CAST(w AS DECIMAL(38,12))) AS tw FROM w),
+    r AS (
+      SELECT g, round(least(1.0,
+               300.0 * (w / CAST(tw AS DOUBLE)) / CAST(c AS DOUBLE)), 9)
+                 AS rate
+      FROM w, tw)
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN r ON d.lang = r.g
+    WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'temp'),
+                                   1, 8)) AS BIGINT)::DOUBLE
+           / 4294967296.0) < r.rate
+    """,
+)
+def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature rebalancing across languages (the public
+    mT5/XLM-R multilingual sampling scheme): tail languages upsample
+    toward sqrt-proportional shares, head languages thin out — one
+    tiny group-count aggregation, rates broadcast back, stateless
+    md5-draw filter (operators/curation.py:temperature_sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = C.temperature_sample(
+        d, "lang", "doc_id", alpha=0.5, target_rows=300
+    )
+    return out.select("doc_id", "lang", "rate")

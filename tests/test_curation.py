@@ -312,3 +312,39 @@ def test_stratified_prefiltered_small_strata(spark):
     assert by_grp == {"s": 3, "big": 10}
     exact = C.stratified_sample_exact(df, "grp", 10, "doc_id")
     assert _canon(out) == _canon(exact)
+
+
+def test_temperature_sample_rebalances_tail(spark):
+    """alpha<1 must upsample tail groups relative to head groups: the
+    sampled shares should sit strictly between natural shares and
+    uniform, and acceptance must be a stateless per-row draw (stable
+    under repartitioning)."""
+    from dwh_with_dask_spark.operators.curation import temperature_sample
+    from pyspark.sql import functions as F
+
+    # 900 head rows vs 100 tail rows
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 900, "head").otherwise("tail").alias("grp"),
+    )
+    out = temperature_sample(df, "grp", "id", alpha=0.5, target_rows=400)
+    shares = {
+        r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    head_share = shares["head"] / (shares["head"] + shares["tail"])
+    # natural head share 0.9; sqrt-weights give 30/(30+10) = 0.75
+    assert 0.60 < head_share < 0.85
+    # tail acceptance rate must exceed head's
+    rates = {
+        r.grp: r.rate for r in out.select("grp", "rate").distinct().collect()
+    }
+    assert rates["tail"] > rates["head"]
+    # stateless: same accepted ids regardless of partitioning
+    a = {r.id for r in out.collect()}
+    b = {
+        r.id
+        for r in temperature_sample(
+            df.repartition(13), "grp", "id", alpha=0.5, target_rows=400
+        ).collect()
+    }
+    assert a == b
