@@ -482,6 +482,87 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_transition_matrix",
+    """
+    WITH t AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM t
+      WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n,
+           CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next type | type). One key-ordered lead window, one
+    count aggregation, probabilities from a type-cardinality-sized
+    window — the behavioral-model companion of session_path_counts."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = t.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+        ).alias("p"),
+    )
+
+
+@query(
+    "timeseries_rolling_median",
+    """
+    WITH sparse AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+                 AS value
+      FROM events GROUP BY 1, 2)
+    SELECT key, bucket, value,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY key ORDER BY bucket
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS med24
+    FROM sparse
+    """,
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-bucket rolling MEDIAN per series — the robust twin
+    of the rolling z-score (one outlier cannot drag it). Same single
+    key shuffle; the exact percentile runs as a window aggregate over
+    the bounded frame."""
+    from pyspark.sql.window import Window
+
+    from dwh_with_dask_spark.operators.timeseries import bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    sparse = bucketed(e, "event_type", "ts", "value", "hour", "avg", 2)
+    win = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return sparse.select(
+        "key",
+        "bucket",
+        "value",
+        F.percentile(F.col("value"), F.lit(0.5)).over(win).alias("med24"),
+    )
+
+
+@query(
     "asof_join_tolerance_30d",
     """
     WITH o1 AS (

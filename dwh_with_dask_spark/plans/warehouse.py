@@ -188,3 +188,73 @@ def zorder_orders_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zval"),
         F.shiftright(z, 26).cast("long").alias("bucket"),
     )
+
+
+_DQ_ORACLE = """
+    SELECT 'unique:o_orderkey' AS rule, 'o_orderkey' AS "column",
+           count(o_orderkey) - count(DISTINCT o_orderkey) AS violations,
+           count(*) AS n_rows,
+           (count(o_orderkey) - count(DISTINCT o_orderkey)) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'not_null:o_custkey', 'o_custkey',
+           count(*) - count(o_custkey), count(*),
+           (count(*) - count(o_custkey)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set:o_orderstatus', 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           count(*),
+           SUM(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range:o_totalprice', 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 10000000 THEN 1 ELSE 0 END) AS BIGINT),
+           count(*),
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 10000000 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'fk:o_custkey->customer', 'o_custkey',
+           (SELECT count(*) FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0
+"""
+
+
+@query("dq_orders_suite", _DQ_ORACLE)
+def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the orders load (Deequ/dbt
+    style, operators/dq.py): uniqueness, completeness, accepted set,
+    range, and referential integrity — row-local rules fold into ONE
+    scan, uniqueness into one distinct-only aggregate, the FK into one
+    left-anti join against the customer dimension."""
+    from dwh_with_dask_spark.operators.dq import Rule, dq_checks
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rules = [
+        Rule("unique", "o_orderkey"),
+        Rule("not_null", "o_custkey"),
+        Rule("in_set", "o_orderstatus", values=["F", "O", "P"]),
+        Rule("in_range", "o_totalprice", lo=0.0, hi=10_000_000.0),
+        Rule(
+            "foreign_key",
+            "o_custkey",
+            name="fk:o_custkey->customer",
+            ref=c,
+            ref_col="c_custkey",
+        ),
+    ]
+    return dq_checks(o, rules)

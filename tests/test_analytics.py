@@ -293,3 +293,45 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     }
     assert out[10] == "fresh"   # 1h-old match inside the cap
     assert out[23] is None      # 14h-old match nulled out
+
+
+# -------------------------------------------------------------- dq checks
+
+
+def test_dq_checks_detects_violations(spark):
+    from dwh_with_dask_spark.operators.dq import Rule, dq_checks
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (1, "B", -2.0), (2, None, 50.0), (3, "Z", None)],
+        "k long, status string, v double",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    out = {
+        r.rule: (r.violations, r.passed)
+        for r in dq_checks(
+            df,
+            [
+                Rule("unique", "k"),
+                Rule("not_null", "status"),
+                Rule("in_set", "status", values=["A", "B"]),
+                Rule("in_range", "v", lo=0.0, hi=10.0),
+                Rule("foreign_key", "k", name="fk", ref=ref, ref_col="rk"),
+            ],
+        ).collect()
+    }
+    assert out["unique:k"] == (1, False)        # k=1 twice
+    assert out["not_null:status"] == (1, False)
+    assert out["in_set:status"] == (2, False)   # null + 'Z'
+    assert out["in_range:v"] == (3, False)      # -2.0, 50.0, null
+    assert out["fk"] == (1, False)              # k=3 orphan
+
+
+def test_dq_checks_all_pass(spark):
+    from dwh_with_dask_spark.operators.dq import Rule, dq_checks
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k long, s string")
+    out = dq_checks(
+        df, [Rule("unique", "k"), Rule("not_null", "s")]
+    ).collect()
+    assert all(r.passed and r.violations == 0 for r in out)
+    assert all(r.n_rows == 2 for r in out)
