@@ -1,0 +1,108 @@
+"""Distributed PCA over embedding columns.
+
+ABSENT-IN-REFERENCE (SURVEY.md §2B north-star): the dimensionality-
+reduction / whitening step embedding pipelines run before clustering,
+ANN indexing, or SemDeDup-style pruning (public method: covariance
+eigendecomposition, e.g. Jolliffe's standard treatment).
+
+Scale shape — the classic two-phase design:
+
+1. **Fit** never moves vectors to the driver: each partition folds its
+   rows into a (count, sum, Gram) partial with one numpy GEMM —
+   ``dim + dim²`` floats per partition — and only those partials
+   collect (the IVF-centroid metadata idiom). The driver assembles the
+   covariance ``(G - n·μμᵀ)/(n-1)`` and runs ``eigh`` on a dim×dim
+   matrix — O(dim³) once, independent of corpus size.
+2. **Project** broadcasts the k×dim component matrix in a pandas_udf
+   closure; each Arrow batch projects with one GEMM. No shuffle at
+   all — projection is map-side.
+
+Determinism: eigh is deterministic for a given covariance; the
+covariance itself is a float sum over partition partials, so the last
+ulp can move under repartitioning — components carry a sign convention
+(largest-|loading| coordinate positive) and tests compare within
+tolerance, the honest contract for float linear algebra (same class of
+caveat as any distributed ML fit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def _gram_partials(df: DataFrame, vec_col: str, dim: int) -> list:
+    """One (n, sum_vec, gram) row per partition — executor GEMMs,
+    metadata-sized collect."""
+    out_schema = "n long, s array<double>, g array<double>"
+
+    def fold(batches):
+        import pandas as pd
+
+        n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x):
+                n += len(x)
+                s += x.sum(axis=0)
+                g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    return df.select(vec_col).mapInPandas(fold, schema=out_schema).collect()
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None, k: int = 8
+):
+    """Fit PCA: returns (components k×dim, eigvals desc, mean)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    parts = _gram_partials(df, vec_col, dim)
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(p.n for p in parts)
+    s = np.sum([np.asarray(p.s) for p in parts], axis=0)
+    g = np.sum([np.asarray(p.g).reshape(dim, dim) for p in parts], axis=0)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                   # k × dim
+    # sign convention: the largest-|loading| coordinate is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, vals[order], mean
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Map-side projection: out = C · (x - μ) per row, GEMM per Arrow
+    batch. Adds ``out_col`` (array<double>, k entries)."""
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(col):
+        import pandas as pd
+
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        y = (x - mu) @ comps.T
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))

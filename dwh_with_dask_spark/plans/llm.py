@@ -738,3 +738,17 @@ def doc_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     falling back to md5 of the whole normalized text for short docs."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", TS.doc_fingerprint("text", n=5).alias("fingerprint"))
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-reduce the embedding table to its top-8 principal components
+    (rows-only: float linear algebra has no cross-engine oracle —
+    operators/pca.py is property-tested against numpy's full-data PCA).
+    Fit touches only dim+dim^2 floats per partition; projection is a
+    map-side GEMM per Arrow batch."""
+    from dwh_with_dask_spark.operators.pca import pca_fit, pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comps, _vals, mean = pca_fit(e, "embedding", k=8)
+    return pca_project(e, comps, mean).select("vec_id", "label", "pc")

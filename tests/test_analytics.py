@@ -335,3 +335,88 @@ def test_dq_checks_all_pass(spark):
     ).collect()
     assert all(r.passed and r.violations == 0 for r in out)
     assert all(r.n_rows == 2 for r in out)
+
+
+# -------------------------------------------- webdataset round trip
+
+
+def test_webdataset_datasource_roundtrip(spark, tmp_path):
+    """export_webdataset -> spark.read.format('webdataset') must round
+    trip every sample: same keys, same text, same metadata."""
+    import json
+
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.sinks import export_webdataset
+    from dwh_with_dask_spark.sources.webdataset_source import (
+        WebdatasetDataSource,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "wds")
+    export_webdataset(docs, out, n_shards=3, meta_cols=("lang",)).collect()
+
+    spark.dataSource.register(WebdatasetDataSource)
+    back = spark.read.format("webdataset").load(out)
+    rows = back.collect()
+    assert len(rows) == docs.count()
+    want = {str(r.doc_id): (r.text or "", r.lang) for r in docs.collect()}
+    for r in rows:
+        text, lang = want[r.key]
+        assert r.txt == text
+        assert json.loads(r.meta)["lang"] == lang
+        assert r.shard.startswith("shard-") and r.shard.endswith(".tar")
+
+
+# ------------------------------------------------------------------ PCA
+
+
+def test_pca_matches_numpy_reference(spark):
+    import numpy as np
+
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.pca import pca_fit, pca_project
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    comps, vals, mean = pca_fit(e, "embedding", k=4)
+    x = np.asarray([r.embedding for r in e.collect()], dtype=np.float64)
+
+    # reference full-data PCA
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    ref_vals, ref_vecs = w[order], v[:, order].T
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(vals, ref_vals, rtol=1e-8)
+    # components equal up to sign
+    for got, want in zip(comps, ref_vecs):
+        assert (
+            np.allclose(got, want, atol=1e-6)
+            or np.allclose(got, -want, atol=1e-6)
+        )
+    # orthonormality
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+
+    # projections: per-component variance == eigenvalue
+    proj = pca_project(e, comps, mean)
+    y = np.asarray([r.pc for r in proj.collect()])
+    assert np.allclose(y.var(axis=0, ddof=1), vals, rtol=1e-6)
+    # projection of the mean-centered data has ~zero mean
+    assert np.allclose(y.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_pca_stable_under_repartition(spark):
+    import numpy as np
+
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.pca import pca_fit
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    c1, v1, m1 = pca_fit(e, "embedding", k=3)
+    c2, v2, m2 = pca_fit(e.repartition(11), "embedding", k=3)
+    assert np.allclose(v1, v2, rtol=1e-9)
+    assert np.allclose(np.abs(c1), np.abs(c2), atol=1e-9)
