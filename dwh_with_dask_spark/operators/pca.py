@@ -83,6 +83,92 @@ def pca_fit(
     return comps, vals[order], mean
 
 
+def ridge_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    target_col: str = "label",
+    l2: float = 1e-3,
+):
+    """EXACT distributed ridge regression (linear probe) by normal
+    equations: per-partition partials of the bias-augmented
+    ``(AᵀA, Aᵀy)`` — one GEMM each, (dim+1)² + (dim+1) floats — then a
+    driver solve of ``(AᵀA + λI)w = Aᵀy`` (no penalty on the bias).
+    The standard closed form; no iterations, no learning rate, and the
+    solution is identical to the single-machine solve up to float-sum
+    order. Returns (weights dim-vector, bias, n)."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    out_schema = "n long, g array<double>, xty array<double>"
+
+    def fold(batches):
+        import pandas as pd
+
+        d1 = dim + 1
+        n, g, xty = 0, np.zeros((d1, d1)), np.zeros(d1)
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x) == 0:
+                continue
+            a = np.hstack([x, np.ones((len(x), 1))])
+            y = pdf[target_col].to_numpy(dtype=np.float64)
+            n += len(x)
+            g += a.T @ a
+            xty += a.T @ y
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "g": [g.ravel().tolist()], "xty": [xty.tolist()]}
+            )
+
+    parts = (
+        df.select(vec_col, target_col).mapInPandas(fold, schema=out_schema).collect()
+    )
+    if not parts:
+        raise ValueError("ridge_fit: empty input")
+    d1 = dim + 1
+    n = sum(p.n for p in parts)
+    g = np.sum([np.asarray(p.g).reshape(d1, d1) for p in parts], axis=0)
+    xty = np.sum([np.asarray(p.xty) for p in parts], axis=0)
+    reg = l2 * np.eye(d1)
+    reg[-1, -1] = 0.0  # bias unpenalized
+    w = np.linalg.solve(g + reg, xty)
+    return w[:-1], float(w[-1]), n
+
+
+def ridge_r2(
+    df: DataFrame,
+    weights: np.ndarray,
+    bias: float,
+    vec_col: str = "embedding",
+    target_col: str = "label",
+) -> float:
+    """Training R² of a fitted probe — one map-side scoring pass."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    @F.pandas_udf(DoubleType())
+    def score(col):
+        import pandas as pd
+
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        if len(x) == 0:
+            return pd.Series([], dtype=float)
+        return pd.Series(x @ w + bias)
+
+    scored = df.select(
+        F.col(target_col).cast("double").alias("y"),
+        score(F.col(vec_col)).alias("yhat"),
+    )
+    r = scored.agg(
+        F.sum((F.col("y") - F.col("yhat")) ** 2).alias("ss_res"),
+        F.sum(F.col("y") * F.col("y")).alias("ss_yy"),
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    ss_tot = r.ss_yy - r.sy * r.sy / r.n
+    return float(1.0 - r.ss_res / ss_tot) if ss_tot > 0 else float("nan")
+
+
 def pca_project(
     df: DataFrame,
     components: np.ndarray,

@@ -752,3 +752,24 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     comps, _vals, mean = pca_fit(e, "embedding", k=8)
     return pca_project(e, comps, mean).select("vec_id", "label", "pc")
+
+
+@query("embedding_ridge_probe")
+def embedding_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe quality of the embeddings (rows-only): EXACT
+    distributed ridge regression of the cluster label on the embedding
+    via normal equations (operators/pca.py:ridge_fit — per-partition
+    GEMM partials, driver solve), reporting train R² and the weight
+    norm. The standard representation-quality probe of embedding
+    pipelines."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.pca import ridge_fit, ridge_r2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    w, b, n = ridge_fit(e, "embedding", "label", l2=1e-3)
+    r2 = ridge_r2(e, w, b, "embedding", "label")
+    return spark.createDataFrame(
+        [(n, float(r2), float(np.linalg.norm(w)), float(b))],
+        "n long, r2_train double, weight_norm double, bias double",
+    )

@@ -420,3 +420,34 @@ def test_pca_stable_under_repartition(spark):
     c2, v2, m2 = pca_fit(e.repartition(11), "embedding", k=3)
     assert np.allclose(v1, v2, rtol=1e-9)
     assert np.allclose(np.abs(c1), np.abs(c2), atol=1e-9)
+
+
+def test_ridge_probe_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.pca import ridge_fit, ridge_r2
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    w, b, n = ridge_fit(e, "embedding", "label", l2=1e-2)
+
+    rows = e.select("embedding", "label").collect()
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    y = np.asarray([r.label for r in rows], dtype=np.float64)
+    a = np.hstack([x, np.ones((len(x), 1))])
+    reg = 1e-2 * np.eye(a.shape[1]); reg[-1, -1] = 0.0
+    ref = np.linalg.solve(a.T @ a + reg, a.T @ y)
+
+    assert n == len(x)
+    assert np.allclose(w, ref[:-1], rtol=1e-8, atol=1e-10)
+    assert np.isclose(b, ref[-1], rtol=1e-8)
+
+    r2 = ridge_r2(e, w, b, "embedding", "label")
+    yhat = x @ ref[:-1] + ref[-1]
+    ref_r2 = 1 - ((y - yhat) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert np.isclose(r2, ref_r2, rtol=1e-8)
+    # a scalar regression onto a CATEGORICAL label is weak by
+    # construction (clusters aren't ordinally arranged); the test's
+    # point is the exactness above — just require better than nothing
+    assert r2 > 0.0
