@@ -1,9 +1,11 @@
-"""Distributed PCA over embedding columns.
+"""Distributed PCA and exact ridge regression over embedding columns.
 
 ABSENT-IN-REFERENCE (SURVEY.md §2B north-star): the dimensionality-
 reduction / whitening step embedding pipelines run before clustering,
 ANN indexing, or SemDeDup-style pruning (public method: covariance
-eigendecomposition, e.g. Jolliffe's standard treatment).
+eigendecomposition, e.g. Jolliffe's standard treatment), plus the
+closed-form linear probe (`ridge_fit`) that scores how linearly
+recoverable a label is from the representation.
 
 Scale shape — the classic two-phase design:
 
