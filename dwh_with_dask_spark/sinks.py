@@ -93,11 +93,16 @@ def export_webdataset(
     text_col: str = "text",
     meta_cols: tuple[str, ...] = (),
     seed: int = 0,
+    payload_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Training-data export in the webdataset convention: ``n_shards``
     tar files, each sample a ``{key}.txt`` (payload) + ``{key}.json``
     (metadata) member pair — the shard layout sequence-trainer loaders
-    stream without an engine.
+    stream without an engine. Multimodal samples pass extra payload
+    columns via ``payload_cols`` (column → member suffix, e.g.
+    ``{"content": "png"}``): binary columns write raw bytes, string
+    columns UTF-8 — the image/audio member next to the .txt/.json pair,
+    exactly the webdataset layout vision-language loaders expect.
 
     Distribution shape: shard = pmod(xxhash64(id, seed), n_shards)
     (the export_shuffled_shards assignment), rows hash-repartition on
@@ -122,8 +127,9 @@ def export_webdataset(
     from pyspark.sql import functions as F
 
     os.makedirs(path, exist_ok=True)
+    payload_cols = payload_cols or {}
     key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
-    cols = [id_col, text_col, *meta_cols]
+    cols = [id_col, text_col, *meta_cols, *payload_cols]
     prepared = (
         df.select(*cols)
         .withColumn("__shard", F.pmod(key, F.lit(n_shards)).cast("int"))
@@ -164,9 +170,13 @@ def export_webdataset(
                     state[shard] = (tarfile.open(fileobj=buf, mode="w"), buf, 0)
                 tar, buf, n = state[shard]
                 metas = [grp[c].tolist() for c in meta_keys]
-                for rid, text, *mvals in zip(
-                    grp[id_col], grp[text_col], *metas
+                extras = [grp[c].tolist() for c in payload_cols]
+                suffixes = list(payload_cols.values())
+                for rid, text, *rest in zip(
+                    grp[id_col], grp[text_col], *metas, *extras
                 ):
+                    mvals = rest[: len(meta_keys)]
+                    evals = rest[len(meta_keys):]
                     payload = (text or "").encode("utf-8")
                     meta = json.dumps(
                         {
@@ -175,7 +185,13 @@ def export_webdataset(
                         },
                         sort_keys=True,
                     ).encode("utf-8")
-                    for suffix, blob in ((".txt", payload), (".json", meta)):
+                    members = [(".txt", payload), (".json", meta)]
+                    for sfx, ev in zip(suffixes, evals):
+                        if ev is None:
+                            continue
+                        blob = ev if isinstance(ev, (bytes, bytearray)) else str(ev).encode("utf-8")
+                        members.append((f".{sfx}", bytes(blob)))
+                    for suffix, blob in members:
                         info = tarfile.TarInfo(name=f"{rid}{suffix}")
                         info.size = len(blob)
                         info.mtime = 0

@@ -10,12 +10,13 @@ sample becomes one row:
 
     (shard string, key string, txt string, meta string)
 
-``txt`` is the ``.txt`` payload decoded as UTF-8 and ``meta`` the raw
+``txt`` is the ``.txt`` payload decoded as UTF-8, ``meta`` the raw
 ``.json`` sidecar (parse downstream with ``from_json`` against your
-schema — the source stays schema-free the way binaryFile does). Other
-suffixes land in neither column and are ignored; extend here when
-binary modalities need loading (the decode contract then matches
-operators/multimodal.py: bytes column + mapInPandas).
+schema — the source stays schema-free the way binaryFile does), and
+any OTHER member suffix (the image/audio payload of a multimodal
+sample) arrives as raw bytes in ``bin`` with its suffix in
+``bin_suffix`` — feed it to the operators/multimodal.py decode
+contract (bytes column + mapInPandas) exactly like a binaryFile scan.
 
     spark.dataSource.register(WebdatasetDataSource)
     df = spark.read.format("webdataset").load("/data/shards")
@@ -32,7 +33,10 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-WDS_SCHEMA = "shard string, key string, txt string, meta string"
+WDS_SCHEMA = (
+    "shard string, key string, txt string, meta string, "
+    "bin binary, bin_suffix string"
+)
 
 
 class TarPartition(InputPartition):
@@ -63,22 +67,26 @@ class WebdatasetReader(DataSourceReader):
         cur_key: str | None = None
         txt: str | None = None
         meta: str | None = None
+        bin_: bytes | None = None
+        bin_suffix: str | None = None
         with tarfile.open(partition.path) as tar:
             for member in tar:
                 if not member.isfile():
                     continue
                 key, _, suffix = member.name.rpartition(".")
                 if key != cur_key and cur_key is not None:
-                    yield (shard, cur_key, txt, meta)
-                    txt = meta = None
+                    yield (shard, cur_key, txt, meta, bin_, bin_suffix)
+                    txt = meta = bin_ = bin_suffix = None
                 cur_key = key
                 blob = tar.extractfile(member).read()
                 if suffix == "txt":
                     txt = blob.decode("utf-8")
                 elif suffix == "json":
                     meta = blob.decode("utf-8")
+                else:
+                    bin_, bin_suffix = blob, suffix
         if cur_key is not None:
-            yield (shard, cur_key, txt, meta)
+            yield (shard, cur_key, txt, meta, bin_, bin_suffix)
 
 
 class WebdatasetDataSource(DataSource):

@@ -451,3 +451,34 @@ def test_ridge_probe_matches_numpy_closed_form(spark):
     # construction (clusters aren't ordinally arranged); the test's
     # point is the exactness above — just require better than nothing
     assert r2 > 0.0
+
+
+def test_webdataset_multimodal_payload_roundtrip(spark, tmp_path):
+    """Binary payload columns export as extra members and come back as
+    bytes via the DataSource's bin/bin_suffix columns."""
+    from dwh_with_dask_spark.sinks import export_webdataset
+    from dwh_with_dask_spark.sources.webdataset_source import (
+        WebdatasetDataSource,
+    )
+
+    rows = [
+        (1, "caption one", bytes([137, 80, 78, 71, 1, 2, 3])),
+        (2, "caption two", bytes(range(64))),
+        (3, "no image", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, content binary")
+    out = str(tmp_path / "mmwds")
+    export_webdataset(
+        df, out, n_shards=2, payload_cols={"content": "png"}
+    ).collect()
+
+    spark.dataSource.register(WebdatasetDataSource)
+    back = {r.key: r for r in spark.read.format("webdataset").load(out).collect()}
+    assert len(back) == 3
+    for rid, text, blob in rows:
+        r = back[str(rid)]
+        assert r.txt == text
+        if blob is None:
+            assert r.bin is None and r.bin_suffix is None
+        else:
+            assert bytes(r.bin) == blob and r.bin_suffix == "png"
