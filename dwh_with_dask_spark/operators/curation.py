@@ -745,3 +745,71 @@ def temperature_sample(
         .filter(u < F.col("rate"))
         .drop("__g")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    key: Column | str,
+    weight_col: str | None = None,
+    budget_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Dataset-mixture sampling: draw a corpus whose per-group WEIGHT
+    shares follow ``target_shares`` (the Pile/Dolma-style source mixing
+    step), spending ``budget_frac`` of the total weight.
+
+    ``rate_g = min(1, B * s_g / W_g)`` with ``W_g`` the group's weight
+    mass (row count, or ``weight_col`` — e.g. characters/tokens, so
+    shares are token-share not doc-share) and ``B = budget_frac * ΣW``.
+    Acceptance is the stateless md5-draw filter (temperature_sample's
+    idiom, rates rounded to 9 dp for cross-engine identity); groups
+    absent from ``target_shares`` drop entirely. Doc-level acceptance
+    approximates weight-share within each group by the LLN — exact
+    per-group weight hits need the PPS path (weighted_sample).
+
+    Plan: one group-weight aggregation, a broadcast share table, rates
+    derived on the group-cardinality frame, one filter. Zero extra
+    passes over the corpus.
+    """
+    shares_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(g, float(s)) for g, s in sorted(target_shares.items())],
+            "__g string, __s double",
+        )
+    )
+    w = (
+        F.col(weight_col).cast("decimal(38,6)")
+        if weight_col
+        else F.lit(1).cast("decimal(38,6)")
+    )
+    wsum = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.sum(w).alias("__w")
+    )
+    total = wsum.agg(F.sum("__w").alias("__tw"))
+    rates = (
+        wsum.join(shares_df, "__g")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__g",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget_frac))
+                    * F.col("__tw").cast("double")
+                    * F.col("__s")
+                    / F.col("__w").cast("double"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+    )
+    u = F.conv(md5_prefix(key, 8, salt), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    return (
+        df.join(F.broadcast(rates), df[group_col] == F.col("__g"))
+        .filter(u < F.col("rate"))
+        .drop("__g")
+    )

@@ -760,3 +760,62 @@ def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", "doc_id", alpha=0.5, target_rows=300
     )
     return out.select("doc_id", "lang", "rate")
+
+
+_MIX_SHARES = {f"src{i}": (3.0 if i % 2 == 0 else 1.0) for i in range(20)}
+_MIX_SHARES = {g: s / sum(_MIX_SHARES.values()) for g, s in _MIX_SHARES.items()}
+
+
+@query(
+    "corpus_mixture_by_source",
+    """
+    WITH shares(g, s) AS (
+      VALUES ('src0', 0.075),
+             ('src1', 0.025),
+             ('src10', 0.075),
+             ('src11', 0.025),
+             ('src12', 0.075),
+             ('src13', 0.025),
+             ('src14', 0.075),
+             ('src15', 0.025),
+             ('src16', 0.075),
+             ('src17', 0.025),
+             ('src18', 0.075),
+             ('src19', 0.025),
+             ('src2', 0.075),
+             ('src3', 0.025),
+             ('src4', 0.075),
+             ('src5', 0.025),
+             ('src6', 0.075),
+             ('src7', 0.025),
+             ('src8', 0.075),
+             ('src9', 0.025)),
+    wsum AS (
+      SELECT source AS g, SUM(CAST(n_chars AS DECIMAL(38,6))) AS w
+      FROM documents GROUP BY source),
+    total AS (SELECT SUM(w) AS tw FROM wsum),
+    rates AS (
+      SELECT wsum.g,
+             round(least(1.0,
+               0.5 * CAST(total.tw AS DOUBLE) * shares.s
+                   / CAST(wsum.w AS DOUBLE)), 9) AS rate
+      FROM wsum JOIN shares ON wsum.g = shares.g CROSS JOIN total)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r ON d.source = r.g
+    WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix'),
+                                   1, 8)) AS BIGINT)::DOUBLE
+           / 4294967296.0) < r.rate
+""",
+)
+def corpus_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/Dolma-style source mixing: draw half the corpus's character
+    mass with even-numbered sources targeted at 3x the share of odd
+    ones — one char-mass aggregation, a broadcast share table, rates
+    rounded to 9 dp, stateless md5-draw acceptance
+    (operators/curation.py:mixture_sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = C.mixture_sample(
+        d, "source", _MIX_SHARES, "doc_id",
+        weight_col="n_chars", budget_frac=0.5,
+    )
+    return out.select("doc_id", "source", "rate")

@@ -348,3 +348,32 @@ def test_temperature_sample_rebalances_tail(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Weighted mixture: even-group rates must exceed odd-group rates
+    when even groups target 3x the share, and the realized weight
+    shares move toward the target."""
+    from dwh_with_dask_spark.operators.curation import mixture_sample
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, "even" if i % 2 == 0 else "odd", 10 + i % 7) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    out = mixture_sample(
+        df, "grp", {"even": 0.75, "odd": 0.25}, "id",
+        weight_col="w", budget_frac=0.5,
+    )
+    got = {
+        r.grp: r.tw
+        for r in out.groupBy("grp").agg(F.sum("w").alias("tw")).collect()
+    }
+    share_even = got["even"] / (got["even"] + got["odd"])
+    # natural share ~0.5; target 0.75
+    assert 0.65 < share_even < 0.85
+    # absent groups drop
+    out2 = mixture_sample(
+        df, "grp", {"even": 1.0}, "id", weight_col="w", budget_frac=0.25
+    )
+    assert out2.filter(F.col("grp") == "odd").count() == 0
