@@ -563,6 +563,58 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_7d_distinct_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events)
+    SELECT d.day,
+           (SELECT count(DISTINCT e.user_id) FROM events e
+            WHERE CAST(date_trunc('day', e.ts) AS DATE)
+                  BETWEEN d.day - 6 AND d.day) AS n_users
+    FROM days d
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day WITHOUT rescanning
+    events per window: the raw log compresses once into per-(day,
+    bucket) bitmap partials (kilobyte blobs, the bitmap_distinct
+    pattern), the grid densifies so quiet buckets still contribute
+    history, and a RANGE window OR-merges each day's trailing week of
+    partials — ``bitmap_or_agg`` over 7 blobs per bucket, then
+    popcounts. The production shape for rolling exact-distinct at
+    warehouse scale: the window moves over PARTIALS, never over events.
+    The oracle recomputes each day from the raw log."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    grid = (
+        daily.select("day").distinct()
+        .crossJoin(daily.select("bucket").distinct())
+        .join(daily, ["day", "bucket"], "left")
+        .withColumn("dn", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("dn").rangeBetween(-6, 0)
+    )
+    merged = grid.select(
+        "day", F.expr("bitmap_or_agg(bm)").over(win).alias("wbm")
+    )
+    return merged.groupBy("day").agg(
+        F.sum(F.expr("bitmap_count(wbm)")).cast("long").alias("n_users")
+    )
+
+
+@query(
     "asof_join_tolerance_30d",
     """
     WITH o1 AS (
