@@ -482,3 +482,135 @@ def test_webdataset_multimodal_payload_roundtrip(spark, tmp_path):
             assert r.bin is None and r.bin_suffix is None
         else:
             assert bytes(r.bin) == blob and r.bin_suffix == "png"
+
+
+# ----------------------------------------------------- seeded fuzzing
+
+
+def test_funnel_fuzz_vs_python_reference(spark):
+    """200 random users x random event streams: the distributed fold
+    must equal a direct python implementation of the min-scan funnel
+    semantics (one Spark job for all cases)."""
+    import random
+
+    rng = random.Random(42)
+    steps = ["s0", "s1", "s2", "s3"]
+    rows = []
+    for u in range(200):
+        for i in range(rng.randint(0, 12)):
+            rows.append(
+                (u, _ts(rng.randint(0, 59), rng.randint(0, 23)),
+                 rng.choice(steps + ["noise"]))
+            )
+    if not rows:
+        rows = [(0, _ts(0), "s0")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    got = {r.key: list(r.reach) for r in funnel_reach(df, steps).collect()}
+
+    # python reference: sort by (ts, type); first qualifying fill
+    ref: dict[int, list] = {}
+    by_user: dict[int, list] = {}
+    for u, t, s in rows:
+        if s in steps:
+            by_user.setdefault(u, []).append((t, s))
+    for u, evs in by_user.items():
+        reach = [None] * len(steps)
+        for t, s in sorted(evs):
+            i = steps.index(s)
+            if reach[i] is not None:
+                continue
+            if i == 0 or (reach[i - 1] is not None and t >= reach[i - 1]):
+                reach[i] = t
+        ref[u] = reach
+    assert got == ref
+
+
+def test_fuzzy_join_fuzz_complete_vs_bruteforce(spark):
+    """Random short strings: the deletion-index join must output
+    EXACTLY the brute-force levenshtein<=2 pairs."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    words = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+        for _ in range(60)
+    })
+    left = spark.createDataFrame([(w,) for w in words[:30]], "l string")
+    right = spark.createDataFrame([(w,) for w in words[30:]], "r string")
+
+    got = {(r.l, r.r) for r in fuzzy_join(left, right, "l", "r", 2).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b)
+        for a in words[:30]
+        for b in words[30:]
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_gap_fill_fuzz_vs_python_reference(spark):
+    """Random sparse hourly series: locf and linear fills must equal a
+    direct python densification of the same buckets."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for key in ["a", "b", "c", "d"]:
+        hours = sorted(rng.sample(range(48), rng.randint(1, 10)))
+        for h in hours:
+            rows.append((key, _ts(0, 0).replace(hour=h % 24, day=1 + h // 24),
+                         float(rng.randint(0, 100))))
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+
+    # python reference over the same (key, hour-bucket) means
+    from collections import defaultdict
+
+    series = defaultdict(dict)
+    agg = defaultdict(list)
+    for k, t, v in rows:
+        agg[(k, t)].append(v)
+    for (k, t), vs in agg.items():
+        series[k][t] = sum(vs) / len(vs)
+
+    import datetime as dt
+
+    for method in ("locf", "linear"):
+        got = {
+            (r.key, r.bucket): (r.value, r.filled)
+            for r in gap_fill(df, "k", "t", "v", "hour", method=method).collect()
+        }
+        want = {}
+        for k, pts in series.items():
+            ts_sorted = sorted(pts)
+            lo, hi = ts_sorted[0], ts_sorted[-1]
+            t = lo
+            while t <= hi:
+                if t in pts:
+                    want[(k, t)] = (pts[t], False)
+                else:
+                    prev_t = max(x for x in ts_sorted if x < t)
+                    next_t = min(x for x in ts_sorted if x > t)
+                    if method == "locf":
+                        v = pts[prev_t]
+                    else:
+                        frac = (t - prev_t) / (next_t - prev_t)
+                        v = pts[prev_t] + (pts[next_t] - pts[prev_t]) * frac
+                    want[(k, t)] = (v, True)
+                t += dt.timedelta(hours=1)
+        assert set(got) == set(want)
+        for kk in want:
+            assert got[kk][1] == want[kk][1]
+            assert got[kk][0] == pytest.approx(want[kk][0], abs=1e-9)
