@@ -614,3 +614,59 @@ def test_gap_fill_fuzz_vs_python_reference(spark):
         for kk in want:
             assert got[kk][1] == want[kk][1]
             assert got[kk][0] == pytest.approx(want[kk][0], abs=1e-9)
+
+
+def test_winsorize_fuzz_vs_numpy(spark):
+    """Random groups: exact percentile clamp + means must match numpy's
+    linear-interpolation quantiles and the clamped mean."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(3)
+    rows = [
+        (f"g{g}", float(rng.randint(0, 10_000)) / 7.0)
+        for g in range(5)
+        for _ in range(rng.randint(5, 80))
+    ]
+    df = spark.createDataFrame(rows, "grp_in string, v double")
+    got = {r.grp: r for r in winsorize_agg(df, "grp_in", "v", 0.1, 0.9).collect()}
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for g, v in rows:
+        per[g].append(v)
+    for g, vs in per.items():
+        x = np.asarray(vs)
+        lo = np.quantile(x, 0.1)  # numpy default = linear interpolation
+        hi = np.quantile(x, 0.9)
+        assert got[g].lo == pytest.approx(lo, rel=1e-12)
+        assert got[g].hi == pytest.approx(hi, rel=1e-12)
+        assert got[g].mean_winsorized == pytest.approx(
+            np.clip(x, lo, hi).mean(), rel=1e-9
+        )
+        assert got[g].n == len(vs)
+
+
+def test_profile_fuzz_vs_pandas(spark):
+    """Random frame with nulls: profile counts must match pandas."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(9)
+    pdf = pd.DataFrame(
+        {
+            "a": [rng.choice([None, rng.randint(0, 20)]) for _ in range(300)],
+            "b": [rng.choice([None, "x", "y", "z"]) for _ in range(300)],
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"a": "Int64"}))
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["a"].n_nulls == int(pdf["a"].isna().sum())
+    assert got["a"].n_distinct == pdf["a"].dropna().nunique()
+    assert got["b"].n_distinct == pdf["b"].dropna().nunique()
+    assert got["a"].n_rows == 300
+    assert got["a"].min_val == str(int(pdf["a"].dropna().min()))
+    assert got["b"].max_val == str(pdf["b"].dropna().max())

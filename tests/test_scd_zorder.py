@@ -170,3 +170,46 @@ def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
     assert l_ck == nl  # linear clustering cannot prune the other dim
     # round-trip: clustering must not lose or duplicate rows
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def test_scd2_changelog_fuzz_vs_python_reference(spark):
+    """Random changelogs: the windowed compaction must equal a direct
+    python scan (version boundaries, intervals, open tails)."""
+    import datetime
+    import random
+
+    from dwh_with_dask_spark.operators.scd import scd2_from_changelog
+
+    rng = random.Random(5)
+    rows = []
+    seq = 0
+    for key in range(30):
+        t = datetime.datetime(2024, 1, 1)
+        for _ in range(rng.randint(1, 15)):
+            t += datetime.timedelta(minutes=rng.randint(0, 90))  # ties possible
+            rows.append((key, t, rng.choice(["A", "B", "C"]), seq))
+            seq += 1
+    df = spark.createDataFrame(rows, "k long, ts timestamp, val string, lsn long")
+
+    got = sorted(
+        (r.k, r.val, r.valid_from, r.valid_to, r.is_current, r.version)
+        for r in scd2_from_changelog(df, "k", "ts", ["val"], "lsn").collect()
+    )
+
+    # python reference: sort (ts, lsn) per key, collapse equal runs
+    want = []
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for k, t, v, lsn in rows:
+        per[k].append((t, lsn, v))
+    for k, evs in per.items():
+        evs.sort()
+        versions = []
+        for t, _lsn, v in evs:
+            if not versions or versions[-1][1] != v:
+                versions.append((t, v))
+        for i, (t, v) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            want.append((k, v, t, nxt, nxt is None, i + 1))
+    assert got == sorted(want)
