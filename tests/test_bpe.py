@@ -105,3 +105,54 @@ def test_merges_df_schema(spark, corpus_df):
     m = merges_df(spark, bpe_learn(corpus_df, "text", n_merges=3))
     assert m.columns == ["rank", "left", "right", "merged", "freq"]
     assert m.count() == 3
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    """Reference encode: apply merges in rank order, repeatedly."""
+    sym = list(word) + [END]
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    while True:
+        best, best_pair = None, None
+        for i in range(len(sym) - 1):
+            rk = ranks.get((sym[i], sym[i + 1]))
+            if rk is not None and (best is None or rk < best):
+                best, best_pair = rk, (sym[i], sym[i + 1])
+        if best is None:
+            return sym
+        l, r = best_pair
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+
+
+def test_bpe_encode_fuzz_vs_reference(spark):
+    """Random words through the distributed encoder must match the
+    rank-order reference encode word by word."""
+    import random
+
+    rng = random.Random(13)
+    corpus_words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(2, 8)))
+        for _ in range(300)
+    ]
+    docs = [
+        (i, " ".join(rng.choices(corpus_words, k=rng.randint(1, 10))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_learn(df, "text", n_merges=15)
+
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    for i, text in docs:
+        words = [w for w in _norm_py(text).split(" ") if w]
+        want: list[str] = []
+        for w in words:
+            want.extend(ref_encode(w, merges))
+        assert out[i].n_tokens == len(want)
+        assert list(out[i].tokens) == want[:32]

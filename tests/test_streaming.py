@@ -767,3 +767,68 @@ def test_stateful_funnel_within_caps_conversion(spark, tmpdir_spark):
             if t is not None:
                 want[(r.key, i + 1)] = t
     assert got == want
+
+
+def test_stateful_funnel_fuzz_random_batches(spark, tmpdir_spark):
+    """Random event streams split into time-contiguous micro-batches at
+    random boundaries: the streaming funnel's final reach must equal the
+    batch fold — the cross-batch state-carry fuzz."""
+    import random
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.operators.funnel import funnel_reach
+    from dwh_with_dask_spark.streaming.events import stateful_funnel
+
+    rng = random.Random(21)
+    steps = ["a", "b", "c"]
+    rows = []
+    base = __import__("datetime").datetime(2024, 1, 1)
+    for u in range(60):
+        t = base
+        for _ in range(rng.randint(0, 10)):
+            t += __import__("datetime").timedelta(minutes=rng.randint(1, 200))
+            rows.append((u, t, rng.choice(steps + ["x"])))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+    # 4 contiguous time slices at random quantile boundaries
+    ts_sorted = sorted(t for _, t, _ in rows)
+    cuts = sorted(rng.sample(range(1, len(ts_sorted) - 1), 3))
+    bounds = [ts_sorted[c] for c in cuts]
+    src = f"{tmpdir_spark}/events_fuzz"
+    prev = None
+    from pyspark.sql import functions as FF
+
+    for b in [*bounds, None]:
+        sl = events
+        if prev is not None:
+            sl = sl.filter(FF.col("ts") > prev)
+        if b is not None:
+            sl = sl.filter(FF.col("ts") <= b)
+        sl.coalesce(1).write.mode("append").parquet(src)
+        prev = b
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    name = f"fz_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_fz")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.step_no): r.reached_at
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {}
+    for r in funnel_reach(events, steps).collect():
+        for i, t in enumerate(r.reach):
+            if t is not None:
+                want[(r.key, i + 1)] = t
+    assert got == want
