@@ -698,6 +698,7 @@ def temperature_sample(
     alpha: float = 0.5,
     target_rows: int = 300,
     salt: str = "temp",
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-based group rebalancing: sample so group shares
     follow ``c_g^alpha`` (normalized) instead of raw counts — the
@@ -714,12 +715,19 @@ def temperature_sample(
 
     Plan: one group-count aggregation (group-cardinality-sized), rates
     derived row-locally on that tiny frame, broadcast back, filter.
+    ``profile`` supplies a separate static frame to derive the rates
+    from — REQUIRED when ``df`` is a streaming DataFrame (a streaming
+    groupBy would be an unwatermarked aggregation; with a static
+    profile the whole operator is a stream-static broadcast join + a
+    stateless filter, so the curation policy applies to a live ingest
+    stream unchanged).
     Rates round to 9 dp so the one pow() lands on the same literal in
     any engine (draws have 2^-32 granularity — a 1e-9-rounded rate
     cannot disagree across engines' last-ulp pow differences).
     Output: input rows that survive + their group's ``rate``.
     """
-    cnt = df.groupBy(F.col(group_col).alias("__g")).agg(
+    src = profile if profile is not None else df
+    cnt = src.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("__c")
     )
     w = F.pow(F.col("__c").cast("double"), F.lit(float(alpha)))

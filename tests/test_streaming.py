@@ -832,3 +832,62 @@ def test_stateful_funnel_fuzz_random_batches(spark, tmpdir_spark):
             if t is not None:
                 want[(r.key, i + 1)] = t
     assert got == want
+
+
+def test_stateless_curation_on_stream_equals_batch(spark, tmpdir_spark):
+    """The curation layer's stateless md5-draw operators (hash split,
+    Bernoulli sample, temperature-rate filter) are streaming-legal
+    as-is — pure per-row filters/projections, no state — and must
+    select EXACTLY the batch rows on a streamed corpus."""
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.operators import curation as C
+    from dwh_with_dask_spark.streaming.docs import read_documents_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = f"{tmpdir_spark}/docs_cur"
+    docs.repartition(3).write.parquet(src)
+
+    # temperature rates derive from the static corpus profile; applying
+    # them to the stream is a stream-static broadcast join + filter.
+    batch_out = C.temperature_sample(
+        C.bernoulli_sample(
+            docs.withColumn("split", C.hash_split("doc_id", 0.90, 0.05))
+            .filter(F.col("split") == "train"),
+            0.5, "doc_id", salt="scur",
+        ),
+        "lang", "doc_id", alpha=0.5, target_rows=200,
+    ).select("doc_id", "lang", "split")
+
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    # rates derive from the STATIC corpus profile (profile=docs) — on a
+    # stream the operator must not aggregate its streaming input
+    stream_out = C.temperature_sample(
+        C.bernoulli_sample(
+            stream.withColumn("split", C.hash_split("doc_id", 0.90, 0.05))
+            .filter(F.col("split") == "train"),
+            0.5, "doc_id", salt="scur",
+        ),
+        "lang", "doc_id", alpha=0.5, target_rows=200,
+        profile=C.bernoulli_sample(
+            docs.withColumn("split", C.hash_split("doc_id", 0.90, 0.05))
+            .filter(F.col("split") == "train"),
+            0.5, "doc_id", salt="scur",
+        ),
+    ).select("doc_id", "lang", "split")
+
+    name = f"cur_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_cur")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want
+    assert len(want) > 0
