@@ -220,6 +220,16 @@ _DQ_ORACLE = """
                       OR o_totalprice > 10000000 THEN 1 ELSE 0 END) = 0
     FROM orders
     UNION ALL
+    SELECT 'predicate:priority_when_open', 'o_orderpriority',
+           CAST(SUM(CASE WHEN NOT coalesce(
+                      o_orderstatus <> 'O' OR o_orderpriority IS NOT NULL,
+                      FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+           count(*),
+           CAST(SUM(CASE WHEN NOT coalesce(
+                      o_orderstatus <> 'O' OR o_orderpriority IS NOT NULL,
+                      FALSE) THEN 1 ELSE 0 END) AS BIGINT) = 0
+    FROM orders
+    UNION ALL
     SELECT 'fk:o_custkey->customer', 'o_custkey',
            (SELECT count(*) FROM orders o
             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
@@ -249,6 +259,13 @@ def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("not_null", "o_custkey"),
         Rule("in_set", "o_orderstatus", values=["F", "O", "P"]),
         Rule("in_range", "o_totalprice", lo=0.0, hi=10_000_000.0),
+        Rule(
+            "predicate",
+            "o_orderpriority",
+            name="predicate:priority_when_open",
+            predicate=(F.col("o_orderstatus") != "O")
+            | F.col("o_orderpriority").isNotNull(),
+        ),
         Rule(
             "foreign_key",
             "o_custkey",

@@ -315,6 +315,10 @@ def test_dq_checks_detects_violations(spark):
                 Rule("not_null", "status"),
                 Rule("in_set", "status", values=["A", "B"]),
                 Rule("in_range", "v", lo=0.0, hi=10.0),
+                Rule(
+                    "predicate", "v", name="pred",
+                    predicate=F.col("v") > F.col("k"),
+                ),
                 Rule("foreign_key", "k", name="fk", ref=ref, ref_col="rk"),
             ],
         ).collect()
@@ -323,6 +327,9 @@ def test_dq_checks_detects_violations(spark):
     assert out["not_null:status"] == (1, False)
     assert out["in_set:status"] == (2, False)   # null + 'Z'
     assert out["in_range:v"] == (3, False)      # -2.0, 50.0, null
+    # predicate v > k: rows (1,5.0) ok, (1,-2.0) bad, (2,50.0) ok,
+    # (3,null) -> null predicate counts as violation
+    assert out["pred"] == (2, False)
     assert out["fk"] == (1, False)              # k=3 orphan
 
 
