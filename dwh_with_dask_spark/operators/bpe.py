@@ -211,7 +211,16 @@ def bpe_encode(
 
 
 def _norm_py(text: str | None) -> str:
-    """Python twin of dedup.normalize_text (lower, collapse ws, trim)."""
+    """Python twin of dedup.normalize_text (lower, collapse ws, trim).
+
+    ``re.ASCII`` pins ``\\s`` to the ASCII class: Java/Spark's ``\\s``
+    is ASCII-only, so without the flag Python would additionally split
+    on Unicode whitespace (e.g. U+00A0) and ``bpe_encode`` tokenization
+    would diverge from ``word_frequency``'s (ADVICE r5). Likewise
+    ``strip(' ')``, because Spark's ``F.trim`` removes spaces only
+    while Python's bare ``strip()`` is Unicode-aware."""
     import re
 
-    return re.sub(r"\s+", " ", (text or "").lower()).strip()
+    return re.sub(
+        r"\s+", " ", (text or "").lower(), flags=re.ASCII
+    ).strip(" ")

@@ -147,6 +147,8 @@ def dq_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
         )
 
+    if not parts:
+        raise ValueError("dq_checks: no rules supplied")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -8,8 +8,12 @@ built Spark-first:
 - events are filtered to the funnel's step types at the scan (predicate
   pushdown — the fat event log never leaves the scan un-pruned);
 - ONE shuffle on the user key collects each user's (ts, step) pairs;
-  ``array_sort`` orders them row-locally (timestamp first, so the fold
-  sees time order);
+  ``array_sort`` orders them row-locally by (timestamp, FUNNEL-STEP
+  INDEX) — not by the step's type string — so at tied timestamps the
+  earlier funnel step is folded first and a same-instant conversion
+  (``ts_step_i == ts_step_{i-1}``, legal under the oracle's ``>=``
+  min-scan) is never dropped just because the later step's type sorts
+  lexicographically earlier;
 - a single ``F.aggregate`` fold walks the sorted array carrying the
   per-step first-reach timestamps — the classic sequential-scan funnel
   state machine, expressed as a codegen'd higher-order function instead
@@ -57,12 +61,25 @@ def funnel_reach(
     step_arr = F.array(*[F.lit(s) for s in steps])
     within_ivl = F.expr(f"INTERVAL {within}") if within is not None else None
 
+    # Sort key is (t, step index): struct comparison is field-by-field,
+    # so ties on t resolve to the EARLIER funnel step first — required
+    # for the fold to match the oracle's `>=` min-scan when two steps
+    # land on the same timestamp (ADVICE r5: 'click' < 'view' would
+    # otherwise drop a same-instant view→click conversion).
     per_key = (
         events.filter(F.col(type_col).isin(steps))
         .groupBy(F.col(key_col).alias("key"))
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("s")))
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.array_position(step_arr, F.col(type_col))
+                        .cast("int")
+                        .alias("i"),
+                        F.col(type_col).alias("s"),
+                    )
+                )
             ).alias("seq")
         )
     )

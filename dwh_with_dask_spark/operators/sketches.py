@@ -180,11 +180,18 @@ def bottomk_sample(
     same lifecycle as the MinHash corpus index. md5 priorities make the
     sample identical in any engine (no RNG), so estimates are oracle-
     reproducible; re-salting draws an independent sample.
+
+    ``id_col`` SHOULD be unique; when it is not, duplicate ids tie on
+    the md5 priority, so the sort key falls back to ``value`` (nulls
+    first) — deterministic in any engine — instead of letting the
+    k-boundary pick among ties nondeterministically (ADVICE r5). A
+    cross-engine oracle must mirror that tie order
+    (``ORDER BY md5(...), value ASC NULLS FIRST``).
     """
     pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     return (
         df.select(F.col(value_col).alias("value"), pri.alias("__pri"))
-        .orderBy("__pri")
+        .orderBy(F.col("__pri").asc(), F.col("value").asc_nulls_first())
         .limit(k)
     )
 

@@ -667,7 +667,8 @@ _QSK_ORACLE = (
     """
     WITH s AS (
       SELECT o_totalprice AS value FROM orders
-      ORDER BY md5(CAST(o_orderkey AS VARCHAR) || 'qsk')
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR) || 'qsk'),
+               value ASC NULLS FIRST
       LIMIT 500),
     agg AS (
       SELECT """

@@ -128,6 +128,16 @@ def export_webdataset(
 
     os.makedirs(path, exist_ok=True)
     payload_cols = payload_cols or {}
+    if len(set(payload_cols.values())) != len(payload_cols):
+        # two members with one suffix would collide in the {key}.{suffix}
+        # naming and on DataSource readback (bins is keyed by suffix)
+        raise ValueError("payload_cols suffixes must be distinct")
+    for reserved in ("txt", "json"):
+        if reserved in payload_cols.values():
+            raise ValueError(
+                f"payload suffix '{reserved}' collides with the "
+                "text/metadata members"
+            )
     key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
     cols = [id_col, text_col, *meta_cols, *payload_cols]
     prepared = (

@@ -12,11 +12,15 @@ sample becomes one row:
 
 ``txt`` is the ``.txt`` payload decoded as UTF-8, ``meta`` the raw
 ``.json`` sidecar (parse downstream with ``from_json`` against your
-schema — the source stays schema-free the way binaryFile does), and
-any OTHER member suffix (the image/audio payload of a multimodal
-sample) arrives as raw bytes in ``bin`` with its suffix in
-``bin_suffix`` — feed it to the operators/multimodal.py decode
-contract (bytes column + mapInPandas) exactly like a binaryFile scan.
+schema — the source stays schema-free the way binaryFile does). ALL
+other member suffixes (the image/audio payloads of a multimodal
+sample) arrive in ``bins`` — a ``map<string,binary>`` keyed by member
+suffix, so a multi-payload export (``payload_cols`` with several
+columns) round-trips losslessly (ADVICE r5). For the common
+single-payload sample, ``bin``/``bin_suffix`` carry the FIRST
+non-txt/json member in tar order as a convenience — feed either shape
+to the operators/multimodal.py decode contract (bytes column +
+mapInPandas) exactly like a binaryFile scan.
 
     spark.dataSource.register(WebdatasetDataSource)
     df = spark.read.format("webdataset").load("/data/shards")
@@ -35,7 +39,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 WDS_SCHEMA = (
     "shard string, key string, txt string, meta string, "
-    "bin binary, bin_suffix string"
+    "bin binary, bin_suffix string, bins map<string,binary>"
 )
 
 
@@ -67,16 +71,21 @@ class WebdatasetReader(DataSourceReader):
         cur_key: str | None = None
         txt: str | None = None
         meta: str | None = None
-        bin_: bytes | None = None
-        bin_suffix: str | None = None
+        bins: dict[str, bytes] = {}
+
+        def row(key):
+            first = next(iter(bins.items()), (None, None))
+            return (shard, key, txt, meta, first[1], first[0], bins or None)
+
         with tarfile.open(partition.path) as tar:
             for member in tar:
                 if not member.isfile():
                     continue
                 key, _, suffix = member.name.rpartition(".")
                 if key != cur_key and cur_key is not None:
-                    yield (shard, cur_key, txt, meta, bin_, bin_suffix)
-                    txt = meta = bin_ = bin_suffix = None
+                    yield row(cur_key)
+                    txt = meta = None
+                    bins = {}
                 cur_key = key
                 blob = tar.extractfile(member).read()
                 if suffix == "txt":
@@ -84,9 +93,11 @@ class WebdatasetReader(DataSourceReader):
                 elif suffix == "json":
                     meta = blob.decode("utf-8")
                 else:
-                    bin_, bin_suffix = blob, suffix
+                    # dicts preserve insertion order -> first member in
+                    # tar order is the bin/bin_suffix convenience slot
+                    bins.setdefault(suffix, blob)
         if cur_key is not None:
-            yield (shard, cur_key, txt, meta, bin_, bin_suffix)
+            yield row(cur_key)
 
 
 class WebdatasetDataSource(DataSource):

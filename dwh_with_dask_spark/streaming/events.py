@@ -441,9 +441,11 @@ def stateful_funnel(
     length, and each slot fills at most once so every output row is
     emitted exactly once per completed step.
 
-    Within a micro-batch, rows replay in (ts, event_type) order — the
-    same tie order as the batch fold's ``array_sort`` over
-    struct(t, s). Equivalence contract with the batch operator: exact
+    Within a micro-batch, rows replay in (ts, FUNNEL-STEP INDEX) order
+    — the same tie order as the batch fold's ``array_sort`` over
+    struct(t, i, s), so a same-timestamp conversion survives even when
+    the later step's type string sorts lexicographically earlier.
+    Equivalence contract with the batch operator: exact
     when events arrive time-ordered ACROSS micro-batches (file replay,
     per-key-ordered log partitions); an event arriving after a later
     event already filled the next slot cannot retroactively re-anchor
@@ -469,7 +471,8 @@ def stateful_funnel(
         emits: list[tuple[int, object]] = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch[batch["event_type"].isin(steps)]
-        for _, row in batch.sort_values(["ts", "event_type"]).iterrows():
+        batch = batch.assign(__step_i=batch["event_type"].map(idx))
+        for _, row in batch.sort_values(["ts", "__step_i"]).iterrows():
             i = idx[row["event_type"]]
             if reach[i] is not None:
                 continue

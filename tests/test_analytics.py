@@ -344,6 +344,15 @@ def test_dq_checks_all_pass(spark):
     assert all(r.n_rows == 2 for r in out)
 
 
+def test_dq_checks_empty_rules_raises(spark):
+    """ADVICE r5: no rules must be a clear ValueError, not IndexError."""
+    from dwh_with_dask_spark.operators.dq import dq_checks
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="no rules"):
+        dq_checks(df, [])
+
+
 # -------------------------------------------- webdataset round trip
 
 
@@ -491,31 +500,79 @@ def test_webdataset_multimodal_payload_roundtrip(spark, tmp_path):
             assert bytes(r.bin) == blob and r.bin_suffix == "png"
 
 
+def test_webdataset_two_payloads_roundtrip(spark, tmp_path):
+    """ADVICE r5: a two-payload export must not lose members on
+    readback — every binary member surfaces in the bins map, and
+    bin/bin_suffix carry the first member in tar order."""
+    from dwh_with_dask_spark.sinks import export_webdataset
+    from dwh_with_dask_spark.sources.webdataset_source import (
+        WebdatasetDataSource,
+    )
+
+    rows = [
+        (1, "pair", bytes([1, 2, 3]), bytes([9, 9])),
+        (2, "img only", bytes([4, 5]), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, img binary, aud binary"
+    )
+    out = str(tmp_path / "wds2")
+    export_webdataset(
+        df, out, n_shards=1, payload_cols={"img": "png", "aud": "wav"}
+    ).collect()
+
+    spark.dataSource.register(WebdatasetDataSource)
+    back = {r.key: r for r in spark.read.format("webdataset").load(out).collect()}
+    r1 = back["1"]
+    assert {k: bytes(v) for k, v in r1.bins.items()} == {
+        "png": bytes([1, 2, 3]),
+        "wav": bytes([9, 9]),
+    }
+    r2 = back["2"]
+    assert {k: bytes(v) for k, v in r2.bins.items()} == {"png": bytes([4, 5])}
+
+
+def test_webdataset_rejects_colliding_suffixes(spark, tmp_path):
+    from dwh_with_dask_spark.sinks import export_webdataset
+
+    df = spark.createDataFrame([(1, "t", b"x", b"y")],
+                               "doc_id long, text string, a binary, b binary")
+    with pytest.raises(ValueError, match="distinct"):
+        export_webdataset(df, str(tmp_path / "w"), 1,
+                          payload_cols={"a": "png", "b": "png"})
+    with pytest.raises(ValueError, match="txt"):
+        export_webdataset(df, str(tmp_path / "w"), 1,
+                          payload_cols={"a": "txt"})
+
+
 # ----------------------------------------------------- seeded fuzzing
 
 
 def test_funnel_fuzz_vs_python_reference(spark):
     """200 random users x random event streams: the distributed fold
     must equal a direct python implementation of the min-scan funnel
-    semantics (one Spark job for all cases)."""
+    semantics (one Spark job for all cases). Step names are chosen so
+    lexicographic order is ADVERSE to funnel order (later steps sort
+    earlier) — ties on ts must resolve by step index, not type string
+    (ADVICE r5). Coarse timestamp granularity forces many exact ties."""
     import random
 
     rng = random.Random(42)
-    steps = ["s0", "s1", "s2", "s3"]
+    steps = ["zz_first", "mm_second", "dd_third", "aa_fourth"]
     rows = []
     for u in range(200):
         for i in range(rng.randint(0, 12)):
             rows.append(
-                (u, _ts(rng.randint(0, 59), rng.randint(0, 23)),
+                (u, _ts(rng.randint(0, 5), rng.randint(0, 3)),
                  rng.choice(steps + ["noise"]))
             )
     if not rows:
-        rows = [(0, _ts(0), "s0")]
+        rows = [(0, _ts(0), steps[0])]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
 
     got = {r.key: list(r.reach) for r in funnel_reach(df, steps).collect()}
 
-    # python reference: sort by (ts, type); first qualifying fill
+    # python reference: sort by (ts, STEP INDEX); first qualifying fill
     ref: dict[int, list] = {}
     by_user: dict[int, list] = {}
     for u, t, s in rows:
@@ -523,7 +580,7 @@ def test_funnel_fuzz_vs_python_reference(spark):
             by_user.setdefault(u, []).append((t, s))
     for u, evs in by_user.items():
         reach = [None] * len(steps)
-        for t, s in sorted(evs):
+        for t, s in sorted(evs, key=lambda e: (e[0], steps.index(e[1]))):
             i = steps.index(s)
             if reach[i] is not None:
                 continue
@@ -531,6 +588,22 @@ def test_funnel_fuzz_vs_python_reference(spark):
                 reach[i] = t
         ref[u] = reach
     assert got == ref
+
+
+def test_funnel_equal_timestamp_conversion_counts(spark):
+    """ADVICE r5 repro: view@T + click@T with steps [view, click] —
+    'click' < 'view' lexicographically, so a struct(t, s) sort would
+    fold click first and drop the conversion. The oracle's `>=`
+    min-scan counts it; the fold must too."""
+    t = _ts(5)
+    df = spark.createDataFrame(
+        [(1, t, "view"), (1, t, "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    reach = funnel_reach(df, ["view", "click"]).collect()[0].reach
+    assert list(reach) == [t, t]
+    out = {r.step: r.n_keys for r in funnel_counts(df, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
 
 
 def test_fuzzy_join_fuzz_complete_vs_bruteforce(spark):

@@ -101,6 +101,30 @@ def test_bpe_encode_roundtrip_and_counts(spark, corpus_df):
         assert out[i].n_tokens <= sum(len(w) + 1 for w in words)
 
 
+def test_norm_py_matches_spark_on_unicode_whitespace(spark):
+    """ADVICE r5: Python \\s is Unicode-aware, Java/Spark's is ASCII —
+    _norm_py must pin to ASCII so bpe_encode tokenizes identically to
+    word_frequency. U+00A0 and U+2009 must NOT split or trim."""
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.operators.dedup import normalize_text
+
+    cases = [
+        "foo bar",           # NBSP inside a word
+        " lead and trail ",
+        "a b",               # thin space
+        "  tabs\tand\nnewlines  ",
+        "ordinary text",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i long, t string")
+    got_spark = {
+        r.i: r.n for r in df.select("i", normalize_text("t").alias("n")).collect()
+    }
+    for i, t in enumerate(cases):
+        assert _norm_py(t) == got_spark[i], repr(t)
+
+
 def test_merges_df_schema(spark, corpus_df):
     m = merges_df(spark, bpe_learn(corpus_df, "text", n_merges=3))
     assert m.columns == ["rank", "left", "right", "merged", "freq"]

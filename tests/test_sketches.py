@@ -55,6 +55,29 @@ def test_cms_estimate_is_upper_bound_and_tight_when_wide(spark):
     assert est2 == exact
 
 
+def test_bottomk_deterministic_under_duplicate_ids(spark):
+    """ADVICE r5: duplicate ids tie on the md5 priority; the value
+    tie-breaker must make the k-boundary selection deterministic —
+    same sample regardless of partitioning."""
+    from dwh_with_dask_spark.operators.sketches import bottomk_sample
+
+    rows = [(i % 7, float(v)) for i, v in enumerate(range(100))]
+    df = spark.createDataFrame(rows, "id long, v double")
+    s1 = sorted(r.value for r in bottomk_sample(df, "v", "id", 10).collect())
+    s2 = sorted(
+        r.value
+        for r in bottomk_sample(df.repartition(13), "v", "id", 10).collect()
+    )
+    s3 = sorted(
+        r.value
+        for r in bottomk_sample(df.coalesce(1), "v", "id", 10).collect()
+    )
+    assert s1 == s2 == s3
+    # the selected values are the SMALLEST among each tied-priority
+    # group (value asc tie-break), so the boundary is well-defined
+    assert len(s1) == 10
+
+
 def test_bloom_decontaminate_no_false_negatives(spark):
     # doc 17 hashes to 'test' under the default split salt; give an
     # exact duplicate of its text to many train docs — the bloom probe

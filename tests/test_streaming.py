@@ -779,14 +779,16 @@ def test_stateful_funnel_fuzz_random_batches(spark, tmpdir_spark):
     from dwh_with_dask_spark.operators.funnel import funnel_reach
     from dwh_with_dask_spark.streaming.events import stateful_funnel
 
+    # lexicographic order adverse to funnel order + repeated timestamps
+    # allowed (delta can be 0) so ties exercise the step-index tie-break
     rng = random.Random(21)
-    steps = ["a", "b", "c"]
+    steps = ["c", "b", "a"]
     rows = []
     base = __import__("datetime").datetime(2024, 1, 1)
     for u in range(60):
         t = base
         for _ in range(rng.randint(0, 10)):
-            t += __import__("datetime").timedelta(minutes=rng.randint(1, 200))
+            t += __import__("datetime").timedelta(minutes=rng.randint(0, 200))
             rows.append((u, t, rng.choice(steps + ["x"])))
     events = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_type string"
