@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dwh_with_dask_spark.operators.dedup import normalize_text
+from dwh_with_dask_spark.operators.dedup import text_tokens
 
 END = "</w>"
 
@@ -50,7 +50,7 @@ def word_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over the normalized corpus — the one corpus pass."""
     return (
         df.select(
-            F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+            F.explode(text_tokens(text_col)).alias("word")
         )
         .filter(F.length("word") > 0)
         .groupBy("word")

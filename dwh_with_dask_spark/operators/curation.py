@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
+from dwh_with_dask_spark.operators.partitioning import barrier, widen
 from dwh_with_dask_spark.operators.textstats import tokens
 
 
@@ -344,7 +345,13 @@ def chunk_text_udtf():
             import re
 
             stride = chunk_tokens - overlap
-            toks = re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+            # twin of dedup.text_tokens: ASCII \s (Java semantics) and
+            # no empty tokens for blank text
+            toks = [
+                t
+                for t in re.split(r"\s+", (text or "").lower(), flags=re.ASCII)
+                if t
+            ]
             n_chunks = max(1, -(-(len(toks) - overlap) // stride))
             for i in range(n_chunks):
                 chunk = toks[i * stride : i * stride + chunk_tokens]
@@ -496,11 +503,8 @@ def oov_rate(
     a broadcast join of the tiny vocab back onto the per-doc term
     counts — the corpus is scanned and exploded ONCE.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .repartition(parallelism, F.col(id_col))
-        .select(F.col(id_col), F.explode("__toks").alias("term"))
+    base = widen(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
     tf = base.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
     vocab = (
@@ -620,9 +624,8 @@ def bm25_scores(
     #    size() makes the post-Generate projection re-normalize and
     #    re-split the WHOLE document once per emitted token (O(tokens x
     #    doc length) — measured ~2x on this query).
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.select(id_col, text_col).repartition(parallelism, F.col(id_col))
-    base = base.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    base = widen(docs.select(id_col, text_col), id_col)
+    base = barrier(base.select(F.col(id_col), tokens(text_col).alias("__toks")))
     base = base.select(
         F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
     )

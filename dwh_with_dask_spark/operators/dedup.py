@@ -20,12 +20,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
+from dwh_with_dask_spark.operators.partitioning import barrier, widen
 
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for dedup: lowercase, collapse whitespace, trim."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def text_tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text — ONE regex pass.
+
+    Token-identical to ``split(normalize_text(x), ' ')`` whenever the
+    text has at least one token (both forms emit maximal runs of
+    non-ASCII-whitespace, lowercased); the boundary empties that
+    ``split`` keeps on leading/trailing whitespace are filtered. The
+    one divergence is empty/whitespace-only text: this yields ``[]``
+    where the two-pass form yielded ``['']`` — the better semantics (a
+    blank document has zero tokens), mirrored in the oracle twins via
+    ``list_filter``. Why it exists: the normalize-then-split form runs
+    TWO regex passes over every byte of the corpus; at sf1 this form
+    measured the tokenize+explode floor 1.24 s -> 0.72 s and cut the
+    whole token-aggregation query family ~40% (round-6 experiment,
+    scripts/exp_tokenize_floor.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
 
 
 def exact_dedup(
@@ -82,11 +102,12 @@ def paragraph_dedup(
     window for a groupBy(hash).agg(min(struct(doc,pos))) + broadcast
     join of the (small) duplicated-hash set when that regime matters.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
     if paragraphs is None:
-        src = df.select(
-            F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
-        ).repartition(parallelism, F.col(id_col))
+        src = barrier(
+            widen(df.select(id_col, text_col), id_col).select(
+                F.col(id_col), text_tokens(text_col).alias("__toks")
+            )
+        )
         tk = F.col("__toks")
         n_paras = F.greatest(
             F.lit(1), F.ceil(F.size(tk) / F.lit(float(window))).cast("int")
@@ -96,7 +117,7 @@ def paragraph_dedup(
             lambda i: F.concat_ws(" ", F.slice(tk, i * window + 1, window)),
         )
     else:
-        src = df.repartition(parallelism, F.col(id_col))
+        src = widen(df, id_col)
     exploded = src.select(
         F.col(id_col), F.posexplode(paragraphs).alias("pos", "para")
     )
@@ -137,7 +158,7 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     (a poor man's `let`), so the inner lambda only slices and concats.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(normalize_text(c), " ")
+    toks = text_tokens(c)
     per_row = F.transform(
         F.array(toks),  # 1-element wrapper: forces single evaluation
         lambda tk: F.when(
@@ -167,23 +188,25 @@ def _doc_shingles(
 ) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted-index building block.
 
-    Two deliberate plan choices:
-    - Tokenize BEFORE a repartition exchange, generate grams after it.
-      The exchange is a projection barrier: without it Catalyst collapses
-      the projects and re-inlines the split() into the per-element gram
-      lambda (higher-order lambdas evaluate interpreted), making gram
-      generation O(len²) per document.
-    - The repartition also fixes parallelism: a corpus arriving as few
-      large files would otherwise run this CPU-heavy stage at file
-      parallelism (here: 1 task).
+    Two deliberate plan choices (operators/partitioning.py):
+    - ``widen`` BELOW the tokenize: a corpus arriving as few large
+      files would otherwise run the CPU-heavy regex stage at file
+      parallelism (2 tasks on 32 cores); a scan already wider than the
+      session parallelism passes through with NO exchange.
+    - ``barrier`` (no-shuffle coalesce) ABOVE the tokenize: without a
+      barrier Catalyst collapses the projects and re-inlines the
+      split() into the per-element gram lambda (higher-order lambdas
+      evaluate interpreted), making gram generation O(len²) per
+      document — measured 2.5 s vs 0.8 s at sf1 on a wide input.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    toks_df = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_text(text_col), " ").alias("__toks"),
+    toks_df = barrier(
+        widen(df.select(id_col, text_col), id_col).select(
+            F.col(id_col).alias("id"),
+            text_tokens(text_col).alias("__toks"),
+        )
     )
     return (
-        toks_df.repartition(parallelism, F.col("id"))
+        toks_df
         .select("id", F.explode(_grams_from_tokens(F.col("__toks"), n)).alias("shingle"))
         .distinct()
     )
@@ -500,12 +523,11 @@ def simhash(
     within small Hamming distance. Implemented as one explode + one
     groupBy with ``bits`` conditional-sum aggregates — no UDF.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
     toks = (
-        df.repartition(parallelism, F.col(id_col))
+        widen(df.select(id_col, text_col), id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+            F.explode(text_tokens(text_col)).alias("tok"),
         )
         .withColumn("h", F.xxhash64("tok"))
     )
@@ -884,15 +906,15 @@ def minhash_signatures_rowlocal(
     asserted in tests. Same empty-doc contract as the exploded form:
     documents with no shingles produce no signature row.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    grams = df.select(
+    src = df if df.isStreaming else widen(df.select(id_col, text_col), id_col)
+    grams = src.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(text_col, n)).alias("__g"),
     )
     if not df.isStreaming:
         # Same projection barrier as _doc_shingles: without it Catalyst
         # inlines the gram expression into every one of the 64 lambdas.
-        grams = grams.repartition(parallelism, F.col("id"))
+        grams = barrier(grams)
     def hash_with_seed(i: int):
         # NOTE: a `lambda s, i=i:` default-arg closure would be WRONG
         # here — F.transform dispatches on lambda arity, so a 2-arg

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 from dwh_with_dask_spark.operators.dedup import (
     _grams_from_tokens,
     normalize_text,
+    text_tokens,
     word_ngrams,
 )
+from dwh_with_dask_spark.operators.partitioning import barrier, widen
 
 # Tiny high-frequency marker lists per language; enough for a coarse
 # n-gram/stopword language-ID heuristic (public fastText/langid approach,
@@ -33,8 +35,9 @@ STOPWORDS_EN = LANG_MARKERS["en"]
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the normalized text."""
-    return F.split(normalize_text(col), " ")
+    """Whitespace tokens of the lowercased text (one regex pass —
+    see dedup.text_tokens for the equivalence + perf contract)."""
+    return text_tokens(col)
 
 
 def token_count(col: Column | str) -> Column:
@@ -160,10 +163,14 @@ def repetition_profile(
     """
     if not 1 <= max_n <= 3:
         raise ValueError("max_n must be 1..3 (output columns are fixed)")
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    toks_df = df.select(
-        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
-    ).repartition(parallelism, F.col(id_col))
+    # widen (conditional exchange) BELOW the tokenize so the regex pass
+    # runs at full parallelism; barrier (no-shuffle coalesce) ABOVE it
+    # so the gram lambdas can't re-inline the tokenize (O(len²)).
+    toks_df = barrier(
+        widen(df.select(id_col, text_col), id_col).select(
+            F.col(id_col), text_tokens(text_col).alias("__toks")
+        )
+    )
 
     tk = F.col("__toks")
 
@@ -262,10 +269,11 @@ def bigram_logprob_scores(
     words make ``partition by w1`` skew at extreme scale — the
     groupBy+join rewrite is the escape hatch there, same trade as BM25.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    toks_df = df.select(
-        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
-    ).repartition(parallelism, F.col(id_col))
+    toks_df = barrier(
+        widen(df.select(id_col, text_col), id_col).select(
+            F.col(id_col), text_tokens(text_col).alias("__toks")
+        )
+    )
     tk = F.col("__toks")
     sz = F.size(tk)
     pairs = F.when(

@@ -705,8 +705,8 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                          ' ') AS t
+             list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' '), t -> t <> '') AS t
       FROM documents),
     big AS (
       SELECT doc_id, t[i] AS w1, t[i + 1] AS w2

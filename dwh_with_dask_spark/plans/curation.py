@@ -19,6 +19,7 @@ from dwh_with_dask_spark.catalog import load_table
 from dwh_with_dask_spark.operators import curation as C
 from dwh_with_dask_spark.operators import textstats as TS
 from dwh_with_dask_spark.operators.textstats import tokens
+from dwh_with_dask_spark.operators.partitioning import widen
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -37,7 +38,7 @@ def query(name: str, oracle: str | None = None):
 # DuckDB twins of dedup.normalize_text / textstats.tokens (kept in sync
 # with plans/llm.py).
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')"
 
 _SPLIT_T = C.frac_to_hex(0.90, 4)
 _SPLIT_V = C.frac_to_hex(0.95, 4)
@@ -349,34 +350,37 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus preparation composed from the engine's own
-    operators: exact dedup (keep min doc_id per normalized-text sha256)
-    → quality gate (>=20 tokens, punctuation ratio < 0.25) → stable
-    hash split (train only) → greedy 256-token packing in 16 md5
-    shards. One narrow-key shuffle for the dedup, one bounded per-shard
-    window for packing; everything between is map-side. The shape of a
-    real training-data prep DAG, verified end-to-end against a single
-    composed DuckDB oracle."""
-    from dwh_with_dask_spark.operators.dedup import exact_dedup
+    """End-to-end corpus preparation: exact dedup (keep min doc_id per
+    normalized-text sha256) → quality gate (>=20 tokens, punctuation
+    ratio < 0.25) → stable hash split (train only) → greedy 256-token
+    packing in 16 md5 shards.
+
+    Plan shape (r6 rewrite, 2.4 s -> ~1.4 s sf1): the corpus is scanned
+    ONCE — sha256, token count, punct ratio, and split draw all fuse
+    into one projection over the (conditionally) widened scan. The
+    keeper rule ``doc_id == min(doc_id) per text hash`` runs as a
+    window over the doc-sized feature rows (text never shuffles, no
+    second scan, no join) — semantically identical to exact_dedup +
+    semi-join, which the oracle still expresses as the keepers CTE.
+    Then the bounded per-shard packing window. Two narrow-key shuffles
+    total (hash window, pack shards)."""
+    from dwh_with_dask_spark.operators.dedup import normalize_text
     from dwh_with_dask_spark.operators.textstats import punct_ratio
 
     d = load_table(spark, sf_dir, "documents")
-    # Fix parallelism before the CPU-heavy normalize/sha256/tokenize
-    # stages: a single-file corpus scans as 2 partitions, and the
-    # keeper semi-join broadcasts, so without this exchange the whole
-    # text path runs 2-wide on 32 cores (measured 2.26 -> 2.06 s sf1).
-    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-    keepers = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-    kept = d.join(keepers, "doc_id", "left_semi")
+    feat = widen(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.sha2(normalize_text("text"), 256).alias("__h"),
+        F.size(tokens("text")).alias("n_tokens"),
+        punct_ratio("text").alias("__punct"),
+        C.hash_split("doc_id", 0.90, 0.05).alias("__split"),
+    )
+    w = Window.partitionBy("__h")
     q = (
-        kept.select(
-            "doc_id",
-            F.size(tokens("text")).alias("n_tokens"),
-            punct_ratio("text").alias("__punct"),
-            C.hash_split("doc_id", 0.90, 0.05).alias("__split"),
-        )
+        feat.withColumn("__keep", F.min("doc_id").over(w) == F.col("doc_id"))
         .filter(
-            (F.col("n_tokens") >= 20)
+            F.col("__keep")
+            & (F.col("n_tokens") >= 20)
             & (F.col("__punct") < 0.25)
             & (F.col("__split") == "train")
         )
@@ -384,6 +388,16 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = C.pack_sequences(q, "n_tokens", 256, "doc_id", n_shards=16)
     return packed.select("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
+
+
+def _term_stream(d: DataFrame) -> DataFrame:
+    """Exploded token occurrences, tokenized AFTER the (conditional)
+    widening exchange so the one-regex tokenize runs at full
+    parallelism; a single explode consumer needs no projection
+    barrier."""
+    return widen(d.select("text")).select(
+        F.explode(tokens("text")).alias("term")
+    )
 
 
 @query(
@@ -405,12 +419,7 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_with_dask_spark.operators.sketches import heavy_hitters
 
     d = load_table(spark, sf_dir, "documents")
-    base = (
-        d.select(tokens("text").alias("__toks"))
-        .repartition(d.sparkSession.sparkContext.defaultParallelism)
-        .select(F.explode("__toks").alias("term"))
-    )
-    return heavy_hitters(base, "term", 0.0335)
+    return heavy_hitters(_term_stream(d), "term", 0.0335)
 
 
 # DuckDB twin of sketches._cell: md5-derived CMS cell index.
@@ -451,11 +460,7 @@ def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    base = (
-        d.select(tokens("text").alias("__toks"))
-        .repartition(d.sparkSession.sparkContext.defaultParallelism)
-        .select(F.explode("__toks").alias("term"))
-    )
+    base = _term_stream(d)
     # ONE tokenize+explode+count of the corpus: the sketch fold, the
     # probe side, and the final join all reference the same counts
     # aggregation, whose shuffle AQE reuses stage-wise across the plan

@@ -19,6 +19,7 @@ from dwh_with_dask_spark.catalog import load_table
 from dwh_with_dask_spark.operators import dedup as D
 from dwh_with_dask_spark.operators import similarity as S
 from dwh_with_dask_spark.operators import textstats as TS
+from dwh_with_dask_spark.operators.dedup import text_tokens
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -37,7 +38,7 @@ def query(name: str, oracle: str | None = None):
 # DuckDB twin of dedup.normalize_text.
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # DuckDB twin of textstats.tokens (split normalized text on single spaces).
-_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')"
 
 
 # --------------------------------------------------------------------------
@@ -552,7 +553,7 @@ def explode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dwh_with_dask_spark.operators.dedup import normalize_text
 
     return d.select(
-        "doc_id", F.posexplode(F.split(normalize_text("text"), " "))
+        "doc_id", F.posexplode(text_tokens("text"))
     ).select(
         "doc_id",
         (F.col("pos") + 1).alias("pos"),
@@ -595,8 +596,13 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded), not corpus-sized."""
     from dwh_with_dask_spark.operators.dedup import normalize_text
 
+    from dwh_with_dask_spark.operators.partitioning import barrier, widen
+
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(F.split(normalize_text("text"), " ").alias("toks"))
+    # widen below the tokenize, no-shuffle barrier above it: the bigram
+    # transform indexes `toks` per element, which would otherwise
+    # re-inline the tokenize per position (O(len^2) per doc).
+    t = barrier(widen(d.select("text")).select(text_tokens("text").alias("toks")))
     uni = t.select(F.explode("toks").alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = uni.agg(F.count(F.lit(1)).alias("total"))

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from dwh_with_dask_spark.catalog import load_table, register_views
 from dwh_with_dask_spark.functions.numeric import dsum, exact_group_sums
 from dwh_with_dask_spark.operators.joins import asof_join, range_join
+from dwh_with_dask_spark.operators.dedup import text_tokens
 from dwh_with_dask_spark.operators.sessionize import sessionize_by_gap
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1414,8 +1415,8 @@ def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs_docs",
     """
     WITH t AS (SELECT doc_id,
-                      string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-                          AS toks
+                      list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                                  t -> t <> '') AS toks
                FROM documents)
     SELECT doc_id,
            len(toks) AS n_toks,
@@ -1430,7 +1431,7 @@ def array_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order function family: slice / contains / distinct /
     sort — all codegen'd builtins over the token array."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    toks = text_tokens("text")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_toks"),

@@ -399,3 +399,76 @@ def test_q17_decorrelates_to_single_lineitem_reuse(spark):
     plan = plan_of(QUERIES["q17_small_quantity_revenue"](spark, SF_CORRECT))
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") >= 2
+
+
+def test_widen_adds_no_exchange_on_wide_input(spark):
+    """VERDICT r5 ask #5: the text operators' repartition barrier must
+    be scale-conditional — a source already at session parallelism
+    passes through with NO added Exchange (only the free narrow
+    coalesce barrier), while a narrow scan still widens."""
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.partitioning import barrier, widen
+
+    par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+
+    def logical(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    wide = d.repartition(par, F.col("doc_id"))
+    out_wide = widen(wide, "doc_id")
+    # no NEW shuffling repartition beyond the one the test created —
+    # only the free narrow coalesce (Repartition shuffle=false)
+    assert logical(out_wide).count("RepartitionByExpression") == logical(
+        wide
+    ).count("RepartitionByExpression")
+
+    narrow = d.coalesce(1)
+    out_narrow = widen(narrow, "doc_id")
+    assert out_narrow.rdd.getNumPartitions() == par
+    assert logical(out_narrow).count("RepartitionByExpression") == 1
+
+
+def test_widen_operator_results_partitioning_invariant(spark):
+    """repetition_profile through the conditional path: wide and narrow
+    inputs must produce identical rows (barrier preserves semantics)."""
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.textstats import repetition_profile
+
+    par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, SF_CORRECT, "documents")
+    a = {
+        r.doc_id: (r.top_unigram_frac, r.distinct_unigram_ratio)
+        for r in repetition_profile(d.coalesce(1)).collect()
+    }
+    b = {
+        r.doc_id: (r.top_unigram_frac, r.distinct_unigram_ratio)
+        for r in repetition_profile(
+            d.repartition(par, F.col("doc_id"))
+        ).collect()
+    }
+    assert a == b
+
+
+def test_wide_input_plan_has_no_text_shuffle(spark):
+    """On a wide input, repetition_profile must not add a shuffling
+    repartition of the document text — the old unconditional form
+    always did; on a narrow input it must add exactly one."""
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.textstats import repetition_profile
+
+    def logical(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, SF_CORRECT, "documents")
+    wide = d.repartition(par, F.col("doc_id"))
+    # the only RepartitionByExpression is the test's own widening
+    assert logical(repetition_profile(wide)).count("RepartitionByExpression") == 1
+    # narrow input: the operator's conditional widening fires
+    assert (
+        logical(repetition_profile(d.coalesce(1))).count(
+            "RepartitionByExpression"
+        )
+        == 1
+    )
