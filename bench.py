@@ -53,6 +53,23 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def loadavg() -> list[float]:
+    """1/5/15-minute host load — recorded into the bench JSON so
+    cross-round deltas are adjudicable without reconstructing host
+    noise from prose (VERDICT r5 ask #2)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def mad(xs: list[float]) -> float:
+    """Median absolute deviation — the per-query noise estimate."""
+    m = statistics.median(xs)
+    return statistics.median(abs(x - m) for x in xs)
+
+
 def jvm_gc(spark) -> None:
     """Inter-trial driver GC (JMH-style benchmark hygiene).
 
@@ -71,8 +88,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
+    load_before = loadavg()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    mads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         materialize(fn(spark, sf_dir))  # warmup (JIT, code cache, FS cache)
@@ -84,6 +103,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        mads[name] = round(mad(runs), 3)
         jvm_gc(spark)
 
     total = round(sum(timings.values()), 3)
@@ -95,8 +115,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "mad": mads,
                 "n": RUNS,
                 "sf": float(sf),
+                "loadavg_before": load_before,
+                "loadavg_after": loadavg(),
             }
         )
     )
