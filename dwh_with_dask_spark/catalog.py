@@ -41,8 +41,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Optional tables: present only in locally generated dirs (partsupp via
+# scripts/gen_scale_data.py — the driver testdata has no partsupp, so
+# queries over it live outside the driver registry).
+OPTIONAL_TABLES = ("partsupp",)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
+    if name not in TABLES and name not in OPTIONAL_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark

@@ -63,6 +63,19 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
+    # Local-fixture queries (q2/q11/q20) join in whenever the target dir
+    # carries partsupp.parquet (gen_scale_data.py --fixture-partsupp).
+    import os as _os
+
+    if _os.path.exists(f"{sf_dir}/partsupp.parquet"):
+        from dwh_with_dask_spark.plans.tpch_extra import (
+            LOCAL_ORACLES,
+            LOCAL_QUERIES,
+        )
+
+        queries = {**queries, **LOCAL_QUERIES}
+        oracles = {**oracles, **LOCAL_ORACLES}
+
     spark = get_spark(app_name="dev_diff", master="local[8]", shuffle_partitions=8)
     duck = make_duck(sf_dir)
 

@@ -109,6 +109,7 @@ def fresh_documents(base: str, out: str, replicas: int, seed: int) -> None:
         lengths.append(len(toks))
     vocab, counts = np.unique(np.array(words), return_counts=True)
     probs = counts / counts.sum()
+    lengths = np.array(lengths)
     rng = np.random.default_rng(seed)
 
     ids, texts, langs, sources, n_chars = [], [], [], [], []
@@ -119,9 +120,13 @@ def fresh_documents(base: str, out: str, replicas: int, seed: int) -> None:
         sources.append(source)
         n_chars.append(len(text))
     for r in range(1, replicas):
-        for doc_id, _, lang, source in rows:
-            n = int(rng.choice(lengths))
-            text = " ".join(rng.choice(vocab, size=n, p=probs))
+        # vectorized draw (r6: replicas=100 for sf10 made the per-doc
+        # loop the bottleneck): all lengths, then one flat word draw
+        ns = rng.choice(lengths, size=len(rows))
+        flat = rng.choice(vocab, size=int(ns.sum()), p=probs)
+        offs = np.concatenate([[0], np.cumsum(ns)])
+        for i, (doc_id, _, lang, source) in enumerate(rows):
+            text = " ".join(flat[offs[i]:offs[i + 1]])
             ids.append(doc_id + r * nd)
             texts.append(text)
             langs.append(lang)
@@ -177,6 +182,67 @@ def fresh_embeddings(base: str, out: str, replicas: int, seed: int) -> None:
     )
     pq.write_table(tbl, f"{out}/embeddings.parquet")
     print(f"  embeddings: {len(ids)} rows (cluster-sampled, unit-norm)")
+
+
+def gen_partsupp(data_dir: str, seed: int = 11) -> None:
+    """partsupp for an existing table dir, from ITS part/supplier keys.
+
+    TPC-H-shaped (public spec §4.2.3): 4 suppliers per part via the
+    modular spread formula ps_suppkey = ((p + i*(S/4 + (p-1)/S)) % S)+1
+    (so a part's suppliers scatter across the supplier domain),
+    ps_availqty uniform 1..9999, ps_supplycost uniform 1.00..1000.00 —
+    all from one seeded generator, so the same dir always gets the
+    same partsupp. Enables TPC-H q2/q11/q20 locally; /root/testdata
+    has no partsupp so these stay out of the driver registry."""
+    con = duckdb.connect()
+    parts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT p_partkey FROM '{data_dir}/part.parquet' ORDER BY 1"
+        ).fetchall()
+    ]
+    s_keys = [
+        r[0]
+        for r in con.sql(
+            f"SELECT s_suppkey FROM '{data_dir}/supplier.parquet' ORDER BY 1"
+        ).fetchall()
+    ]
+    s_n = len(s_keys)
+    s_arr = np.array(s_keys)
+    n_per = min(4, s_n)
+    # step = floor(S/n_per) >= 1 makes i*step for i in 0..n_per-1
+    # pairwise distinct mod S -> distinct suppliers per part, always
+    step = max(1, s_n // n_per)
+    p_arr = np.repeat(np.array(parts), n_per)
+    i_arr = np.tile(np.arange(n_per), len(parts))
+    # index into the ordered supplier list (works for offset key domains)
+    p_ix = np.repeat(np.arange(len(parts)), n_per)
+    s_ix = (p_ix + i_arr * step) % s_n
+    rng = np.random.default_rng(seed)
+    avail = rng.integers(1, 10000, size=len(p_arr))
+    cost = np.round(rng.uniform(1.0, 1000.0, size=len(p_arr)), 2)
+    tbl = pa.table(
+        {
+            "ps_partkey": pa.array(p_arr, pa.int64()),
+            "ps_suppkey": pa.array(s_arr[s_ix], pa.int64()),
+            "ps_availqty": pa.array(avail, pa.int64()),
+            "ps_supplycost": pa.array(cost, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(data_dir, "partsupp.parquet"))
+    print(f"  partsupp: {len(p_arr)} rows in {data_dir}")
+
+
+def fixture_with_partsupp(base: str, out: str, seed: int = 11) -> None:
+    """Local fixture dir: every base table copied + partsupp generated —
+    the dev_diff/evidence path for q2/q11/q20 (the read-only driver
+    testdata cannot carry partsupp)."""
+    con = duckdb.connect()
+    for f in sorted(os.listdir(base)):
+        if f.endswith(".parquet"):
+            con.sql(f"COPY (SELECT * FROM '{base}/{f}') TO '{out}/{f}'")
+    gen_partsupp(out, seed)
+    print(f"  fixture: {out} (base tables + partsupp)")
 
 
 BOILERPLATE = (
@@ -277,9 +343,36 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true", help="generate the boilerplate-skew corpus instead")
     ap.add_argument("--limit", type=int, default=None, help="with --skew: take only the first N base docs")
     ap.add_argument("--skew-nl", action="store_true", help="generate the natural-vocabulary boilerplate corpus instead")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list restricting generation (relational,documents,"
+        "embeddings) — sf10 skips embeddings",
+    )
+    ap.add_argument(
+        "--partsupp",
+        metavar="DIR",
+        default=None,
+        help="generate partsupp.parquet into an existing table dir",
+    )
+    ap.add_argument(
+        "--fixture-partsupp",
+        nargs=2,
+        metavar=("BASE", "OUT"),
+        default=None,
+        help="copy BASE tables to OUT and add partsupp (local q2/q11/q20 fixture)",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.partsupp:
+        gen_partsupp(args.partsupp)
+        return
+    if args.fixture_partsupp:
+        base, out = args.fixture_partsupp
+        os.makedirs(out, exist_ok=True)
+        fixture_with_partsupp(base, out)
+        return
     if args.skew_nl:
         out = args.out or os.path.join(repo, ".localdata", "skewnl")
         os.makedirs(out, exist_ok=True)
@@ -294,10 +387,14 @@ def main() -> None:
         return
     out = args.out or os.path.join(repo, ".localdata", "sf1")
     os.makedirs(out, exist_ok=True)
-    print(f"sf1 ({args.replicas}x {args.base}) -> {out}")
-    replicate_relational(args.base, out, args.replicas)
-    fresh_documents(args.base, out, args.replicas, args.seed)
-    fresh_embeddings(args.base, out, args.replicas, args.seed)
+    which = set((args.tables or "relational,documents,embeddings").split(","))
+    print(f"scale ({args.replicas}x {args.base}) -> {out} [{sorted(which)}]")
+    if "relational" in which:
+        replicate_relational(args.base, out, args.replicas)
+    if "documents" in which:
+        fresh_documents(args.base, out, args.replicas, args.seed)
+    if "embeddings" in which:
+        fresh_embeddings(args.base, out, args.replicas, args.seed)
 
 
 if __name__ == "__main__":

@@ -35,9 +35,14 @@ def spark():
 
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with the same parquet tables as views —
-    mirrors the driver's oracle setup."""
+    mirrors the driver's oracle setup. partsupp registers only when the
+    dir carries it (local fixtures from gen_scale_data.py; the driver
+    testdata has none)."""
+    import os
+
     con = duckdb.connect()
-    for t in TABLES:
+    extra = ("partsupp",) if os.path.exists(f"{sf_dir}/partsupp.parquet") else ()
+    for t in TABLES + extra:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
