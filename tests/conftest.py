@@ -43,6 +43,8 @@ def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     extra = ("partsupp",) if os.path.exists(f"{sf_dir}/partsupp.parquet") else ()
     for t in TABLES + extra:
+        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+            continue  # partial local dirs (e.g. sf10 skips embeddings)
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
