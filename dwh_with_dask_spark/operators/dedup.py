@@ -559,20 +559,40 @@ def simhash_pairs(
     — so an equi-join per block finds all such pairs without n^2.
     Requires max_hamming < bands for completeness.
     """
+    fp = simhash(df, id_col, text_col, bits)
+    return hamming_band_pairs(fp, "id", "simhash", bits, max_hamming, bands)
+
+
+def hamming_band_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """All pairs with Hamming(hash) <= max_hamming from an
+    (id, 64-bit-hash) frame — the bit-prefix banding shared by SimHash
+    text dedup and perceptual image dedup (operators/imagehash.py).
+
+    Pigeonhole completeness: two hashes within Hamming distance
+    d < bands must agree exactly on at least one of ``bands``
+    contiguous bit-blocks, so ``bands`` equi-joins on block values find
+    every such pair with no n² comparison. Requires
+    ``max_hamming < bands``."""
     if max_hamming >= bands:
         raise ValueError("completeness requires max_hamming < bands")
     block = bits // bands
-    fp = simhash(df, id_col, text_col, bits)
     mask = (1 << block) - 1
     banded = fp.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("__fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * block)
+                        F.shiftright(F.col(hash_col), i * block)
                         .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
@@ -580,9 +600,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.key")
+    ).select("id", "__fp", "bb.band", "bb.key")
     a, b = banded.alias("a"), banded.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor = F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
     hamming = F.bit_count(xor)
     return (
         a.join(

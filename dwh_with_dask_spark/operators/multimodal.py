@@ -151,6 +151,42 @@ def _decode_png_stdlib(data: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib): 8-bit gray/RGB/RGBA,
+    filter type 0 per row. The write twin of ``_decode_png_stdlib`` —
+    lets queries and tests synthesize genuine PNG payloads so the
+    perceptual-hash path (operators/imagehash.py) exercises the real
+    decoder, not the stub."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    body = img.astype(np.uint8)
+    for y in range(h):
+        raw.append(0)
+        raw.extend(body[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav_stdlib(data: bytes) -> tuple[np.ndarray, int]:
     """REAL WAV/PCM decode with only the stdlib ``wave`` module + numpy:
     8/16/32-bit PCM, any channel count (downmixed to mono by mean),

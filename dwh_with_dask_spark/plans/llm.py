@@ -530,6 +530,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_phash_dedup")  # pixel decode: engine-specific, rows-only
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end on REAL PNGs (VERDICT r5 ask
+    #4): synthesize one genuine PNG per document (doc_id < 60; docs in
+    the same triple share a seeded 32×32 pattern with a small
+    brightness shift — planted near-dups that byte-dedup CANNOT see,
+    since every payload has a distinct sha256), then stdlib-decode →
+    DCT pHash → banded Hamming pair join
+    (operators/imagehash.phash_near_dup_pairs). Output: one row per
+    near-dup pair with both doc ids and the Hamming distance —
+    deterministic, rows-only (pixel decode has no SQL oracle)."""
+    import pandas as pd
+
+    from dwh_with_dask_spark.operators import multimodal as MM
+    from dwh_with_dask_spark.operators.imagehash import phash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            paths, lengths, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rng = np.random.default_rng(i // 3)
+                base = rng.integers(0, 200, size=(32, 32, 3))
+                if i % 3 == 1:  # brightness shift: pHash-invariant edit
+                    base = base + 5
+                elif i % 3 == 2:  # local patch edit: small Hamming move
+                    base[12:18, 12:18] = rng.integers(0, 255, size=(6, 6, 3))
+                img = np.clip(base, 0, 255).astype("uint8")
+                blob = MM.encode_png(img)
+                paths.append(str(doc_id))
+                lengths.append(len(blob))
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"path": paths, "length": lengths, "content": blobs}
+            )
+
+    binaries = d.select("doc_id").mapInPandas(
+        synth, schema="path string, length long, content binary"
+    )
+    media = MM.media_table(binaries, "image")
+    pairs = phash_near_dup_pairs(media, max_hamming=10, bands=16)
+    ids = media.select(
+        F.col("content_hash"), F.col("path").cast("long").alias("doc_id")
+    )
+    return (
+        pairs.join(ids.withColumnRenamed("doc_id", "doc_a"),
+                   pairs.hash_a == ids.content_hash)
+        .drop("content_hash")
+        .join(ids.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+            "content_hash", "__ch2"), F.col("hash_b") == F.col("__ch2"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
