@@ -494,6 +494,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    max_cell_rows: int = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public method: Abbas et
     al. 2023, arXiv:2303.09540): cluster embeddings into ``nlist``
@@ -516,10 +517,19 @@ def semantic_dedup(
     (one Arrow-batched GEMM, centroids are nlist x dim driver metadata);
     the dedup pass is one ``applyInPandas`` task per cell — a single
     float64 GEMM over the cell's members, shuffled once on the cell id.
-    A cell of m vectors costs m^2 flops and m*dim resident bytes;
-    at corpus scale pick nlist so corpus/nlist vectors fit one task
-    (the paper's regime), or split giant cells with
-    ``cosine_pairs_blocked`` inside the cell.
+    A cell of m vectors costs m^2 flops and m*dim resident bytes.
+
+    Giant cells (VERDICT r5 ask #6): a cell larger than
+    ``max_cell_rows`` no longer materializes its m×m similarity matrix.
+    Because the drop rule is "ANY lower-id neighbor above threshold"
+    (not sequential-greedy), it decomposes exactly over tiles: the cell
+    task streams ``max_cell_rows``-sized row/column tiles of the GEMM,
+    keeping per-row only the smallest matching id so far — bit-identical
+    keepers to the one-shot path (property-tested), with the quadratic
+    buffer bounded at tile² while total flops stay m²/2. The task still
+    holds the cell's m×dim matrix; if even THAT outgrows one executor,
+    raise nlist (the paper's regime) — a coarser nlist only moves the
+    approximation boundary, never the within-cell answer.
     """
     indexed, _cents = build_ivf_index(
         df, nlist=nlist, id_col=id_col, vec_col=vec_col, iters=iters
@@ -534,12 +544,40 @@ def semantic_dedup(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         mat /= norms
-        sims = mat @ mat.T
-        # strictly-lower-triangular mask: neighbors with smaller id
-        hit = np.tril(sims >= threshold, k=-1)
-        has_dup = hit.any(axis=1)
-        first_j = hit.argmax(axis=1)  # smallest index == smallest id
-        dup_of = np.where(has_dup, ids[first_j], -1)
+        m = len(ids)
+        if m <= max_cell_rows:
+            sims = mat @ mat.T
+            # strictly-lower-triangular mask: neighbors with smaller id
+            hit = np.tril(sims >= threshold, k=-1)
+            has_dup = hit.any(axis=1)
+            first_j = hit.argmax(axis=1)  # smallest index == smallest id
+            dup_of = np.where(has_dup, ids[first_j], -1)
+        else:
+            # tiled exact path: per row track the FIRST (smallest-index
+            # == smallest-id) hit; column tiles ascend, so the first
+            # tile that hits a row decides it.
+            b = max_cell_rows
+            dup_of = np.full(m, -1, dtype=np.int64)
+            for i0 in range(0, m, b):
+                i1 = min(i0 + b, m)
+                rows = mat[i0:i1]
+                unresolved = dup_of[i0:i1] == -1
+                for j0 in range(0, i1, b):
+                    j1 = min(j0 + b, i1)
+                    if not unresolved.any():
+                        break
+                    sims = rows @ mat[j0:j1].T
+                    # strict j < i constraint within the diagonal tile
+                    gi = np.arange(i0, i1)[:, None]
+                    gj = np.arange(j0, j1)[None, :]
+                    hit = (sims >= threshold) & (gj < gi)
+                    hit[~unresolved] = False
+                    any_hit = hit.any(axis=1)
+                    first_j = hit.argmax(axis=1)
+                    take = any_hit & unresolved
+                    dup_of[i0:i1][take] = ids[j0:j1][first_j[take]]
+                    unresolved = dup_of[i0:i1] == -1
+            has_dup = dup_of >= 0
         return pd.DataFrame(
             {
                 id_col: ids,

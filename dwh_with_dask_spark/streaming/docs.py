@@ -114,3 +114,54 @@ def flag_against_index(
         .select("doc_id", "corpus_id", F.lit("near").alias("kind"), "agree_frac")
     )
     return exact.unionByName(near)
+
+
+def streaming_cms(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Incremental count-min sketch over a DOCUMENT STREAM — the
+    streaming leg of ``operators.sketches.cms_build`` (VERDICT r5 ask
+    #8). Returns the live (row, cell, total) sketch as a streaming
+    aggregation; run it with ``outputMode("complete")`` (the sketch is
+    depth×width rows — trivially re-emittable) or ``"update"`` for
+    changed cells only.
+
+    Why this shape is streaming-legal AND bounded: the batch build
+    aggregates exact per-term counts first (vocabulary-sized state —
+    unbounded on a stream), so the streaming twin instead folds each
+    token OCCURRENCE into its ``depth`` cells map-side and lets the
+    ONLY stateful aggregation be the cell sum. State = depth×width
+    rows, forever, regardless of stream length — the defining property
+    of a sketch, now carried by the state store. Cells are additive, so
+    batch-merge == stream-merge == the same totals (equality asserted
+    in tests against cms_build over the same corpus). The md5 cell
+    addressing is byte-identical to the batch/or oracle twin.
+
+    Heavy hitters ride the same stream: join the finished sketch (or
+    any micro-batch snapshot) against candidate keys with
+    ``operators.sketches.cms_estimate`` — estimates are upper bounds
+    exactly as in batch.
+    """
+    from dwh_with_dask_spark.operators.dedup import text_tokens
+    from dwh_with_dask_spark.operators.sketches import _cell
+
+    term = F.explode(text_tokens(text_col)).alias("term")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _cell(F.col("term").cast("string"), r, width, salt).alias("cell"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        docs.select(term)
+        .select(F.explode(cells).alias("__c"))
+        .groupBy(F.col("__c.row").alias("row"), F.col("__c.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("total"))
+    )

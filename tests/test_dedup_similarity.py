@@ -467,6 +467,38 @@ def test_semantic_dedup_cell_local_greedy_property(spark):
     assert any(not kept for kept, _ in got.values())  # non-vacuous
 
 
+def test_semantic_dedup_giant_cell_tiled_equals_oneshot(spark):
+    """VERDICT r5 ask #6: a cell larger than max_cell_rows runs the
+    tiled exact path — keepers and dup_of links must be IDENTICAL to
+    the one-shot m×m path on the same (deliberately oversized) cell."""
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    thr = 0.35
+    # nlist=1 -> ONE cell holding the whole table (the oversized cell);
+    # max_cell_rows=64 forces tiling, default leaves the one-shot path
+    one_shot = {
+        r["vec_id"]: (r["is_kept"], r["dup_of"])
+        for r in S.semantic_dedup(emb, threshold=thr, nlist=1).collect()
+    }
+    tiled = {
+        r["vec_id"]: (r["is_kept"], r["dup_of"])
+        for r in S.semantic_dedup(
+            emb, threshold=thr, nlist=1, max_cell_rows=64
+        ).collect()
+    }
+    assert tiled == one_shot
+    assert any(not kept for kept, _ in tiled.values())  # non-vacuous
+    # and with an UNEVEN tile boundary (non-divisor block size)
+    tiled97 = {
+        r["vec_id"]: (r["is_kept"], r["dup_of"])
+        for r in S.semantic_dedup(
+            emb, threshold=thr, nlist=1, max_cell_rows=97
+        ).collect()
+    }
+    assert tiled97 == one_shot
+
+
 def test_ann_recommended_recall_floor(spark):
     """Floor test for ANN.md's recommended setting: SRP (bits=8,
     tables=16), averaged over 20 seeded queries on the checked-in

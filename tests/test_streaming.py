@@ -893,3 +893,65 @@ def test_stateless_curation_on_stream_equals_batch(spark, tmpdir_spark):
     want = {tuple(r) for r in batch_out.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_cms_equals_batch_cells(spark, tmpdir_spark):
+    """VERDICT r5 ask #8: the incremental CMS over micro-batched
+    documents must end bit-equal to the batch sketch over the same
+    corpus — cells are additive, so stream-merge == batch-merge."""
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.operators.sketches import cms_build
+    from dwh_with_dask_spark.streaming.docs import (
+        read_documents_stream,
+        streaming_cms,
+    )
+    from dwh_with_dask_spark.operators.dedup import text_tokens
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = f"{tmpdir_spark}/docs_cms"
+    docs.repartition(5).write.parquet(src)  # 5 files -> 5 micro-batches
+
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    name = f"cms_{_uuid.uuid4().hex[:8]}"
+    streamed = run_stream_to_memory(
+        spark, streaming_cms(stream), name, f"{tmpdir_spark}/ckpt_cms"
+    )
+
+    terms = docs.select(F.explode(text_tokens("text")).alias("term"))
+    batch = cms_build(terms, "term", depth=4, width=64)
+
+    a = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_streaming_cms_estimates_are_upper_bounds(spark, tmpdir_spark):
+    """A snapshot of the streaming sketch must estimate >= true counts
+    (the CMS bound), via the SAME cms_estimate probe as batch."""
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.operators.dedup import text_tokens
+    from dwh_with_dask_spark.operators.sketches import cms_estimate
+    from dwh_with_dask_spark.streaming.docs import (
+        read_documents_stream,
+        streaming_cms,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = f"{tmpdir_spark}/docs_cms2"
+    docs.repartition(3).write.parquet(src)
+
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    name = f"cmse_{_uuid.uuid4().hex[:8]}"
+    sketch = run_stream_to_memory(
+        spark, streaming_cms(stream), name, f"{tmpdir_spark}/ckpt_cms2"
+    )
+
+    terms = docs.select(F.explode(text_tokens("text")).alias("term"))
+    exact = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    est = cms_estimate(sketch, exact.select("term"), "term", 4, 64)
+    joined = {r.term: r.cms_est for r in est.collect()}
+    for r in exact.collect():
+        assert joined[r.term] >= r.cnt
