@@ -15,6 +15,23 @@ occurrences), one warmup + median of 3, idle host required:
   cms_int    same but every join keyed on xxhash64(term)
 
 Prints one table; outcome documented in BENCH_SCALE.md either way.
+
+MEASURED (2026-08-14, idle host, loadavg 0.65->1.23) — NEGATIVE result:
+
+    floor        1.848 s   (tokenize+explode alone)
+    agg_str      1.896 s   (string groupBy adds ~0.05 s over floor)
+    agg_int      1.858 s   (int keys buy ~nothing)
+    hh_cur       2.061 s
+    hh_int       2.053 s   (min(term) carry: wash)
+    hh_int2      2.126 s   (2nd-pass string recovery: LOSES)
+    cms_cur      2.250 s
+    cms_int      2.209 s
+
+Conclusion: the VERDICT-r5 hypothesis (string-keyed shuffle is the
+cost) is false at this scale — the tokenize FLOOR is the cost. That
+redirected the round-6 work to the one-regex tokenizer
+(exp_tokenize_floor.py), which cut the floor 42% and brought the whole
+family under the 2x line without touching key types.
 """
 
 from __future__ import annotations

@@ -6,6 +6,19 @@ Java regex is the residual floor of the token family. Candidates
   tokens:  filter(split(translate(lower(x), '\\t\\n\\x0b\\x0c\\r', '     '), ' '), <> '')
   punct:   length(translate(x, [A-Za-z0-9_ + ws], ''))  vs  regexp_replace
   norm:    array_join(tokens, ' ') == normalize_text(x)  (for sha256 dedup)
+
+MEASURED (2026-08-14, idle host) — NEGATIVE result, NOT adopted:
+
+    token/norm/punct mismatches on the sf1 corpus: 0 (semantics equal)
+    toksize_regex      0.373 s    toksize_translate   0.358 s
+    explode_regex      0.327 s    explode_translate   0.312 s
+    punct_regex        0.247 s    punct_translate     0.250 s
+    sha_norm_regex     0.227 s    sha_norm_translate  0.261 s
+
+Java regex with these simple patterns is NOT the bottleneck — the
+translate() char-map forms are within noise (and the sha-norm one
+loses: concat_ws re-materializes the token array). Keeping the regex
+kernels; the win was eliminating a PASS, not the regex itself.
 """
 
 from __future__ import annotations

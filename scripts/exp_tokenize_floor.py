@@ -7,6 +7,19 @@ floor (exp_int_keys.py: floor 1.85 s of hh_cur 2.06 s). Decompose it:
   floor_1re   repartition + split(lower, '\\s+') + filter '' — ONE regex
   floor_1re_n no repartition, one-regex tokenize
   hh_1re      heavy hitters over the one-regex tokenize
+
+MEASURED (2026-08-14, idle host) — ADOPTED engine-wide as
+dedup.text_tokens:
+
+    scan          0.152 s   (raw text count)
+    floor_cur     1.238 s   (normalize_text 2-regex + split)
+    scan_norep    1.420 s   (2-partition scan: repartition IS needed)
+    floor_1re     0.724 s   (ONE regex pass: -42%)
+    floor_1re_n   0.984 s
+    hh_1re        1.228 s   (heavy hitters, was ~2.06 s)
+
+sf1 query ratios vs DuckDB after adoption: heavy_hitters 2.70x->0.94x,
+cms 3.21x->1.25x, oov 2.24x->0.74x, bm25 1.50x->0.35x.
 """
 
 from __future__ import annotations
