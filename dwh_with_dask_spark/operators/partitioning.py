@@ -40,6 +40,10 @@ def widen(df: DataFrame, *cols: str | Column) -> DataFrame:
     ``repartition(defaultParallelism, ...)`` barriers: identical plan
     on narrow local scans, no text shuffle on a cluster whose scan is
     already thousands of splits (asserted by tests/test_plans.py)."""
+    if df.isStreaming:
+        # a stream has no inspectable partitioning (df.rdd throws);
+        # micro-batch parallelism is the source's concern
+        return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     n = df.rdd.getNumPartitions()
@@ -53,5 +57,8 @@ def barrier(df: DataFrame, n: int | None = None) -> DataFrame:
     """No-shuffle projection barrier: narrow coalesce to the current
     partition count. Blocks CollapseProject/ColumnPruning from inlining
     expressions bound below it into lambdas or post-Generate projects
-    above it; adds no exchange and moves no rows."""
+    above it; adds no exchange and moves no rows. Streaming frames pass
+    through untouched (no inspectable partitioning)."""
+    if df.isStreaming:
+        return df
     return df.coalesce(n if n is not None else df.rdd.getNumPartitions())
