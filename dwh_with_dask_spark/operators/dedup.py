@@ -951,3 +951,70 @@ def minhash_signatures_rowlocal(
             ]
         ).alias("sig"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicate-substring coverage: fixed-``k`` token windows that
+    recur anywhere in the corpus (Lee et al. 2022's ExactSubstr dedup,
+    in the hashed fixed-length form used by public code pipelines —
+    suffix arrays find variable-length repeats; hashing every k-token
+    window finds all repeats of length >= k at data-proportional cost).
+
+    Plan: one tokenize pass -> row-local k-gram window hashes (16-hex
+    md5 prefix, no shuffle) -> posexplode to (id, pos, h) -> the
+    recurring hashes via groupBy(h) HAVING count>=2 -> join back. Both
+    branches shuffle the SAME (id, pos, h) stream by ``h``, so AQE
+    reuses one exchange for the aggregate and the join probe. Per-doc
+    duplicated-token coverage then merges overlapping [pos, pos+k)
+    intervals with a single running-max window — no interval explode.
+
+    Returns one row per document that contains at least one duplicated
+    window: (id_col, n_dup_windows, dup_tokens) where ``dup_tokens`` is
+    the count of token positions covered by >=1 duplicated window.
+
+    At 100 TB: windows are ~(8B id, 4B pos, 16B hash) rows — the text
+    itself never shuffles; everything downstream of the explode is
+    fixed-width. No quadratic pair materialization anywhere (recurring
+    hashes join back to positions, they are never self-joined).
+    """
+    n = F.size(F.col("__toks"))
+    src = widen(df.select(id_col, text_col), id_col)
+    base = barrier(
+        src.select(F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks"))
+    ).filter(n >= k)
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")), 1, 16
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = grams.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    dw = grams.join(dup_h, "h").select("id", "pos")
+    prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos") + k - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + k).over(prev), F.lit(0))),
+    )
+    return (
+        dw.withColumn("__c", contrib)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("__c").alias("dup_tokens"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

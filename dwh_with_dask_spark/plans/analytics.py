@@ -732,3 +732,73 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded bigram frame, no count-table join-back."""
     d = load_table(spark, sf_dir, "documents")
     return bigram_logprob_scores(d, "doc_id", "text")
+
+
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled power-iteration CTE chain — one c{i}/r{i} pair per
+    iteration, the exact SQL twin of operators/graph.py:pagerank."""
+    sql = """
+    WITH e0 AS (
+      SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+             's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    und AS (SELECT src, dst, w FROM e0
+            UNION ALL SELECT dst, src, w FROM e0),
+    outw AS (SELECT src, SUM(w) AS tw FROM und GROUP BY src),
+    norm AS (SELECT und.src, und.dst, und.w / outw.tw AS p
+             FROM und JOIN outw ON und.src = outw.src),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (SELECT norm.dst, SUM(r{i - 1}.pr * norm.p) AS c
+             FROM r{i - 1} JOIN norm ON r{i - 1}.node = norm.src
+             GROUP BY norm.dst),
+    r{i} AS (SELECT nodes.node,
+                    0.15 / (SELECT n FROM nn)
+                      + 0.85 * COALESCE(c{i}.c, 0.0) AS pr
+             FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst)"""
+    sql += f"""
+    SELECT node, round(pr, 6) AS pr
+    FROM r{iters}
+    ORDER BY round(pr, 6) DESC, node
+    LIMIT 50
+    """
+    return sql
+
+
+@query("pagerank_customer_supplier", _pagerank_oracle())
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 power iterations, d=0.85) over the
+    customer<->supplier affinity graph mined from lineitem x orders —
+    top 50 nodes. Edge derivation is one fact-table join + count; the
+    iterations then shuffle only the node-count-sized rank vector
+    against the persisted normalized edge table
+    (operators/graph.py:pagerank). round(,6) absorbs summation-order
+    float drift; ties at the cut break by node id."""
+    from dwh_with_dask_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .count()
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.col("count").alias("w"),
+        )
+    )
+    ranks = pagerank(edges, weight="w", iters=_PR_ITERS, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(50)
+    )

@@ -824,3 +824,49 @@ def corpus_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars", budget_frac=0.5,
     )
     return out.select("doc_id", "source", "rate")
+
+
+@query(
+    "corpus_c4_rules",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)), x ->
+                 right(rtrim(x), 1) IN ('.', '!', '?', '"')
+                 AND len(list_filter(string_split(trim(x), ' '),
+                                     w -> w <> '')) >= 5
+                 AND NOT contains(lower(x), 'javascript')) AS kept,
+             contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+             contains(text, '{') AS has_brace
+      FROM documents),
+    j AS (
+      SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_lines_kept,
+             has_lorem_ipsum, has_brace,
+             COALESCE(array_to_string(kept, chr(10)), '') AS c4_text
+      FROM base)
+    SELECT doc_id, n_lines, n_lines_kept, has_lorem_ipsum, has_brace,
+           length(c4_text)
+             - length(regexp_replace(c4_text, '[.!?]', '', 'g'))
+             AS n_sentences,
+           (NOT has_lorem_ipsum) AND (NOT has_brace)
+             AND (length(c4_text)
+                  - length(regexp_replace(c4_text, '[.!?]', '', 'g'))) >= 3
+             AS c4_keep
+    FROM j
+    """,
+)
+def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page/line cleaning rules (Raffel et al. 2020) as one row-local
+    codegen'd projection — line keep/drop, lorem-ipsum / curly-brace
+    page flags, sentence floor (operators/c4.py). The synthetic corpus
+    has no newlines or punctuation, so the line rules are exercised by
+    the golden unit fixtures (tests/test_curation.py); this entry proves
+    the flag/count semantics match the oracle byte-for-byte on 5k docs."""
+    from dwh_with_dask_spark.operators.c4 import c4_clean
+
+    d = load_table(spark, sf_dir, "documents")
+    return c4_clean(d).select(
+        "doc_id", "n_lines", "n_lines_kept", "has_lorem_ipsum",
+        "has_brace", "n_sentences", "c4_keep",
+    )

@@ -842,3 +842,61 @@ def embedding_ridge_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, float(r2), float(np.linalg.norm(w)), float(b))],
         "n long, r2_train double, weight_norm double, bias double",
     )
+
+
+@query(
+    "dedup_duplicate_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos FROM t),
+    w AS (SELECT doc_id, pos,
+                 substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
+                           1, 16) AS h
+          FROM p),
+    d AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+    dw AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
+    m AS (SELECT doc_id, pos,
+            MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_end
+          FROM dw)
+    SELECT doc_id, COUNT(*) AS n_dup_windows,
+           CAST(SUM(GREATEST(0, pos + 8 - GREATEST(pos,
+                    COALESCE(prev_end, 0)))) AS BIGINT) AS dup_tokens
+    FROM m GROUP BY doc_id
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span coverage (Lee et al. 2022,
+    hashed fixed-k form): every 8-token window that recurs anywhere in
+    the corpus, merged into per-doc covered-token counts
+    (operators/dedup.py:duplicate_spans). Text never shuffles — only
+    (id, pos, 16-hex-hash) rows do."""
+    from dwh_with_dask_spark.operators.dedup import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(d, k=8)
+
+
+@query("embedding_logreg_probe")
+def embedding_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed binary logistic-regression probe (is-cluster-0 vs
+    rest) over the embedding column — the trainable fastText-style
+    quality-classifier shape (operators/pca.py:logreg_fit): 30
+    full-batch GD iterations, each one scan folding per-partition
+    gradient partials (dim+1 floats) with executor GEMMs. Rows-only by
+    design (iterative float fit has no SQL oracle); the numpy-twin
+    equivalence is pinned in tests/test_analytics.py."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.pca import logreg_accuracy, logreg_fit
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") == 0).cast("int").alias("y")
+    )
+    w, b, n, loss = logreg_fit(e, "embedding", "y", iters=30, lr=1.0, l2=1e-4)
+    acc = logreg_accuracy(e, w, b, "embedding", "y")
+    return spark.createDataFrame(
+        [(n, float(acc), float(loss), float(np.linalg.norm(w)), float(b))],
+        "n long, acc_train double, log_loss double, weight_norm double, bias double",
+    )

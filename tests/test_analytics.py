@@ -750,3 +750,89 @@ def test_profile_fuzz_vs_pandas(spark):
     assert got["a"].n_rows == 300
     assert got["a"].min_val == str(int(pdf["a"].dropna().min()))
     assert got["b"].max_val == str(pdf["b"].dropna().max())
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "x", 2.0), ("a", "y", 1.0), ("b", "x", 1.0),
+        ("c", "y", 3.0), ("c", "z", 1.0), ("d", "z", 2.0),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in pagerank(e, weight="w", iters=5).collect()}
+
+    # numpy twin: identical undirected mirror + (1-d)/N + d*sum updates
+    und = edges + [(d_, s, w) for s, d_, w in edges]
+    nodes = sorted({s for s, _, _ in und} | {d_ for _, d_, _ in und})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outw = np.zeros(n)
+    for s, _, w in und:
+        outw[idx[s]] += w
+    p = np.zeros((n, n))  # p[dst, src]
+    for s, d_, w in und:
+        p[idx[d_], idx[s]] += w / outw[idx[s]]
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = 0.15 / n + 0.85 * (p @ r)
+    want = {nodes[i]: r[i] for i in range(n)}
+
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    """Directed mode: a sink node contributes nothing; every node keeps
+    the (1-d)/N floor — the documented dropped-dangling-mass contract."""
+    from dwh_with_dask_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0)], "src string, dst string, w double"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, weight="w", iters=3, undirected=False).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    floor = 0.15 / 3
+    assert abs(got["a"] - floor) < 1e-12  # nothing points at 'a'
+    assert got["c"] > got["b"] > got["a"]
+
+
+def test_logreg_fit_matches_numpy_twin(spark):
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.pca import logreg_accuracy, logreg_fit
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 4
+    x = rng.normal(size=(n, dim))
+    w_true = np.array([2.0, -1.5, 0.5, 0.0])
+    y = (x @ w_true + 0.3 > 0).astype(int)
+
+    rows = [(i, [float(v) for v in x[i]], int(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>, y int")
+    iters, lr, l2 = 25, 1.0, 1e-4
+    w, b, n_got, loss = logreg_fit(df, "embedding", "y", iters=iters, lr=lr, l2=l2)
+
+    # numpy twin: identical zero-init full-batch GD
+    a = np.hstack([x, np.ones((n, 1))])
+    wv = np.zeros(dim + 1)
+    for _ in range(iters):
+        z = a @ wv
+        p = 1.0 / (1.0 + np.exp(-z))
+        grad = a.T @ (p - y) / n
+        grad[:-1] += l2 * wv[:-1]
+        wv -= lr * grad
+
+    assert n_got == n
+    assert np.allclose(w, wv[:-1], atol=1e-6)
+    assert abs(b - wv[-1]) < 1e-6
+    acc = logreg_accuracy(df, w, b, "embedding", "y")
+    assert acc > 0.9
+    assert loss < 0.69  # better than the zero-weight log(2) start

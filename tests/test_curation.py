@@ -377,3 +377,81 @@ def test_mixture_sample_hits_target_shares(spark):
         df, "grp", {"even": 1.0}, "id", weight_col="w", budget_frac=0.25
     )
     assert out2.filter(F.col("grp") == "odd").count() == 0
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from dwh_with_dask_spark.operators.c4 import c4_clean
+
+    good = (
+        "This is a proper sentence with enough words.\n"
+        "Too short line.\n"
+        "No terminal punctuation on this long enough line\n"
+        "Enable javascript to view this site properly please.\n"
+        'A quoted sentence also counts as a terminal line."\n'
+        "Another fine sentence that ends with a question mark ok?\n"
+        "And one more exclamation heavy sentence right here now!"
+    )
+    lorem = "Lorem Ipsum dolor sit amet is filler text for sure."
+    code = "function f() { return 1; } is code with braces here."
+    thin = "Just one good sentence with enough words in it."
+    rows = [(1, good), (2, lorem), (3, code), (4, thin)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(d).collect()}
+
+    g = out[1]
+    # kept: sentence ., quoted ", question ?, exclamation ! lines;
+    # dropped: short line, no-terminal line, javascript line
+    assert g.n_lines == 7 and g.n_lines_kept == 4
+    assert "javascript" not in g.c4_text
+    assert "Too short" not in g.c4_text
+    assert g.c4_keep and not g.has_lorem_ipsum and not g.has_brace
+    assert out[2].has_lorem_ipsum and not out[2].c4_keep
+    assert out[3].has_brace and not out[3].c4_keep
+    # page with a single retained sentence fails the >=3 sentence floor
+    assert out[4].n_lines_kept == 1 and not out[4].c4_keep
+
+
+def test_c4_rules_fixture_matches_duckdb(spark, tmp_path):
+    """Differential on REALISTIC multi-line text (the sf corpora have no
+    newlines, so the registry entry alone never exercises line rules)."""
+    import duckdb
+
+    from dwh_with_dask_spark.plans.curation import ORACLES
+
+    texts = [
+        "First sentence here is fine and long enough.\nshort.\n"
+        "Third line has javascript inside it but is long and ends well.\n"
+        "Fourth line is perfectly reasonable and ends properly!\n"
+        "Fifth line also ends with terminal punctuation right here?",
+        "lorem ipsum page with plenty of words that end properly.",
+        "brace { page with plenty of words that end properly.",
+        "no terminal lines at all on this page whatsoever",
+        "One good sentence only with enough words right here.",
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = str(tmp_path / "documents.parquet")
+    d.toPandas().to_parquet(pq)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(ORACLES["corpus_c4_rules"]).fetchall()
+    }
+
+    from dwh_with_dask_spark.operators.c4 import c4_clean
+
+    got = {
+        r.doc_id: (
+            r.n_lines, r.n_lines_kept, r.has_lorem_ipsum,
+            r.has_brace, r.n_sentences, r.c4_keep,
+        )
+        for r in c4_clean(d).select(
+            "doc_id", "n_lines", "n_lines_kept", "has_lorem_ipsum",
+            "has_brace", "n_sentences", "c4_keep",
+        ).collect()
+    }
+    assert got == want

@@ -538,3 +538,75 @@ def test_ann_recommended_recall_floor(spark):
         assert mean1 >= 0.8, f"radius-1 mean recall {mean1} < 0.8: {recalls[1]}"
     finally:
         idx.unpersist()
+
+
+def test_duplicate_spans_cross_and_within_doc(spark):
+    """Hand-computed ExactSubstr coverage: cross-doc repeats, exact
+    within-doc tiling, and overlapping-window interval merge."""
+    uniq = "u{} v{} w{}"  # unique filler so only planted grams collide
+    docs = [
+        # doc 1 / doc 2 share one 8-token run at different offsets
+        (1, "a b c d e f g h " + " ".join(uniq.format(i, i, i) for i in range(4))),
+        (2, " ".join(uniq.format(90 + i, 90 + i, 90 + i) for i in range(3))
+            + " a b c d e f g h"),
+        # doc 3: 8-token unit exactly repeated -> dup windows {0, 8},
+        # merged coverage 16
+        (3, "p q r s t u v w p q r s t u v w"),
+        # doc 4: 9-token unit repeated -> dup windows {0,1,9,10},
+        # intervals [0,8)[1,9)[9,17)[10,18) merge to 18
+        (4, "m n o p q r s t u m n o p q r s t u"),
+        # doc 5: all-unique tokens -> no dup rows at all
+        (5, " ".join(f"x{i} y{i}" for i in range(10))),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_windows, r.dup_tokens)
+        for r in D.duplicate_spans(d, k=8).collect()
+    }
+    assert got == {1: (1, 8), 2: (1, 8), 3: (2, 16), 4: (4, 18)}
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    """Seeded fuzz vs a direct single-machine reference (dict of gram
+    counts + interval merge) on a corpus with planted repeats."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    boiler = [f"b{i}" for i in range(12)]  # shared boilerplate run
+    texts = []
+    for i in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        if i % 3 == 0:
+            at = rng.randint(0, len(toks))
+            toks[at:at] = boiler
+        texts.append((i, " ".join(toks)))
+    k = 8
+
+    from collections import Counter, defaultdict
+
+    counts: Counter = Counter()
+    pos_by_doc: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    for i, t in texts:
+        toks = t.split()
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            counts[g] += 1
+            pos_by_doc[i].append((p, g))
+    want = {}
+    for i, pws in pos_by_doc.items():
+        dup = sorted(p for p, g in pws if counts[g] >= 2)
+        if not dup:
+            continue
+        covered, end = 0, 0
+        for p in dup:
+            covered += max(0, p + k - max(p, end))
+            end = max(end, p + k)
+        want[i] = (len(dup), covered)
+
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_windows, r.dup_tokens)
+        for r in D.duplicate_spans(d, k=k).collect()
+    }
+    assert got == want
