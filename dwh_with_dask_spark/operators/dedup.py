@@ -982,12 +982,23 @@ def duplicate_spans(
     fixed-width. No quadratic pair materialization anywhere (recurring
     hashes join back to positions, they are never self-joined).
     """
+    grams = _span_windows(df, text_col, id_col, k)
+    dup_h = grams.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    dw = grams.join(dup_h, "h").select("id", "pos")
+    return _span_coverage(dw, k).withColumnRenamed("id", id_col)
+
+
+def _span_windows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h) for every k-token window — one tokenize pass,
+    row-local gram hashing (16-hex md5 prefix), no shuffle."""
     n = F.size(F.col("__toks"))
     src = widen(df.select(id_col, text_col), id_col)
     base = barrier(
         src.select(F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks"))
     ).filter(n >= k)
-    grams = base.select(
+    return base.select(
         "id",
         F.posexplode(
             F.transform(
@@ -998,8 +1009,11 @@ def duplicate_spans(
             )
         ).alias("pos", "h"),
     )
-    dup_h = grams.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    dw = grams.join(dup_h, "h").select("id", "pos")
+
+
+def _span_coverage(dw: DataFrame, k: int) -> DataFrame:
+    """Merge overlapping [pos, pos+k) intervals per id with a single
+    running-max window — (id, n_dup_windows, dup_tokens)."""
     prev = (
         Window.partitionBy("id")
         .orderBy("pos")
@@ -1007,7 +1021,11 @@ def duplicate_spans(
     )
     contrib = F.greatest(
         F.lit(0),
-        F.col("pos") + k - F.greatest(F.col("pos"), F.coalesce(F.max(F.col("pos") + k).over(prev), F.lit(0))),
+        F.col("pos")
+        + k
+        - F.greatest(
+            F.col("pos"), F.coalesce(F.max(F.col("pos") + k).over(prev), F.lit(0))
+        ),
     )
     return (
         dw.withColumn("__c", contrib)
@@ -1016,5 +1034,46 @@ def duplicate_spans(
             F.count(F.lit(1)).alias("n_dup_windows"),
             F.sum("__c").alias("dup_tokens"),
         )
-        .withColumnRenamed("id", id_col)
     )
+
+
+def build_span_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Distinct k-token window hashes of a corpus — the stored side of
+    incremental ExactSubstr dedup. 16 bytes per distinct window;
+    DISTINCT hashes suffice (a batch window is duplicated as soon as
+    the hash exists anywhere in the corpus, its corpus multiplicity is
+    irrelevant), so the index never grows with corpus repetition."""
+    return _span_windows(df, text_col, id_col, k).select("h").distinct()
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """``duplicate_spans`` of (corpus + batch) restricted to batch
+    docs, WITHOUT re-shingling the corpus: a batch window at (id, pos)
+    is duplicated iff its hash is in the stored ``build_span_index``
+    output (>=1 corpus occurrence makes the total >=2) OR it recurs
+    within the batch itself. Exact — the equivalence to the full-corpus
+    recompute is pinned by tests/test_dedup_similarity.py.
+
+    Scale shape: the corpus enters through its hash index alone
+    (left-semi join, broadcastable when small; hash-partitioned
+    otherwise); only the batch tokenizes. Same incremental contract as
+    ``minhash_index_probe`` (the stored-index MinHash leg).
+    """
+    bw = _span_windows(batch, text_col, id_col, k)
+    hit_idx = bw.join(index.select("h"), "h", "left_semi")
+    batch_dup_h = bw.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    hit_batch = bw.join(batch_dup_h, "h")
+    dw = (
+        hit_idx.select("id", "pos")
+        .unionByName(hit_batch.select("id", "pos"))
+        .distinct()
+    )
+    return _span_coverage(dw, k).withColumnRenamed("id", id_col)

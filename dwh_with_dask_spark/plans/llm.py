@@ -900,3 +900,101 @@ def embedding_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, float(acc), float(loss), float(np.linalg.norm(w)), float(b))],
         "n long, acc_train double, log_loss double, weight_norm double, bias double",
     )
+
+
+@query("quality_classifier_scores")
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable text-quality classifier (the fastText-style linear
+    model public pipelines distill from heuristic labels): weak label =
+    stopword-density floor (>= 0.08), features = length / mean-token-
+    length / punctuation / type-token-ratio — deliberately EXCLUDING the
+    label's own signal, so the probe has to learn it from correlates
+    (short tokens ~ stopwords). Train via pca.logreg_fit (full-batch GD,
+    per-partition gradient partials), then score every document
+    map-side with a pure-Column sigmoid — no Python in the scoring
+    pass. Rows-only (iterative float fit); the GD twin is pinned in
+    tests/test_analytics.py."""
+    from dwh_with_dask_spark.operators import textstats as TS
+    from dwh_with_dask_spark.operators.caching import CacheScope, attach
+    from dwh_with_dask_spark.operators.pca import logreg_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TS.tokens(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        F.array(
+            TS.token_count("text").cast("double") / 100.0,
+            TS.mean_token_len("text"),
+            TS.punct_ratio("text"),
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+        ).alias("f"),
+        (TS.stopword_ratio("text") >= 0.08).cast("int").alias("y"),
+    )
+    # the 30 GD scans re-read ONLY this doc_id + 4-doubles table, never
+    # the text: tokenize runs once into the cache, not once per pass
+    scope = CacheScope()
+    feats = scope.persist(feats)
+    w, b, _, _ = logreg_fit(feats, "f", "y", iters=30, lr=1.0, l2=1e-4)
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    z = F.aggregate(
+        F.zip_with(F.col("f"), warr, lambda a, x: a * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) + F.lit(float(b))
+    return attach(
+        feats.select(
+            "doc_id",
+            "y",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        ),
+        scope,
+        True,
+    )
+
+
+@query(
+    "dedup_incremental_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos FROM t),
+    w AS (SELECT doc_id, pos,
+                 substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
+                           1, 16) AS h
+          FROM p),
+    corpus_h AS (SELECT DISTINCT h FROM w WHERE doc_id % 2 = 0),
+    bw AS (SELECT doc_id, pos, h FROM w WHERE doc_id % 2 = 1),
+    bdup AS (SELECT h FROM bw GROUP BY h HAVING COUNT(*) >= 2),
+    dw AS (SELECT DISTINCT doc_id, pos FROM bw
+           WHERE h IN (SELECT h FROM corpus_h)
+              OR h IN (SELECT h FROM bdup)),
+    m AS (SELECT doc_id, pos,
+            MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_end
+          FROM dw)
+    SELECT doc_id, COUNT(*) AS n_dup_windows,
+           CAST(SUM(GREATEST(0, pos + 8 - GREATEST(pos,
+                    COALESCE(prev_end, 0)))) AS BIGINT) AS dup_tokens
+    FROM m GROUP BY doc_id
+    """,
+)
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr: duplicate-span coverage of an arriving
+    batch (odd doc_ids) against a stored window-hash index of the
+    corpus (even doc_ids) — the corpus is never re-shingled, it enters
+    through 16 bytes per distinct window
+    (operators/dedup.py:build_span_index / incremental_duplicate_spans).
+    Exact: identical output to the full-corpus recompute restricted to
+    batch docs (oracle + equivalence test)."""
+    from dwh_with_dask_spark.operators.caching import CacheScope, attach
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    scope = CacheScope()
+    # stored-table stand-in: without the persist, the semi-join and any
+    # re-action would re-shingle the corpus per consumer
+    index = scope.persist(D.build_span_index(corpus))
+    out = D.incremental_duplicate_spans(batch, index)
+    return attach(out, scope, True)

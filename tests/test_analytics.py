@@ -836,3 +836,21 @@ def test_logreg_fit_matches_numpy_twin(spark):
     acc = logreg_accuracy(df, w, b, "embedding", "y")
     assert acc > 0.9
     assert loss < 0.69  # better than the zero-weight log(2) start
+
+
+def test_quality_classifier_scores_learns_weak_label(spark):
+    """The distilled classifier must rank label-1 docs above label-0
+    docs on average (features exclude the label's own signal) and its
+    scores must be valid probabilities."""
+    from dwh_with_dask_spark.plans.llm import QUERIES
+
+    out = QUERIES["quality_classifier_scores"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r.score <= 1.0 for r in rows)
+    pos = [r.score for r in rows if r.y == 1]
+    neg = [r.score for r in rows if r.y == 0]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)

@@ -610,3 +610,42 @@ def test_duplicate_spans_matches_python_reference(spark):
         for r in D.duplicate_spans(d, k=k).collect()
     }
     assert got == want
+
+
+def test_incremental_spans_equals_full_recompute(spark):
+    """incremental_duplicate_spans(batch, index(corpus)) must equal
+    duplicate_spans(corpus + batch) restricted to batch docs — the
+    never-re-shingle-the-corpus contract, on a fuzz corpus with planted
+    cross-side and batch-internal repeats."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(25)]
+    boiler = [f"b{i}" for i in range(10)]
+    rows = []
+    for i in range(80):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+        if i % 3 == 0:  # hits both parities -> cross-side AND
+            at = rng.randint(0, len(toks))  # batch-internal repeats
+            toks[at:at] = boiler
+        rows.append((i, " ".join(toks)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+
+    k = 8
+    full = {
+        r.doc_id: (r.n_dup_windows, r.dup_tokens)
+        for r in D.duplicate_spans(d, k=k).collect()
+        if r.doc_id % 2 == 1
+    }
+    idx = D.build_span_index(corpus, k=k).persist()
+    try:
+        inc = {
+            r.doc_id: (r.n_dup_windows, r.dup_tokens)
+            for r in D.incremental_duplicate_spans(batch, idx, k=k).collect()
+        }
+    finally:
+        idx.unpersist()
+    assert inc == full
+    assert inc  # fixture must actually exercise the path
