@@ -1077,3 +1077,125 @@ def incremental_duplicate_spans(
         .distinct()
     )
     return _span_coverage(dw, k).withColumnRenamed("id", id_col)
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022): cut every duplicated
+    k-token window occurrence except the corpus-wide first one, and
+    reassemble the surviving text.
+
+    Canonical rule (deterministic, integer-only): for each recurring
+    window hash the instance with the smallest (doc_id, pos) is kept;
+    intervals [pos, pos+k) of every OTHER instance are removed. A token
+    survives iff no non-canonical instance covers it — the published
+    cut-all-but-first semantics at fixed k, exactly reproducible in SQL
+    (row_number over (doc_id, pos) per hash).
+
+    Plan: window stream as in ``duplicate_spans``; non-canonical
+    instances via one row_number window over ``h``; per-doc removal
+    intervals collected to an array (interval count per doc is small —
+    bounded by dup windows, and merged intervals are what the filter
+    scans); the token stream then drops covered positions row-locally
+    (``F.exists`` over the broadcast-size per-doc interval array after
+    a doc-keyed join) and reassembles with one ordered aggregation.
+    Shuffles: windows by h (rank), intervals+tokens by doc — all
+    fixed-width or token-sized rows, never full documents.
+
+    Returns (id_col, n_tokens, n_removed, clean_text) for EVERY doc
+    with >= k tokens (docs with nothing removed come out intact).
+    """
+    grams = _span_windows(df, text_col, id_col, k)
+    byh = Window.partitionBy("h").orderBy("id", "pos")
+    cnt = Window.partitionBy("h")
+    inst = grams.select(
+        "id",
+        "pos",
+        F.row_number().over(byh).alias("__rn"),
+        F.count(F.lit(1)).over(cnt).alias("__n"),
+    )
+    cut = inst.filter((F.col("__n") >= 2) & (F.col("__rn") >= 2)).select(
+        "id", "pos"
+    )
+    # merge overlapping [pos, pos+k) removal windows into disjoint
+    # intervals BEFORE collecting, so the per-doc array the token filter
+    # scans holds merged spans, not raw window starts
+    prevw = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runw = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = cut.withColumn(
+        "__new",
+        (
+            F.col("pos")
+            >= F.coalesce(F.max(F.col("pos") + k).over(prevw), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("__seg", F.sum("__new").over(runw))
+    ivals = (
+        seg.groupBy("id", "__seg")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.max("pos") + k).alias("__e"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__s"), F.col("__e")))
+            ).alias("__cuts")
+        )
+    )
+    n = F.size(F.col("__toks"))
+    toks = barrier(
+        widen(df.select(id_col, text_col), id_col).select(
+            F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks")
+        )
+    ).filter(n >= k)
+    joined = toks.join(ivals, "id", "left")
+    tok_pos = joined.select(
+        "id",
+        "__cuts",
+        F.posexplode("__toks").alias("pos", "tok"),
+    )
+    covered = F.exists(
+        F.coalesce(
+            F.col("__cuts"), F.array().cast("array<struct<__s:int,__e:int>>")
+        ),
+        lambda c: (F.col("pos") >= c.getField("__s"))
+        & (F.col("pos") < c.getField("__e")),
+    )
+    marked = tok_pos.withColumn("__rm", covered.cast("int"))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__rm").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__rm") == 0,
+                                    F.struct(F.col("pos"), F.col("tok")),
+                                )
+                            )
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                    lambda s: s.tok,
+                ),
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

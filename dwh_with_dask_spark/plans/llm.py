@@ -998,3 +998,60 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = scope.persist(D.build_span_index(corpus))
     out = D.incremental_duplicate_spans(batch, index)
     return attach(out, scope, True)
+
+
+@query(
+    "dedup_span_removal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos FROM t),
+    w AS (SELECT doc_id, pos,
+                 substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
+                           1, 16) AS h
+          FROM p),
+    inst AS (SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                      AS rn,
+                    COUNT(*) OVER (PARTITION BY h) AS n
+             FROM w),
+    cut AS (SELECT doc_id, pos FROM inst WHERE n >= 2 AND rn >= 2),
+    segd AS (SELECT doc_id, pos,
+               CASE WHEN pos >= COALESCE(MAX(pos + 8) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1)
+                    THEN 1 ELSE 0 END AS newseg
+             FROM cut),
+    seg AS (SELECT doc_id, pos,
+                   SUM(newseg) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS segid
+            FROM segd),
+    iv AS (SELECT doc_id, segid, MIN(pos) AS s, MAX(pos) + 8 AS e
+           FROM seg GROUP BY doc_id, segid),
+    tok AS (SELECT doc_id,
+                   unnest(range(0, len(toks))) AS pos,
+                   unnest(toks) AS tok
+            FROM t WHERE len(toks) >= 8),
+    rm AS (SELECT t0.doc_id, t0.pos, t0.tok, (iv.s IS NOT NULL) AS removed
+           FROM tok t0 LEFT JOIN iv
+             ON iv.doc_id = t0.doc_id AND t0.pos >= iv.s AND t0.pos < iv.e)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT removed), '') AS clean_text
+    FROM rm GROUP BY doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022): cut every duplicated
+    8-token window occurrence except the corpus-wide first (smallest
+    (doc_id, pos)) and reassemble the surviving text — the operator
+    that actually PRODUCES the deduplicated corpus
+    (operators/dedup.py:duplicate_span_removal). Integer-only
+    semantics, exact SQL twin."""
+    return D.duplicate_span_removal(
+        load_table(spark, sf_dir, "documents"), k=8
+    )

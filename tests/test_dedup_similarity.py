@@ -649,3 +649,71 @@ def test_incremental_spans_equals_full_recompute(spark):
         idx.unpersist()
     assert inc == full
     assert inc  # fixture must actually exercise the path
+
+
+def test_span_removal_keeps_first_occurrence(spark):
+    docs = [
+        (1, "a b c d e f g h j1 k1 j2 k2 j3 k3"),
+        (2, "m1 n1 m2 n2 m3 n3 a b c d e f g h"),
+        (3, "p q r s t u v w p q r s t u v w"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in D.duplicate_span_removal(d, k=8).collect()
+    }
+    # doc 1 holds the canonical (smallest doc_id) instance -> intact
+    assert got[1] == (14, 0, "a b c d e f g h j1 k1 j2 k2 j3 k3")
+    # doc 2's copy is cut
+    assert got[2] == (14, 8, "m1 n1 m2 n2 m3 n3")
+    # within-doc tiling: second occurrence cut, first kept
+    assert got[3] == (16, 8, "p q r s t u v w")
+
+
+def test_span_removal_matches_python_reference(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(25)]
+    boiler = [f"b{i}" for i in range(11)]
+    texts = []
+    for i in range(50):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 35))]
+        if i % 3 == 0:
+            at = rng.randint(0, len(toks))
+            toks[at:at] = boiler
+        texts.append((i, " ".join(toks)))
+    k = 8
+
+    counts: Counter = Counter()
+    first: dict[str, tuple[int, int]] = {}
+    wins: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    for i, t in texts:
+        toks = t.split()
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            counts[g] += 1
+            first.setdefault(g, (i, p))
+            wins[i].append((p, g))
+    want = {}
+    for i, t in texts:
+        toks = t.split()
+        if len(toks) < k:
+            continue
+        cuts = sorted(
+            p for p, g in wins[i] if counts[g] >= 2 and first[g] != (i, p)
+        )
+        removed = set()
+        for p in cuts:
+            removed.update(range(p, p + k))
+        clean = " ".join(tok for j, tok in enumerate(toks) if j not in removed)
+        want[i] = (len(toks), len(removed), clean)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in D.duplicate_span_removal(
+            spark.createDataFrame(texts, "doc_id long, text string"), k=k
+        ).collect()
+    }
+    assert got == want
