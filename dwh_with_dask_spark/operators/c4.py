@@ -52,7 +52,8 @@ def _line_keep(line: Column, min_words: int) -> Column:
 
 
 def c4_lines(text: Column | str) -> Column:
-    return F.split(_col(text), "\n")
+    # NULL text behaves as the empty page, not a NULL cascade
+    return F.split(F.coalesce(_col(text), F.lit("")), "\n")
 
 
 def c4_kept_lines(text: Column | str, min_words: int = 5) -> Column:
@@ -83,7 +84,7 @@ def c4_clean(
     scan with zero exchanges; the filterable verdict means downstream
     stages read only surviving pages.
     """
-    text = _col(text_col)
+    text = F.coalesce(_col(text_col), F.lit(""))
     kept = c4_kept_lines(text, min_words)
     clean = F.array_join(kept, "\n")
     has_lorem = F.instr(F.lower(text), "lorem ipsum") > 0

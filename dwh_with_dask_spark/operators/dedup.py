@@ -993,6 +993,8 @@ def _span_windows(
 ) -> DataFrame:
     """(id, pos, h) for every k-token window — one tokenize pass,
     row-local gram hashing (16-hex md5 prefix), no shuffle."""
+    if k < 1:
+        raise ValueError(f"window size k must be >= 1, got {k}")
     n = F.size(F.col("__toks"))
     src = widen(df.select(id_col, text_col), id_col)
     base = barrier(

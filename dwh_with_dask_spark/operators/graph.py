@@ -82,6 +82,8 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list")
     base = (1.0 - damping) / n
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))

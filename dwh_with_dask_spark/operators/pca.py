@@ -221,6 +221,8 @@ def logreg_fit(
     Returns (weights dim-vector, bias, n, final mean log-loss).
     """
     first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("logreg_fit: empty input")
     dim = len(first[0])
     d1 = dim + 1
     out_schema = "n long, g array<double>, loss double"

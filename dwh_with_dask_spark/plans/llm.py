@@ -1000,10 +1000,10 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach(out, scope, True)
 
 
-@query(
-    "dedup_span_removal",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+# Span-removal CTE chain shared by dedup_span_removal and the composed
+# v2 pipeline (kept in one literal so the two oracles cannot drift).
+_SPAN_REMOVAL_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     p AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos FROM t),
     w AS (SELECT doc_id, pos,
                  substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
@@ -1035,14 +1035,23 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t WHERE len(toks) >= 8),
     rm AS (SELECT t0.doc_id, t0.pos, t0.tok, (iv.s IS NOT NULL) AS removed
            FROM tok t0 LEFT JOIN iv
-             ON iv.doc_id = t0.doc_id AND t0.pos >= iv.s AND t0.pos < iv.e)
-    SELECT doc_id,
-           COUNT(*) AS n_tokens,
-           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_removed,
-           COALESCE(string_agg(tok, ' ' ORDER BY pos)
-                      FILTER (WHERE NOT removed), '') AS clean_text
-    FROM rm GROUP BY doc_id
+             ON iv.doc_id = t0.doc_id AND t0.pos >= iv.s AND t0.pos < iv.e),
+    clean AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT removed), '') AS clean_text
+      FROM rm GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_span_removal",
+    f"""
+    WITH {_SPAN_REMOVAL_CTES}
+    SELECT doc_id, n_tokens, n_removed, clean_text FROM clean
     """,
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,4 +1063,65 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, exact SQL twin."""
     return D.duplicate_span_removal(
         load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
+
+
+@query(
+    "corpus_prepare_pipeline_v2",
+    f"""
+    WITH {_SPAN_REMOVAL_CTES},
+    floor_ok AS (
+      SELECT doc_id, n_removed, n_tokens - n_removed AS kept_tokens,
+             clean_text
+      FROM clean WHERE n_tokens - n_removed >= 10),
+    dd AS (
+      SELECT *, row_number() OVER (PARTITION BY sha256(clean_text)
+                                   ORDER BY doc_id) AS rn
+      FROM floor_ok)
+    SELECT doc_id, n_removed, kept_tokens,
+           CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < 'e666' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < 'f333' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM dd WHERE rn = 1
+    """,
+)
+def corpus_prepare_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline around the ExactSubstr flagship:
+    duplicate-span REMOVAL -> 10-surviving-token floor -> exact dedup of
+    the cleaned text (first doc_id wins per sha256) -> stable 90/5/5
+    hash split. One oracle covers the whole composition (the span CTE
+    chain is shared verbatim with dedup_span_removal's). All stages are
+    integer/hash arithmetic — no float anywhere."""
+    from pyspark.sql.window import Window as W
+
+    from dwh_with_dask_spark.operators import curation as C
+
+    d = load_table(spark, sf_dir, "documents")
+    clean = D.duplicate_span_removal(d, k=8)
+    floor_ok = clean.filter(
+        (F.col("n_tokens") - F.col("n_removed")) >= 10
+    ).select(
+        "doc_id",
+        "n_removed",
+        (F.col("n_tokens") - F.col("n_removed")).alias("kept_tokens"),
+        "clean_text",
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.sha2(F.col("clean_text"), 256)).orderBy("doc_id")
+    )
+    return (
+        floor_ok.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "n_removed",
+            "kept_tokens",
+            C.hash_split("doc_id", 0.90, 0.05).alias("split"),
+        )
     )

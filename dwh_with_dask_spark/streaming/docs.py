@@ -165,3 +165,63 @@ def streaming_cms(
         .groupBy(F.col("__c.row").alias("row"), F.col("__c.cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("total"))
     )
+
+
+def flag_span_hits(
+    docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, pos) events for every k-token window of the stream whose
+    hash is in the stored ``build_span_index`` table — the streaming leg
+    of ExactSubstr dedup. Row-local gram hashing + ONE stream-static
+    left-semi join: no state, no watermark needed, append-mode-legal.
+    Coverage folding (interval merge) is a per-micro-batch batch concern
+    — see ``span_probe_sink``."""
+    from dwh_with_dask_spark.operators.dedup import _span_windows
+
+    w = _span_windows(docs, text_col, id_col, k)
+    return w.join(index.select("h"), "h", "left_semi").select(
+        F.col("id").alias("doc_id"), "pos"
+    )
+
+
+def span_probe_sink(index_path: str, out_path: str, k: int = 8):
+    """foreachBatch sink for a GROWING ExactSubstr index: per
+    micro-batch, (1) compute the batch's duplicate-span coverage
+    against the CURRENT stored index (exact ``incremental_duplicate_spans``
+    semantics, batch-internal repeats included), append it to
+    ``out_path``; (2) append the batch's NOVEL window hashes to
+    ``index_path`` — so later batches see every earlier batch's
+    windows, without any batch ever re-shingling history.
+
+    The new-hash frame is persisted and counted BEFORE the append so
+    its write never re-reads ``index_path`` mid-append; state lives
+    entirely in the two parquet tables — the restart/recovery story is
+    the checkpoint plus idempotent re-append per batch_id (standard
+    foreachBatch contract)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from dwh_with_dask_spark.operators.dedup import (
+            build_span_index,
+            incremental_duplicate_spans,
+        )
+
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_path)
+        cov = incremental_duplicate_spans(batch_df, index, k=k).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        cov.write.mode("append").parquet(out_path)
+        new_h = (
+            build_span_index(batch_df, k=k)
+            .join(index, "h", "left_anti")
+            .persist()
+        )
+        new_h.count()  # materialize before touching index_path
+        new_h.write.mode("append").parquet(index_path)
+        new_h.unpersist()
+
+    return fn

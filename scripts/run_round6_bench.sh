@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-6 bench + evidence protocol (run each leg ALONE — concurrent
+# work, even "tiny" DuckDB checks, distorts timings; see the measured
+# contamination note in .claude/skills/verify/SKILL.md / memory).
+set -x
+cd /root/repo
+
+# scale data (idempotent, deterministic)
+[ -d .localdata/sf1 ] || python scripts/gen_scale_data.py
+[ -d .localdata/skew ] || python scripts/gen_scale_data.py --skew
+[ -d .localdata/skewnl ] || python scripts/gen_scale_data.py --skew-nl
+[ -d .localdata/sf10 ] || python scripts/gen_scale_data.py --replicas 100
+[ -d .localdata/sf0.01ps ] || python scripts/gen_scale_data.py --fixture-partsupp
+
+python bench.py > /tmp/headline_sf01.json 2>/tmp/headline_sf01.err
+echo "=== bench.py rc=$?"
+python scripts/bench_scale.py > /tmp/bs_headline.log 2>&1
+echo "=== headline rc=$?"
+python scripts/bench_scale.py --set tpch > /tmp/bs_tpch.log 2>&1
+echo "=== tpch rc=$?"
+python scripts/bench_scale.py --set round4 > /tmp/bs_round4.log 2>&1
+echo "=== round4 rc=$?"
+python scripts/bench_scale.py --set round5 > /tmp/bs_round5.log 2>&1
+echo "=== round5 rc=$?"
+python scripts/bench_scale.py --set round6 > /tmp/bs_round6.log 2>&1
+echo "=== round6 rc=$?"
+python scripts/bench_scale.py --set sf10 > /tmp/bs_sf10.log 2>&1
+echo "=== sf10 rc=$?"
+python scripts/dev_diff.py .localdata/sf0.01ps \
+  > scripts/evidence_dev_diff_r06_sf0.01.txt 2>/tmp/evidence.err
+echo "=== evidence rc=$?"
+echo ALL_BENCH_DONE

@@ -854,3 +854,26 @@ def test_quality_classifier_scores_learns_weak_label(spark):
     neg = [r.score for r in rows if r.y == 0]
     assert pos and neg
     assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_pagerank_and_logreg_empty_inputs(spark):
+    import pytest as _pytest
+
+    from dwh_with_dask_spark.operators.graph import pagerank
+    from dwh_with_dask_spark.operators.pca import logreg_fit
+
+    empty_e = spark.createDataFrame([], "src string, dst string, w double")
+    with _pytest.raises(ValueError):
+        pagerank(empty_e, weight="w", iters=2)
+    empty_v = spark.createDataFrame([], "embedding array<double>, y int")
+    with _pytest.raises(ValueError):
+        logreg_fit(empty_v, "embedding", "y", iters=1)
+
+
+def test_c4_clean_null_text_is_empty_page(spark):
+    from dwh_with_dask_spark.operators.c4 import c4_clean
+
+    d = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = c4_clean(d).collect()[0]
+    assert (r.n_lines, r.n_lines_kept, r.n_sentences) == (1, 0, 0)
+    assert r.c4_keep is False and r.c4_text == ""

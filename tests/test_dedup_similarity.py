@@ -717,3 +717,17 @@ def test_span_removal_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_span_operators_edge_cases(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    # null/empty/short docs produce no windows and no rows — no errors
+    assert D.duplicate_spans(d, k=8).collect() == []
+    assert D.duplicate_span_removal(d, k=8).collect() == []
+    assert D.build_span_index(d, k=8).collect() == []
+    with _pytest.raises(ValueError):
+        D.duplicate_spans(d, k=0)

@@ -955,3 +955,142 @@ def test_streaming_cms_estimates_are_upper_bounds(spark, tmpdir_spark):
     joined = {r.term: r.cms_est for r in est.collect()}
     for r in exact.collect():
         assert joined[r.term] >= r.cnt
+
+
+def _span_fixture_rows(seed: int, lo: int, n: int, boiler, vocab, every=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(lo, lo + n):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+        if i % every == 0:
+            at = rng.randint(0, len(toks))
+            toks[at:at] = boiler
+        rows.append((i, " ".join(toks), "en", "src0", 0))
+    return rows
+
+
+def test_streaming_span_hits_equal_batch_join(spark, tmpdir_spark):
+    """flag_span_hits on the doc stream == the batch windows⋈index
+    left-semi join: no state, append-legal, same events."""
+    import uuid as _uuid
+
+    from dwh_with_dask_spark.operators.dedup import (
+        _span_windows,
+        build_span_index,
+    )
+    from dwh_with_dask_spark.streaming.docs import (
+        flag_span_hits,
+        read_documents_stream,
+    )
+
+    vocab = [f"v{i}" for i in range(20)]
+    boiler = [f"s{i}" for i in range(10)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = spark.createDataFrame(
+        _span_fixture_rows(1, 0, 40, boiler, vocab), schema
+    )
+    arriving = spark.createDataFrame(
+        _span_fixture_rows(2, 1000, 30, boiler, vocab), schema
+    )
+    index = build_span_index(corpus).persist()
+    src = f"{tmpdir_spark}/docs_span"
+    arriving.repartition(3).write.parquet(src)
+    try:
+        stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            flag_span_hits(stream, index)
+            .writeStream.format("memory")
+            .queryName(f"spanhits_{_uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir_spark}/ckpt_span")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, spark.sql(f"SELECT * FROM {q.name}").collect())
+        )
+        want = sorted(
+            (r.id, r.pos)
+            for r in _span_windows(arriving, "text", "doc_id", 8)
+            .join(index.select("h"), "h", "left_semi")
+            .collect()
+        )
+        assert got == want
+        assert got  # boilerplate must actually produce hits
+    finally:
+        index.unpersist()
+
+
+def test_span_probe_sink_grows_index_across_batches(spark, tmpdir_spark):
+    """Two micro-batches through span_probe_sink: each batch's coverage
+    equals incremental_duplicate_spans against the index AS IT STOOD
+    (corpus + earlier batches), and the final stored index equals the
+    batch-built index of everything seen."""
+    from dwh_with_dask_spark.operators.dedup import (
+        build_span_index,
+        incremental_duplicate_spans,
+    )
+    from dwh_with_dask_spark.streaming.docs import (
+        read_documents_stream,
+        span_probe_sink,
+    )
+
+    vocab = [f"v{i}" for i in range(20)]
+    boiler = [f"s{i}" for i in range(10)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = spark.createDataFrame(
+        _span_fixture_rows(3, 0, 40, boiler, vocab), schema
+    )
+    fa = spark.createDataFrame(
+        _span_fixture_rows(4, 1000, 20, boiler, vocab, every=2), schema
+    )
+    fb = spark.createDataFrame(
+        _span_fixture_rows(5, 2000, 20, boiler, vocab, every=2), schema
+    )
+    src = f"{tmpdir_spark}/docs_grow"
+    fa.coalesce(1).write.parquet(src)
+    fb.coalesce(1).write.mode("append").parquet(src)
+    index_path = f"{tmpdir_spark}/span_index"
+    out_path = f"{tmpdir_spark}/span_cov"
+    build_span_index(corpus).write.parquet(index_path)
+
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(span_probe_sink(index_path, out_path))
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_grow")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.doc_id, r.n_dup_windows, r.dup_tokens)
+        for r in spark.read.parquet(out_path).collect()
+    )
+
+    def expected(first, second):
+        i0 = build_span_index(corpus).persist()
+        e1 = incremental_duplicate_spans(first, i0).collect()
+        i1 = i0.unionByName(build_span_index(first)).distinct().persist()
+        e2 = incremental_duplicate_spans(second, i1).collect()
+        rows = sorted(
+            (r.doc_id, r.n_dup_windows, r.dup_tokens) for r in e1 + e2
+        )
+        i0.unpersist()
+        i1.unpersist()
+        return rows
+
+    assert got in (expected(fa, fb), expected(fb, fa))
+    assert got  # fixture must exercise the path
+
+    stored = {r.h for r in spark.read.parquet(index_path).collect()}
+    full = {
+        r.h
+        for r in build_span_index(
+            corpus.unionByName(fa).unionByName(fb)
+        ).collect()
+    }
+    assert stored == full
