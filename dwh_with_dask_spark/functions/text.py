@@ -91,3 +91,23 @@ def truncate_names(df: DataFrame, max_length: int = 64) -> DataFrame:
     identifier limit, project-dask.py:31-38). Pure metadata operation.
     """
     return df.toDF(*[c[:max_length] for c in df.columns])
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization (canonical composition) — the
+    normalization step real multilingual corpora need before hashing or
+    dedup (é as U+00E9 vs e+U+0301 must collide). Spark has no builtin,
+    so this is an Arrow-batched pandas_udf over ``unicodedata`` — the
+    sanctioned slow path, one vectorized pass, no per-row Python.
+    DuckDB's ``nfc_normalize`` is the oracle twin; byte-level agreement
+    on composed/decomposed fixtures is pinned in tests."""
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)

@@ -330,3 +330,34 @@ def text_profile(
         quality_score(text_col).alias("quality"),
         doc_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Heuristic syllable count: total [aeiouy]+ vowel groups across the
+    lowercased text — the standard cheap proxy English readability
+    formulas use. Pure Column regex (one pass, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(F.lower(F.coalesce(c, F.lit(""))), F.lit("[aeiouy]+"), 0)
+    )
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease (Flesch 1948, public domain formula):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    sentence count floored at 1 (proxy = terminal [.!?] marks) and
+    returning NULL for wordless text. One double expression over three
+    integer counts — deterministic across engines given the same
+    counts; oracle rounds to 6 dp."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count(c)
+    sents = F.greatest(
+        F.length(c) - F.length(F.regexp_replace(c, r"[.!?]", "")), F.lit(1)
+    )
+    syls = syllable_count(c)
+    return F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syls.cast("double") / words.cast("double")),
+    )

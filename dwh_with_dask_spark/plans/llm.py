@@ -1125,3 +1125,90 @@ def corpus_prepare_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             C.hash_split("doc_id", 0.90, 0.05).alias("split"),
         )
     )
+
+
+@query(
+    "text_readability_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS words,
+             GREATEST(length(text)
+                      - length(regexp_replace(text, '[.!?]', '', 'g')),
+                      1) AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syls
+      FROM documents)
+    SELECT doc_id, words, sents, syls,
+           CASE WHEN words > 0 THEN
+             round(206.835
+                   - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+                   - 84.6 * (CAST(syls AS DOUBLE) / CAST(words AS DOUBLE)),
+                   6)
+           END AS flesch
+    FROM t
+    """,
+)
+def text_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (public-domain formula) from three
+    codegen'd integer counts — words, sentence-terminal marks (floored
+    at 1), vowel-group syllable proxy — and one double expression
+    (operators/textstats.py:flesch_reading_ease). round(,6) absorbs
+    nothing here (the doubles are identical), it just pins the
+    contract."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.token_count(text).alias("words"),
+        F.greatest(
+            F.length(text) - F.length(F.regexp_replace(text, r"[.!?]", "")),
+            F.lit(1),
+        ).alias("sents"),
+        TS.syllable_count(text).alias("syls"),
+        F.round(TS.flesch_reading_ease(text), 6).alias("flesch"),
+    )
+
+
+@query(
+    "text_nfc_normalized",
+    """
+    SELECT doc_id, nfc_normalize(text) AS nfc_text,
+           (nfc_normalize(text) = text) AS already_nfc
+    FROM documents
+    """,
+)
+def text_nfc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization of every document
+    (functions/text.py:nfc_normalize, Arrow-batched unicodedata) vs
+    DuckDB's nfc_normalize. The synthetic corpus is ASCII (identity),
+    so the composed/decomposed behavior is pinned by the fixture
+    differential in tests/test_functions.py — this entry proves the
+    plumbing end-to-end on 500 docs."""
+    from dwh_with_dask_spark.functions.text import nfc_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    nfc = nfc_normalize("text")
+    return d.select(
+        "doc_id",
+        nfc.alias("nfc_text"),
+        (nfc == F.col("text")).alias("already_nfc"),
+    )
+
+
+@query("embedding_pq_topk")
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): deterministic PQ
+    codebooks (id-seeded subspace k-means, no RNG) over the normalized
+    embeddings, codes stored as m small ints (the 8-32x compression
+    path), then asymmetric-distance top-10 for the vec_id=0 query — the
+    score pass is m pure-Column table lookups over the stored codes,
+    the float vectors are never read at probe time
+    (operators/similarity.py:pq_train/build_pq_index/pq_topk_indexed).
+    Rows-only (quantized scores have no SQL oracle); the numpy ADC twin
+    and recall floor are pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = e.filter(F.col("vec_id") != 0)
+    books = S.pq_train(rest, m=16, ksub=64)
+    idx = S.build_pq_index(rest, books)
+    return S.pq_topk_indexed(idx, books, q, k=10)

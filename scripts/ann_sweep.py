@@ -149,6 +149,35 @@ def main() -> None:
             print(f"IVF nlist={nlist} nprobe={nprobe}: {ivf_rows[-1][2:]}", flush=True)
         indexed.unpersist()
 
+    # PQ: full scan over stored codes — the cost metric is BYTES read
+    # per row (m code bytes vs dim*4 float bytes), not candidate rows.
+    pq_rows = []
+    dim = mat.shape[1]
+    for m_sub, ksub in ((8, 256), (16, 64), (16, 256), (32, 64)):
+        books = S.pq_train(emb, m=m_sub, ksub=ksub)
+        idx = S.build_pq_index(emb, books).persist()
+        idx.count()
+        recalls, lats = [], []
+        for qid, qvec in queries:
+            t0 = time.perf_counter()
+            got = {
+                r.vec_id
+                for r in S.pq_topk_indexed(idx, books, qvec, k=K).collect()
+            }
+            lats.append(time.perf_counter() - t0)
+            recalls.append(len(got & truth[qid]) / K)
+        idx.unpersist()
+        pq_rows.append(
+            (
+                m_sub,
+                ksub,
+                round(sum(recalls) / len(recalls), 3),
+                round(m_sub * 1.0 / (dim * 4), 4),
+                round(statistics.median(lats), 3),
+            )
+        )
+        print(f"PQ m={m_sub} ksub={ksub}: {pq_rows[-1][2:]}", flush=True)
+
     with open(args.out, "w") as f:
         f.write(
             "# ANN — recall/cost tradeoff, measured\n\n"
@@ -178,6 +207,17 @@ def main() -> None:
         )
         for nl, np_, r, c, lat in ivf_rows:
             f.write(f"| {nl} | {np_} | {r} | {c} | {lat} |\n")
+        f.write(
+            "\n## PQ (`pq_train` + `build_pq_index` + `pq_topk_indexed`)\n\n"
+            "PQ scans every row but reads only the m-byte code column —\n"
+            "**bytes frac** = m / (dim x 4) is its scale metric (the IO\n"
+            "share of a float-vector scan). Probe = pure-Column lookup\n"
+            "folds, no Python, no float vectors touched.\n\n"
+            "| m | ksub | recall@10 | bytes frac | probe s |\n"
+            "| --- | --- | --- | --- | --- |\n"
+        )
+        for m_sub, ks, r, c, lat in pq_rows:
+            f.write(f"| {m_sub} | {ks} | {r} | {c} | {lat} |\n")
         f.write(
             "\n## Recommendation\n\n"
             "- **SRP**: bits=10, tables=16 — see the measured row; more\n"

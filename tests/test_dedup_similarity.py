@@ -731,3 +731,77 @@ def test_span_operators_edge_cases(spark):
     assert D.build_span_index(d, k=8).collect() == []
     with _pytest.raises(ValueError):
         D.duplicate_spans(d, k=0)
+
+
+def test_pq_scores_match_numpy_adc_twin(spark):
+    """Spark ADC scores must equal the numpy asymmetric-distance twin
+    (same codebooks, same lookup tables) to float precision, and the
+    codes must be valid subspace ids."""
+    import numpy as np
+
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+    books = S.pq_train(rest, m=16, ksub=64)
+    m, ksub, dsub = books.shape
+    idx = S.build_pq_index(rest, books).persist()
+    try:
+        rows = idx.select("vec_id", "embedding", "pq_code").collect()
+        assert all(
+            len(r.pq_code) == m and all(0 <= c < ksub for c in r.pq_code)
+            for r in rows
+        )
+        qn = np.asarray(q, dtype=np.float64)
+        qn = qn / np.linalg.norm(qn)
+        table = np.stack(
+            [books[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+        want = {
+            r.vec_id: sum(float(table[j][r.pq_code[j]]) for j in range(m))
+            for r in rows
+        }
+        got = {
+            r.vec_id: r.pq_score
+            for r in S.pq_topk_indexed(idx, books, q, k=len(rows)).collect()
+        }
+        assert set(got) == set(want)
+        for vid in got:
+            assert abs(got[vid] - want[vid]) < 1e-9
+    finally:
+        idx.unpersist()
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """PQ top-10 must beat the random baseline decisively on the
+    near-orthogonal sf embeddings (the hardest regime for coarse
+    quantization — floor pinned from a measured run)."""
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in S.cosine_topk(rest, q, k=10).collect()]
+    # m=16/ksub=64 on these 64-dim near-orthogonal vectors measured 0.8
+    # recall in the numpy twin (dsub=4 is the workable regime; dsub=16
+    # with 16 centroids reconstructs nothing and was measured at 0.0)
+    books = S.pq_train(rest, m=16, ksub=64)
+    idx = S.build_pq_index(rest, books)
+    approx = [r.vec_id for r in S.pq_topk_indexed(idx, books, q, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_train_guards(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError):
+        S.pq_train(d, m=2)  # dim 3 not divisible by 2
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        S.pq_train(empty, m=1)

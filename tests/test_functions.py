@@ -123,3 +123,68 @@ def test_exact_group_sums_matches_dsum(spark):
     a = {r["g"]: (r["sp"], r["spr"], r["n"]) for r in ref.collect()}
     b = {r["g"]: (r["sp"], r["spr"], r["n"]) for r in fast.collect()}
     assert a == b
+
+
+def test_flesch_reading_ease_known_values(spark):
+    from dwh_with_dask_spark.operators.textstats import (
+        flesch_reading_ease,
+        syllable_count,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "The cat sat on the mat."),   # 6 words, 1 sentence, 6 syls
+        (2, ""),                          # wordless -> NULL
+        (3, "unbelievable"),              # 1 word, floor 1 sentence, 5 groups
+    ]
+    d = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: (r.syls, r.flesch)
+        for r in d.select(
+            "id",
+            syllable_count("text").alias("syls"),
+            flesch_reading_ease("text").alias("flesch"),
+        ).collect()
+    }
+    assert out[1][0] == 6
+    expected1 = 206.835 - 1.015 * (6 / 1) - 84.6 * (6 / 6)
+    assert abs(out[1][1] - expected1) < 1e-9
+    assert out[2] == (0, None)
+    # 'unbelievable' -> u/e/ie/a/e vowel groups = 5
+    assert out[3][0] == 5
+    expected3 = 206.835 - 1.015 * 1 - 84.6 * 5
+    assert abs(out[3][1] - expected3) < 1e-9
+
+
+def test_nfc_normalize_matches_duckdb_on_decomposed_text(spark, tmp_path):
+    """Composed vs decomposed fixtures — the behavior the ASCII corpus
+    cannot exercise. Spark (unicodedata NFC) must byte-match DuckDB's
+    nfc_normalize."""
+    import duckdb
+
+    from dwh_with_dask_spark.functions.text import nfc_normalize
+
+    texts = [
+        "caf\u00e9",            # precomposed e-acute
+        "cafe\u0301",           # e + combining acute -> must compose
+        "A\u030angstr\u00f6m",  # A + combining ring above
+        "\uac00",               # Hangul syllable (already NFC)
+        "\u1100\u1161",        # Hangul jamo pair -> composes
+        "plain ascii",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.nfc
+        for r in d.select(
+            "doc_id", nfc_normalize("text").alias("nfc")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: con.sql(f"SELECT nfc_normalize(?)", params=[t]).fetchone()[0]
+        for i, t in rows
+    }
+    assert got == want
+    assert got[1] == got[0] == "caf\u00e9"  # decomposed composed
+    assert got[4] == "\uac00"             # jamo composed
