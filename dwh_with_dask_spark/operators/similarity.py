@@ -673,6 +673,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Train PQ codebooks (m subspaces × ksub centroids) on the
     L2-NORMALIZED vectors — deterministic, mirroring the IVF coarse
@@ -694,14 +695,15 @@ def pq_train(
         df.orderBy(F.col(id_col).asc()).limit(ksub).select(vec_col).collect()
     )
     sv = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
-    sv = sv / np.maximum(np.linalg.norm(sv, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        sv = sv / np.maximum(np.linalg.norm(sv, axis=1, keepdims=True), 1e-12)
     if len(sv) < ksub:
         raise ValueError(f"need >= ksub={ksub} vectors, got {len(sv)}")
     books = np.stack(
         [sv[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
     )  # m × ksub × dsub
 
-    normed = _normalized_vec(vec_col)
+    normed = _normalized_vec(vec_col) if normalize else _as_double(F.col(vec_col))
     for _ in range(iters):
         enc = _pq_codes_udf(books)
         assigned = df.select(
@@ -742,13 +744,15 @@ def build_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    normalize: bool = True,
 ) -> DataFrame:
     """Stored-column PQ index: m small ints per vector (the 8-32x
     compression that lets a 100 TB embedding table's candidate scan fit
     in a fraction of the IO). Write it once; probes never touch the
     float vectors until (optional) refinement."""
     enc = _pq_codes_udf(codebooks)
-    return df.withColumn(code_col, enc(_normalized_vec(vec_col)))
+    src = _normalized_vec(vec_col) if normalize else _as_double(F.col(vec_col))
+    return df.withColumn(code_col, enc(src))
 
 
 def pq_topk_indexed(
@@ -788,6 +792,114 @@ def pq_topk_indexed(
     )
     return (
         index_df.select(F.col(id_col), score.alias("pq_score"))
+        .orderBy(F.col("pq_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _residual_udf(cents: np.ndarray):
+    """(normalized vector, cell) -> vector − centroid[cell], the IVF-PQ
+    residual (Arrow-batched)."""
+
+    @F.pandas_udf("array<double>")
+    def resid(vec, cell):
+        import pandas as pd
+
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        r = x - cents[cell.to_numpy()]
+        return pd.Series([row.tolist() for row in r])
+
+    return resid
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    nlist: int = 64,
+    m: int = 16,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+):
+    """IVF-PQ (the Faiss composition, Jégou et al. 2011): coarse
+    k-means cell + product quantization OF THE RESIDUAL
+    (vector − cell centroid). Returns (indexed_df with ivf_cell +
+    pq_code, centroids, codebooks). Residuals concentrate near zero, so
+    the same (m, ksub) budget quantizes them far better than raw
+    vectors — recall at a given code size beats flat PQ, and the cell
+    column adds IVF's partition pruning on top.
+
+    All the determinism contracts of the parts hold (id-ordered seeds,
+    no RNG); the residual pass is one extra Arrow-batched projection.
+    """
+    cents = _kmeans_centroids(df, nlist, id_col, vec_col, iters=iters)
+    # normalize centroids' source space: assignment uses the raw-vector
+    # kmeans (IVF contract); residuals are vs the NORMALIZED vector, so
+    # normalize the centroid rows too for a consistent geometry
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    assigned = df.withColumn(
+        "ivf_cell", _nearest_cell_udf(cents)(F.col(vec_col))
+    )
+    with_resid = assigned.withColumn(
+        "__resid", _residual_udf(cn)(F.col(vec_col), F.col("ivf_cell"))
+    )
+    books = pq_train(
+        with_resid, m=m, ksub=ksub, id_col=id_col, vec_col="__resid",
+        normalize=False,
+    )
+    indexed = build_pq_index(
+        with_resid, books, id_col=id_col, vec_col="__resid",
+        normalize=False,
+    ).drop("__resid")
+    return indexed, cn, books
+
+
+def ivfpq_topk_indexed(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k over an IVF-PQ table: probe the nprobe nearest cells
+    (stored-cell filter = partition pruning), score =
+    q·centroid[cell] + Σⱼ q_subⱼ·codebook[j][codeⱼ]. For inner-product
+    ADC the residual lookup table is CELL-INDEPENDENT, so one m×ksub
+    table plus one per-cell bias covers every probed cell — the whole
+    score is pure-Column folds over stored ints, no Python, no float
+    vectors read."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    d2 = ((centroids - qn) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    bias = centroids @ qn  # nlist floats
+    table = np.stack(
+        [codebooks[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    blit = F.array(*[F.lit(float(x)) for x in bias])
+    tlit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in table[j]]) for j in range(m)]
+    )
+    codes = F.col(code_col)
+    score = F.element_at(blit, F.col(cell_col) + 1) + F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(tlit, j + 1), F.element_at(codes, j + 1) + 1
+        ),
+    )
+    return (
+        index_df.filter(F.col(cell_col).isin(probes))
+        .select(F.col(id_col), score.alias("pq_score"))
         .orderBy(F.col("pq_score").desc(), F.col(id_col).asc())
         .limit(k)
     )

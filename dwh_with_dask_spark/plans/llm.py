@@ -1212,3 +1212,18 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = S.pq_train(rest, m=16, ksub=64)
     idx = S.build_pq_index(rest, books)
     return S.pq_topk_indexed(idx, books, q, k=10)
+
+
+@query("embedding_ivfpq_topk")
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the Faiss composition): coarse cell + product
+    quantization of the residual, probing 8 of 16 cells for the
+    vec_id=0 query — stored-cell filter (partition pruning) plus
+    pure-Column ADC over stored codes
+    (operators/similarity.py:build_ivfpq_index/ivfpq_topk_indexed).
+    Rows-only; numpy twin + recall floor pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = e.filter(F.col("vec_id") != 0)
+    idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
+    return S.ivfpq_topk_indexed(idx, cents, books, q, k=10, nprobe=8)

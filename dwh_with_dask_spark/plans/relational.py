@@ -1814,3 +1814,48 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
     )
+
+
+@query(
+    "source_chars_geomean",
+    """
+    SELECT source,
+           round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geomean_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY source
+    """,
+)
+def source_chars_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the remaining UDF-surface variant:
+    SCALAR/ITER/map/apply/WithState/UDTF/DataSource are covered
+    elsewhere): per-source geometric mean of document length as an
+    Arrow-batched GROUPED_AGG — exp(mean(ln x)) per group, one numpy
+    reduction per group partition. round(,6) absorbs the
+    summation-order drift of the log-mean (the repo's standard
+    order-dependent-sum idiom); the oracle is the same closed form in
+    SQL."""
+    from pyspark.sql.functions import PandasUDFType
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        # Catalyst refuses to MIX grouped-agg pandas UDFs with built-in
+        # aggregates in one Aggregate, so the count rides the same
+        # Arrow batch instead of F.count
+        return len(v)
+
+    return d.groupBy("source").agg(
+        F.round(geomean(F.col("n_chars").cast("double")), 6).alias(
+            "geomean_chars"
+        ),
+        n_rows(F.col("n_chars")).alias("n_docs"),
+    )

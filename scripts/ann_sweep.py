@@ -230,6 +230,11 @@ def main() -> None:
             "  starting point; scale nprobe up for recall, nlist up for\n"
             "  per-query cost. The same floor test pins nlist=64,\n"
             "  nprobe=8.\n"
+            "- **PQ**: the compression play, not the recall play, on\n"
+            "  these near-orthogonal vectors — use as a first-pass\n"
+            "  filter and exact-rerank the PQ top-100 when recall\n"
+            "  matters (see the measured rows; the committed twin test\n"
+            "  pins m=16/ksub=64 >= 0.5 recall on the sf0.01 geometry).\n"
         )
     print(f"wrote {args.out}")
     spark.stop()

@@ -805,3 +805,54 @@ def test_pq_train_guards(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         S.pq_train(empty, m=1)
+
+
+def test_ivfpq_scores_match_numpy_twin_and_recall(spark):
+    """IVF-PQ ADC scores must equal the numpy twin (bias + residual
+    table lookups) at 1e-9, and residual quantization must beat the
+    flat-PQ recall floor when probing every cell."""
+    import numpy as np
+
+    from dwh_with_dask_spark.catalog import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in S.cosine_topk(rest, q, k=10).collect()]
+
+    idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
+    idx = idx.persist()
+    try:
+        m, ksub, dsub = books.shape
+        qn = np.asarray(q, dtype=np.float64)
+        qn = qn / np.linalg.norm(qn)
+        bias = cents @ qn
+        table = np.stack(
+            [books[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+        rows = idx.select("vec_id", "ivf_cell", "pq_code").collect()
+        want = {
+            r.vec_id: float(bias[r.ivf_cell])
+            + sum(float(table[j][r.pq_code[j]]) for j in range(m))
+            for r in rows
+        }
+        got = {
+            r.vec_id: r.pq_score
+            for r in S.ivfpq_topk_indexed(
+                idx, cents, books, q, k=len(rows), nprobe=16
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for vid in got:
+            assert abs(got[vid] - want[vid]) < 1e-9
+
+        approx = [
+            r.vec_id
+            for r in S.ivfpq_topk_indexed(
+                idx, cents, books, q, k=10, nprobe=16
+            ).collect()
+        ]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.5, f"IVF-PQ recall@10 too low: {recall}"
+    finally:
+        idx.unpersist()
