@@ -807,7 +807,8 @@ def pq_topk_indexed(
         F.lit(0.0),
         lambda acc, j: acc
         + F.element_at(
-            F.element_at(tlit, j + 1), F.element_at(codes, j + 1) + 1
+            F.element_at(tlit, j + 1),
+            (F.element_at(codes, j + 1) + 1).cast("int"),
         ),
     )
     return (
@@ -909,12 +910,13 @@ def ivfpq_topk_indexed(
         *[F.array(*[F.lit(float(x)) for x in table[j]]) for j in range(m)]
     )
     codes = F.col(code_col)
-    score = F.element_at(blit, F.col(cell_col) + 1) + F.aggregate(
+    score = F.element_at(blit, (F.col(cell_col) + 1).cast("int")) + F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, j: acc
         + F.element_at(
-            F.element_at(tlit, j + 1), F.element_at(codes, j + 1) + 1
+            F.element_at(tlit, j + 1),
+            (F.element_at(codes, j + 1) + 1).cast("int"),
         ),
     )
     return (

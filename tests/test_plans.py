@@ -523,3 +523,36 @@ def test_pagerank_plan_lineage_is_pinned(spark):
         )
     finally:
         release_caches(ranks)
+
+
+def test_pq_probe_plan_is_python_free(spark):
+    """The PQ/IVF-PQ PROBE must be pure Column over stored codes — no
+    Arrow/Python evaluation anywhere in the probe plan (encode-time
+    UDFs are build-time, never probe-time)."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    books = S.pq_train(df, m=4, ksub=8)
+    idx = S.build_pq_index(df, books)
+    # materialize codes so the probe plan reads a static local relation
+    stored = spark.createDataFrame(
+        idx.select("vec_id", "pq_code").collect()
+    )
+    plan = plan_of(S.pq_topk_indexed(stored, books, q, k=5))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+    idx2, cents, books2 = S.build_ivfpq_index(df, nlist=4, m=4, ksub=8)
+    stored2 = spark.createDataFrame(
+        idx2.select("vec_id", "ivf_cell", "pq_code").collect()
+    )
+    plan2 = plan_of(
+        S.ivfpq_topk_indexed(stored2, cents, books2, q, k=5, nprobe=2)
+    )
+    assert "EvalPython" not in plan2 and "ArrowEval" not in plan2
