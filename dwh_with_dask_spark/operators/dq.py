@@ -156,3 +156,36 @@ def dq_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
         "rule", "column", "violations", "n_rows",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def dq_row_flags(
+    df: DataFrame, rules: list[Rule], flag_col: str = "dq_violations"
+) -> DataFrame:
+    """Per-ROW rule evaluation for gating/quarantine routing: appends
+    ``flag_col`` = array of violated rule names (empty = clean row).
+
+    Row-local rules only (not_null / in_set / in_range / predicate) —
+    the subset that is streaming-legal with zero state; ``unique`` and
+    ``foreign_key`` need corpus-global context and stay in the batch
+    ``dq_checks`` aggregate. One codegen'd projection, no shuffle."""
+    names, flags = [], []
+    for r in rules:
+        if r.kind not in ("not_null", "in_set", "in_range", "predicate"):
+            raise ValueError(
+                f"dq_row_flags: rule kind {r.kind!r} is not row-local"
+            )
+        c = F.col(r.column)
+        if r.kind == "not_null":
+            bad = c.isNull()
+        elif r.kind == "in_set":
+            bad = c.isNull() | ~c.isin(r.values)
+        elif r.kind == "in_range":
+            bad = c.isNull() | (c < F.lit(r.lo)) | (c > F.lit(r.hi))
+        else:
+            bad = ~F.coalesce(r.predicate, F.lit(False))
+        names.append(r.rule_name)
+        flags.append(F.when(bad, F.lit(r.rule_name)))
+    arr = F.array_compact(F.array(*flags)) if flags else F.array().cast(
+        "array<string>"
+    )
+    return df.withColumn(flag_col, arr)

@@ -1,0 +1,120 @@
+"""Streaming warehouse-maintenance sinks: SCD2 MERGE and a DQ gate as
+foreachBatch pipelines over a document/event landing stream.
+
+The batch twins are ``operators.scd.scd2_merge`` and
+``operators.dq.dq_checks``/``dq_row_flags``; these sinks give them the
+micro-batch lifecycle a production landing zone needs:
+
+- ``scd2_merge_sink``: every micro-batch of dimension updates merges
+  into the stored SCD2 table — intra-batch duplicates compact first
+  (latest per key by ts), then ONE ``scd2_merge`` applies the batch.
+  Closed history is never rewritten logically (the merge passes it
+  through), and the storage swap is write-new/rename — simple local
+  parquet semantics standing in for a transactional table format.
+- ``dq_gate_sink``: row-local rules route each micro-batch's rows to a
+  pass table or a quarantine table (violation reasons attached), and
+  append one per-batch stats row per rule — the quarantine pattern, no
+  state, append-only outputs.
+
+Restart contract (standard foreachBatch): a replayed batch_id re-merges
+an already-applied batch — ``scd2_merge`` is idempotent for identical
+values (same-values keys pass through unchanged), and the gate's
+outputs carry ``batch_id`` so consumers dedup replays.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_merge_sink(
+    dim_path: str,
+    key_col: str,
+    tracked_cols: list[str],
+    ts_col: str,
+):
+    """foreachBatch fn: merge each micro-batch of updates into the SCD2
+    dimension stored at ``dim_path``. The batch compacts to its latest
+    observation per key (ts + key tie-break), and the batch's max ts
+    stamps closes/opens — the standard load-timestamp convention."""
+    from dwh_with_dask_spark.operators.scd import scd2_merge
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col(key_col)
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(key_col, *tracked_cols, ts_col)
+        )
+        load_ts = latest.agg(F.max(ts_col)).first()[0]
+        merged = scd2_merge(
+            dim,
+            latest.drop(ts_col),
+            key_col,
+            tracked_cols,
+            F.lit(load_ts),
+        )
+        tmp = dim_path + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        # local-parquet stand-in for a transactional commit: the tmp
+        # write fully materializes BEFORE the old table is replaced, so
+        # a crash leaves either the old or the new complete table
+        old = dim_path + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dim_path, old)
+        os.rename(tmp, dim_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return fn
+
+
+def dq_gate_sink(
+    rules,
+    pass_path: str,
+    quarantine_path: str,
+    stats_path: str | None = None,
+):
+    """foreachBatch fn: route rows by row-local DQ rules — clean rows
+    append to ``pass_path``, violating rows (with their reason array)
+    to ``quarantine_path``; optional per-batch per-rule stats append to
+    ``stats_path``. All three outputs are append-only and carry
+    batch_id."""
+    from dwh_with_dask_spark.operators.dq import dq_row_flags
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = dq_row_flags(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        flagged.persist()
+        try:
+            flagged.filter(F.size("dq_violations") == 0).drop(
+                "dq_violations"
+            ).write.mode("append").parquet(pass_path)
+            quarantined = flagged.filter(F.size("dq_violations") > 0)
+            quarantined.write.mode("append").parquet(quarantine_path)
+            if stats_path is not None:
+                stats = (
+                    flagged.select(
+                        "batch_id",
+                        F.explode_outer("dq_violations").alias("rule"),
+                    )
+                    .groupBy("batch_id", "rule")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("rule").isNotNull())
+                )
+                stats.write.mode("append").parquet(stats_path)
+        finally:
+            flagged.unpersist()
+
+    return fn

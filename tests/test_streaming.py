@@ -1094,3 +1094,119 @@ def test_span_probe_sink_grows_index_across_batches(spark, tmpdir_spark):
         ).collect()
     }
     assert stored == full
+
+
+def test_scd2_merge_sink_applies_stream_batches(spark, tmpdir_spark):
+    """Micro-batched dimension updates through scd2_merge_sink: keys
+    touched by the stream gain a closed + a new current version; keys
+    untouched pass through open. Update batches touch DISJOINT keys so
+    the final table is micro-batch-order independent."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.operators.scd import scd2_from_changelog
+    from dwh_with_dask_spark.streaming.warehouse import scd2_merge_sink
+
+    base_ts = _dt.datetime(2024, 1, 1)
+    seed = [(k, f"seg{k % 3}", base_ts, k) for k in range(20)]
+    chg = spark.createDataFrame(
+        seed, "cust long, segment string, ts timestamp, lsn long"
+    )
+    dim_path = f"{tmpdir_spark}/dim"
+    scd2_from_changelog(
+        chg, "cust", "ts", ["segment"], tiebreak_col="lsn"
+    ).write.parquet(dim_path)
+
+    t1 = _dt.datetime(2024, 2, 1)
+    fa = spark.createDataFrame(
+        [(k, "gold", t1) for k in range(0, 6)],
+        "cust long, segment string, ts timestamp",
+    )
+    fb = spark.createDataFrame(
+        [(k, "silver", t1) for k in range(10, 14)],
+        "cust long, segment string, ts timestamp",
+    )
+    src = f"{tmpdir_spark}/updates"
+    fa.coalesce(1).write.parquet(src)
+    fb.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "cust long, segment string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            scd2_merge_sink(dim_path, "cust", ["segment"], "ts")
+        )
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_scd2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    dim = spark.read.parquet(dim_path)
+    cur = {r.cust: r.segment for r in dim.filter("is_current").collect()}
+    assert all(cur[k] == "gold" for k in range(0, 6))
+    assert all(cur[k] == "silver" for k in range(10, 14))
+    assert all(cur[k] == f"seg{k % 3}" for k in range(6, 10))
+    changed = set(range(0, 6)) | set(range(10, 14))
+    n_hist = dim.filter("NOT is_current").count()
+    assert n_hist == len(changed)
+    closed = {
+        r.cust: r.valid_to for r in dim.filter("NOT is_current").collect()
+    }
+    assert set(closed) == changed
+    assert all(v == t1 for v in closed.values())
+
+
+def test_dq_gate_sink_routes_and_counts(spark, tmpdir_spark):
+    from dwh_with_dask_spark.operators.dq import Rule
+    from dwh_with_dask_spark.streaming.warehouse import dq_gate_sink
+
+    rows = [
+        (1, "a", 10.0), (2, None, 5.0), (3, "b", -1.0),
+        (4, "zz", 7.0), (5, "a", None), (6, "b", 3.0),
+    ]
+    d = spark.createDataFrame(rows, "id long, cat string, val double")
+    src = f"{tmpdir_spark}/dq_in"
+    d.repartition(2).write.parquet(src)
+
+    rules = [
+        Rule(kind="not_null", column="cat"),
+        Rule(kind="in_set", column="cat", values=["a", "b"]),
+        Rule(kind="in_range", column="val", lo=0.0, hi=100.0),
+    ]
+    pp, qp, sp = (
+        f"{tmpdir_spark}/dq_pass",
+        f"{tmpdir_spark}/dq_quar",
+        f"{tmpdir_spark}/dq_stats",
+    )
+    stream = spark.readStream.schema("id long, cat string, val double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(dq_gate_sink(rules, pp, qp, sp))
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_dq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    passed = {r.id for r in spark.read.parquet(pp).collect()}
+    quar = {
+        r.id: set(r.dq_violations)
+        for r in spark.read.parquet(qp).collect()
+    }
+    assert passed == {1, 4, 6} - {4}  # 4 fails in_set
+    assert passed == {1, 6}
+    assert quar[2] == {"not_null:cat", "in_set:cat"}
+    assert quar[3] == {"in_range:val"}
+    assert quar[4] == {"in_set:cat"}
+    assert quar[5] == {"in_range:val"}
+    assert set(quar) | passed == {1, 2, 3, 4, 5, 6}
+    stats = {
+        (r.rule): r.n
+        for r in spark.read.parquet(sp)
+        .groupBy("rule")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert stats == {"not_null:cat": 1, "in_set:cat": 2, "in_range:val": 2}
