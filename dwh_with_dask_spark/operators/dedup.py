@@ -1108,6 +1108,14 @@ def duplicate_span_removal(
     Shuffles: windows by h (rank), intervals+tokens by doc — all
     fixed-width or token-sized rows, never full documents.
 
+    The corpus is deliberately SCANNED TWICE (hash-window branch +
+    token-reassembly branch) rather than carrying token arrays through
+    the hash shuffle: a parquet re-scan with column pruning is cheap
+    and parallel, while threading document-sized arrays through the
+    ``h``-keyed exchange would put the corpus's heaviest bytes on the
+    wire — the same scan-vs-shuffle call the paragraph-dedup plan
+    makes.
+
     Returns (id_col, n_tokens, n_removed, clean_text) for EVERY doc
     with >= k tokens (docs with nothing removed come out intact).
     """
