@@ -213,3 +213,15 @@ def test_scd2_changelog_fuzz_vs_python_reference(spark):
             nxt = versions[i + 1][0] if i + 1 < len(versions) else None
             want.append((k, v, t, nxt, nxt is None, i + 1))
     assert got == sorted(want)
+
+
+def test_dq_row_flags_guards_and_empty_rules(spark):
+    import pytest as _pytest
+
+    from dwh_with_dask_spark.operators.dq import Rule, dq_row_flags
+
+    d = spark.createDataFrame([(1, "a")], "id long, cat string")
+    out = dq_row_flags(d, [])
+    assert out.collect()[0].dq_violations == []
+    with _pytest.raises(ValueError):
+        dq_row_flags(d, [Rule(kind="unique", column="id")])
