@@ -188,22 +188,39 @@ def _doc_shingles(
 ) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted-index building block.
 
-    Two deliberate plan choices (operators/partitioning.py):
-    - ``widen`` BELOW the tokenize: a corpus arriving as few large
-      files would otherwise run the CPU-heavy regex stage at file
-      parallelism (2 tasks on 32 cores); a scan already wider than the
-      session parallelism passes through with NO exchange.
-    - ``barrier`` (no-shuffle coalesce) ABOVE the tokenize: without a
-      barrier Catalyst collapses the projects and re-inlines the
-      split() into the per-element gram lambda (higher-order lambdas
-      evaluate interpreted), making gram generation O(len²) per
-      document — measured 2.5 s vs 0.8 s at sf1 on a wide input.
+    Plan shape (round-7 fix of the round-6 sf0.1 regression — see
+    scripts/exp_jaccard_shape.py and BASELINE.md): tokenize BELOW one
+    conditional ``widen`` exchange that hash-partitions the TOKEN
+    ARRAYS on ``id``. Two properties hang on this ordering:
+
+    - The exchange doubles as the projection barrier: Catalyst cannot
+      collapse the gram lambda across it, so the tokenize regex is
+      never re-inlined per element (O(len²) hazard, measured 2.5 s vs
+      0.8 s at sf1).
+    - ``HashPartitioning(id)`` satisfies the downstream
+      ``distinct()``'s ``ClusteredDistribution(id, shingle)`` (subset
+      of the grouping keys), so the EXPLODED shingle rows — the widest
+      table in the whole query, ~n-gram-factor × the text bytes —
+      aggregate in place with NO second shuffle.
+
+    Round 6 inverted this (widen the raw text below the tokenize, a
+    no-shuffle ``coalesce`` barrier above it) to keep the regex stage
+    wide. The barrier did stop re-inlining, but ``CoalesceExec``
+    reports unknown output partitioning, so Catalyst inserted an
+    ``ENSURE_REQUIREMENTS`` exchange on ``(id, shingle)`` under every
+    consumer — a full shuffle of the exploded shingles on top of the
+    raw-text exchange (14 vs 10 exchanges in the executed plan;
+    sf0.1 medians 1.28/1.81 s vs 0.53/1.07 s for this shape). On a
+    wide cluster scan ``widen`` degrades to the free coalesce barrier
+    and the distinct pays its one shingle exchange either way — the
+    shapes converge; only the narrow-scan path differs.
     """
-    toks_df = barrier(
-        widen(df.select(id_col, text_col), id_col).select(
+    toks_df = widen(
+        df.select(
             F.col(id_col).alias("id"),
             text_tokens(text_col).alias("__toks"),
-        )
+        ),
+        "id",
     )
     return (
         toks_df

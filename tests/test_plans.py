@@ -429,6 +429,47 @@ def test_widen_adds_no_exchange_on_wide_input(spark):
     assert logical(out_narrow).count("RepartitionByExpression") == 1
 
 
+def test_jaccard_plan_no_shingle_reshuffle(spark):
+    """VERDICT r6 ask #2: watch the ACTUAL hazards of the Jaccard plan,
+    not just exchange counts. Two invariants on the real registry query:
+
+    1. No tokenize re-inlining: the `split(lower(text))` tokenize
+       expression must be bound exactly once per `__toks` projection in
+       the optimized plan — if CollapseProject inlines it into the gram
+       lambda (interpreted, per-element) the split count exceeds the
+       binding count and gram generation goes O(len²) per document.
+    2. No exploded-shingle reshuffle: the exchange feeding the
+       distinct must cluster on `id` only (satisfying
+       ClusteredDistribution(id, shingle) via the subset rule). An
+       exchange hash-partitioned on BOTH id and shingle means the
+       exploded shingle rows — the widest table in the query — ride a
+       second full shuffle (the round-6 sf0.1 regression: 14 vs 10
+       exchanges, 1.28 s vs 0.53 s; BASELINE.md round-7 correction).
+    """
+    import re
+
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_CORRECT)
+    qe = df._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+
+    n_tokenize = opt.count("split(lower(")
+    n_bindings = len(re.findall(r"AS __toks#\d+", opt))
+    assert n_tokenize == n_bindings > 0, (
+        f"tokenize bound {n_tokenize}x for {n_bindings} __toks "
+        "projections — re-inlined into a lambda or a post-Generate "
+        "project (O(len²) hazard)"
+    )
+
+    phys = qe.executedPlan().toString()
+    for line in phys.splitlines():
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", line)
+        if m and "id#" in m.group(1):
+            assert "shingle#" not in m.group(1), (
+                "exploded shingle rows reshuffled on (id, shingle): "
+                + line.strip()
+            )
+
+
 def test_widen_operator_results_partitioning_invariant(spark):
     """repetition_profile through the conditional path: wide and narrow
     inputs must produce identical rows (barrier preserves semantics)."""
