@@ -1117,13 +1117,18 @@ def duplicate_span_removal(
 
     Plan: window stream as in ``duplicate_spans``; non-canonical
     instances via one row_number window over ``h``; per-doc removal
-    intervals collected to an array (interval count per doc is small —
-    bounded by dup windows, and merged intervals are what the filter
-    scans); the token stream then drops covered positions row-locally
-    (``F.exists`` over the broadcast-size per-doc interval array after
-    a doc-keyed join) and reassembles with one ordered aggregation.
-    Shuffles: windows by h (rank), intervals+tokens by doc — all
-    fixed-width or token-sized rows, never full documents.
+    intervals merged (one running-max window) and collected to a
+    sorted array; the token side then reassembles ROW-LOCALLY — the
+    keep intervals are the complement of the sorted cut array (two
+    boundary zips), and ``clean_text`` is the concat of one
+    ``slice(__toks, s, e-s)`` per keep interval. O(tokens +
+    intervals) per document: tokens are never posexploded, no
+    per-token interval scan (the previous ``F.exists`` filter was
+    O(tokens × merged_intervals) per doc — quadratic for a long
+    heavily-duplicated doc where merged intervals ~ tokens/k, ADVICE
+    r6), and the final token-row groupBy shuffle is gone. Shuffles:
+    windows by h (rank), intervals by doc, one doc-keyed join — all
+    fixed-width rows, never full documents.
 
     The corpus is deliberately SCANNED TWICE (hash-window branch +
     token-reassembly branch) rather than carrying token arrays through
@@ -1182,47 +1187,56 @@ def duplicate_span_removal(
         )
     )
     n = F.size(F.col("__toks"))
-    toks = barrier(
-        widen(df.select(id_col, text_col), id_col).select(
+    # tokenize below the conditional exchange carrying __toks (same
+    # shape and rationale as _doc_shingles): HashPartitioning(id)
+    # satisfies the doc-keyed join's distribution, and the exchange is
+    # the projection barrier against lambda re-inlining
+    toks = widen(
+        df.select(
             F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks")
-        )
+        ),
+        "id",
     ).filter(n >= k)
     joined = toks.join(ivals, "id", "left")
-    tok_pos = joined.select(
-        "id",
-        "__cuts",
-        F.posexplode("__toks").alias("pos", "tok"),
+    cuts = F.coalesce(
+        F.col("__cuts"), F.array().cast("array<struct<__s:int,__e:int>>")
     )
-    covered = F.exists(
-        F.coalesce(
-            F.col("__cuts"), F.array().cast("array<struct<__s:int,__e:int>>")
+    # keep intervals = complement of the sorted disjoint cut intervals
+    # within [0, n): starts are 0 + each cut end, ends are each cut
+    # start + n; empty ones drop out
+    keep_s = F.concat(
+        F.array(F.lit(0)), F.transform(cuts, lambda c: c.getField("__e"))
+    )
+    keep_e = F.concat(F.transform(cuts, lambda c: c.getField("__s")), F.array(n))
+    keeps = F.filter(
+        F.zip_with(
+            keep_s,
+            keep_e,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
         ),
-        lambda c: (F.col("pos") >= c.getField("__s"))
-        & (F.col("pos") < c.getField("__e")),
+        lambda p: p.getField("e") > p.getField("s"),
     )
-    marked = tok_pos.withColumn("__rm", covered.cast("int"))
-    return (
-        marked.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__rm").alias("n_removed"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.filter(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__rm") == 0,
-                                    F.struct(F.col("pos"), F.col("tok")),
-                                )
-                            )
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                    lambda s: s.tok,
+    clean = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                keeps,
+                lambda p: F.slice(
+                    F.col("__toks"),
+                    p.getField("s") + 1,
+                    p.getField("e") - p.getField("s"),
                 ),
-            ).alias("clean_text"),
-        )
-        .withColumnRenamed("id", id_col)
+            )
+        ),
+    )
+    n_removed = F.aggregate(
+        cuts,
+        F.lit(0),
+        lambda acc, c: acc + c.getField("__e") - c.getField("__s"),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        n_removed.cast("bigint").alias("n_removed"),
+        clean.alias("clean_text"),
     )

@@ -855,17 +855,24 @@ def build_ivfpq_index(
 
     All the determinism contracts of the parts hold (id-ordered seeds,
     no RNG); the residual pass is one extra Arrow-batched projection.
+
+    One geometry throughout (ADVICE r6): the coarse k-means, the cell
+    assignment, the residual, and the probe-side centroid ranking all
+    operate on the L2-NORMALIZED vectors. Running the coarse k-means on
+    raw vectors while probing ranked normalized centroids against the
+    normalized query meant non-unit-norm corpora could probe cells
+    systematically different from the assignment-nearest ones —
+    silently hurting recall (the ADC decomposition stayed exact). Now
+    ``x_n = centroid[cell] + residual`` holds exactly in the one shared
+    space, so ``q·x_n = q·c + q·r`` is the exact score split.
     """
-    cents = _kmeans_centroids(df, nlist, id_col, vec_col, iters=iters)
-    # normalize centroids' source space: assignment uses the raw-vector
-    # kmeans (IVF contract); residuals are vs the NORMALIZED vector, so
-    # normalize the centroid rows too for a consistent geometry
-    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    assigned = df.withColumn(
-        "ivf_cell", _nearest_cell_udf(cents)(F.col(vec_col))
+    nrm = df.withColumn("__nvec", _normalize_udf()(F.col(vec_col)))
+    cents = _kmeans_centroids(nrm, nlist, id_col, "__nvec", iters=iters)
+    assigned = nrm.withColumn(
+        "ivf_cell", _nearest_cell_udf(cents)(F.col("__nvec"))
     )
     with_resid = assigned.withColumn(
-        "__resid", _residual_udf(cn)(F.col(vec_col), F.col("ivf_cell"))
+        "__resid", _residual_udf(cents)(F.col("__nvec"), F.col("ivf_cell"))
     )
     books = pq_train(
         with_resid, m=m, ksub=ksub, id_col=id_col, vec_col="__resid",
@@ -874,8 +881,8 @@ def build_ivfpq_index(
     indexed = build_pq_index(
         with_resid, books, id_col=id_col, vec_col="__resid",
         normalize=False,
-    ).drop("__resid")
-    return indexed, cn, books
+    ).drop("__resid", "__nvec")
+    return indexed, cents, books
 
 
 def ivfpq_topk_indexed(

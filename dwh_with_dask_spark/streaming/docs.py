@@ -201,15 +201,22 @@ def span_probe_sink(index_path: str, out_path: str, k: int = 8):
     its write never re-reads ``index_path`` mid-append; state lives
     entirely in the two parquet tables — the restart/recovery story is
     the checkpoint plus idempotent re-append per batch_id (standard
-    foreachBatch contract)."""
+    foreachBatch contract). A fresh pipeline needs no manual seeding:
+    the first micro-batch finding no table at ``index_path`` writes an
+    empty one (ADVICE r6 — previously the first batch threw
+    path-not-found and killed the stream)."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         from dwh_with_dask_spark.operators.dedup import (
             build_span_index,
             incremental_duplicate_spans,
         )
 
         spark = batch_df.sparkSession
+        if not os.path.exists(index_path):
+            spark.createDataFrame([], "h string").write.parquet(index_path)
         index = spark.read.parquet(index_path)
         cov = incremental_duplicate_spans(batch_df, index, k=k).withColumn(
             "batch_id", F.lit(batch_id)

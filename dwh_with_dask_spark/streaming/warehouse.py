@@ -32,6 +32,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _recover_dim_swap(dim_path: str) -> None:
+    """Heal an interrupted table swap before reading ``dim_path``.
+
+    POSIX ``rename(2)`` cannot atomically replace a non-empty
+    directory, so the swap is two renames with a window where NO table
+    sits at ``dim_path`` (the ``.__old__`` backup is complete). A crash
+    inside that window is detected here by ``dim_path`` missing while
+    the backup exists — restore the backup and re-apply the batch
+    (foreachBatch redelivers it; the merge is idempotent). A leftover
+    ``.__tmp__`` from a crash mid-write is simply discarded: it may be
+    a partial parquet directory and the batch that produced it will be
+    replayed anyway.
+    """
+    old = dim_path + ".__old__"
+    tmp = dim_path + ".__tmp__"
+    if not os.path.exists(dim_path) and os.path.exists(old):
+        os.rename(old, dim_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def scd2_merge_sink(
     dim_path: str,
     key_col: str,
@@ -48,6 +68,7 @@ def scd2_merge_sink(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        _recover_dim_swap(dim_path)
         dim = spark.read.parquet(dim_path)
         w = Window.partitionBy(key_col).orderBy(
             F.col(ts_col).desc(), F.col(key_col)
@@ -68,8 +89,12 @@ def scd2_merge_sink(
         tmp = dim_path + ".__tmp__"
         merged.write.mode("overwrite").parquet(tmp)
         # local-parquet stand-in for a transactional commit: the tmp
-        # write fully materializes BEFORE the old table is replaced, so
-        # a crash leaves either the old or the new complete table
+        # write fully materializes BEFORE the old table is replaced.
+        # The two renames are NOT atomic together — a crash between
+        # them leaves no table at dim_path with the complete previous
+        # table at .__old__; _recover_dim_swap (run before every read)
+        # restores it, and foreachBatch's batch_id redelivery replays
+        # the merge, which is idempotent for identical values.
         old = dim_path + ".__old__"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(dim_path, old)

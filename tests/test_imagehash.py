@@ -13,7 +13,10 @@ from dwh_with_dask_spark.operators.imagehash import (
     dhash_bits,
     image_perceptual_hashes,
     phash_bits,
+    phash_d8_bits,
+    phash_dihedral_near_dup_pairs,
     phash_near_dup_pairs,
+    phash_orientation_bits,
 )
 from dwh_with_dask_spark.operators.multimodal import (
     _decode_image,
@@ -76,10 +79,116 @@ def test_unrelated_images_are_far(base_img):
 
 
 def test_rotation_is_a_documented_non_goal(base_img):
-    """pHash is NOT rot90-invariant (the public algorithm isn't either);
-    pin that so nobody silently assumes it."""
+    """Plain pHash is NOT rot90-invariant (the public algorithm isn't
+    either); pin that so nobody silently assumes it. Dihedral
+    robustness is phash_d8's job (tests below)."""
     rot = np.rot90(base_img).copy()
     assert hamming(phash_bits(base_img), phash_bits(rot)) > 10
+
+
+def test_phash_d8_exact_dihedral_invariance():
+    """VERDICT r6 ask #6: every exact rotation/flip of an image has the
+    IDENTICAL canonical hash (same orientation set -> same min). Exact
+    equality holds when no resampling intervenes (32x32 input: the NN
+    resize is the identity); for other sizes the floor-grid NN resample
+    does not commute with rot90 (one-pixel phase shift), so rotated
+    LARGER images land within the near-dup threshold instead — pinned
+    by test_phash_d8_rotated_variants_within_threshold."""
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 255, size=(32, 32, 3)).astype(np.float64)
+    img = (
+        raw.reshape(8, 4, 8, 4, 3).mean(axis=(1, 3)).repeat(4, 0).repeat(4, 1)
+    ).astype(np.uint8)
+    h0 = phash_d8_bits(img)
+    orientations = [np.rot90(img, k).copy() for k in range(1, 4)]
+    flipped = np.fliplr(img).copy()
+    orientations += [flipped] + [np.rot90(flipped, k).copy() for k in range(1, 4)]
+    for o in orientations:
+        assert phash_d8_bits(o) == h0
+
+
+def _d8_dist(img_a, img_b) -> int:
+    """min over A's orientation hashes vs B's plain hash — the metric
+    phash_dihedral_near_dup_pairs computes distributed."""
+    hb = phash_bits(img_b)
+    return min(hamming(o, hb) for o in phash_orientation_bits(img_a))
+
+
+def test_phash_d8_rotated_variants_within_threshold(base_img):
+    """Rotation/flip COMPOSED with the usual near-dup edits must land
+    within the same Hamming threshold the plain-pHash variants use —
+    under the orientation-set metric (min over A's 8 orientations vs
+    B's plain hash). The canonical-min column does NOT have this
+    property (argmin instability, pinned in its docstring)."""
+    bright = np.clip(base_img.astype(int) + 12, 0, 255).astype(np.uint8)
+    quant = (base_img // 16 * 16).astype(np.uint8)
+    patched = base_img.copy()
+    patched[20:24, 20:24] = 255
+    for variant in (bright, quant, patched):
+        for k in range(4):
+            rot = np.rot90(variant, k).copy()
+            assert _d8_dist(rot, base_img) <= 12
+            assert _d8_dist(np.fliplr(rot).copy(), base_img) <= 12
+
+
+def test_phash_d8_unrelated_images_stay_far(base_img):
+    """The orientation-set metric must not collapse the space:
+    unrelated images keep a margin (min-over-8 shrinks distances
+    slightly, so the bound is a bit looser than plain pHash's)."""
+    for seed in range(5):
+        rng = np.random.default_rng(100 + seed)
+        raw = rng.integers(0, 255, size=(64, 64, 3)).astype(np.float64)
+        other = raw.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3)).astype(np.uint8)
+        other = _resize_nn(other, 64, 64)
+        assert _d8_dist(other, base_img) > 12
+        assert _d8_dist(base_img, other) > 12
+
+
+def test_phash_dihedral_pairs_find_rotated_edited_copies(spark, base_img):
+    """End-to-end: phash_dihedral_near_dup_pairs must surface
+    rotated/flipped AND edited copies that plain phash banding misses,
+    match the brute-force orientation-set metric exactly, and not
+    pull in the unrelated image."""
+    bright = np.clip(base_img.astype(int) + 12, 0, 255).astype(np.uint8)
+    rot_bright = np.rot90(bright).copy()
+    flip = np.fliplr(base_img).copy()
+    other = _resize_nn(
+        np.random.default_rng(99)
+        .integers(0, 255, size=(8, 8, 3))
+        .astype(np.uint8),
+        64,
+        64,
+    )
+    imgs = [base_img, rot_bright, flip, other]
+    media = _media_df(spark, imgs)
+    got = {
+        (r.hash_a, r.hash_b): r.hamming
+        for r in phash_dihedral_near_dup_pairs(
+            media, max_hamming=10, bands=16
+        ).collect()
+    }
+
+    import hashlib
+
+    hashes = {
+        hashlib.sha256(encode_png(img)).hexdigest(): i
+        for i, img in enumerate(imgs)
+    }
+    # brute-force twin over the same metric
+    keys = sorted(hashes)
+    want = {}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            d = _d8_dist(imgs[hashes[a]], imgs[hashes[b]])
+            if d <= 10:
+                want[(a, b)] = d
+    assert got == want
+    # the planted rotated/edited copies are actually in there
+    assert len(got) >= 3
+    plain_pairs = phash_near_dup_pairs(
+        media, max_hamming=10, bands=16, method="phash"
+    ).count()
+    assert plain_pairs < len(got)  # rotation-blind banding misses pairs
 
 
 def test_hashes_survive_png_roundtrip(base_img):

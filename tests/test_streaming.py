@@ -1096,6 +1096,54 @@ def test_span_probe_sink_grows_index_across_batches(spark, tmpdir_spark):
     assert stored == full
 
 
+def test_span_probe_sink_fresh_pipeline_self_seeds(spark, tmpdir_spark):
+    """ADVICE r6: a fresh pipeline with NO pre-seeded index must not
+    die on the first micro-batch — the sink seeds an empty index, the
+    first batch's coverage reflects only batch-internal repeats, and
+    the stored index afterwards equals the batch-built index."""
+    from dwh_with_dask_spark.operators.dedup import (
+        build_span_index,
+        incremental_duplicate_spans,
+    )
+    from dwh_with_dask_spark.streaming.docs import (
+        read_documents_stream,
+        span_probe_sink,
+    )
+
+    vocab = [f"v{i}" for i in range(20)]
+    boiler = [f"s{i}" for i in range(10)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    fa = spark.createDataFrame(
+        _span_fixture_rows(4, 1000, 20, boiler, vocab, every=2), schema
+    )
+    src = f"{tmpdir_spark}/docs_fresh"
+    fa.coalesce(1).write.parquet(src)
+    index_path = f"{tmpdir_spark}/span_index_fresh"  # never created
+    out_path = f"{tmpdir_spark}/span_cov_fresh"
+
+    stream = read_documents_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(span_probe_sink(index_path, out_path))
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_fresh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    empty_idx = spark.createDataFrame([], "h string")
+    exp = sorted(
+        (r.doc_id, r.n_dup_windows, r.dup_tokens)
+        for r in incremental_duplicate_spans(fa, empty_idx).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.n_dup_windows, r.dup_tokens)
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert got == exp
+    stored = {r.h for r in spark.read.parquet(index_path).collect()}
+    assert stored == {r.h for r in build_span_index(fa).collect()}
+
+
 def test_scd2_merge_sink_applies_stream_batches(spark, tmpdir_spark):
     """Micro-batched dimension updates through scd2_merge_sink: keys
     touched by the stream gain a closed + a new current version; keys
@@ -1155,6 +1203,63 @@ def test_scd2_merge_sink_applies_stream_batches(spark, tmpdir_spark):
     }
     assert set(closed) == changed
     assert all(v == t1 for v in closed.values())
+
+
+def test_scd2_merge_sink_crash_replay_is_idempotent(spark, tmpdir_spark):
+    """VERDICT r6 ask #5 + ADVICE r6: the write-new/rename commit has a
+    window between the two renames where NO table sits at dim_path (the
+    complete previous table is at .__old__, a possibly-partial write at
+    .__tmp__). Simulate a crash inside that window, then deliver the
+    batch: _recover_dim_swap must restore the backup and discard the
+    partial tmp, and the merge must apply. Deliver the SAME batch once
+    more (foreachBatch redelivery after a crash-after-commit): the
+    dimension must be row-identical — the idempotent-merge claim."""
+    import datetime as _dt
+    import os as _os
+
+    from dwh_with_dask_spark.operators.scd import scd2_from_changelog
+    from dwh_with_dask_spark.streaming.warehouse import scd2_merge_sink
+
+    base_ts = _dt.datetime(2024, 1, 1)
+    seed = [(k, f"seg{k % 3}", base_ts, k) for k in range(10)]
+    chg = spark.createDataFrame(
+        seed, "cust long, segment string, ts timestamp, lsn long"
+    )
+    dim_path = f"{tmpdir_spark}/dim_crash"
+    scd2_from_changelog(
+        chg, "cust", "ts", ["segment"], tiebreak_col="lsn"
+    ).write.parquet(dim_path)
+
+    t1 = _dt.datetime(2024, 2, 1)
+    batch = spark.createDataFrame(
+        [(k, "gold", t1) for k in range(0, 4)],
+        "cust long, segment string, ts timestamp",
+    )
+    fn = scd2_merge_sink(dim_path, "cust", ["segment"], "ts")
+
+    # crash state: dim renamed away, backup complete, tmp partial junk
+    old, tmp = dim_path + ".__old__", dim_path + ".__tmp__"
+    _os.rename(dim_path, old)
+    batch.limit(1).write.parquet(tmp)  # stand-in for a partial write
+    assert not _os.path.exists(dim_path)
+
+    fn(batch, 7)  # delivery after the crash: recover, then merge
+    assert _os.path.exists(dim_path)
+    assert not _os.path.exists(tmp)
+
+    def rows():
+        return sorted(
+            (r.cust, r.segment, r.valid_from, r.valid_to, r.is_current)
+            for r in spark.read.parquet(dim_path).collect()
+        )
+
+    after_first = rows()
+    cur = {c: s for c, s, _f, _t, is_c in after_first if is_c}
+    assert all(cur[k] == "gold" for k in range(0, 4))
+    assert all(cur[k] == f"seg{k % 3}" for k in range(4, 10))
+
+    fn(batch, 7)  # redelivery of the identical batch
+    assert rows() == after_first
 
 
 def test_dq_gate_sink_routes_and_counts(spark, tmpdir_spark):
