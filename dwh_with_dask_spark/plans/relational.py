@@ -536,10 +536,48 @@ def bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")  # no oracle: HLL sketches are engine-specific
+@query(
+    "approx_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate, validated IN-PLAN against the exact
+    count (VERDICT r6 ask #7): the raw estimate is engine-specific (no
+    cross-engine oracle exists for a sketch), so the driver-checked
+    output is the ACCURACY CONTRACT — the exact count plus a flag that
+    the rsd=0.01 estimate landed within 5% (5 sigma; measured ≤0.67%
+    on sf0.001-sf1). A wrong HLL implementation fails the hash-match
+    loudly instead of hiding behind `no_oracle`. The pure sketch-only
+    aggregate — the actual 100 TB scale path, no Expand, mergeable
+    partials — is `approx_distinct_parts_raw` (rows-only by nature)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("__approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+@query("approx_distinct_parts_raw")  # no oracle: HLL sketches are engine-specific
+def approx_distinct_parts_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    countDistinct (no expand, mergeable partials). Rows-only check."""
+    countDistinct (no expand, mergeable partials). Rows-only check; the
+    oracle-able accuracy contract lives in `approx_distinct_parts`."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
