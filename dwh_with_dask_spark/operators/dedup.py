@@ -229,6 +229,87 @@ def _doc_shingles(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.88,
+    max_token_df: int | None = None,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """TF-IDF-weighted cosine similarity for all document pairs above
+    ``threshold`` — the weighted companion to the set-based
+    ``ngram_jaccard_pairs``: shared RARE tokens dominate the score,
+    boilerplate contributes ~nothing, so it finds topical/near-dup
+    pairs that unigram Jaccard dilutes.
+
+    Weights: ``w(d,t) = tf(d,t) * ln(N / df(t))``; score =
+    ``Σ w_a w_b / (||a|| ||b||)`` rounded to 6 decimals (ln and the
+    order-dependent double sums can differ from another engine in the
+    last ulps — the repo's standard round(,6) idiom absorbs it).
+
+    Scale shape: the same inverted-index plan as Jaccard — (id, tok,
+    tf) rows shuffle once; df/idf joins back per token (token-keyed
+    shuffle, no broadcast assumption on the vocabulary); the self-join
+    collides only documents sharing a token. ``max_token_df`` drops
+    tokens in more than that many docs before the self-join — with
+    IDF down-weighting them anyway, the cap costs little score and
+    removes the quadratic hot-token blowup (same contract as the
+    Jaccard cap). N is a 1-row broadcast, not a driver action.
+    """
+    scope, created = scoped(scope)
+    toks_df = widen(
+        df.select(
+            F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks")
+        ),
+        "id",
+    )
+    tf = scope.persist(
+        toks_df.select("id", F.explode("__toks").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if max_token_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_token_df)
+    w = scope.persist(
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "tok",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return attach(out, scope, created)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

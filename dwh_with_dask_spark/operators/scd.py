@@ -156,3 +156,63 @@ def scd2_merge(
     )
     out_cols = [key_col, *tracked_cols, "valid_from", "valid_to", "is_current"]
     return hist.select(*out_cols).unionByName(merged.select(*out_cols))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC by snapshot comparison: classify every key across two table
+    snapshots as ``insert`` (new only), ``delete`` (old only),
+    ``update`` (both, any compared column differs null-safely) or drop
+    it (both, identical). The operator that turns nightly full dumps —
+    the reference's ``if_exists='replace'`` world
+    (`project-dask.py:94`) — into a changelog `scd2_from_changelog`
+    can consume.
+
+    Output: key cols, ``change_type``, each compared column twice
+    (``old_<c>``, ``new_<c>``; one side NULL for inserts/deletes).
+
+    Scale shape: ONE full-outer shuffle join on the key — both sides
+    are fact-sized, so there is deliberately no broadcast; on
+    key-bucketed storage the join co-locates with zero shuffle. The
+    null-safe struct comparison is ``eqNullSafe`` == ANSI ``IS NOT
+    DISTINCT FROM``, which is what makes this oracle-able.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__ov"),
+    )
+    nw = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__nv"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(nw, cond, "full_outer")
+    in_old = F.col("__ov").isNotNull()
+    in_new = F.col("__nv").isNotNull()
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~F.col("__ov").eqNullSafe(F.col("__nv")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+            *[F.col(f"__ov.{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"__nv.{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -124,6 +124,41 @@ _JACCARD_EXACT_ORACLE = f"""
     """
 
 
+@query(
+    "dedup_tfidf_cosine",
+    f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    tok AS (SELECT doc_id AS id, unnest(toks) AS tok FROM t),
+    tf AS (SELECT id, tok, COUNT(*) AS tf FROM tok GROUP BY id, tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    w AS (SELECT id, tf.tok, tf * ln(n.n / d.df) AS w
+          FROM tf
+          JOIN (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok) d USING (tok)
+          CROSS JOIN n),
+    norms AS (SELECT id, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id_a, b.id AS id_b, SUM(a.w*b.w) AS dot
+             FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id
+             GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.88
+    """.replace("{toks}", _TOKS_SQL),
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine pairs >= 0.88
+    (operators.dedup.tfidf_cosine_pairs): the weighted companion to
+    exact Jaccard — shared rare tokens dominate, boilerplate
+    contributes ~nothing. Same inverted-index scale shape; score
+    rounded to 6 decimals on both engines (ln + order-dependent double
+    sums differ in last ulps)."""
+    return D.tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.88
+    )
+
+
 @query("dedup_ngram_jaccard", _JACCARD_EXACT_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.30 via the inverted shingle

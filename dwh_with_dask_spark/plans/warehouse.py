@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dwh_with_dask_spark.catalog import load_table
-from dwh_with_dask_spark.operators.scd import scd2_from_changelog, scd2_merge
+from dwh_with_dask_spark.operators.scd import (
+    scd2_from_changelog,
+    scd2_merge,
+    snapshot_diff,
+)
 from dwh_with_dask_spark.operators.zorder import zvalue
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -140,6 +144,70 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         ["c_mktsegment", "c_acctbal"],
         F.lit("2024-01-01 00:00:00").cast("timestamp"),
+    )
+
+
+# Two deterministic snapshots derived from the orders table itself:
+# keys % 11 = 3 are absent from the OLD snapshot (-> inserts), keys
+# % 13 = 5 absent from the NEW one (-> deletes), keys % 9 = 0 change
+# status+price between the snapshots (-> updates); everything else is
+# identical and must NOT appear in the diff.
+_SNAPDIFF_SQL = """
+    old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 3),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 5)
+"""
+
+
+@query(
+    "snapshot_diff_orders",
+    f"""
+    WITH {_SNAPDIFF_SQL}
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC by snapshot comparison (operators/scd.py:snapshot_diff):
+    classify every key across two nightly dumps as insert/delete/update
+    via one full-outer key join with null-safe struct comparison — the
+    operator that turns the reference's replace-style full loads
+    (`project-dask.py:94`) into a changelog. Both snapshots derive
+    deterministically from orders, so the DuckDB oracle enumerates the
+    identical three branches."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = o.filter(k % 11 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(k % 13 != 5).select(
+        "o_orderkey",
+        F.when(k % 9 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(k % 9 == 0, F.col("o_totalprice") + F.lit(10.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
 
 

@@ -224,3 +224,66 @@ def _json_safe(v):
     if hasattr(v, "item"):
         return v.item()
     return v
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    order_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — the table-maintenance pass every
+    streaming/append warehouse needs: micro-batch sinks and per-batch
+    appends leave thousands of KB-sized parquet files, and at 100 TB
+    the resulting task-per-file scheduling + footer-read overhead
+    dominates scans. Rewrite the table into files of
+    ~``target_file_mb`` (computed from the CURRENT on-disk bytes, so
+    the file count adapts to the data, not a guessed constant), then
+    atomically-ish swap directories (write-new/rename, same recovery
+    contract as streaming.warehouse: the complete old table stays at
+    ``.__old__`` until the new one is in place).
+
+    ``order_by`` optionally sorts within the rewrite (repartitionByRange
+    + sortWithinPartitions) so compaction doubles as clustering for
+    min/max data skipping — pair with operators.zorder for
+    multi-dimension skipping.
+
+    Returns {"files_before", "files_after", "bytes", "target_files"}.
+    """
+    import math
+    import os
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        n, b = 0, 0
+        for dp, _dirs, fns in os.walk(p):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(dp, fn))
+        return n, b
+
+    files_before, bytes_total = _stats(path)
+    target_files = max(1, math.ceil(bytes_total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if order_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in order_by]
+        df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.coalesce(target_files)
+    tmp, old = path + ".__tmp__", path + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after, _ = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": bytes_total,
+        "target_files": target_files,
+    }

@@ -190,3 +190,44 @@ def test_export_shuffled_shards_deterministic(spark, tmp_path):
     assert {k: sorted(v) for k, v in a.items()} != {k: sorted(v) for k, v in c.items()}
     # shards are balanced in expectation (loose 3x bound on 500/8 ≈ 62)
     assert all(15 <= len(v) <= 190 for v in a.values())
+
+
+def test_compact_table_rewrites_small_files(spark, tmp_path):
+    """Small-files compaction: 40 appended fragments collapse to the
+    byte-derived target count, rows and values are untouched, and the
+    ordered variant clusters min/max ranges for data skipping."""
+    import os
+
+    from dwh_with_dask_spark.sinks import compact_table
+
+    path = str(tmp_path / "frag")
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id % 7 AS k"
+        ).repartition(4).write.mode("append").parquet(path)
+
+    def n_files(p):
+        return sum(
+            1
+            for dp, _d, fns in os.walk(p)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+
+    before = spark.read.parquet(path).collect()
+    assert n_files(path) == 40
+    stats = compact_table(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 40
+    # 1000 tiny rows << 128 MB -> exactly one output file
+    assert stats["files_after"] == stats["target_files"] == 1
+    after = spark.read.parquet(path).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+    # ordered compaction preserves every row through the range-sort path
+    for i in range(4):
+        spark.range(i * 250, (i + 1) * 250).selectExpr(
+            "id", "id % 7 AS k"
+        ).repartition(3).write.mode("append").parquet(path)
+    compact_table(spark, path, target_file_mb=128, order_by=["id"])
+    dfq = spark.read.parquet(path).filter("id = 500")
+    assert dfq.count() == 2  # once from the compacted base, once appended
