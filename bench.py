@@ -46,7 +46,12 @@ HEADLINE = [
     "json_props_events",
 ]
 
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# 5 runs (round 7, was 3): the broadcast-heavy queries show rare 2x
+# outliers (GC/broadcast-build pauses — dedup_ngram_jaccard_capped
+# measured 8x ~1.2 s + 2x ~1.6-2.3 s in a 10-run profile); a median of
+# 3 lands anywhere in that range when one outlier hits, a median of 5
+# tolerates two. Protocol note recorded in BASELINE.md.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def materialize(df) -> None:
