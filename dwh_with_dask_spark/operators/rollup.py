@@ -107,3 +107,42 @@ def hypertable_rollup(
     """
     finest = minute_partials(df, ts_col, key_cols, value_col, levels[0])
     return cascade_from_partials(finest, key_cols, levels)
+
+
+def merge_aggregate_state(
+    stored: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a stored
+    partial-aggregate table with a new batch's partials, producing the
+    state a full recompute over (old input + batch) would — without
+    touching the old input again. The batch-side twin of the streaming
+    rollup legs, and the standard warehouse pattern for keeping a
+    100 TB fact's rollup fresh from day-sized increments.
+
+    Contract: both inputs carry the SAME re-aggregable state columns —
+    ``n`` (count), per-measure ``sum_*`` as exact DECIMAL partials
+    (the repo's dsum idiom: order-independent, so merge order can't
+    change a bit), ``min_*`` / ``max_*``. Derived values (avg) are
+    computed by the READER from the state, never stored — merging a
+    stored avg is the classic wrong-answer.
+
+    Plan: unionByName + one groupBy over the key cardinality —
+    bucket-sized rows, never fact rows.
+    """
+    state_cols = [c for c in stored.columns if c not in keys]
+    aggs = []
+    for c in state_cols:
+        if c == "n" or c.startswith("n_") or c.startswith("sum_"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(
+                f"column {c!r} is not re-aggregable state "
+                "(expected n/n_*/sum_*/min_*/max_*)"
+            )
+    return stored.unionByName(batch).groupBy(*keys).agg(*aggs)

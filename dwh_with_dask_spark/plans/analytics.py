@@ -852,3 +852,148 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+
+
+# DuckDB twin of the 52-bit md5 priority: digit-sum the first 13 hex
+# chars (no conv() in DuckDB; 16^12 * 15 < 2^52, all exact in BIGINT).
+_KMV_H_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR) || 'kmv'), {i}, 1)) - 1) * {16 ** (13 - i)}"
+    for i in range(1, 14)
+) + ")"
+
+
+@query(
+    "kmv_distinct_parts",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT l_returnflag, {_KMV_H_SQL} AS h FROM lineitem),
+    r AS (
+      SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM d),
+    kept AS (SELECT * FROM r WHERE rn <= 64)
+    SELECT l_returnflag,
+           COUNT(*) AS n_sketch,
+           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / {float(16 ** 13)})
+           END AS kmv_distinct
+    FROM kept GROUP BY l_returnflag
+    """,
+)
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (operators/sketches.py:kmv_distinct,
+    k=64): the deterministic companion to approx_distinct_parts — the
+    md5-priority estimate is a pure function of the data, so the DuckDB
+    oracle reproduces it bit-for-bit where HLL has no cross-engine
+    oracle at all. Accuracy vs exact is property-tested
+    (~1/sqrt(k-2) relative error); mergeability of the bottom-k state
+    is property-tested in tests/test_sketches.py."""
+    from dwh_with_dask_spark.operators.sketches import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64)
+
+
+@query(
+    "entity_resolution_parts",
+    """
+    WITH RECURSIVE recs AS (
+      SELECT p_partkey AS rec_id, p_name AS name FROM part
+      UNION ALL
+      SELECT p_partkey + 100000, substr(p_name, 1, length(p_name) - 1)
+      FROM part WHERE p_partkey % 3 = 0),
+    names AS (SELECT DISTINCT name FROM recs),
+    npairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a, names b
+      WHERE a.name < b.name
+        AND abs(length(a.name) - length(b.name)) <= 1
+        AND levenshtein(a.name, b.name) <= 1),
+    edges AS (
+      SELECT ra.rec_id AS id_a, rb.rec_id AS id_b
+      FROM npairs p
+      JOIN recs ra ON ra.name = p.name_a
+      JOIN recs rb ON rb.name = p.name_b
+      UNION
+      SELECT ra.rec_id, rb.rec_id
+      FROM recs ra JOIN recs rb
+        ON ra.name = rb.name AND ra.rec_id < rb.rec_id),
+    bidir AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach(node, lab) AS (
+      SELECT rec_id, rec_id FROM recs
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN bidir e ON e.a = r.node),
+    comp AS (SELECT node AS rec_id, MIN(lab) AS entity_id
+             FROM reach GROUP BY node)
+    SELECT c.entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           arg_min(r.name, r.rec_id) AS canonical_name
+    FROM comp c JOIN recs r ON r.rec_id = c.rec_id
+    GROUP BY c.entity_id
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the composition a master-data /
+    training-metadata pipeline runs: (1) records = clean part names +
+    deterministically corrupted variants (last char dropped for every
+    3rd key, offset ids); (2) candidate pairs via the FastSS
+    deletion-neighborhood fuzzy self-join (levenshtein <= 1, complete
+    recall — no all-pairs product) plus exact-name matches; (3)
+    transitive closure via distributed min-label connected components;
+    (4) golden record per entity: smallest rec_id's name (min_by,
+    deterministic). The DuckDB oracle recomputes the identical
+    pipeline with an all-pairs filtered product and a recursive CTE."""
+    from dwh_with_dask_spark.operators.dedup import connected_components
+    from dwh_with_dask_spark.operators.joins import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    clean = part.select(k.alias("rec_id"), F.col("p_name").alias("name"))
+    dirty = part.filter(k % 3 == 0).select(
+        (k + 100000).alias("rec_id"),
+        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("name"),
+    )
+    recs = clean.unionByName(dirty)
+
+    # Scale-critical edge reduction: records sharing a name form a
+    # CLIQUE, but connectivity only needs a STAR to the name's min
+    # rec_id (components identical, edges O(records) instead of
+    # O(records^2) per name — at sf1 this corpus has 200k records over
+    # 64 names, i.e. ~370M clique edges vs 200k star edges, measured
+    # as the difference between a >400 s DNF and ~15 s). Fuzzy name
+    # pairs likewise connect the two names' REPRESENTATIVES — any
+    # member reaches its rep through the star, so components match
+    # the all-pairs formulation the oracle uses.
+    name_rep = recs.groupBy("name").agg(F.min("rec_id").alias("rep"))
+    star = (
+        recs.join(name_rep, "name")
+        .filter(F.col("rec_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("rec_id").alias("id_b"))
+    )
+    names = name_rep.select("name")
+    names_b = names.select(F.col("name").alias("name_b"))
+    npairs = fuzzy_join(names, names_b, "name", "name_b", max_dist=1).filter(
+        F.col("name") < F.col("name_b")
+    )
+    rep_a = name_rep.select("name", F.col("rep").alias("id_a"))
+    rep_b = name_rep.select(
+        F.col("name").alias("name_b"), F.col("rep").alias("id_b")
+    )
+    fuzzy_edges = (
+        npairs.join(rep_a, "name").join(rep_b, "name_b").select("id_a", "id_b")
+    )
+    edges = star.unionByName(fuzzy_edges).distinct()
+
+    comp = connected_components(
+        edges, nodes=recs.select("rec_id"), node_col="rec_id"
+    )
+    return (
+        comp.join(recs, comp["node"] == recs["rec_id"])
+        .groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min_by("name", "rec_id").alias("canonical_name"),
+        )
+    )

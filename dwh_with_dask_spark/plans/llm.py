@@ -1262,3 +1262,44 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = e.filter(F.col("vec_id") != 0)
     idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
     return S.ivfpq_topk_indexed(idx, cents, books, q, k=10, nprobe=8)
+
+
+@query(
+    "dedup_tfidf_cosine_capped",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id AS id, unnest(toks) AS tok FROM t),
+    tf AS (SELECT id, tok, COUNT(*) AS tf FROM tok GROUP BY id, tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    w AS (SELECT id, tf.tok, tf * ln(n.n / d.df) AS w
+          FROM tf
+          JOIN (SELECT tok, COUNT(*) AS df FROM tf
+                GROUP BY tok HAVING COUNT(*) <= 50) d USING (tok)
+          CROSS JOIN n),
+    norms AS (SELECT id, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id_a, b.id AS id_b, SUM(a.w*b.w) AS dot
+             FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id
+             GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.id = id_a
+    JOIN norms nb ON nb.id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.88
+    """,
+)
+def dedup_tfidf_cosine_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for TF-IDF pair similarity: tokens appearing in
+    more than 50 documents are dropped from the space entirely (dot
+    AND norms — a consistent projection, unlike the Jaccard cap's
+    uncapped denominator) before the self-join. Without the cap every
+    document shares the common vocabulary, so the token self-join is
+    a disguised cartesian product (collision list = the whole corpus
+    per hot token); with it, collision lists are bounded by the cap.
+    IDF already down-weights exactly the tokens the cap removes, so
+    scores move little; the oracle applies the identical cap."""
+    return D.tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.88,
+        max_token_df=50,
+    )

@@ -211,6 +211,59 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_agg_orders",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total_sales,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_totalprice,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) / COUNT(*)
+               AS avg_totalprice
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/rollup.py:merge_aggregate_state): the stored monthly
+    state (orders with o_orderkey % 3 <> 0) merges with a new batch's
+    partials (the % 3 = 0 rows) WITHOUT re-reading the old input, and
+    the reader derives avg from (sum, n) state. The oracle is the full
+    recompute over all orders — the merge must be indistinguishable
+    from it, bit-for-bit: sums are exact DECIMAL partials, so merge
+    order cannot change the result."""
+    from dwh_with_dask_spark.operators.rollup import merge_aggregate_state
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(23,2)")).alias(
+                "sum_totalprice"
+            ),
+            F.min("o_totalprice").alias("min_totalprice"),
+            F.max("o_totalprice").alias("max_totalprice"),
+        )
+
+    stored = partial(o.filter(F.col("o_orderkey") % 3 != 0))
+    batch = partial(o.filter(F.col("o_orderkey") % 3 == 0))
+    merged = merge_aggregate_state(stored, batch, ["order_month"])
+    return merged.select(
+        "order_month",
+        "n_orders",
+        F.col("sum_totalprice").cast("double").alias("total_sales"),
+        F.col("min_totalprice").cast("double").alias("min_totalprice"),
+        F.col("max_totalprice").cast("double").alias("max_totalprice"),
+        (F.col("sum_totalprice").cast("double") / F.col("n_orders")).alias(
+            "avg_totalprice"
+        ),
+    )
+
+
 def _zvalue_sql(exprs: list[str], bits: int) -> str:
     """DuckDB twin of operators/zorder.zvalue — same shift/mask terms."""
     ncols = len(exprs)

@@ -160,3 +160,44 @@ def test_paragraph_dedup_custom_splitter(spark):
     assert out[1].dedup_text == "hello world unique bit"
     assert out[2].n_removed == 1
     assert out[2].dedup_text == "another part"
+
+
+def test_kmv_distinct_matches_python_twin_and_is_accurate(spark):
+    """kmv_distinct is a pure function of the data: a hashlib twin over
+    the collected column must reproduce the estimate EXACTLY, the
+    estimate must sit within ~4 sigma (0.5 rel) of the exact distinct,
+    and the bottom-k state must merge (bottomk(A∪B) ==
+    bottomk(bottomk(A) ∪ bottomk(B)))."""
+    import hashlib
+
+    from dwh_with_dask_spark.operators.sketches import kmv_distinct
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {
+        r.l_returnflag: (r.n_sketch, r.kmv_distinct)
+        for r in kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64).collect()
+    }
+
+    rows = li.select("l_returnflag", "l_partkey").collect()
+    by_flag: dict[str, set[int]] = {}
+    for r in rows:
+        h = int(
+            hashlib.md5(f"{r.l_partkey}kmv".encode()).hexdigest()[:13], 16
+        )
+        by_flag.setdefault(r.l_returnflag, set()).add(h)
+    for flag, hs in by_flag.items():
+        kept = sorted(hs)[:64]
+        if len(kept) < 64:
+            est = float(len(kept))
+        else:
+            est = 63.0 / (kept[-1] / float(16**13))
+        n_sketch, got_est = got[flag]
+        assert n_sketch == len(kept)
+        assert got_est == est, (flag, got_est, est)
+        exact = len({r.l_partkey for r in rows if r.l_returnflag == flag})
+        assert abs(est - exact) / exact <= 0.5, (flag, est, exact)
+
+        # mergeability of the bottom-k state on the real hashes
+        a, b = sorted(hs)[::2], sorted(hs)[1::2]
+        merged = sorted(set(sorted(a)[:64]) | set(sorted(b)[:64]))[:64]
+        assert merged == kept
