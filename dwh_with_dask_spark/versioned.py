@@ -1,0 +1,117 @@
+"""Versioned parquet tables: manifests + an atomically-swapped pointer.
+
+A minimal transactional-table-format stand-in (the idea behind
+Delta/Iceberg logs, reduced to its load-bearing core) for local/HDFS-
+style storage where directory renames are NOT atomic but single-file
+``os.replace`` IS:
+
+- every commit writes its data files under ``<table>/data/v<N>/``
+  (never touching earlier versions' files), then a manifest
+  ``<table>/_manifests/v<N>.json`` listing the EXACT data directories
+  the version comprises, and finally swaps the 2-byte pointer file
+  ``<table>/_current`` via ``os.replace`` — the only mutation readers
+  depend on, and it is atomic;
+- a crash ANYWHERE before the pointer swap leaves the table at the
+  previous version with no cleanup needed (orphan data/manifest files
+  are invisible to readers and re-listed by ``vacuum``-style
+  maintenance, not implemented here);
+- readers resolve version -> manifest -> file list, so time travel is
+  ``read_version(spark, path, n)`` and CDC between versions is
+  ``snapshot_diff(read_version(n1), read_version(n2))``
+  (operators/scd.py).
+
+Append commits reference the previous version's directories instead of
+rewriting them — O(batch) write cost per append, like a real table
+format's incremental snapshots. This module deliberately stores the
+directory list (not per-file lists): Spark's parquet reader takes the
+directories and plans splits itself, and partial data-directory writes
+cannot be published because the manifest is written only after the
+data write returns.
+
+Contrast with streaming/warehouse.scd2_merge_sink's write-new/rename
+swap (two renames, crash window healed at read time): the pointer
+design has NO window — the trade is that the table is no longer a
+plain ``spark.read.parquet(path)`` directory; readers must come
+through ``read_version``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, "_manifests", f"v{version}.json")
+
+
+def current_version(table: str) -> int:
+    """The committed version number (0 = empty table, no commits)."""
+    try:
+        with open(os.path.join(table, "_current")) as f:
+            return int(f.read().strip())
+    except OSError:
+        return 0
+
+
+def list_versions(table: str) -> list[dict]:
+    """All committed manifests, oldest first (uncommitted/orphaned
+    manifests past the pointer are excluded — they never happened)."""
+    cur = current_version(table)
+    out = []
+    for v in range(1, cur + 1):
+        with open(_manifest_path(table, v)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def versioned_commit(
+    df: DataFrame, table: str, mode: str = "overwrite"
+) -> int:
+    """Commit ``df`` as the table's next version; returns the new
+    version number. ``mode='overwrite'`` replaces the logical content;
+    ``'append'`` adds to the previous version's content without
+    rewriting it. The commit point is one atomic ``os.replace`` of the
+    pointer file — there is no state in which a reader sees a partial
+    version."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be overwrite or append")
+    os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
+    prev = current_version(table)
+    version = prev + 1
+    data_dir = os.path.join(table, "data", f"v{version}")
+    df.write.mode("error").parquet(data_dir)
+
+    dirs = [os.path.join("data", f"v{version}")]
+    if mode == "append" and prev > 0:
+        with open(_manifest_path(table, prev)) as f:
+            dirs = json.load(f)["dirs"] + dirs
+    manifest = {"version": version, "mode": mode, "dirs": dirs}
+    mpath = _manifest_path(table, version)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+
+    ptmp = os.path.join(table, "_current.tmp")
+    with open(ptmp, "w") as f:
+        f.write(str(version))
+    os.replace(ptmp, os.path.join(table, "_current"))  # THE commit
+    return version
+
+
+def read_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table as of ``version`` (default: current).
+    Time travel is just picking an older manifest."""
+    cur = current_version(table)
+    if cur == 0:
+        raise FileNotFoundError(f"no committed version at {table}")
+    v = cur if version is None else version
+    if not 1 <= v <= cur:
+        raise ValueError(f"version {v} out of range 1..{cur}")
+    with open(_manifest_path(table, v)) as f:
+        dirs = json.load(f)["dirs"]
+    return spark.read.parquet(*[os.path.join(table, d) for d in dirs])

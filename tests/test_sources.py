@@ -231,3 +231,63 @@ def test_compact_table_rewrites_small_files(spark, tmp_path):
     compact_table(spark, path, target_file_mb=128, order_by=["id"])
     dfq = spark.read.parquet(path).filter("id = 500")
     assert dfq.count() == 2  # once from the compacted base, once appended
+
+
+def test_versioned_table_time_travel_and_atomic_commit(spark, tmp_path):
+    """Versioned parquet table (dwh_with_dask_spark/versioned.py):
+    overwrite/append commits, time travel, CDC across versions via
+    snapshot_diff, and crash safety — a commit interrupted before the
+    pointer swap is invisible."""
+    import os
+
+    from dwh_with_dask_spark.operators.scd import snapshot_diff
+    from dwh_with_dask_spark.versioned import (
+        current_version,
+        list_versions,
+        read_version,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "vt")
+    v1 = versioned_commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, s string, x double"
+        ),
+        t,
+    )
+    v2 = versioned_commit(
+        spark.createDataFrame([(3, "c", 30.0)], "k long, s string, x double"),
+        t,
+        mode="append",
+    )
+    v3 = versioned_commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (3, "c", 99.0)], "k long, s string, x double"
+        ),
+        t,
+        mode="overwrite",
+    )
+    assert (v1, v2, v3) == (1, 2, 3) and current_version(t) == 3
+    assert {r.k for r in read_version(spark, t, 1).collect()} == {1, 2}
+    assert {r.k for r in read_version(spark, t, 2).collect()} == {1, 2, 3}
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 3}
+    assert [m["version"] for m in list_versions(t)] == [1, 2, 3]
+
+    # CDC between snapshots: v2 -> v3 deletes k=2, updates k=3
+    diff = {
+        (r.k, r.change_type)
+        for r in snapshot_diff(
+            read_version(spark, t, 2), read_version(spark, t, 3), ["k"]
+        ).collect()
+    }
+    assert diff == {(2, "delete"), (3, "update")}
+
+    # crash before the pointer swap: data + manifest exist for v4 but
+    # _current still says 3 — readers see v3, list_versions hides v4
+    extra = spark.createDataFrame([(9, "z", 1.0)], "k long, s string, x double")
+    extra.write.parquet(os.path.join(t, "data", "v4"))
+    with open(os.path.join(t, "_manifests", "v4.json"), "w") as f:
+        f.write('{"version": 4, "mode": "overwrite", "dirs": ["data/v4"]}')
+    assert current_version(t) == 3
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 3}
+    assert [m["version"] for m in list_versions(t)] == [1, 2, 3]
