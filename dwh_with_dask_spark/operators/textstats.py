@@ -163,13 +163,19 @@ def repetition_profile(
     """
     if not 1 <= max_n <= 3:
         raise ValueError("max_n must be 1..3 (output columns are fixed)")
-    # widen (conditional exchange) BELOW the tokenize so the regex pass
-    # runs at full parallelism; barrier (no-shuffle coalesce) ABOVE it
-    # so the gram lambdas can't re-inline the tokenize (O(len²)).
-    toks_df = barrier(
-        widen(df.select(id_col, text_col), id_col).select(
-            F.col(id_col), text_tokens(text_col).alias("__toks")
-        )
+    # Tokenize BELOW one conditional widen exchange carrying the token
+    # arrays (the round-7 _doc_shingles shape): the exchange is the
+    # projection barrier against gram-lambda re-inlining (O(len²)),
+    # AND HashPartitioning(id) satisfies every aggregation in this
+    # operator via the subset-of-grouping-keys rule — groupBy(id, n,
+    # gram), groupBy(id, n), groupBy(id) all aggregate in place. The
+    # previous coalesce-barrier shape erased the partitioning, so the
+    # EXPLODED gram rows paid an ENSURE_REQUIREMENTS exchange and the
+    # two rollups re-shuffled again (4 exchanges vs 1; the same
+    # mechanism as the round-6 Jaccard regression, BASELINE.md).
+    toks_df = widen(
+        df.select(F.col(id_col), text_tokens(text_col).alias("__toks")),
+        id_col,
     )
 
     tk = F.col("__toks")
