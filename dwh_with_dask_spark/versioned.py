@@ -13,8 +13,7 @@ style storage where directory renames are NOT atomic but single-file
   depend on, and it is atomic;
 - a crash ANYWHERE before the pointer swap leaves the table at the
   previous version with no cleanup needed (orphan data/manifest files
-  are invisible to readers and re-listed by ``vacuum``-style
-  maintenance, not implemented here);
+  are invisible to readers; ``vacuum`` reclaims them);
 - readers resolve version -> manifest -> file list, so time travel is
   ``read_version(spark, path, n)`` and CDC between versions is
   ``snapshot_diff(read_version(n1), read_version(n2))``
@@ -115,3 +114,54 @@ def read_version(
     with open(_manifest_path(table, v)) as f:
         dirs = json.load(f)["dirs"]
     return spark.read.parquet(*[os.path.join(table, d) for d in dirs])
+
+
+def vacuum(table: str) -> dict:
+    """Remove data directories and manifests no committed version can
+    reach: crash orphans (data/manifest written, pointer never swapped)
+    and manifests past the pointer. NEVER touches anything a manifest
+    <= the current version references, so time travel to every
+    committed version keeps working. Returns counts of removed dirs
+    and manifests."""
+    import shutil
+
+    cur = current_version(table)
+    live: set[str] = set()
+    for m in list_versions(table):
+        live.update(m["dirs"])
+    removed_dirs = removed_manifests = 0
+    data_root = os.path.join(table, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            rel = os.path.join("data", d)
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_root, d))
+                removed_dirs += 1
+    mdir = os.path.join(table, "_manifests")
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                v = int(fn[1:-5])
+                if v > cur:
+                    os.remove(os.path.join(mdir, fn))
+                    removed_manifests += 1
+    return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}
+
+
+def versioned_commit_sink(table: str, mode: str = "append"):
+    """foreachBatch sink committing each micro-batch as a table version
+    — the streaming leg of the versioned table: readers always see a
+    complete snapshot (the pointer swap is the only visible mutation),
+    time travel gives per-batch provenance, and a replayed batch after
+    a crash commits a duplicate version rather than corrupting one
+    (dedup downstream by re-reading the previous version's diff, or
+    make the batch content idempotent — documented, not hidden).
+    ``mode='append'`` accumulates the stream; ``'overwrite'`` keeps
+    only the latest batch (a snapshot-publishing pattern)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        versioned_commit(batch_df, table, mode=mode)
+
+    return fn

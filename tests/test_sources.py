@@ -291,3 +291,49 @@ def test_versioned_table_time_travel_and_atomic_commit(spark, tmp_path):
     assert current_version(t) == 3
     assert {r.k for r in read_version(spark, t).collect()} == {1, 3}
     assert [m["version"] for m in list_versions(t)] == [1, 2, 3]
+
+
+def test_versioned_commit_sink_and_vacuum(spark, tmp_path):
+    """Streaming leg of the versioned table: each micro-batch commits a
+    version atomically; vacuum removes crash orphans but never a
+    committed version's data."""
+    import os
+
+    from dwh_with_dask_spark.versioned import (
+        current_version,
+        read_version,
+        vacuum,
+        versioned_commit_sink,
+    )
+
+    src = str(tmp_path / "vsrc")
+    t = str(tmp_path / "vtab")
+    a = spark.createDataFrame([(1, "x")], "k long, s string")
+    b = spark.createDataFrame([(2, "y")], "k long, s string")
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("k long, s string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(versioned_commit_sink(t))
+        .option("checkpointLocation", f"{tmp_path}/ckpt_v")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert current_version(t) == 2
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 2}
+    assert {r.k for r in read_version(spark, t, 1).collect()} in ({1}, {2})
+
+    # orphan a crash leftover, then vacuum: orphan gone, versions intact
+    spark.createDataFrame([(9, "z")], "k long, s string").write.parquet(
+        os.path.join(t, "data", "v99")
+    )
+    stats = vacuum(t)
+    assert stats["removed_dirs"] == 1
+    assert not os.path.exists(os.path.join(t, "data", "v99"))
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 2}
+    assert {r.k for r in read_version(spark, t, 1).collect()} in ({1}, {2})
