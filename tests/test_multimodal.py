@@ -667,3 +667,121 @@ def test_audio_features_on_real_wav(spark):
     rs = audio_resample(media, target_rate=8_000).collect()[0]
     assert rs["sample_rate"] == 8_000
     assert rs["n_samples"] == sr // 4  # half duration at half the rate
+
+
+def _clip(seed: int, secs: float = 1.5, sr: int = 8000):
+    """Deterministic music-like test clip: seeded chirps with
+    amplitude envelopes plus broadband noise. The fingerprint's bits
+    are signs of TIME-differences of band energies, so a stationary
+    signal (pure sinusoids) gives near-zero differences whose signs
+    are noise — the fixture must be nonstationary and broadband like
+    the audio the algorithm targets."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * sr)) / sr
+    x = np.zeros_like(t)
+    for _ in range(6):
+        f0 = rng.uniform(320, 1500)
+        drift = rng.uniform(-300, 300)
+        a = rng.uniform(0.3, 1.0)
+        ph = rng.uniform(0, 2 * np.pi)
+        env = 0.5 + 0.5 * np.sin(
+            2 * np.pi * rng.uniform(0.7, 3.0) * t + rng.uniform(0, 6)
+        )
+        x += a * env * np.sin(2 * np.pi * (f0 + drift * t) * t + ph)
+    x += 0.15 * rng.standard_normal(len(t))  # broadband bed
+    return (x / np.max(np.abs(x)) * 0.8).astype(np.float64)
+
+
+def test_audio_fingerprint_gain_invariant_and_noise_robust():
+    """Haitsma-Kalker bits: EXACT invariance to global gain (the
+    log-energy double difference cancels it), high bit agreement under
+    mild noise, low agreement between unrelated clips."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.audiofp import fingerprint_samples
+
+    def ber(a, b):
+        x = [bin(((u ^ v) & 0xFFFFFFFF)).count("1") for u, v in zip(a, b)]
+        return sum(x) / (32.0 * len(x))
+
+    x = _clip(1)
+    fp = fingerprint_samples(x)
+    assert len(fp) >= 15
+
+    assert fingerprint_samples(x * 0.25) == fp  # exact gain invariance
+
+    rng = np.random.default_rng(9)
+    noisy = x + 0.01 * rng.standard_normal(len(x))
+    assert ber(fp, fingerprint_samples(noisy)) < 0.15
+
+    other = _clip(2)
+    assert ber(fp, fingerprint_samples(other)) > 0.3
+
+
+def test_audio_near_dup_pairs_find_gain_copies(spark):
+    """Distributed matching: a gain-shifted copy and a lightly-noisy
+    copy pair with their source; unrelated clips do not."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.audiofp import audio_near_dup_pairs
+    from dwh_with_dask_spark.operators.multimodal import media_table
+
+    base = _clip(1)
+    rng = np.random.default_rng(5)
+    clips = [
+        base,
+        base * 0.5,
+        base + 0.005 * rng.standard_normal(len(base)),
+        _clip(2),
+        _clip(3),
+    ]
+    rows = [
+        (f"c{i}", len(b), b)
+        for i, b in enumerate(_wav_encode(c, 8000) for c in clips)
+    ]
+    df = spark.createDataFrame(rows, "path string, length long, content binary")
+    media = media_table(df, "audio")
+
+    import hashlib
+
+    h = [
+        hashlib.sha256(_wav_encode(c, 8000)).hexdigest() for c in clips
+    ]
+    got = {
+        tuple(sorted((r.hash_a, r.hash_b))): r.overlap
+        for r in audio_near_dup_pairs(media, min_shared=4).collect()
+    }
+    # base pairs with both variants; the two unrelated clips pair with
+    # nothing
+    assert tuple(sorted((h[0], h[1]))) in got
+    assert tuple(sorted((h[0], h[2]))) in got
+    for bad in (3, 4):
+        for i in range(5):
+            if i != bad:
+                assert tuple(sorted((h[i], h[bad]))) not in got
+    assert got[tuple(sorted((h[0], h[1])))] == 1.0  # exact gain copy
+
+
+def test_audio_fingerprints_deterministic_across_partitioning(spark):
+    from dwh_with_dask_spark.operators.audiofp import audio_fingerprints
+    from dwh_with_dask_spark.operators.multimodal import media_table
+
+    clips = [_clip(i) for i in range(4)]
+    rows = [
+        (f"c{i}", len(b), b)
+        for i, b in enumerate(_wav_encode(c, 8000) for c in clips)
+    ]
+    df = spark.createDataFrame(rows, "path string, length long, content binary")
+    a = sorted(
+        (r.content_hash, r.n_frames, tuple(r.fp))
+        for r in audio_fingerprints(media_table(df, "audio")).collect()
+    )
+    b = sorted(
+        (r.content_hash, r.n_frames, tuple(r.fp))
+        for r in audio_fingerprints(
+            media_table(df.repartition(5), "audio")
+        ).collect()
+    )
+    assert a == b
