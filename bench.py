@@ -39,6 +39,7 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_near_dup_cosine",
     "multimodal_image_features",
+    "multimodal_audio_dedup",
     "text_tokens_docs",
     "text_bm25_top_terms",
     "hypertable_rollup_events",

@@ -8,9 +8,16 @@ classic Haitsma-Kalker fingerprint (ISMIR 2002, public): per frame,
 log-spaced band energies; bit (n, m) = sign of the time-and-band
 double difference ``(E[n,m] - E[n,m+1]) - (E[n-1,m] - E[n-1,m+1])`` —
 one 32-bit sub-fingerprint per frame. The double difference makes the
-bits EXACTLY gain-invariant (a global gain multiplies every energy,
-log turns it into a constant offset, both differences cancel it) and
-robust to mild noise.
+bits gain-invariant UP TO PCM QUANTIZATION: on float samples a global
+gain multiplies every energy, log turns it into a constant offset, and
+both differences cancel it exactly (unit test asserts bit-for-bit
+equality). On the Spark path, clips arrive WAV-encoded as int16 PCM —
+quantizing ``0.5 * x`` is not ``0.5 *`` quantizing ``x``, and a
+double-difference sitting near zero can flip sign (measured: a
+0.5x-gain copy of a 1 s clip flips 1 of 19 sub-fingerprints, overlap
+0.947). Near-dup matching therefore thresholds on shared-fingerprint
+overlap rather than asserting identity; the bits remain robust to mild
+noise.
 
 All DSP is real numpy (FFT, Hann window) over the repo's real stdlib
 WAV decode (`multimodal._decode_audio`) + linear resampler; only
@@ -124,6 +131,7 @@ def audio_near_dup_pairs(
     min_shared: int = 4,
     max_subfp_freq: int | None = None,
     rate: int = 8000,
+    scope=None,
 ) -> DataFrame:
     """(hash_a, hash_b, n_shared, overlap) — clip pairs sharing at
     least ``min_shared`` distinct exact sub-fingerprints (the paper's
@@ -133,8 +141,19 @@ def audio_near_dup_pairs(
     whole sub-fingerprints still collide; unrelated audio collides on
     ~0 frames. ``max_subfp_freq`` drops sub-fingerprints present in
     more than that many clips (digital silence, test tones) before the
-    self-join — the hot-key guard, same contract as the shingle cap."""
-    fps = audio_fingerprints(media, rate=rate).persist()
+    self-join — the hot-key guard, same contract as the shingle cap.
+
+    A gain-shifted or lightly-noisy PCM copy scores overlap near (not
+    exactly) 1.0 — see the module docstring's quantization note; pick
+    thresholds accordingly (>= 0.9 finds gain/noise copies in tests).
+    """
+    from dwh_with_dask_spark.operators.caching import attach, scoped
+
+    # Persisted: the fingerprint table feeds BOTH join sides — without
+    # it each side re-decodes every clip. Lifecycle: caller-owned via
+    # ``scope`` (operators.caching), released after the final action.
+    scope, created = scoped(scope)
+    fps = scope.persist(audio_fingerprints(media, rate=rate))
     sub = fps.select(
         F.col("content_hash").alias("id"),
         F.col("n_frames"),
@@ -158,7 +177,7 @@ def audio_near_dup_pairs(
         F.col("n_frames").alias("fb"),
         "sub_fp",
     )
-    return (
+    out = (
         a.join(b, "sub_fp")
         .filter(F.col("hash_a") < F.col("hash_b"))
         .groupBy("hash_a", "hash_b")
@@ -178,3 +197,4 @@ def audio_near_dup_pairs(
             ).alias("overlap"),
         )
     )
+    return attach(out, scope, created)

@@ -187,6 +187,26 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal REAL WAV encoder (stdlib ``wave``): mono 16-bit PCM from
+    float samples in [-1, 1]. The write twin of ``_decode_wav_stdlib`` —
+    lets queries and tests synthesize genuine WAV payloads so the audio
+    fingerprint path (operators/audiofp.py) exercises the real decoder.
+    Note int16 quantization is lossy: see audiofp's gain-invariance
+    caveat."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+        wv.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def _decode_wav_stdlib(data: bytes) -> tuple[np.ndarray, int]:
     """REAL WAV/PCM decode with only the stdlib ``wave`` module + numpy:
     8/16/32-bit PCM, any channel count (downmixed to mono by mean),

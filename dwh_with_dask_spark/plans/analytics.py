@@ -900,7 +900,7 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE recs AS (
       SELECT p_partkey AS rec_id, p_name AS name FROM part
       UNION ALL
-      SELECT p_partkey + 100000, substr(p_name, 1, length(p_name) - 1)
+      SELECT p_partkey + 10000000, substr(p_name, 1, length(p_name) - 1)
       FROM part WHERE p_partkey % 3 = 0),
     names AS (SELECT DISTINCT name FROM recs),
     npairs AS (
@@ -951,8 +951,13 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     k = F.col("p_partkey")
     clean = part.select(k.alias("rec_id"), F.col("p_name").alias("name"))
+    # Offset 10_000_000, far past part's key domain (SF x 200_000, so
+    # 2M at the sf10 bench ceiling): a colliding rec_id would silently
+    # bridge unrelated entities' components and make min_by tie-breaking
+    # nondeterministic — the old +100_000 collided from sf >= 0.5
+    # (ADVICE r7).
     dirty = part.filter(k % 3 == 0).select(
-        (k + 100000).alias("rec_id"),
+        (k + 10000000).alias("rec_id"),
         F.expr("substr(p_name, 1, length(p_name) - 1)").alias("name"),
     )
     recs = clean.unionByName(dirty)

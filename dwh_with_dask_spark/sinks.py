@@ -239,9 +239,15 @@ def compact_table(
     dominates scans. Rewrite the table into files of
     ~``target_file_mb`` (computed from the CURRENT on-disk bytes, so
     the file count adapts to the data, not a guessed constant), then
-    atomically-ish swap directories (write-new/rename, same recovery
-    contract as streaming.warehouse: the complete old table stays at
-    ``.__old__`` until the new one is in place).
+    atomically-ish swap directories (write-new/rename). Crash contract
+    (ADVICE r7): the two-rename swap has a window where NO table sits at
+    ``path`` while the complete pre-compaction table sits at
+    ``.__old__``; this function HEALS that window at entry
+    (``_recover_dim_swap`` — restore ``.__old__``, discard ``.__tmp__``)
+    so a re-run after any crash sees the intact table and compacts it
+    again. An arbitrary reader hitting the window before the re-run
+    still errors — readers needing a no-window publish should store the
+    table via ``versioned.versioned_commit`` (atomic pointer) instead.
 
     ``order_by`` optionally sorts within the rewrite (repartitionByRange
     + sortWithinPartitions) so compaction doubles as clustering for
@@ -253,6 +259,10 @@ def compact_table(
     import math
     import os
     import shutil
+
+    from dwh_with_dask_spark.streaming.warehouse import _recover_dim_swap
+
+    _recover_dim_swap(path)
 
     def _stats(p: str) -> tuple[int, int]:
         n, b = 0, 0

@@ -81,7 +81,13 @@ def versioned_commit(
     prev = current_version(table)
     version = prev + 1
     data_dir = os.path.join(table, "data", f"v{version}")
-    df.write.mode("error").parquet(data_dir)
+    # mode('overwrite'), NOT 'error': a crash after the data/manifest
+    # write but before the pointer swap leaves an orphan data/v<N> that
+    # the next commit (same N — the pointer never moved) must be able to
+    # replace, or a restarted stream dies on path-already-exists until a
+    # manual vacuum. Overwriting is safe: the dir is invisible to every
+    # reader until the pointer swap publishes it (ADVICE r7).
+    df.write.mode("overwrite").parquet(data_dir)
 
     dirs = [os.path.join("data", f"v{version}")]
     if mode == "append" and prev > 0:

@@ -761,7 +761,12 @@ def test_audio_near_dup_pairs_find_gain_copies(spark):
         for i in range(5):
             if i != bad:
                 assert tuple(sorted((h[i], h[bad]))) not in got
-    assert got[tuple(sorted((h[0], h[1])))] == 1.0  # exact gain copy
+    # Gain copy: NOT asserted == 1.0 — the Spark path WAV-encodes to
+    # int16 PCM and quantization can flip a near-zero double-difference
+    # bit (measured 18/19 = 0.947 on this clip; see audiofp docstring).
+    assert got[tuple(sorted((h[0], h[1])))] >= 0.9
+    # Noisy copy shares most frames too.
+    assert got[tuple(sorted((h[0], h[2])))] >= 0.5
 
 
 def test_audio_fingerprints_deterministic_across_partitioning(spark):

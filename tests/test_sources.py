@@ -233,6 +233,38 @@ def test_compact_table_rewrites_small_files(spark, tmp_path):
     assert dfq.count() == 2  # once from the compacted base, once appended
 
 
+def test_compact_table_heals_crash_between_renames(spark, tmp_path):
+    """Crash INSIDE compact_table's two-rename swap window (ADVICE r7):
+    the old table sits complete at .__old__, nothing at path, a stale
+    .__tmp__ lingers. A re-run must restore the backup, discard the
+    temp, and compact successfully — rows identical to pre-crash."""
+    import os
+    import shutil
+
+    from dwh_with_dask_spark.sinks import compact_table
+
+    path = str(tmp_path / "crashy")
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).repartition(2).write.mode(
+            "append"
+        ).parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # simulate: new table written to .__tmp__, old moved to .__old__,
+    # crash before rename(tmp, path)
+    spark.read.parquet(path).coalesce(1).write.parquet(path + ".__tmp__")
+    os.rename(path, path + ".__old__")
+    assert not os.path.exists(path)
+
+    stats = compact_table(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 10  # healed backup, then compacted
+    assert stats["files_after"] == 1
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__tmp__")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_versioned_table_time_travel_and_atomic_commit(spark, tmp_path):
     """Versioned parquet table (dwh_with_dask_spark/versioned.py):
     overwrite/append commits, time travel, CDC across versions via
@@ -291,6 +323,17 @@ def test_versioned_table_time_travel_and_atomic_commit(spark, tmp_path):
     assert current_version(t) == 3
     assert {r.k for r in read_version(spark, t).collect()} == {1, 3}
     assert [m["version"] for m in list_versions(t)] == [1, 2, 3]
+
+    # restart after that crash (ADVICE r7): the next commit recomputes
+    # the SAME version number 4 and must replace the orphan data dir
+    # rather than dying on path-already-exists — no manual vacuum needed
+    v4 = versioned_commit(
+        spark.createDataFrame([(7, "q", 7.0)], "k long, s string, x double"),
+        t,
+        mode="overwrite",
+    )
+    assert v4 == 4 and current_version(t) == 4
+    assert {(r.k, r.s) for r in read_version(spark, t).collect()} == {(7, "q")}
 
 
 def test_versioned_commit_sink_and_vacuum(spark, tmp_path):
