@@ -932,3 +932,62 @@ def ivfpq_topk_indexed(
         .orderBy(F.col("pq_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk_rerank(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 100,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ + exact rerank — the production shape ANN.md recommends
+    (VERDICT r7 ask #2): ADC over the stored int codes picks the top
+    ``rerank`` candidates from the probed cells (cheap, no float
+    vectors read), then ONLY those ``rerank`` rows join back to the
+    float-vector table for an exact cosine, and the final top-``k`` is
+    exact over that candidate set. Returns (id, score) with
+    ``score`` = exact cosine.
+
+    Recall decomposition: the exact rerank recovers every true
+    neighbor the candidate set CONTAINS (a true top-k vector among the
+    candidates always exact-scores into the final top-k), so
+    recall@k == containment of the true top-k in the ADC top-``rerank``
+    — rerank converts PQ's code-resolution loss into a widen-the-net
+    knob while keeping the scan int-only. Measured on the clustered
+    fixture by ``scripts/ann_clustered.py`` (ANN.md table).
+
+    Scale shape: the candidate list is ``rerank`` ids (KBs) —
+    broadcast it into the vector table so the exact pass is one
+    pruned probe of the (bucketed/partitioned) vector store, never a
+    full-corpus float scan; TakeOrderedAndProject caps the result."""
+    cand = ivfpq_topk_indexed(
+        index_df,
+        centroids,
+        codebooks,
+        query_vec,
+        k=rerank,
+        nprobe=nprobe,
+        id_col=id_col,
+        cell_col=cell_col,
+        code_col=code_col,
+    ).select(id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    qlit = F.array(*[F.lit(float(x)) for x in qn])
+    return (
+        vectors.join(F.broadcast(cand), id_col)
+        .select(
+            F.col(id_col),
+            (dot(F.col(vec_col), qlit) / norm(F.col(vec_col))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

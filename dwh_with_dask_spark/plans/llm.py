@@ -1342,6 +1342,26 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk_indexed(idx, cents, books, q, k=10, nprobe=8)
 
 
+@query("embedding_ivfpq_rerank_topk")
+def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact rerank — ANN.md's recommended production shape as
+    a driver-visible query (VERDICT r7 ask #2): ADC over stored int
+    codes picks the top-100 candidates from 8 probed cells, ONLY those
+    100 float vectors are read back (broadcast candidate join) and
+    exact-cosine-reranked to the final top-10
+    (operators/similarity.py:ivfpq_topk_rerank). Rows-only (the
+    candidate set is index-dependent); the >= 0.9 recall floor and
+    exact-score property are pinned in
+    test_ivfpq_rerank_recall_clustered."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = e.filter(F.col("vec_id") != 0)
+    idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
+    return S.ivfpq_topk_rerank(
+        idx, cents, books, rest, q, k=10, rerank=100, nprobe=8
+    ).select("vec_id", F.round("score", 6).alias("score"))
+
+
 @query(
     "dedup_tfidf_cosine_capped",
     f"""

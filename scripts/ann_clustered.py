@@ -150,6 +150,40 @@ def main() -> None:
             f"IVFPQ nlist=64 m=16 nprobe={nprobe}: {ivfpq_rows[-1][4:]}",
             flush=True,
         )
+
+    # IVF-PQ + exact rerank (the production shape the Recommendation
+    # cites — VERDICT r7 ask #2: this measurement is the committed
+    # provenance for the containment numbers). The operator's recall@10
+    # EQUALS containment of the true top-10 in the ADC top-`rerank`
+    # (exact rerank recovers every contained neighbor), so one sweep
+    # provides both readings.
+    rerank_rows = []
+    for nprobe, rerank in ((1, 100), (2, 50), (2, 100), (4, 100)):
+        recalls, lats = [], []
+        for qid, qvec in queries:
+            t0 = time.perf_counter()
+            got = {
+                r.vec_id
+                for r in S.ivfpq_topk_rerank(
+                    idxq, cn, bks, emb, qvec, k=K, rerank=rerank,
+                    nprobe=nprobe,
+                ).collect()
+            }
+            lats.append(time.perf_counter() - t0)
+            recalls.append(len(got & truth[qid]) / K)
+        rerank_rows.append(
+            (
+                nprobe,
+                rerank,
+                round(sum(recalls) / len(recalls), 3),
+                round(statistics.median(lats), 3),
+            )
+        )
+        print(
+            f"IVFPQ+rerank nprobe={nprobe} rerank={rerank}: "
+            f"{rerank_rows[-1][2:]}",
+            flush=True,
+        )
     idxq.unpersist()
 
     srp_rows = []
@@ -202,6 +236,36 @@ def main() -> None:
                 f"| SRP | bits={bits} tables={tables} | — | {r} | "
                 f"(signature-dependent) | {lat} |\n"
             )
+        f.write(
+            "\nIVF-PQ + exact rerank (`ivfpq_topk_rerank`): ADC top-N "
+            "candidates from the probed cells, exact cosine over ONLY "
+            "those N float vectors. recall@10 of the operator == "
+            "containment of the true top-10 in the ADC top-N (exact "
+            "rerank recovers every contained neighbor):\n\n"
+            "| nprobe | rerank N | recall@10 (= containment) | probe s |\n"
+            "| --- | --- | --- | --- |\n"
+        )
+        for nprobe, rerank, r, lat in rerank_rows:
+            f.write(f"| {nprobe} | {rerank} | {r} | {lat} |\n")
+        best = max(rerank_rows, key=lambda t: t[2])
+        f.write(
+            "\nReading: on genuinely clustered vectors the coarse "
+            "quantizer recovers the true neighborhoods — IVF hits "
+            f"recall {ivf_rows[0][2]} reading "
+            f"{ivf_rows[0][3] * 100:.1f}% of the corpus. IVF-PQ's "
+            "recall is flat across nprobe (cell loss is zero; the "
+            "remaining loss is code resolution — within a tight "
+            "cluster the true top-10 differ by cosine margins below "
+            "what m=16 codes resolve). The standard composition closes "
+            "it: `ivfpq_topk_rerank` fetches a wider code top-N from "
+            "the probed cells and exact-reranks, reaching "
+            f"{best[2]} recall at nprobe={best[0]}/rerank={best[1]} "
+            "while reading the corpus as int codes plus N float "
+            "vectors per query. Floor-tested in "
+            "`test_ivfpq_rerank_recall_clustered` (>= 0.9 at "
+            "rerank-100/nprobe=2, and rerank must strictly beat plain "
+            "ADC).\n"
+        )
     print(f"appended clustered section to {args.out}")
     spark.stop()
 
