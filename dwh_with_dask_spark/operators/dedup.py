@@ -188,32 +188,16 @@ def _doc_shingles(
 ) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted-index building block.
 
-    Plan shape (round-7 fix of the round-6 sf0.1 regression — see
-    scripts/exp_jaccard_shape.py and BASELINE.md): tokenize BELOW one
-    conditional ``widen`` exchange that hash-partitions the TOKEN
-    ARRAYS on ``id``. Two properties hang on this ordering:
-
-    - The exchange doubles as the projection barrier: Catalyst cannot
-      collapse the gram lambda across it, so the tokenize regex is
-      never re-inlined per element (O(len²) hazard, measured 2.5 s vs
-      0.8 s at sf1).
-    - ``HashPartitioning(id)`` satisfies the downstream
-      ``distinct()``'s ``ClusteredDistribution(id, shingle)`` (subset
-      of the grouping keys), so the EXPLODED shingle rows — the widest
-      table in the whole query, ~n-gram-factor × the text bytes —
-      aggregate in place with NO second shuffle.
-
-    Round 6 inverted this (widen the raw text below the tokenize, a
-    no-shuffle ``coalesce`` barrier above it) to keep the regex stage
-    wide. The barrier did stop re-inlining, but ``CoalesceExec``
-    reports unknown output partitioning, so Catalyst inserted an
-    ``ENSURE_REQUIREMENTS`` exchange on ``(id, shingle)`` under every
-    consumer — a full shuffle of the exploded shingles on top of the
-    raw-text exchange (14 vs 10 exchanges in the executed plan;
-    sf0.1 medians 1.28/1.81 s vs 0.53/1.07 s for this shape). On a
-    wide cluster scan ``widen`` degrades to the free coalesce barrier
-    and the distinct pays its one shingle exchange either way — the
-    shapes converge; only the narrow-scan path differs.
+    Plan shape: tokenize BELOW one conditional ``widen`` exchange that
+    hash-partitions the TOKEN ARRAYS on ``id``. That one exchange is
+    BOTH the projection barrier (no per-element regex re-inlining) and
+    the partitioning the downstream ``distinct()`` needs (subset-of-
+    grouping-keys rule) — so the exploded shingle rows, the widest
+    table in the query, never shuffle a second time. The full
+    mechanism write-up, measured alternatives, and regression history
+    live in ONE place: BASELINE.md's round-7 section (experiment:
+    scripts/exp_jaccard_shape.py; plan guard:
+    tests/test_plans.py::test_jaccard_plan_no_shingle_reshuffle).
     """
     toks_df = widen(
         df.select(

@@ -104,6 +104,73 @@ def scd2_merge_sink(
     return fn
 
 
+def incremental_agg_sink(
+    state_path: str,
+    keys: list[str],
+    partial_fn,
+):
+    """foreachBatch fn: fold each micro-batch's partial aggregates into
+    the stored state table at ``state_path`` — the streaming leg of
+    ``operators/rollup.merge_aggregate_state`` (VERDICT r7 ask #7) and
+    the full warehouse pattern: the 100 TB fact is read exactly once
+    (as it streams past), the stored state stays bucket-sized, and a
+    reader derives avg/rates from (sum, n) at query time.
+
+    ``partial_fn(batch_df) -> DataFrame`` computes the batch's partials
+    with the merge contract's column shapes (``keys`` + n/n_*/sum_*
+    /min_*/max_*; exact DECIMAL sums so merge order can't change a
+    bit).
+
+    Exactly-once under replay: sum-folding is NOT idempotent (re-merging
+    a redelivered batch double-counts), so the sink records the folded
+    ``batch_id`` in ``_meta.json`` INSIDE the state directory — the
+    same write-new/rename swap publishes state and watermark together
+    (parquet readers skip ``_``-prefixed files). A replayed batch_id
+    <= the stored watermark is a no-op; the two-rename crash window is
+    healed by ``_recover_dim_swap`` exactly as the SCD2 sink's."""
+    import json
+
+    def _last_folded(path: str) -> int:
+        try:
+            with open(os.path.join(path, "_meta.json")) as f:
+                return int(json.load(f)["last_batch_id"])
+        except OSError:
+            return -1
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        _recover_dim_swap(state_path)
+        exists = os.path.exists(state_path)
+        if exists and batch_id <= _last_folded(state_path):
+            return  # redelivered batch: already folded, folding again
+            # would double-count — the meta watermark is the dedup
+        partials = partial_fn(batch_df)
+        if exists:
+            from dwh_with_dask_spark.operators.rollup import (
+                merge_aggregate_state,
+            )
+
+            merged = merge_aggregate_state(
+                spark.read.parquet(state_path), partials, keys
+            )
+        else:
+            merged = partials
+        tmp = state_path + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+        old = state_path + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if exists:
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return fn
+
+
 def dq_gate_sink(
     rules,
     pass_path: str,
