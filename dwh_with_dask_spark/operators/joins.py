@@ -185,6 +185,55 @@ def range_join(
     return left.join(b, cond, how)
 
 
+def point_in_time_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal (point-in-time) join: each fact row joins the dimension
+    VERSION that was valid at the fact's timestamp —
+    ``dim.valid_from <= fact.ts < dim.valid_to`` (NULL ``valid_to`` =
+    still open). The standard consumer of an SCD2 dimension
+    (``scd2_from_changelog`` / ``scd2_merge`` output): point-in-time
+    correctness is what SCD2 history exists FOR, e.g. "the customer's
+    segment AS OF the order date", and is also the leakage guard in
+    feature engineering (never join a feature version from the
+    future).
+
+    Scale shape: the join condition leads with the KEY EQUALITY, so
+    Spark plans a plain hash/sort-merge equi-join on the keys (ONE key
+    shuffle; broadcast when the dim is small) and evaluates the
+    interval predicate as the join's residual filter — never a
+    BroadcastNestedLoopJoin over the fact. SCD2 dims have few versions
+    per key, so per-key match work is bounded by the version count.
+    An exclusive upper bound means a fact exactly on a version
+    boundary matches ONLY the newer version — versions partition the
+    timeline, so an in-range fact row matches exactly one version and
+    a ``left`` join preserves fact cardinality (facts before the
+    key's first version, or unknown keys, keep NULL dim columns).
+    """
+    f, d = fact.alias("f"), dim.alias("d")
+    cond = None
+    for k in keys:
+        eq = F.col(f"f.{k}") == F.col(f"d.{k}")
+        cond = eq if cond is None else (cond & eq)
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        cond
+        & (ts >= F.col(f"d.{valid_from}"))
+        & (F.col(f"d.{valid_to}").isNull() | (ts < F.col(f"d.{valid_to}")))
+    )
+    dim_cols = [c for c in dim.columns if c not in keys]
+    return f.join(d, cond, how).select(
+        *[F.col(f"f.{c}") for c in fact.columns],
+        *[F.col(f"d.{c}").alias(c) for c in dim_cols],
+    )
+
+
 def _deletion_variants(s: Column, max_dist: int) -> Column:
     """Distinct strings reachable from ``s`` by ≤ ``max_dist`` single
     character deletions (including ``s`` itself). O(len^max_dist)

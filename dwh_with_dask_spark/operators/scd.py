@@ -158,6 +158,118 @@ def scd2_merge(
     return hist.select(*out_cols).unionByName(merged.select(*out_cols))
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    update_condition: Column | None = None,
+    delete_condition: Column | None = None,
+    insert: bool = True,
+    check_unique_source: bool = True,
+) -> DataFrame:
+    """General MERGE (upsert) — the Delta/Iceberg ``MERGE INTO``
+    statement reduced to its deterministic core as pure DataFrame
+    algebra over plain tables. The reference's warehouse loads only
+    ``replace`` or blindly ``append`` (`project-dask.py:94`); this is
+    the third load mode every warehouse needs:
+
+    - target row with no source match → kept as-is;
+    - matched and ``delete_condition`` (source cols in scope via
+      ``src.<c>``) → dropped;
+    - matched and ``update_condition`` (default: always) → target row
+      with ``update_cols`` (default: every non-key source column that
+      exists in the target) replaced by the source values;
+    - source row with no target match → inserted when ``insert``
+      (columns aligned by name; target columns the source lacks are
+      NULL), like ``WHEN NOT MATCHED THEN INSERT``.
+
+    ``check_unique_source=True`` enforces MERGE's cardinality rule
+    in-plan: a source with two rows for one key would make the result
+    nondeterministic, so it raises (Delta's "multiple source rows
+    matched" error) via a window count + ``assert_true`` — distributed,
+    no driver action, and free when the source is key-unique.
+
+    Conditions reference source columns as ``src.<col>`` and target
+    columns as ``tgt.<col>`` (both sides are aliased); plain
+    ``F.col("x")`` works when unambiguous.
+
+    Scale shape: ONE full-outer join on the key. The closed form
+    mirrors ``scd2_merge``: when the target is key-bucketed the join
+    co-locates without shuffling the target, and AQE broadcast-joins
+    batch-sized sources on its own (no forced hint). Emit is row-local
+    (CASE over the joined row) — nothing is re-scanned, no second
+    shuffle.
+    """
+    out_schema = target.columns
+    if update_cols is None:
+        update_cols = [
+            c for c in source.columns if c not in keys and c in out_schema
+        ]
+    src = source
+    if check_unique_source:
+        # The assertion must be LOAD-BEARING in the plan: a computed
+        # column that is only dropped gets pruned by Catalyst and the
+        # check silently disappears. A filter on it cannot be pruned —
+        # assert_true returns NULL (isNull = true) when the count is 1
+        # and throws otherwise.
+        w = Window.partitionBy(*keys)
+        src = (
+            src.withColumn("__cnt", F.count(F.lit(1)).over(w))
+            .filter(
+                F.assert_true(
+                    F.col("__cnt") == 1,
+                    F.lit("merge_into: multiple source rows share a key"),
+                ).isNull()
+            )
+            .drop("__cnt")
+        )
+    tgt = target.withColumn("__t", F.lit(True)).alias("tgt")
+    src = src.withColumn("__s", F.lit(True)).alias("src")
+    cond = None
+    for k in keys:
+        eq = F.col(f"tgt.{k}").eqNullSafe(F.col(f"src.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = tgt.join(src, cond, "full_outer")
+
+    matched = F.col("tgt.__t").isNotNull() & F.col("src.__s").isNotNull()
+    tgt_only = F.col("src.__s").isNull()
+    src_only = F.col("tgt.__t").isNull()
+
+    upd_cond = (
+        F.lit(True) if update_condition is None else update_condition
+    )
+    del_cond = (
+        F.lit(False) if delete_condition is None else delete_condition
+    )
+
+    def _emit(getter) -> Column:
+        return F.struct(*[getter(c).alias(c) for c in out_schema])
+
+    keep = _emit(lambda c: F.col(f"tgt.{c}"))
+    updated = _emit(
+        lambda c: F.col(f"src.{c}") if c in update_cols else F.col(f"tgt.{c}")
+    )
+    inserted = _emit(
+        lambda c: F.col(f"src.{c}")
+        if c in source.columns
+        else F.lit(None).cast(target.schema[c].dataType)
+    )
+
+    row = (
+        F.when(tgt_only, keep)
+        .when(matched & del_cond, F.lit(None))
+        .when(matched & upd_cond, updated)
+        .when(matched, keep)
+        .when(src_only & F.lit(insert), inserted)
+    )
+    return (
+        j.select(row.alias("__r"))
+        .filter(F.col("__r").isNotNull())
+        .select(*[F.col(f"__r.{c}").alias(c) for c in out_schema])
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -264,6 +264,124 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "merge_into_orders",
+    """
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    s AS (
+      SELECT o_orderkey, 'U' AS op, 'U' AS o_orderstatus,
+             o_totalprice + 5.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 30000000, 'I', 'N', 1.0
+      FROM orders WHERE o_orderkey % 13 = 1)
+    SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+    FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE s.op IS NULL
+    UNION ALL
+    SELECT t.o_orderkey, s.o_orderstatus, s.o_totalprice
+    FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE s.op = 'U'
+    UNION ALL
+    SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+    FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    """,
+)
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO (operators/scd.py:merge_into) — the third
+    warehouse load mode beside the reference's replace/append: one
+    deterministic source batch carries updates (op='U': every 7th key,
+    price +5), deletes (op='D': every 11th ≡ 3, minus the update
+    overlap) and inserts (op='I': fresh keys past the domain). ONE
+    full-outer key join, row-local CASE emit, in-plan source-key
+    uniqueness assertion. The oracle recomputes the same merge as
+    three relational branches (kept / updated / inserted)."""
+    from dwh_with_dask_spark.operators.scd import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    target = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = o.filter(k % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("__op"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+    )
+    deletes = o.filter((k % 11 == 3) & (k % 7 != 0)).select(
+        "o_orderkey",
+        F.lit("D").alias("__op"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    inserts = o.filter(k % 13 == 1).select(
+        (k + 30000000).alias("o_orderkey"),
+        F.lit("I").alias("__op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    source = updates.unionByName(deletes).unionByName(inserts)
+    return merge_into(
+        target,
+        source,
+        ["o_orderkey"],
+        update_condition=F.col("src.__op") == "U",
+        delete_condition=F.col("src.__op") == "D",
+    )
+
+
+@query(
+    "pit_join_user_events",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE event_type IS DISTINCT FROM prev),
+    dim AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+      FROM chg)
+    SELECT f.event_id, f.user_id, f.ts, f.event_type,
+           d.event_type AS event_type_asof
+    FROM events f
+    JOIN dim d ON d.user_id = f.user_id
+      AND f.ts >= d.valid_from
+      AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def pit_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/joins.py:point_in_time_join): each
+    event joins the SCD2 event_type version valid at its own timestamp
+    — the consumer pattern SCD2 history exists for ("attribute AS OF
+    the fact's time", the feature-engineering leakage guard). The dim
+    is scd2_from_changelog over the same events; the join leads with
+    user_id equality so it plans as a key equi-join with the interval
+    as residual filter, never a nested-loop over the fact."""
+    from dwh_with_dask_spark.operators.joins import point_in_time_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_from_changelog(
+        e, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
+    ).select(
+        "user_id",
+        F.col("event_type").alias("event_type_asof"),
+        "valid_from",
+        "valid_to",
+    )
+    fact = e.select("event_id", "user_id", "ts", "event_type")
+    return point_in_time_join(
+        fact, dim, ["user_id"], "ts", how="inner"
+    ).drop("valid_from", "valid_to")
+
+
 def _zvalue_sql(exprs: list[str], bits: int) -> str:
     """DuckDB twin of operators/zorder.zvalue — same shift/mask terms."""
     ncols = len(exprs)

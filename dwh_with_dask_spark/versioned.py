@@ -154,6 +154,67 @@ def vacuum(table: str) -> dict:
     return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}
 
 
+def optimize_versioned(
+    spark: SparkSession,
+    table: str,
+    target_file_mb: int = 128,
+    order_by: list[str] | None = None,
+) -> dict:
+    """Compaction/clustering for VERSIONED tables — ``sinks.
+    compact_table`` published through the atomic pointer instead of a
+    directory swap, so there is NO reader-visible crash window at all
+    (the residual caveat compact_table documents): the optimized copy
+    is written as a fresh data dir, committed as the next version via
+    one ``os.replace``, and a crash anywhere before that leaves the
+    table at the previous version. Logical content is unchanged — an
+    optimize is a no-op in snapshot_diff terms — while append-fragment
+    file counts collapse to ~``target_file_mb`` files and ``order_by``
+    optionally range-clusters for min/max skipping. Prior versions
+    stay time-travelable until ``vacuum``; the rewritten version
+    references ONLY the new dir, so vacuuming old versions later
+    reclaims every fragment.
+
+    Returns {"version", "files_before", "files_after", "target_files"}.
+    """
+    import math
+
+    cur = read_version(spark, table)
+    with open(_manifest_path(table, current_version(table))) as f:
+        dirs = json.load(f)["dirs"]
+
+    def _stats(paths: list[str]) -> tuple[int, int]:
+        n = b = 0
+        for d in paths:
+            for dp, _dirs, fns in os.walk(os.path.join(table, d)):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(dp, fn))
+        return n, b
+
+    files_before, bytes_total = _stats(dirs)
+    target_files = max(
+        1, math.ceil(bytes_total / (target_file_mb * 1024 * 1024))
+    )
+    if order_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in order_by]
+        out = cur.repartitionByRange(target_files, *cols).sortWithinPartitions(
+            *cols
+        )
+    else:
+        out = cur.coalesce(target_files)
+    version = versioned_commit(out, table, mode="overwrite")
+    files_after, _ = _stats([os.path.join("data", f"v{version}")])
+    return {
+        "version": version,
+        "files_before": files_before,
+        "files_after": files_after,
+        "target_files": target_files,
+    }
+
+
 def versioned_commit_sink(table: str, mode: str = "append"):
     """foreachBatch sink committing each micro-batch as a table version
     — the streaming leg of the versioned table: readers always see a

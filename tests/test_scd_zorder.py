@@ -225,3 +225,146 @@ def test_dq_row_flags_guards_and_empty_rules(spark):
     assert out.collect()[0].dq_violations == []
     with _pytest.raises(ValueError):
         dq_row_flags(d, [Rule(kind="unique", column="id")])
+
+
+def test_merge_into_all_branches(spark):
+    """merge_into: kept / updated / conditionally-updated / deleted /
+    inserted, plus the cardinality guard. Python-reference twin."""
+    from pyspark.sql.utils import PythonException
+
+    from dwh_with_dask_spark.operators.scd import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, x double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "U", "bb", 22.0),   # update
+            (3, "D", None, None),   # delete
+            (4, "SKIP", "zz", 0.0), # matched, neither cond -> kept
+            (9, "I", "new", 90.0),  # insert
+        ],
+        "k long, op string, s string, x double",
+    )
+    out = merge_into(
+        target,
+        source,
+        ["k"],
+        update_condition=F.col("src.op") == "U",
+        delete_condition=F.col("src.op") == "D",
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (1, "a", 10.0),    # no source match
+        (2, "bb", 22.0),   # updated
+        (4, "d", 40.0),    # matched but SKIP -> kept
+        (9, "new", 90.0),  # inserted
+    ]
+
+    # insert=False drops unmatched source rows
+    no_ins = merge_into(
+        target, source, ["k"],
+        update_condition=F.col("src.op") == "U",
+        delete_condition=F.col("src.op") == "D",
+        insert=False,
+    )
+    assert sorted(r.k for r in no_ins.collect()) == [1, 2, 4]
+
+    # default conditions: every matched row updates, inserts apply
+    plain = merge_into(
+        target, source.drop("op").filter(F.col("k").isin(2, 9)), ["k"]
+    )
+    assert sorted(map(tuple, plain.collect())) == [
+        (1, "a", 10.0), (2, "bb", 22.0), (3, "c", 30.0),
+        (4, "d", 40.0), (9, "new", 90.0),
+    ]
+
+    # a source column absent from the target inserts as NULL via schema
+    # alignment, and update_cols restricts which columns change
+    partial = merge_into(
+        target,
+        source.filter("op = 'U'").select("k", "x"),
+        ["k"],
+        update_cols=["x"],
+    )
+    assert sorted(map(tuple, partial.collect())) == [
+        (1, "a", 10.0), (2, "b", 22.0), (3, "c", 30.0), (4, "d", 40.0),
+    ]
+
+    # duplicate source keys must raise (MERGE cardinality rule)
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "k long, s string, x double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="multiple source rows"):
+        merge_into(target, dup, ["k"]).collect()
+
+
+def test_point_in_time_join_versions_partition_timeline(spark):
+    """point_in_time_join: each fact row matches exactly the dim version
+    whose [valid_from, valid_to) interval contains its ts; boundary facts
+    take the NEWER version (exclusive upper bound); pre-history and
+    unknown keys keep NULL dim columns under how='left'."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.operators.joins import point_in_time_join
+
+    T = _dt.datetime
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", T(2024, 1, 1), T(2024, 2, 1)),
+            (1, "v2", T(2024, 2, 1), T(2024, 3, 1)),
+            (1, "v3", T(2024, 3, 1), None),
+            (2, "w1", T(2024, 1, 15), None),
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, T(2024, 1, 10)),   # inside v1
+            (101, 1, T(2024, 2, 1)),    # boundary -> v2 (exclusive hi)
+            (102, 1, T(2024, 5, 5)),    # open version v3
+            (103, 1, T(2023, 12, 1)),   # pre-history -> NULL
+            (104, 2, T(2024, 1, 15)),   # first instant of w1
+            (105, 3, T(2024, 1, 1)),    # unknown key -> NULL
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = point_in_time_join(fact, dim, ["k"], "ts", how="left")
+    got = {r.fid: r.attr for r in out.collect()}
+    assert got == {
+        100: "v1", 101: "v2", 102: "v3", 103: None, 104: "w1", 105: None,
+    }
+    assert out.count() == fact.count()  # left join preserves cardinality
+    # inner join drops only the unmatched facts
+    inner = point_in_time_join(fact, dim, ["k"], "ts", how="inner")
+    assert sorted(r.fid for r in inner.collect()) == [100, 101, 102, 104]
+
+
+def test_point_in_time_join_plans_as_equi_join(spark):
+    """The 100 TB contract: the interval predicate must ride a KEY
+    equi-join as a residual filter — never a BroadcastNestedLoopJoin
+    over the fact."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.operators.joins import point_in_time_join
+
+    T = _dt.datetime
+    dim = spark.createDataFrame(
+        [(i, f"v{i}", T(2024, 1, 1), None) for i in range(100)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    fact = spark.createDataFrame(
+        [(i, i % 100, T(2024, 6, 1)) for i in range(1000)],
+        "fid long, k long, ts timestamp",
+    )
+    plan = (
+        point_in_time_join(fact, dim, ["k"], "ts", how="inner")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan

@@ -380,3 +380,45 @@ def test_versioned_commit_sink_and_vacuum(spark, tmp_path):
     assert not os.path.exists(os.path.join(t, "data", "v99"))
     assert {r.k for r in read_version(spark, t).collect()} == {1, 2}
     assert {r.k for r in read_version(spark, t, 1).collect()} in ({1}, {2})
+
+
+def test_optimize_versioned_compacts_without_crash_window(spark, tmp_path):
+    """optimize_versioned: append fragments collapse into one new
+    VERSION (atomic pointer publish — no directory swap window), rows
+    byte-identical, prior versions still time-travelable, and a crash
+    before the pointer swap leaves the table fully intact."""
+    import os
+
+    from dwh_with_dask_spark.versioned import (
+        current_version,
+        optimize_versioned,
+        read_version,
+        vacuum,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "opt")
+    for i in range(6):  # 6 append commits x 4 files = 24 fragments
+        versioned_commit(
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id", "id % 7 AS k")
+            .repartition(4),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    before = sorted(
+        map(tuple, read_version(spark, t).collect())
+    )
+    stats = optimize_versioned(spark, t, target_file_mb=128)
+    assert stats["version"] == 7
+    assert stats["files_before"] == 24
+    assert stats["files_after"] == stats["target_files"] == 1
+    assert sorted(map(tuple, read_version(spark, t).collect())) == before
+    # prior versions untouched: version 3 still reads rows 0..299
+    assert read_version(spark, t, 3).count() == 300
+    # sorted optimize clusters and stays row-identical
+    optimize_versioned(spark, t, target_file_mb=128, order_by=["id"])
+    assert sorted(map(tuple, read_version(spark, t).collect())) == before
+    # vacuum after optimize is still conservative (all versions live)
+    assert vacuum(t)["removed_dirs"] == 0
+    assert current_version(t) == 8
