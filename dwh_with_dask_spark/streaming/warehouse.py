@@ -104,6 +104,62 @@ def scd2_merge_sink(
     return fn
 
 
+def upsert_sink(
+    dim_path: str,
+    keys: list[str],
+    ts_col: str | None = None,
+):
+    """foreachBatch fn: type-1 dimension maintenance — upsert each
+    micro-batch into the table at ``dim_path`` via
+    ``operators/scd.merge_into`` (update matched keys to the batch's
+    latest values, insert new keys; no history kept — the SCD2 sibling
+    is ``scd2_merge_sink``). The batch compacts to its latest
+    observation per key first (``ts_col`` + key tie-break when given,
+    deterministic either way), which also satisfies merge_into's
+    cardinality rule. Replay-idempotent WITHOUT a watermark: re-merging
+    identical values rewrites identical rows, so the batch-id dedup the
+    incremental-agg sink needs is unnecessary here. Crash contract =
+    the shared write-new/rename swap healed by ``_recover_dim_swap``."""
+    from dwh_with_dask_spark.operators.scd import merge_into
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        _recover_dim_swap(dim_path)
+        if ts_col is not None:
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(ts_col).desc(), *[F.col(k) for k in keys]
+            )
+            latest = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            latest = batch_df.dropDuplicates(keys)
+        if not os.path.exists(dim_path):
+            merged = latest
+        else:
+            dim = spark.read.parquet(dim_path)
+            merged = merge_into(
+                dim,
+                latest.select(*dim.columns),
+                keys,
+                check_unique_source=False,  # compacted above
+            )
+        tmp = dim_path + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = dim_path + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dim_path):
+            os.rename(dim_path, old)
+        os.rename(tmp, dim_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return fn
+
+
 def incremental_agg_sink(
     state_path: str,
     keys: list[str],

@@ -67,20 +67,33 @@ def list_versions(table: str) -> list[dict]:
 
 
 def versioned_commit(
-    df: DataFrame, table: str, mode: str = "overwrite"
+    df: DataFrame, table: str, mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the table's next version; returns the new
     version number. ``mode='overwrite'`` replaces the logical content;
     ``'append'`` adds to the previous version's content without
     rewriting it. The commit point is one atomic ``os.replace`` of the
     pointer file — there is no state in which a reader sees a partial
-    version."""
+    version.
+
+    ``stats_cols`` (numeric/string/date-castable-to-string columns)
+    stores per-data-dir min/max in the manifest — the table format's
+    data-skipping layer: ``read_version(..., prune=...)`` drops whole
+    directories whose range cannot match, BEFORE Spark ever lists
+    their files. One extra aggregate over the just-written BATCH (never
+    the table) per commit; append commits carry prior dirs' stats
+    forward untouched. At 100 TB with time/tenant-ordered appends this
+    is the difference between scanning one day's directory and listing
+    every file the table ever wrote.
+    """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite or append")
     os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
     prev = current_version(table)
     version = prev + 1
-    data_dir = os.path.join(table, "data", f"v{version}")
+    rel_dir = os.path.join("data", f"v{version}")
+    data_dir = os.path.join(table, rel_dir)
     # mode('overwrite'), NOT 'error': a crash after the data/manifest
     # write but before the pointer swap leaves an orphan data/v<N> that
     # the next commit (same N — the pointer never moved) must be able to
@@ -89,11 +102,32 @@ def versioned_commit(
     # reader until the pointer swap publishes it (ADVICE r7).
     df.write.mode("overwrite").parquet(data_dir)
 
-    dirs = [os.path.join("data", f"v{version}")]
+    stats: dict = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        # one agg over the written batch; re-read the dir so the stats
+        # describe exactly the committed bytes
+        batch = df.sparkSession.read.parquet(data_dir)
+        row = batch.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+        ).first()
+        stats[rel_dir] = {
+            c: [_json_stat(row[f"lo_{c}"]), _json_stat(row[f"hi_{c}"])]
+            for c in stats_cols
+        }
+
+    dirs = [rel_dir]
     if mode == "append" and prev > 0:
         with open(_manifest_path(table, prev)) as f:
-            dirs = json.load(f)["dirs"] + dirs
+            pm = json.load(f)
+        dirs = pm["dirs"] + dirs
+        for d, s in pm.get("stats", {}).items():
+            stats.setdefault(d, s)
     manifest = {"version": version, "mode": mode, "dirs": dirs}
+    if stats:
+        manifest["stats"] = stats
     mpath = _manifest_path(table, version)
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
@@ -106,11 +140,28 @@ def versioned_commit(
     return version
 
 
-def read_version(
-    spark: SparkSession, table: str, version: int | None = None
-) -> DataFrame:
-    """Snapshot read: the table as of ``version`` (default: current).
-    Time travel is just picking an older manifest."""
+def _json_stat(v):
+    """JSON-encodable min/max: numbers/strings pass through, temporal
+    types become ISO strings (lexicographic order == temporal order, so
+    interval-overlap pruning stays correct)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat(sep=" ") if hasattr(v, "time") else v.isoformat()
+    return str(v)
+
+
+def manifest_dirs(
+    table: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
+) -> list[str]:
+    """The data directories a version comprises, optionally pruned by
+    the manifest's stored min/max stats: ``prune`` maps column → (lo,
+    hi) query interval (either side None = unbounded); a dir survives
+    only if EVERY pruned column's stored [min, max] overlaps the query
+    interval. Dirs without stored stats for a column are conservatively
+    kept — pruning can skip work, never rows."""
     cur = current_version(table)
     if cur == 0:
         raise FileNotFoundError(f"no committed version at {table}")
@@ -118,7 +169,53 @@ def read_version(
     if not 1 <= v <= cur:
         raise ValueError(f"version {v} out of range 1..{cur}")
     with open(_manifest_path(table, v)) as f:
-        dirs = json.load(f)["dirs"]
+        m = json.load(f)
+    dirs = m["dirs"]
+    if not prune:
+        return dirs
+    stats = m.get("stats", {})
+
+    def keep(d: str) -> bool:
+        ds = stats.get(d)
+        if ds is None:
+            return True
+        for col, (lo, hi) in prune.items():
+            if col not in ds:
+                continue
+            dlo, dhi = ds[col]
+            if dlo is None and dhi is None:
+                continue  # all-NULL dir: no comparable range, keep
+            qlo, qhi = _json_stat(lo), _json_stat(hi)
+            if qlo is not None and dhi is not None and dhi < qlo:
+                return False
+            if qhi is not None and dlo is not None and dlo > qhi:
+                return False
+        return True
+
+    return [d for d in dirs if keep(d)]
+
+
+def read_version(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Snapshot read: the table as of ``version`` (default: current).
+    Time travel is just picking an older manifest. ``prune`` applies
+    manifest-stats directory skipping (see ``manifest_dirs``) — the
+    caller still applies its own row filter; pruning only shrinks the
+    scan. An empty post-prune dir list would be an empty table, but
+    Spark needs a schema — read the first dir with an always-false
+    filter in that case."""
+    dirs = manifest_dirs(table, version, prune)
+    if not dirs:
+        all_dirs = manifest_dirs(table, version)
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(
+            os.path.join(table, all_dirs[0])
+        ).filter(F.lit(False))
     return spark.read.parquet(*[os.path.join(table, d) for d in dirs])
 
 
@@ -159,6 +256,7 @@ def optimize_versioned(
     table: str,
     target_file_mb: int = 128,
     order_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Compaction/clustering for VERSIONED tables — ``sinks.
     compact_table`` published through the atomic pointer instead of a
@@ -205,7 +303,9 @@ def optimize_versioned(
         )
     else:
         out = cur.coalesce(target_files)
-    version = versioned_commit(out, table, mode="overwrite")
+    version = versioned_commit(
+        out, table, mode="overwrite", stats_cols=stats_cols
+    )
     files_after, _ = _stats([os.path.join("data", f"v{version}")])
     return {
         "version": version,
@@ -215,7 +315,9 @@ def optimize_versioned(
     }
 
 
-def versioned_commit_sink(table: str, mode: str = "append"):
+def versioned_commit_sink(
+    table: str, mode: str = "append", stats_cols: list[str] | None = None
+):
     """foreachBatch sink committing each micro-batch as a table version
     — the streaming leg of the versioned table: readers always see a
     complete snapshot (the pointer swap is the only visible mutation),
@@ -229,6 +331,6 @@ def versioned_commit_sink(table: str, mode: str = "append"):
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        versioned_commit(batch_df, table, mode=mode)
+        versioned_commit(batch_df, table, mode=mode, stats_cols=stats_cols)
 
     return fn

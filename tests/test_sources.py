@@ -422,3 +422,62 @@ def test_optimize_versioned_compacts_without_crash_window(spark, tmp_path):
     # vacuum after optimize is still conservative (all versions live)
     assert vacuum(t)["removed_dirs"] == 0
     assert current_version(t) == 8
+
+
+def test_versioned_manifest_stats_prune_dirs(spark, tmp_path):
+    """Manifest min/max stats = the versioned table's data-skipping
+    layer: time-ordered append commits store per-dir ranges; a pruned
+    read lists ONLY overlapping directories (asserted on the dir list
+    AND on inputFiles), never drops a matching row, keeps dirs without
+    stats conservatively, and append commits carry prior stats forward."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.versioned import (
+        manifest_dirs,
+        read_version,
+        versioned_commit,
+    )
+
+    T = _dt.datetime
+    t = str(tmp_path / "vstats")
+    for i in range(4):  # day-ordered appends: ids [i*100, i*100+99]
+        versioned_commit(
+            spark.createDataFrame(
+                [
+                    (i * 100 + j, T(2024, 1, i + 1, 12), f"r{i}")
+                    for j in range(100)
+                ],
+                "id long, ts timestamp, s string",
+            ).coalesce(1),
+            t,
+            mode="append" if i else "overwrite",
+            stats_cols=["id", "ts"],
+        )
+    assert len(manifest_dirs(t)) == 4
+    # numeric prune: ids 150..160 live only in dir 2
+    pruned = manifest_dirs(t, prune={"id": (150, 160)})
+    assert pruned == ["data/v2"]
+    df = read_version(spark, t, prune={"id": (150, 160)})
+    assert len(df.inputFiles()) == 1
+    got = sorted(
+        r.id for r in df.filter("id BETWEEN 150 AND 160").collect()
+    )
+    assert got == list(range(150, 161))  # pruning never drops a match
+    # temporal prune via ISO-string ordering; unbounded side
+    p2 = manifest_dirs(t, prune={"ts": (T(2024, 1, 3), None)})
+    assert set(p2) == {"data/v3", "data/v4"}
+    # disjoint prune -> empty table, schema intact
+    none_match = read_version(spark, t, prune={"id": (100000, 200000)})
+    assert none_match.count() == 0
+    assert set(none_match.columns) == {"id", "ts", "s"}
+
+    # a legacy commit WITHOUT stats is conservatively kept by any prune
+    versioned_commit(
+        spark.createDataFrame([(9999, T(2030, 1, 1), "x")],
+                              "id long, ts timestamp, s string"),
+        t,
+        mode="append",
+    )
+    pruned5 = manifest_dirs(t, prune={"id": (150, 160)})
+    assert set(pruned5) == {"data/v2", "data/v5"}
+    assert read_version(spark, t, prune={"id": (100000, 200000)}).count() == 1

@@ -1262,6 +1262,80 @@ def test_scd2_merge_sink_crash_replay_is_idempotent(spark, tmpdir_spark):
     assert rows() == after_first
 
 
+def test_upsert_sink_stream_equals_batch_merge_and_replay(
+    spark, tmpdir_spark
+):
+    """Type-1 dimension streaming leg: micro-batched upserts through
+    merge_into produce exactly the per-key-latest table, and replaying
+    a batch is a no-op by VALUE idempotence (same values rewrite the
+    same rows — no watermark needed, unlike the agg sink)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.streaming.warehouse import upsert_sink
+
+    T = _dt.datetime
+    rows = [
+        (k, f"v{b}_{k}", T(2024, 1, b + 1))
+        for b in range(4)
+        for k in range(b, 10 + b)  # overlapping key ranges per batch
+    ]
+    src = f"{tmpdir_spark}/ups_in"
+    for b in range(4):
+        spark.createDataFrame(
+            [r for r in rows if r[2] == T(2024, 1, b + 1)],
+            "k long, s string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    dim = f"{tmpdir_spark}/ups_dim"
+    stream = spark.readStream.schema("k long, s string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(upsert_sink(dim, ["k"], ts_col="ts"))
+        .option("checkpointLocation", f"{tmpdir_spark}/ups_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def rows_of():
+        return sorted(
+            (r.k, r.s, r.ts) for r in spark.read.parquet(dim).collect()
+        )
+
+    got = rows_of()
+    # batch twin: latest observation per key across the whole input
+    from pyspark.sql.window import Window as _W
+
+    d = spark.createDataFrame(rows, "k long, s string, ts timestamp")
+    want = sorted(
+        (r.k, r.s, r.ts)
+        for r in d.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("k").orderBy(F.col("ts").desc(), F.col("k"))
+            ),
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+        .collect()
+    )
+    assert got == want
+
+    # replay the last batch: value-idempotent
+    fn = upsert_sink(dim, ["k"], ts_col="ts")
+    fn(
+        spark.createDataFrame(
+            [r for r in rows if r[2] == T(2024, 1, 4)],
+            "k long, s string, ts timestamp",
+        ),
+        99,
+    )
+    assert rows_of() == got
+
+
 def test_incremental_agg_sink_stream_equals_batch_and_replay(
     spark, tmpdir_spark
 ):
