@@ -368,3 +368,35 @@ def test_point_in_time_join_plans_as_equi_join(spark):
     )
     assert "NestedLoop" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan
+
+
+def test_merge_into_plans_one_join_no_extra_shuffle(spark):
+    """merge_into's 100 TB contract: the whole merge is ONE key join
+    (full-outer hash/sort-merge) plus row-local emit — the uniqueness
+    window on the source reuses its own key exchange for the join
+    (subset-of-grouping-keys rule), so no additional shuffle appears,
+    and nothing plans as a nested loop."""
+    from dwh_with_dask_spark.operators.scd import merge_into
+
+    target = spark.range(2000).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS s", "id * 1.5 AS x"
+    )
+    source = spark.range(0, 2000, 10).selectExpr(
+        "id AS k", "'u' AS s", "id * 2.0 AS x"
+    )
+    plan = (
+        merge_into(target, source, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+    assert "NestedLoop" not in plan, plan
+    # exchanges: one per join side at most (the window's exchange IS the
+    # source's join exchange; AQE may replace one with a broadcast)
+    assert plan.count("Exchange") <= 2, plan
