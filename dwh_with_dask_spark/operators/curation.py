@@ -694,6 +694,46 @@ def bm25_top_terms(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query by summed BM25 —
+    retrieval over the same inverted index ``bm25_scores`` builds (the
+    search half of the pipeline: quality probes, near-eval-set lookups,
+    boilerplate hunts all phrase as "give me the docs that score
+    highest for these terms"). Output: (id, n_hit, bm25) with ``bm25``
+    rounded to 6 decimals (per-doc sum over the query's matched terms
+    is an order-dependent double fold — the repo's standard round(,6)
+    idiom absorbs the last-ulp engine divergence; the scores
+    themselves are IEEE-exact rational-idf, see ``bm25_scores``).
+    Ties break on id for a deterministic top-k.
+
+    Scale shape: the query-term filter is a tiny IN-list applied to
+    the postings BEFORE the per-doc aggregation — only postings for
+    the query's terms (df-bounded, not corpus-bounded) reach the
+    groupBy, and the final top-k is a TakeOrderedAndProject. With a
+    STORED index (persist ``bm25_scores`` output partitioned by term)
+    the probe never tokenizes the corpus at all — the same
+    stored-index contract as the ANN families.
+    """
+    scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
+    hits = scored.filter(F.col("term").isin([t for t in query_terms]))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.round(F.sum("score"), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

@@ -854,6 +854,52 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@query(
+    "triangle_count_part_graph",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT ab.lo AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e ab
+    JOIN e bc ON bc.lo = ab.hi
+    JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    GROUP BY ab.lo
+    ORDER BY n_triangles DESC, node ASC
+    LIMIT 50
+    """,
+)
+def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting (operators/graph.py:triangle_count) over
+    the part co-occurrence graph (parts sharing an order — the market-
+    basket edge list): top-50 apex nodes by triangles. The a<b<c
+    orientation counts each triangle exactly once in two equi-join
+    shuffles; the oracle recomputes the identical closed wedges."""
+    from dwh_with_dask_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return (
+        triangle_count(edges, per_node=True)
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(50)
+    )
+
+
 # DuckDB twin of the 52-bit md5 priority: digit-sum the first 13 hex
 # chars (no conv() in DuckDB; 16^12 * 15 < 2^52, all exact in BIGINT).
 _KMV_H_SQL = "(" + " + ".join(

@@ -594,6 +594,49 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("df", F.col("df").cast("long"))
 
 
+@query(
+    "text_bm25_search",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t),
+    tfs AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf
+      FROM base GROUP BY doc_id, term, dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+    doclens AS (SELECT doc_id, MAX(dl) AS dl FROM tfs GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM doclens),
+    scored AS (
+      SELECT tfs.doc_id, tfs.term,
+             ((CAST(n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                / (CAST(dfreq.df AS DOUBLE) + 0.5))
+             * ((CAST(tfs.tf AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tfs.tf AS DOUBLE)
+                   + 1.2 * ((1.0 - 0.75)
+                            + 0.75 * (CAST(tfs.dl AS DOUBLE) / avgdl)))) AS score
+      FROM tfs JOIN dfreq USING (term) CROSS JOIN stats
+      WHERE tfs.term IN ('spark', 'window', 'merge'))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(SUM(score), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/curation.py:bm25_search): top-10
+    documents for the query {spark, window, merge} by summed
+    IEEE-exact rational-idf BM25 — the search half of the inverted
+    index text_bm25_top_terms builds. The query-term IN-filter hits
+    the postings BEFORE the per-doc aggregation (df-bounded work) and
+    the top-k is a TakeOrderedAndProject; round(,6) absorbs the
+    order-dependent per-doc double sum."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.bm25_search(d, ["spark", "window", "merge"], k=10)
+
+
 # Shared CTE body for the repetition queries: per-(doc, n) top-gram and
 # distinct counts for n-grams tagged 1..3 (n=2/3 guards mirror the Spark
 # side's empty-array-for-short-docs).

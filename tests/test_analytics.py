@@ -877,3 +877,29 @@ def test_c4_clean_null_text_is_empty_page(spark):
     r = c4_clean(d).collect()[0]
     assert (r.n_lines, r.n_lines_kept, r.n_sentences) == (1, 0, 0)
     assert r.c4_keep is False and r.c4_text == ""
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand-counted graph: K4 on {1,2,3,4} (4 triangles) plus a
+    pendant edge and a disconnected edge (0 triangles); duplicate,
+    reversed, and self-loop edges must not change the count."""
+    from dwh_with_dask_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),            # pendant
+        (8, 9),            # island
+        (2, 1), (3, 1),    # reversed dups
+        (1, 2),            # exact dup
+        (7, 7),            # self-loop
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(e).first().n_triangles == 4
+    per = {
+        r.node: r.n_triangles
+        for r in triangle_count(e, per_node=True).collect()
+    }
+    # apex = smallest id of each triangle: {1,2,3},{1,2,4},{1,3,4} -> 1;
+    # {2,3,4} -> 2
+    assert per == {1: 3, 2: 1}
+    assert sum(per.values()) == 4
