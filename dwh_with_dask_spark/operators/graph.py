@@ -111,6 +111,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     per_node: bool = False,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact triangle counting over an undirected edge list — the third
     canonical graph primitive beside PageRank and connected components
@@ -134,7 +135,14 @@ def triangle_count(
     id in the triangle — re-aggregable partials for incremental
     maintenance).
     """
-    e = (
+    # Persisted: the canonical edge list feeds THREE consumers (both
+    # wedge sides + the closing join) whose projections column-prune
+    # differently, so ReusedExchange never fires and the whole edge
+    # DERIVATION (often itself a join, e.g. the co-occurrence basket
+    # self-join) would run three times — measured 6 scans / 0 reuses on
+    # the part graph. Lifecycle: caller-owned via ``scope``.
+    scope, created = scoped(scope)
+    e = scope.persist(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
@@ -148,7 +156,9 @@ def triangle_count(
     wedges = ab.join(bc, "b")  # a < b < c by construction
     tris = wedges.join(ac, ["a", "c"])
     if per_node:
-        return tris.groupBy(F.col("a").alias("node")).agg(
+        out = tris.groupBy(F.col("a").alias("node")).agg(
             F.count(F.lit(1)).alias("n_triangles")
         )
-    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    else:
+        out = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return attach(out, scope, created)

@@ -860,9 +860,10 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
-      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
       FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
     SELECT ab.lo AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM e ab
     JOIN e bc ON bc.lo = ab.hi
@@ -874,8 +875,12 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting (operators/graph.py:triangle_count) over
-    the part co-occurrence graph (parts sharing an order — the market-
-    basket edge list): top-50 apex nodes by triangles. The a<b<c
+    the part co-occurrence graph: top-50 apex nodes by triangles. The
+    edge list keeps pairs co-ordered in >= 2 orders — the DENSITY
+    guard: an unweighted co-occurrence graph's wedge count grows ~deg²
+    per node (measured 35 s at sf1 vs ~1 s thresholded; random
+    one-shot co-occurrences carry no signal anyway), the same
+    cap-the-hot-keys contract as the shingle/df caps. The a<b<c
     orientation counts each triangle exactly once in two equi-join
     shuffles; the oracle recomputes the identical closed wedges."""
     from dwh_with_dask_spark.operators.graph import triangle_count
@@ -886,12 +891,19 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("src", "dst")
     )
     return (
         triangle_count(edges, per_node=True)
