@@ -193,6 +193,8 @@ def point_in_time_join(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     how: str = "left",
+    keep_validity: bool = False,
+    suffix: str = "_dim",
 ) -> DataFrame:
     """Temporal (point-in-time) join: each fact row joins the dimension
     VERSION that was valid at the fact's timestamp —
@@ -215,6 +217,14 @@ def point_in_time_join(
     timeline, so an in-range fact row matches exactly one version and
     a ``left`` join preserves fact cardinality (facts before the
     key's first version, or unknown keys, keep NULL dim columns).
+
+    Output columns: every fact column, then the dim's attribute
+    columns; a dim column whose name clashes with a fact column is
+    renamed with ``suffix`` (never a silent duplicate name — a frame
+    with two ``ts`` columns poisons every downstream reference with
+    AMBIGUOUS_REFERENCE). ``valid_from``/``valid_to`` are dropped
+    unless ``keep_validity`` — consumers want the attribute AS OF the
+    fact time, not the version bookkeeping.
     """
     f, d = fact.alias("f"), dim.alias("d")
     cond = None
@@ -227,10 +237,16 @@ def point_in_time_join(
         & (ts >= F.col(f"d.{valid_from}"))
         & (F.col(f"d.{valid_to}").isNull() | (ts < F.col(f"d.{valid_to}")))
     )
-    dim_cols = [c for c in dim.columns if c not in keys]
+    skip = set(keys) | (set() if keep_validity else {valid_from, valid_to})
+    dim_cols = [c for c in dim.columns if c not in skip]
+    taken = set(fact.columns)
+    out_names = [c + suffix if c in taken else c for c in dim_cols]
     return f.join(d, cond, how).select(
         *[F.col(f"f.{c}") for c in fact.columns],
-        *[F.col(f"d.{c}").alias(c) for c in dim_cols],
+        *[
+            F.col(f"d.{c}").alias(n)
+            for c, n in zip(dim_cols, out_names)
+        ],
     )
 
 

@@ -552,9 +552,10 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bloom_decontaminate(d, k=3, m=4096)
 
 
-@query(
-    "text_bm25_top_terms",
-    f"""
+# Shared CTE chain for the two BM25 oracles (build + score the same
+# inverted index; k1=1.2, b=0.75, rational idf — one definition so the
+# formula can never drift between the top-terms and search oracles).
+_BM25_SCORED_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     base AS (
       SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t),
@@ -576,6 +577,13 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 1.2 * ((1.0 - 0.75)
                             + 0.75 * (CAST(tfs.dl AS DOUBLE) / avgdl)))) AS score
       FROM tfs JOIN dfreq USING (term) CROSS JOIN stats)
+"""
+
+
+@query(
+    "text_bm25_top_terms",
+    f"""
+    {_BM25_SCORED_SQL}
     SELECT doc_id, term, tf, df, score, rank FROM (
       SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rank
@@ -597,31 +605,12 @@ def text_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_bm25_search",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    base AS (
-      SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t),
-    tfs AS (
-      SELECT doc_id, term, dl, COUNT(*) AS tf
-      FROM base GROUP BY doc_id, term, dl),
-    dfreq AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
-    doclens AS (SELECT doc_id, MAX(dl) AS dl FROM tfs GROUP BY doc_id),
-    stats AS (
-      SELECT COUNT(*) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-      FROM doclens),
-    scored AS (
-      SELECT tfs.doc_id, tfs.term,
-             ((CAST(n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-                / (CAST(dfreq.df AS DOUBLE) + 0.5))
-             * ((CAST(tfs.tf AS DOUBLE) * (1.2 + 1.0))
-                / (CAST(tfs.tf AS DOUBLE)
-                   + 1.2 * ((1.0 - 0.75)
-                            + 0.75 * (CAST(tfs.dl AS DOUBLE) / avgdl)))) AS score
-      FROM tfs JOIN dfreq USING (term) CROSS JOIN stats
-      WHERE tfs.term IN ('spark', 'window', 'merge'))
+    {_BM25_SCORED_SQL}
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
            ROUND(SUM(score), 6) AS bm25
-    FROM scored GROUP BY doc_id
+    FROM scored
+    WHERE term IN ('spark', 'window', 'merge')
+    GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC LIMIT 10
     """,
 )

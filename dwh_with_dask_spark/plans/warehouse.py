@@ -276,7 +276,7 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, 'D', o_orderstatus, o_totalprice
       FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
       UNION ALL
-      SELECT o_orderkey + 30000000, 'I', 'N', 1.0
+      SELECT o_orderkey + 1000000000, 'I', 'N', 1.0
       FROM orders WHERE o_orderkey % 13 = 1)
     SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
     FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
@@ -318,7 +318,11 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     inserts = o.filter(k % 13 == 1).select(
-        (k + 30000000).alias("o_orderkey"),
+        # 1e9 offset: orders keys reach 6M x SF (60M at the sf10 bench
+        # ceiling) — a colliding synthetic insert key would either trip
+        # the cardinality guard or silently diverge from the oracle
+        # (the entity-resolution offset lesson, ADVICE r7).
+        (k + 1000000000).alias("o_orderkey"),
         F.lit("I").alias("__op"),
         F.lit("N").alias("o_orderstatus"),
         F.lit(1.0).alias("o_totalprice"),
@@ -377,9 +381,7 @@ def pit_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
     )
     fact = e.select("event_id", "user_id", "ts", "event_type")
-    return point_in_time_join(
-        fact, dim, ["user_id"], "ts", how="inner"
-    ).drop("valid_from", "valid_to")
+    return point_in_time_join(fact, dim, ["user_id"], "ts", how="inner")
 
 
 def _zvalue_sql(exprs: list[str], bits: int) -> str:

@@ -114,9 +114,12 @@ def upsert_sink(
     ``operators/scd.merge_into`` (update matched keys to the batch's
     latest values, insert new keys; no history kept — the SCD2 sibling
     is ``scd2_merge_sink``). The batch compacts to its latest
-    observation per key first (``ts_col`` + key tie-break when given,
-    deterministic either way), which also satisfies merge_into's
-    cardinality rule. Replay-idempotent WITHOUT a watermark: re-merging
+    observation per key first — ordered by ``ts_col`` desc (when
+    given), then by the remaining VALUE columns as a struct, so two
+    rows sharing key AND timestamp still pick a winner that is a pure
+    function of the data, not of partitioning — which also satisfies
+    merge_into's cardinality rule. Replay-idempotent WITHOUT a
+    watermark: re-merging
     identical values rewrites identical rows, so the batch-id dedup the
     incremental-agg sink needs is unnecessary here. Crash contract =
     the shared write-new/rename swap healed by ``_recover_dim_swap``."""
@@ -127,17 +130,24 @@ def upsert_sink(
             return
         spark = batch_df.sparkSession
         _recover_dim_swap(dim_path)
-        if ts_col is not None:
-            w = Window.partitionBy(*keys).orderBy(
-                F.col(ts_col).desc(), *[F.col(k) for k in keys]
-            )
-            latest = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            latest = batch_df.dropDuplicates(keys)
+        # Deterministic winner per key: ts desc first (when given),
+        # then the remaining value columns as a struct — NOT the
+        # partition keys (constant within the partition, a no-op
+        # tie-break) and NOT dropDuplicates (arbitrary winner).
+        value_cols = [
+            c for c in batch_df.columns if c not in keys and c != ts_col
+        ]
+        order = [F.col(ts_col).desc()] if ts_col is not None else []
+        if value_cols:
+            order.append(F.struct(*[F.col(c) for c in value_cols]).desc())
+        if not order:  # keys-only rows: duplicates are identical
+            order = [F.col(keys[0])]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         if not os.path.exists(dim_path):
             merged = latest
         else:
@@ -187,11 +197,24 @@ def incremental_agg_sink(
     import json
 
     def _last_folded(path: str) -> int:
+        meta = os.path.join(path, "_meta.json")
         try:
-            with open(os.path.join(path, "_meta.json")) as f:
+            with open(meta) as f:
                 return int(json.load(f)["last_batch_id"])
         except OSError:
-            return -1
+            return -1  # no meta file: fresh state, nothing folded
+        except (ValueError, KeyError) as exc:
+            # Corrupt/truncated meta (e.g. power loss before the page
+            # cache flushed). Do NOT return -1 — that silently refolds
+            # the redelivered batch, the exact double-count the
+            # watermark prevents. Fail loudly with the recovery step.
+            raise RuntimeError(
+                f"incremental_agg_sink: corrupt watermark {meta!r} — the "
+                "state may or may not include the last delivered batch. "
+                "Recover by rebuilding the state from the source (or "
+                "restoring a known-good copy) and writing the matching "
+                '{"last_batch_id": N} before restarting the stream.'
+            ) from exc
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):

@@ -21,7 +21,14 @@ style storage where directory renames are NOT atomic but single-file
 
 Append commits reference the previous version's directories instead of
 rewriting them — O(batch) write cost per append, like a real table
-format's incremental snapshots. This module deliberately stores the
+format's incremental snapshots.
+
+Concurrency contract: SINGLE WRITER (readers unlimited). Without a
+lock service a local-FS format cannot arbitrate two committers racing
+to the same version number; the data write's ``mode('error')`` makes
+that race fail loudly (path-already-exists) rather than corrupt a
+commit. Crash orphans of the SAME single writer are healed at the next
+commit (see ``versioned_commit``). This module deliberately stores the
 directory list (not per-file lists): Spark's parquet reader takes the
 directories and plans splits itself, and partial data-directory writes
 cannot be published because the manifest is written only after the
@@ -94,13 +101,23 @@ def versioned_commit(
     version = prev + 1
     rel_dir = os.path.join("data", f"v{version}")
     data_dir = os.path.join(table, rel_dir)
-    # mode('overwrite'), NOT 'error': a crash after the data/manifest
-    # write but before the pointer swap leaves an orphan data/v<N> that
-    # the next commit (same N — the pointer never moved) must be able to
-    # replace, or a restarted stream dies on path-already-exists until a
-    # manual vacuum. Overwriting is safe: the dir is invisible to every
-    # reader until the pointer swap publishes it (ADVICE r7).
-    df.write.mode("overwrite").parquet(data_dir)
+    # Orphan heal (ADVICE r7): a crash after the data write but before
+    # the pointer swap leaves an orphan data/v<N> that the next commit
+    # (same N — the pointer never moved) must be able to replace, or a
+    # restarted stream dies on path-already-exists until a manual
+    # vacuum. Removing it is safe: a dir past the published pointer is
+    # invisible to every reader. The write itself stays mode('error'),
+    # NOT 'overwrite' — this module's concurrency contract is SINGLE
+    # WRITER (like any local-FS table format without a lock service),
+    # and mode('error') keeps the loud failure when two committers race
+    # to the same version number: the later write dies on
+    # path-already-exists instead of silently clobbering the other
+    # writer's files mid-commit.
+    if os.path.exists(data_dir):
+        import shutil
+
+        shutil.rmtree(data_dir)
+    df.write.mode("error").parquet(data_dir)
 
     stats: dict = {}
     if stats_cols:

@@ -400,3 +400,27 @@ def test_merge_into_plans_one_join_no_extra_shuffle(spark):
     # exchanges: one per join side at most (the window's exchange IS the
     # source's join exchange; AQE may replace one with a broadcast)
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_point_in_time_join_suffixes_clashing_dim_columns(spark):
+    """A dim column named like a fact column must come out suffixed —
+    never a silent duplicate name (AMBIGUOUS_REFERENCE downstream);
+    validity columns stay out unless keep_validity."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.operators.joins import point_in_time_join
+
+    T = _dt.datetime
+    dim = spark.createDataFrame(
+        [(1, "typA", T(2024, 1, 1), None)],
+        "k long, ts string, valid_from timestamp, valid_to timestamp",
+    ).withColumnRenamed("ts", "attr").withColumn("ts", F.lit("dimside"))
+    fact = spark.createDataFrame(
+        [(100, 1, T(2024, 2, 1))], "fid long, k long, ts timestamp"
+    )
+    out = point_in_time_join(fact, dim, ["k"], "ts")
+    assert out.columns == ["fid", "k", "ts", "attr", "ts_dim"]
+    r = out.first()
+    assert r.ts_dim == "dimside" and r.attr == "typA"
+    kept = point_in_time_join(fact, dim, ["k"], "ts", keep_validity=True)
+    assert "valid_from" in kept.columns and "valid_to" in kept.columns

@@ -1462,3 +1462,28 @@ def test_dq_gate_sink_routes_and_counts(spark, tmpdir_spark):
         .collect()
     }
     assert stats == {"not_null:cat": 1, "in_set:cat": 2, "in_range:val": 2}
+
+
+def test_upsert_sink_same_ts_tie_is_deterministic(spark, tmpdir_spark):
+    """Two observations with the same key AND timestamp must pick a
+    winner that is a pure function of the data (the value-struct
+    tie-break), not of partitioning: any partitioning of the batch
+    produces the identical stored row."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.streaming.warehouse import upsert_sink
+
+    T = _dt.datetime
+    batch = [(1, s, T(2024, 1, 1)) for s in ("alpha", "zeta", "mid")]
+    results = []
+    for parts in (1, 3, 7):
+        dim = f"{tmpdir_spark}/tie_{parts}"
+        fn = upsert_sink(dim, ["k"], ts_col="ts")
+        fn(
+            spark.createDataFrame(
+                batch, "k long, s string, ts timestamp"
+            ).repartition(parts),
+            0,
+        )
+        results.append(spark.read.parquet(dim).collect()[0].s)
+    assert results == ["zeta", "zeta", "zeta"]  # max value struct
