@@ -702,7 +702,11 @@ def bm25_search(
     text_col: str = "text",
     **kw,
 ) -> DataFrame:
-    """Top-``k`` documents for a bag-of-terms query by summed BM25 —
+    """Top-``k`` documents for a SET-of-terms query by summed BM25 —
+    duplicate query terms collapse (the ``isin`` filter matches each
+    distinct term once; textbook BM25's query-term-frequency weighting
+    is deliberately not applied, and the DuckDB oracle's IN-list has
+    the same set semantics) —
     retrieval over the same inverted index ``bm25_scores`` builds (the
     search half of the pipeline: quality probes, near-eval-set lookups,
     boilerplate hunts all phrase as "give me the docs that score

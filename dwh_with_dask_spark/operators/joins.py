@@ -241,6 +241,19 @@ def point_in_time_join(
     dim_cols = [c for c in dim.columns if c not in skip]
     taken = set(fact.columns)
     out_names = [c + suffix if c in taken else c for c in dim_cols]
+    # The suffix rename can itself collide (ADVICE r8): dim carrying both
+    # "ts" and "ts_dim" maps two columns onto "ts_dim", or a suffixed name
+    # lands on another fact column — exactly the duplicate-column frame
+    # the contract above promises never to emit. Fail loudly here, not
+    # with AMBIGUOUS_REFERENCE three operators downstream.
+    final = fact.columns + out_names
+    if len(set(final)) != len(final):
+        dupes = sorted({c for c in final if final.count(c) > 1})
+        raise ValueError(
+            f"point_in_time_join: suffix {suffix!r} does not disambiguate "
+            f"output columns {dupes}; pick a suffix not already used by a "
+            "fact or dim column"
+        )
     return f.join(d, cond, how).select(
         *[F.col(f"f.{c}") for c in fact.columns],
         *[

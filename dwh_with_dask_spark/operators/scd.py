@@ -194,6 +194,17 @@ def merge_into(
     columns as ``tgt.<col>`` (both sides are aliased); plain
     ``F.col("x")`` works when unambiguous.
 
+    NULL keys (documented divergence from SQL MERGE): keys match
+    NULL-SAFELY (``eqNullSafe`` / IS NOT DISTINCT FROM), the same
+    contract as this module's SCD operators — a NULL source key
+    UPDATES a NULL target key rather than inserting a second NULL-key
+    row, and the cardinality rule groups all NULL-key source rows
+    together. Delta/Iceberg ``MERGE ON t.k = s.k`` never matches NULL
+    keys (NULL-key source rows always insert). Pre-filter NULL-key
+    rows out of the source if you need the SQL behavior; surrogate/
+    natural keys are non-NULL in every sane warehouse, so the safe
+    default here is the one that avoids silently duplicating rows.
+
     Scale shape: ONE full-outer join on the key. The closed form
     mirrors ``scd2_merge``: when the target is key-bucketed the join
     co-locates without shuffling the target, and AQE broadcast-joins

@@ -168,6 +168,36 @@ def _json_stat(v):
     return str(v)
 
 
+_DATE_RE = None  # compiled lazily; versioned.py keeps a tiny import set
+
+
+def _is_temporal_str(s) -> bool:
+    global _DATE_RE
+    if not isinstance(s, str):
+        return False
+    if _DATE_RE is None:
+        import re
+
+        _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].+)?$")
+    return bool(_DATE_RE.match(s))
+
+
+def _norm_temporal(s: str, side: str) -> str:
+    """Normalize one temporal bound/stat string so lexicographic
+    comparison equals temporal comparison across mixed date/timestamp
+    representations (ADVICE r8, the midnight-row bug): unify the ISO
+    'T' separator to ' ', then widen bare dates to a full-day interval
+    — ``side='lo'`` pads to midnight, ``side='hi'`` to end-of-day.
+    Widening only KEEPS more dirs (pruning stays conservative), and for
+    the all-date case the uniform padding preserves every comparison
+    outcome, so homogeneous tables are unaffected."""
+    if len(s) > 10 and s[10] == "T":
+        s = s[:10] + " " + s[11:]
+    if len(s) == 10:
+        s += " 00:00:00" if side == "lo" else " 23:59:59.999999"
+    return s
+
+
 def manifest_dirs(
     table: str,
     version: int | None = None,
@@ -203,6 +233,37 @@ def manifest_dirs(
             if dlo is None and dhi is None:
                 continue  # all-NULL dir: no comparable range, keep
             qlo, qhi = _json_stat(lo), _json_stat(hi)
+            # Temporal normalization (ADVICE r8): stored timestamp stats
+            # are 'YYYY-MM-DD HH:MM:SS' strings while a date bound
+            # _json_stats to the bare 'YYYY-MM-DD' prefix, so raw
+            # lexicographic compare silently prunes the midnight rows
+            # (dlo '2024-01-03 00:00:00' > qhi '2024-01-03'). Widen bare
+            # dates to full-day intervals on BOTH sides before comparing.
+            if any(map(_is_temporal_str, (dlo, dhi, qlo, qhi))):
+                vals = [x for x in (dlo, dhi, qlo, qhi) if x is not None]
+                if not all(map(_is_temporal_str, vals)):
+                    raise TypeError(
+                        f"prune bound for {col!r}: temporal stats compared "
+                        f"against non-temporal bound {lo!r}/{hi!r} — pass "
+                        "bounds as the column's native date/datetime type"
+                    )
+                dlo = None if dlo is None else _norm_temporal(dlo, "lo")
+                dhi = None if dhi is None else _norm_temporal(dhi, "hi")
+                qlo = None if qlo is None else _norm_temporal(qlo, "lo")
+                qhi = None if qhi is None else _norm_temporal(qhi, "hi")
+            elif qlo is not None or qhi is not None:
+                # numeric-vs-string (or other cross-type) bounds would
+                # raise a bare TypeError mid-compare; make it diagnosable
+                stat_t = type(dlo if dlo is not None else dhi)
+                for q in (qlo, qhi):
+                    if q is not None and not isinstance(q, (stat_t, type(None))) and not (
+                        isinstance(q, (int, float)) and issubclass(stat_t, (int, float))
+                    ):
+                        raise TypeError(
+                            f"prune bound for {col!r}: bound type "
+                            f"{type(q).__name__} does not match stored stat "
+                            f"type {stat_t.__name__}"
+                        )
             if qlo is not None and dhi is not None and dhi < qlo:
                 return False
             if qhi is not None and dlo is not None and dlo > qhi:

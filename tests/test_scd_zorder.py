@@ -424,3 +424,30 @@ def test_point_in_time_join_suffixes_clashing_dim_columns(spark):
     assert r.ts_dim == "dimside" and r.attr == "typA"
     kept = point_in_time_join(fact, dim, ["k"], "ts", keep_validity=True)
     assert "valid_from" in kept.columns and "valid_to" in kept.columns
+
+
+def test_point_in_time_join_rejects_residual_suffix_collision(spark):
+    """ADVICE r8: the clash rename can itself collide (dim carrying both
+    'ts' and 'ts_dim' maps two columns onto one name) — that must raise
+    a clear ValueError at call time, never emit the duplicate-column
+    frame the docstring forbids."""
+    import datetime as _dt
+
+    import pytest
+
+    from dwh_with_dask_spark.operators.joins import point_in_time_join
+
+    T = _dt.datetime
+    dim = spark.createDataFrame(
+        [(1, "a", "b", T(2024, 1, 1), None)],
+        "k long, c1 string, c2 string, valid_from timestamp, "
+        "valid_to timestamp",
+    ).withColumnRenamed("c1", "ts").withColumnRenamed("c2", "ts_dim")
+    fact = spark.createDataFrame(
+        [(100, 1, T(2024, 2, 1))], "fid long, k long, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="does not disambiguate"):
+        point_in_time_join(fact, dim, ["k"], "ts")
+    # a non-colliding suffix still works
+    out = point_in_time_join(fact, dim, ["k"], "ts", suffix="_v")
+    assert out.columns == ["fid", "k", "ts", "ts_v", "ts_dim"]

@@ -481,3 +481,75 @@ def test_versioned_manifest_stats_prune_dirs(spark, tmp_path):
     pruned5 = manifest_dirs(t, prune={"id": (150, 160)})
     assert set(pruned5) == {"data/v2", "data/v5"}
     assert read_version(spark, t, prune={"id": (100000, 200000)}).count() == 1
+
+
+def test_versioned_prune_temporal_bound_normalization(spark, tmp_path):
+    """ADVICE r8 (medium): a DATE bound against stored TIMESTAMP stats
+    must not prune the midnight rows — '2024-01-03' compared raw against
+    '2024-01-03 00:00:00' sorts lexicographically BELOW it and dropped
+    the dir. Bounds are now widened to full-day intervals; 'T'-separated
+    ISO strings normalize; cross-type bounds raise instead of silently
+    mispruning."""
+    import datetime as _dt
+
+    import pytest
+
+    from dwh_with_dask_spark.versioned import (
+        manifest_dirs,
+        read_version,
+        versioned_commit,
+    )
+
+    T = _dt.datetime
+    t = str(tmp_path / "vtemporal")
+    # dir 1: all of Jan 2 (timestamps); dir 2: exactly midnight Jan 3;
+    # dir 3: later on Jan 3
+    batches = [
+        [(1, T(2024, 1, 2, 8)), (2, T(2024, 1, 2, 23, 59))],
+        [(3, T(2024, 1, 3, 0, 0, 0))],
+        [(4, T(2024, 1, 3, 15, 30))],
+    ]
+    for i, rows in enumerate(batches):
+        versioned_commit(
+            spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1),
+            t,
+            mode="append" if i else "overwrite",
+            stats_cols=["ts"],
+        )
+    # hi = DATE: the midnight-of-that-day dir MUST survive (the bug:
+    # dlo '2024-01-03 00:00:00' > qhi '2024-01-03' pruned data/v2)
+    kept = manifest_dirs(t, prune={"ts": (None, _dt.date(2024, 1, 3))})
+    assert "data/v2" in kept and "data/v1" in kept
+    df = read_version(spark, t, prune={"ts": (None, _dt.date(2024, 1, 3))})
+    assert sorted(
+        r.id for r in df.filter("ts <= DATE'2024-01-03'").collect()
+    ) == [1, 2, 3]
+    # lo = DATE: midnight rows are >= the date per Spark's cast — kept
+    kept_lo = manifest_dirs(t, prune={"ts": (_dt.date(2024, 1, 3), None)})
+    assert set(kept_lo) == {"data/v2", "data/v3"}
+    # 'T'-separated ISO string bound normalizes ('T' > ' ' would
+    # otherwise misorder against the stored space-separated stats)
+    kept_iso = manifest_dirs(t, prune={"ts": ("2024-01-03T00:00:00", None)})
+    assert set(kept_iso) == {"data/v2", "data/v3"}
+    # datetime bound exact behavior unchanged
+    kept_dt = manifest_dirs(t, prune={"ts": (None, T(2024, 1, 2, 23, 59))})
+    assert kept_dt == ["data/v1"]
+    # cross-type bound fails loudly, not silently
+    with pytest.raises(TypeError, match="temporal stats"):
+        manifest_dirs(t, prune={"ts": (None, 42)})
+
+    # DATE-typed stats probed with datetime bounds: stored bare dates
+    # widen to full-day intervals, so an intra-day timestamp bound
+    # keeps that day's dir
+    t2 = str(tmp_path / "vdate")
+    versioned_commit(
+        spark.createDataFrame(
+            [(1, _dt.date(2024, 1, 2))], "id long, d date"
+        ).coalesce(1),
+        t2,
+        stats_cols=["d"],
+    )
+    assert manifest_dirs(
+        t2, prune={"d": (T(2024, 1, 2, 12), T(2024, 1, 2, 13))}
+    ) == ["data/v1"]
+    assert manifest_dirs(t2, prune={"d": (T(2024, 1, 3, 0, 0, 1), None)}) == []
