@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from dwh_with_dask_spark.plans import QUERIES
 from dwh_with_dask_spark.session import get_spark
 
@@ -76,6 +78,34 @@ def mad(xs: list[float]) -> float:
     return statistics.median(abs(x - m) for x in xs)
 
 
+ANCHOR_ROWS = 6_400_000_000  # ~1.7 s on an idle 32-core host
+
+
+def anchor_sec(spark, runs: int = 3) -> dict:
+    """Fixed CPU-bound calibration job (VERDICT r8 ask #1): hash-fold a
+    constant ``range`` — one whole-stage-codegen stage on all local
+    cores, zero IO, zero data dependence, identical plan every round.
+    Its runtime moves with HOST CONDITION only (CPU contention,
+    frequency scaling), so recording it beside every bench run makes
+    cross-round absolute medians adjudicable: compare
+    ``median / anchor_sec`` ratios, not raw seconds. Median of
+    ``runs`` after one JIT warmup; both before- and after-suite values
+    go into the JSON so drift DURING a run is visible too."""
+    xs = []
+    for _ in range(runs + 1):
+        t0 = time.perf_counter()
+        spark.range(0, ANCHOR_ROWS, 1, 32).select(
+            # bit_xor fold: overflow-free under ANSI mode, same CPU work
+            F.bit_xor(F.xxhash64("id")).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        xs.append(time.perf_counter() - t0)
+    xs = xs[1:]
+    return {
+        "anchor_sec": round(statistics.median(xs), 3),
+        "anchor_runs": [round(x, 3) for x in xs],
+    }
+
+
 def jvm_gc(spark) -> None:
     """Inter-trial driver GC (JMH-style benchmark hygiene).
 
@@ -95,6 +125,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     load_before = loadavg()
+    anchor_before = anchor_sec(spark)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     mads: dict[str, float] = {}
@@ -126,6 +157,8 @@ def main() -> None:
                 "sf": float(sf),
                 "loadavg_before": load_before,
                 "loadavg_after": loadavg(),
+                "anchor_before": anchor_before,
+                "anchor_after": anchor_sec(spark),
             }
         )
     )

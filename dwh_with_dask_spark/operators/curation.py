@@ -727,6 +727,12 @@ def bm25_search(
     """
     scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
     hits = scored.filter(F.col("term").isin([t for t in query_terms]))
+    return _bm25_topk(hits, id_col, k)
+
+
+def _bm25_topk(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared retrieval tail: per-doc sum over matched postings →
+    deterministic top-k (TakeOrderedAndProject)."""
     return (
         hits.groupBy(id_col)
         .agg(
@@ -736,6 +742,103 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _bm25_bucket(term: Column, n_buckets: int) -> Column:
+    """Stable term → bucket id, computable on BOTH sides: Spark's crc32
+    and Python's zlib.crc32 are the same CRC-32 over UTF-8 bytes, so
+    the probe can enumerate its buckets driver-side without a Spark
+    job (unlike xxhash64, which has no stdlib twin)."""
+    return F.crc32(F.encode(term, "UTF-8")) % n_buckets
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    overwrite: bool = False,
+    **kw,
+) -> str:
+    """Materialize the BM25 inverted index ONCE — the stored-index half
+    of the contract ``bm25_search`` documents (and the treatment
+    ``corpus_index``/``build_srp_index`` give their families): persist
+    the ``bm25_scores`` postings partitioned by term bucket, so every
+    subsequent query probes stored directories and NEVER tokenizes the
+    corpus again. Returns ``path``.
+
+    Layout: parquet partitioned by ``__bucket`` =
+    crc32(term) % ``n_buckets`` (one file per bucket — the postings are
+    repartitioned by bucket before the write), plus ``_bm25_meta.json``
+    recording (id_col, n_buckets, scoring params) so the probe validates
+    it speaks the same index dialect. Published via write-to-staging +
+    one directory rename; single-writer, like the repo's other stored
+    indexes.
+
+    Scale shape: at 100 TB the index is df-bounded per term and the
+    bucket count is the knob for probe-side partition pruning — a
+    query's IN-list touches len(distinct buckets(query)) directories,
+    not the corpus. Rebuild on corpus change is the ``corpus_index``
+    refresh contract (append new postings / recommit); scores embed
+    corpus-global N/avgdl/df, so a changed corpus means changed scores
+    by design."""
+    import json as _json
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(
+                f"bm25 index already exists at {path} (overwrite=False)"
+            )
+        shutil.rmtree(path)
+    staging = path + ".inprogress"
+    shutil.rmtree(staging, ignore_errors=True)
+    scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
+    (
+        scored.withColumn("__bucket", _bm25_bucket(F.col("term"), n_buckets))
+        .repartition("__bucket")
+        .write.partitionBy("__bucket")
+        .parquet(staging)
+    )
+    meta = {"id_col": id_col, "n_buckets": n_buckets, "params": dict(kw)}
+    with open(os.path.join(staging, "_bm25_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    os.rename(staging, path)
+    return path
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` retrieval against a ``build_bm25_index`` table — the
+    probe NEVER tokenizes the corpus: it reads only the index
+    directories whose bucket ids the query's terms hash to (driver-side
+    crc32, zero Spark jobs to plan the probe; ``__bucket`` is a
+    partition column, so the bucket IN-list is directory-level
+    partition pruning), filters the postings by the term IN-list
+    (row-group min/max inside each bucket), and runs the identical
+    per-doc sum + top-k tail as ``bm25_search`` — scores are equal BY
+    CONSTRUCTION (the stored postings ARE ``bm25_scores`` output).
+    Same set-of-terms semantics: duplicate query terms collapse."""
+    import json as _json
+    import os
+    import zlib
+
+    with open(os.path.join(path, "_bm25_meta.json")) as f:
+        meta = _json.load(f)
+    id_col, n_buckets = meta["id_col"], meta["n_buckets"]
+    terms = sorted(set(query_terms))
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
+    idx = spark.read.parquet(path)
+    hits = idx.filter(
+        F.col("__bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    return _bm25_topk(hits, id_col, k)
 
 
 def temperature_sample(

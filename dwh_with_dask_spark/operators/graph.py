@@ -106,11 +106,39 @@ def pagerank(
     return attach(ranks, scope, created)
 
 
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, min_count: int
+) -> DataFrame:
+    """Undirected edge canonicalization shared by the triangle family:
+    (lo, hi) with lo < hi (self-loops drop), deduped. ``min_count > 1``
+    is the DENSITY guard as an operator parameter (VERDICT r8 ask #5 —
+    previously a per-query convention): a multi-edge input (e.g. one
+    row per order in which a part pair co-occurs) keeps only edges with
+    >= min_count parallel rows, the cap-the-hot-keys contract that
+    bounds the wedge join's deg² blowup (measured 35 s -> ~1 s at sf1
+    on the part co-occurrence graph, re-measured through this parameter
+    in BENCH_SCALE.md round 9)."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("lo"),
+        F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    ).filter(F.col("lo") < F.col("hi"))
+    if min_count > 1:
+        return (
+            e.groupBy("lo", "hi")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .filter(F.col("__m") >= min_count)
+            .drop("__m")
+        )
+    return e.distinct()
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     per_node: bool = False,
+    per_vertex: bool = False,
+    min_count: int = 1,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact triangle counting over an undirected edge list — the third
@@ -129,12 +157,18 @@ def triangle_count(
     Scale shape: two equi-join shuffles over the (deduped) edge list;
     wedge work per node is deg_out² under the a<b<c orientation, which
     for the id ordering is bounded by the same skew guards as any
-    self-join (cap or re-id hot nodes first — the hot-shingle idiom).
-    Returns a 1-row (n_triangles) frame, or per-APEX counts with
-    ``per_node=True`` ((node, n_triangles) where node = the smallest
-    id in the triangle — re-aggregable partials for incremental
-    maintenance).
+    self-join — ``min_count`` IS that guard (see ``_canonical_edges``;
+    pass the raw multi-edge rows and let the operator threshold).
+    Returns a 1-row (n_triangles) frame; with ``per_vertex=True`` the
+    TRUE per-node counts ((node, n_triangles) for every vertex of
+    every triangle — the clustering-coefficient numerator, one explode
+    of the (a,b,c) triple); with ``per_node=True`` apex-only counts
+    (node = smallest id in the triangle — re-aggregable partials for
+    incremental maintenance; they sum to the global count, unlike
+    per-vertex counts which sum to 3x).
     """
+    if per_node and per_vertex:
+        raise ValueError("per_node and per_vertex are mutually exclusive")
     # Persisted: the canonical edge list feeds THREE consumers (both
     # wedge sides + the closing join) whose projections column-prune
     # differently, so ReusedExchange never fires and the whole edge
@@ -142,23 +176,83 @@ def triangle_count(
     # self-join) would run three times — measured 6 scans / 0 reuses on
     # the part graph. Lifecycle: caller-owned via ``scope``.
     scope, created = scoped(scope)
-    e = scope.persist(
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
-        )
-        .filter(F.col("lo") < F.col("hi"))
-        .distinct()
-    )
-    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    wedges = ab.join(bc, "b")  # a < b < c by construction
-    tris = wedges.join(ac, ["a", "c"])
+    e = scope.persist(_canonical_edges(edges, src, dst, min_count))
+    tris = _closed_wedges(e)
     if per_node:
         out = tris.groupBy(F.col("a").alias("node")).agg(
             F.count(F.lit(1)).alias("n_triangles")
         )
+    elif per_vertex:
+        out = (
+            tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
     else:
         out = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return attach(out, scope, created)
+
+
+def _closed_wedges(e: DataFrame) -> DataFrame:
+    """(a, b, c) rows, one per triangle, a < b < c — wedge join on b,
+    closing join on (a, c), over a canonical (lo, hi) edge list."""
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_count: int = 1,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected edge
+    list: ``2·T(v) / (deg(v)·(deg(v)−1))`` — the fraction of a node's
+    neighbor pairs that are themselves connected, THE standard consumer
+    of per-vertex triangle counts (community tightness, bot-ring and
+    link-spam signals; VERDICT r8 ask #5). Returns (node, n_triangles,
+    degree, clustering_coeff) for every node of the (guarded) graph;
+    degree-<2 nodes get coefficient 0.0 (no neighbor pairs exist — the
+    convention that keeps the column total and NULL-free).
+
+    Determinism: 2·T and deg·(deg−1) are exact BIGINTs and the single
+    double division is IEEE-correctly-rounded, so the coefficient is
+    bit-identical cross-engine — fully DuckDB-oracle-able, no rounding
+    idiom needed.
+
+    Scale shape: the wedge/closing joins of ``triangle_count`` plus one
+    node-keyed degree aggregate and one node-keyed left join, all on
+    the SAME persisted canonical edge list (four consumers — the
+    persist is what keeps the edge derivation from running four times);
+    ``min_count`` is the same density guard.
+    """
+    scope, created = scoped(scope)
+    e = scope.persist(_canonical_edges(edges, src, dst, min_count))
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    pv = (
+        _closed_wedges(e)
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    d = F.col("degree")
+    out = deg.join(pv, "node", "left").select(
+        "node",
+        t.alias("n_triangles"),
+        "degree",
+        F.when(
+            d >= 2, (F.lit(2.0) * t) / (d * (d - F.lit(1)))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
     return attach(out, scope, created)

@@ -934,6 +934,61 @@ def ivfpq_topk_indexed(
     )
 
 
+def save_ivfpq_index(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+    overwrite: bool = False,
+) -> str:
+    """Persist a ``build_ivfpq_index`` result as a probe-ready store:
+    ONLY (id, cell, code) go to parquet — the float vectors stay in the
+    source table; an index that re-stores them would forfeit PQ's whole
+    compression point — partitioned by cell so ``nprobe`` cell filters
+    become directory pruning, plus the centroids/codebooks as an
+    ``_``-prefixed npz beside the data (parquet readers ignore
+    underscore files). Published via staging + one rename;
+    single-writer, like the repo's other stored indexes."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(
+                f"ivfpq index already exists at {path} (overwrite=False)"
+            )
+        shutil.rmtree(path)
+    staging = path + ".inprogress"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        index_df.select(id_col, cell_col, code_col)
+        .repartition(cell_col)
+        .write.partitionBy(cell_col)
+        .parquet(staging)
+    )
+    np.savez(
+        os.path.join(staging, "_ivfpq_aux.npz"),
+        centroids=centroids,
+        codebooks=codebooks,
+    )
+    os.rename(staging, path)
+    return path
+
+
+def load_ivfpq_index(spark, path: str):
+    """(index_df, centroids, codebooks) back from ``save_ivfpq_index``
+    — hand straight to ``ivfpq_topk_indexed``/``ivfpq_topk_rerank``.
+    The cell filter inside those probes prunes the stored partitions;
+    nothing is rebuilt."""
+    import os
+
+    aux = np.load(os.path.join(path, "_ivfpq_aux.npz"))
+    return spark.read.parquet(path), aux["centroids"], aux["codebooks"]
+
+
 def ivfpq_topk_rerank(
     index_df: DataFrame,
     centroids: np.ndarray,

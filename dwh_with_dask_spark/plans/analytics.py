@@ -854,6 +854,25 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def _part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw multi-edge rows of the part co-occurrence graph: one
+    (src, dst) row per order in which the pair co-occurs (src < dst) —
+    the operator-side ``min_count`` guard thresholds the multiplicity."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+
+
 @query(
     "triangle_count_part_graph",
     """
@@ -876,38 +895,76 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting (operators/graph.py:triangle_count) over
     the part co-occurrence graph: top-50 apex nodes by triangles. The
-    edge list keeps pairs co-ordered in >= 2 orders — the DENSITY
-    guard: an unweighted co-occurrence graph's wedge count grows ~deg²
-    per node (measured 35 s at sf1 vs ~1 s thresholded; random
-    one-shot co-occurrences carry no signal anyway), the same
+    DENSITY guard — keep pairs co-ordered in >= 2 orders — is the
+    operator's ``min_count`` parameter (round 9; previously a
+    per-query HAVING): an unweighted co-occurrence graph's wedge count
+    grows ~deg² per node (measured 35 s at sf1 vs ~1 s thresholded;
+    random one-shot co-occurrences carry no signal anyway), the same
     cap-the-hot-keys contract as the shingle/df caps. The a<b<c
     orientation counts each triangle exactly once in two equi-join
     shuffles; the oracle recomputes the identical closed wedges."""
     from dwh_with_dask_spark.operators.graph import triangle_count
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") >= 2)
-        .select("src", "dst")
-    )
+    edges = _part_cooccurrence_pairs(spark, sf_dir)
     return (
-        triangle_count(edges, per_node=True)
+        triangle_count(edges, per_node=True, min_count=2)
         .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(50)
+    )
+
+
+@query(
+    "clustering_coeff_parts",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT lo AS node FROM e UNION ALL SELECT hi AS node FROM e)
+      GROUP BY node),
+    tri AS (
+      SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+      FROM e ab
+      JOIN e bc ON bc.lo = ab.hi
+      JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+    pv AS (
+      SELECT node, COUNT(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+      GROUP BY node)
+    SELECT deg.node,
+           CAST(COALESCE(pv.t, 0) AS BIGINT) AS n_triangles,
+           CAST(deg.d AS BIGINT) AS degree,
+           2.0 * COALESCE(pv.t, 0) / (deg.d * (deg.d - 1)) AS clustering_coeff
+    FROM deg LEFT JOIN pv ON pv.node = deg.node
+    WHERE deg.d >= 5
+    ORDER BY clustering_coeff DESC, n_triangles DESC, deg.node ASC
+    LIMIT 50
+    """,
+)
+def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient
+    (operators/graph.py:clustering_coefficient) over the guarded part
+    co-occurrence graph: top-50 best-triangulated parts among those
+    with degree >= 5 (VERDICT r8 ask #5 — the true per-VERTEX triangle
+    counts the apex-only driver row cannot provide). The coefficient is
+    one IEEE division over exact integers, so it hash-matches the
+    oracle with no rounding idiom."""
+    from dwh_with_dask_spark.operators.graph import clustering_coefficient
+
+    edges = _part_cooccurrence_pairs(spark, sf_dir)
+    return (
+        clustering_coefficient(edges, min_count=2)
+        .filter(F.col("degree") >= 5)
+        .orderBy(
+            F.desc("clustering_coeff"), F.desc("n_triangles"), F.asc("node")
+        )
         .limit(50)
     )
 

@@ -626,6 +626,42 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bm25_search(d, ["spark", "window", "merge"], k=10)
 
 
+@query(
+    "text_bm25_search_indexed",
+    f"""
+    {_BM25_SCORED_SQL}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(SUM(score), 6) AS bm25
+    FROM scored
+    WHERE term IN ('spark', 'window', 'merge')
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index BM25 probe (VERDICT r8 ask #2) — same query and
+    same oracle as text_bm25_search, but against a persisted
+    build_bm25_index table (operators/curation.py): the first
+    invocation per corpus builds the index into the content-keyed
+    cache (plans/artifacts.py); every later one — including every
+    timed bench run after warmup — reads ONLY the bucket directories
+    the query's terms crc32-hash to and never tokenizes the corpus.
+    Scores hash-match the recompute path by construction (the stored
+    postings ARE bm25_scores output)."""
+    import os
+
+    from dwh_with_dask_spark.plans.artifacts import artifact_path
+
+    path = artifact_path("bm25", sf_dir, "documents")
+    if not os.path.exists(path):
+        C.build_bm25_index(
+            load_table(spark, sf_dir, "documents"), path, n_buckets=64
+        )
+    return C.bm25_search_indexed(
+        spark, path, ["spark", "window", "merge"], k=10
+    )
+
+
 # Shared CTE body for the repetition queries: per-(doc, n) top-gram and
 # distinct counts for n-grams tagged 1..3 (n=2/3 guards mirror the Spark
 # side's empty-array-for-short-docs).

@@ -641,13 +641,29 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair with both doc ids and the shared-fingerprint count —
     deterministic, rows-only (FFT has no SQL oracle). Overlap is
     thresholded at 0.9, not 1.0: int16 PCM quantization can flip a
-    near-zero double-difference bit (see audiofp module docstring)."""
+    near-zero double-difference bit (see audiofp module docstring).
+    Fixed 30-clip workload by design (the family's fixed cost);
+    ``audio_dedup_clips`` is the parameterized marginal-cost variant
+    the scale bench grows 10x (VERDICT r8 ask #8)."""
+    return audio_dedup_clips(spark, sf_dir, n_clips=30)
+
+
+def audio_dedup_clips(
+    spark: SparkSession, sf_dir: str, n_clips: int
+) -> DataFrame:
+    """multimodal_audio_dedup's engine with a clip-count knob: one WAV
+    per doc_id < n_clips, same triple structure (base/gain-copy/noisy),
+    so the planted-pair count scales with n_clips and the scale bench
+    can measure the family's MARGINAL cost per clip, not just the
+    30-clip fixed cost."""
     import pandas as pd
 
     from dwh_with_dask_spark.operators import multimodal as MM
     from dwh_with_dask_spark.operators.audiofp import audio_near_dup_pairs
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < n_clips
+    )
 
     def synth(batches):
         import numpy as np
@@ -1357,6 +1373,35 @@ def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     rest = e.filter(F.col("vec_id") != 0)
     idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
+    return S.ivfpq_topk_rerank(
+        idx, cents, books, rest, q, k=10, rerank=100, nprobe=8
+    ).select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query("embedding_ivfpq_rerank_indexed")
+def embedding_ivfpq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index IVF-PQ rerank probe (VERDICT r8 ask #3): same
+    ANN pipeline and same result as embedding_ivfpq_rerank_topk, but
+    the k-means/PQ train happens ONCE into the content-keyed cache
+    (plans/artifacts.py + operators/similarity.py:save_ivfpq_index) and
+    every later invocation — every timed bench run after warmup —
+    measures what the family exists to showcase: cell-pruned ADC over
+    stored int codes, then a broadcast of ~100 candidate ids into the
+    float-vector table for the exact rerank. Rows-only (the candidate
+    set is index-dependent); equality with the build-inclusive query is
+    pinned in tests."""
+    import os
+
+    from dwh_with_dask_spark.plans.artifacts import artifact_path
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = e.filter(F.col("vec_id") != 0)
+    path = artifact_path("ivfpq", sf_dir, "embeddings")
+    if not os.path.exists(path):
+        idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
+        S.save_ivfpq_index(idx, cents, books, path)
+    idx, cents, books = S.load_ivfpq_index(spark, path)
     return S.ivfpq_topk_rerank(
         idx, cents, books, rest, q, k=10, rerank=100, nprobe=8
     ).select("vec_id", F.round("score", 6).alias("score"))

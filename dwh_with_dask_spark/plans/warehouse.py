@@ -384,6 +384,88 @@ def pit_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_time_join(fact, dim, ["user_id"], "ts", how="inner")
 
 
+@query(
+    "versioned_prune_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '2000-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def versioned_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end manifest-stats data skipping (VERDICT r8 ask #6):
+    orders committed as FOUR date-ordered append batches into a
+    versioned table with ``stats_cols=['o_orderdate']`` (built once per
+    corpus into the content-keyed cache, plans/artifacts.py), then read
+    back with ``read_version(prune={'o_orderdate': (2000-01-01,
+    None)})`` — the manifest's per-dir min/max drops the three
+    earlier-era directories BEFORE Spark lists a single file (pruning
+    to 1 of 4 dirs is asserted on inputFiles in
+    tests/test_sources.py::test_versioned_prune_orders_query_skips_dirs)
+    — and aggregated under the same row filter. The oracle is the
+    identical filter+aggregate over the RAW table: pruning may only
+    shrink the scan, never the answer. Sums are exact DECIMAL partials
+    (the q1 idiom)."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.versioned import read_version
+
+    snap = read_version(
+        spark,
+        _versioned_orders_table(spark, sf_dir),
+        prune={"o_orderdate": (_dt.date(2000, 1, 1), None)},
+    )
+    return (
+        snap.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(23,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def _versioned_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the date-ordered versioned orders table
+    the data-skipping queries read: four append commits split on
+    o_orderdate era boundaries (the synthetic corpus spans 1995..2001), each carrying o_orderdate min/max into
+    its manifest. Published via staging + rename so a crashed build is
+    never half-visible."""
+    import os
+    import shutil
+
+    from dwh_with_dask_spark.plans.artifacts import artifact_path
+    from dwh_with_dask_spark.versioned import versioned_commit
+
+    path = artifact_path("vorders_skip", sf_dir, "orders")
+    if not os.path.exists(path):
+        o = load_table(spark, sf_dir, "orders")
+        d = F.col("o_orderdate")
+        cuts = ["1997-01-01", "1999-01-01", "2000-01-01"]
+        batches = [
+            o.filter(d < cuts[0]),
+            o.filter((d >= cuts[0]) & (d < cuts[1])),
+            o.filter((d >= cuts[1]) & (d < cuts[2])),
+            o.filter(d >= cuts[2]),
+        ]
+        staging = path + ".inprogress"
+        shutil.rmtree(staging, ignore_errors=True)
+        for i, b in enumerate(batches):
+            versioned_commit(
+                b,
+                staging,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderdate"],
+            )
+        os.rename(staging, path)
+    return path
+
+
 def _zvalue_sql(exprs: list[str], bits: int) -> str:
     """DuckDB twin of operators/zorder.zvalue — same shift/mask terms."""
     ncols = len(exprs)

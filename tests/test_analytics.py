@@ -903,3 +903,60 @@ def test_triangle_count_known_graph(spark):
     # {2,3,4} -> 2
     assert per == {1: 3, 2: 1}
     assert sum(per.values()) == 4
+
+
+def test_triangle_per_vertex_and_min_count_guard(spark):
+    """per_vertex returns TRUE per-node counts (every vertex of every
+    triangle — they sum to 3x the global count); min_count is the
+    operator-level density guard: multi-edge rows below the threshold
+    drop BEFORE the wedge join."""
+    import pytest
+
+    from dwh_with_dask_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),
+        (8, 9),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    pv = {
+        r.node: r.n_triangles
+        for r in triangle_count(e, per_vertex=True).collect()
+    }
+    # K4: every vertex is in C(3,2)=3 triangles; pendant/island in none
+    assert pv == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(pv.values()) == 3 * 4
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        triangle_count(e, per_node=True, per_vertex=True)
+
+    # min_count: the K4 edges appear twice (two "orders"), the closing
+    # edge of a second triangle {5,6,7} only once -> guarded graph keeps
+    # only the K4 triangles
+    multi = edges * 2 + [(5, 6), (5, 7), (6, 7)]
+    m = spark.createDataFrame(multi, "src long, dst long")
+    assert triangle_count(m).first().n_triangles == 5  # unguarded: K4 + {5,6,7}
+    assert triangle_count(m, min_count=2).first().n_triangles == 4
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Hand-computed coefficients: K4 vertices are fully triangulated
+    (coeff 1.0); the pendant vertex 5 has degree 1 -> 0.0 by
+    convention; vertex 4 (K4 + pendant) has deg 4, T=3 ->
+    2*3/(4*3) = 0.5."""
+    from dwh_with_dask_spark.operators.graph import clustering_coefficient
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.n_triangles, r.degree, r.clustering_coeff)
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (3, 4, 0.5)
+    assert got[5] == (0, 1, 0.0)

@@ -455,3 +455,58 @@ def test_c4_rules_fixture_matches_duckdb(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_bm25_indexed_probe_matches_recompute_and_prunes(spark, tmp_path):
+    """build_bm25_index + bm25_search_indexed: the probe's results equal
+    bm25_search's recompute exactly (the stored postings ARE
+    bm25_scores output), duplicate query terms collapse identically,
+    and the probe scans ONLY the bucket directories the query's terms
+    crc32-hash to — never the corpus."""
+    import zlib
+
+    rows = [
+        (1, "spark window merge spark spark engine"),
+        (2, "window functions rank over partitions window"),
+        (3, "merge into target when matched update"),
+        (4, "the rain in spain stays mainly on the plain"),
+        (5, "spark merge spark window shuffle exchange"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25idx")
+    n_buckets = 8
+    C.build_bm25_index(d, path, n_buckets=n_buckets)
+
+    terms = ["spark", "window", "merge"]
+    got = C.bm25_search_indexed(spark, path, terms, k=10)
+    want = C.bm25_search(d, terms, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # set semantics: duplicated query terms change nothing on either path
+    got_dup = C.bm25_search_indexed(spark, path, terms + terms, k=10)
+    assert sorted(map(tuple, got_dup.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+    # partition pruning: the bucket IN-list must land in the scan's
+    # PartitionFilters (directory-level skipping), not a post-scan
+    # Filter (inputFiles() reports the unpruned listing, so assert on
+    # the executed plan — the repo's standard pruning check)
+    want_buckets = {
+        zlib.crc32(t.encode()) % n_buckets for t in terms
+    }
+    assert want_buckets != set(range(n_buckets))  # pruning is non-trivial
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__bucket" in pf
+    # rebuild contract: refuses to clobber unless overwrite=True
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        C.build_bm25_index(d, path, n_buckets=n_buckets)
+    C.build_bm25_index(d, path, n_buckets=n_buckets, overwrite=True)
+    again = C.bm25_search_indexed(spark, path, terms, k=10)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, want.collect())
+    )

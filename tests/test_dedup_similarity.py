@@ -961,3 +961,66 @@ def test_ivfpq_scores_match_numpy_twin_and_recall(spark):
         assert recall >= 0.5, f"IVF-PQ recall@10 too low: {recall}"
     finally:
         idx.unpersist()
+
+
+def test_ivfpq_index_save_load_round_trip(spark, tmp_path):
+    """save_ivfpq_index/load_ivfpq_index: the stored probe returns the
+    IDENTICAL top-k as the in-memory index (same centroids, codebooks,
+    codes), stores only (id, cell, code) — never the float vectors —
+    and the probe's cell filter lands in PartitionFilters (directory
+    pruning over the cell layout)."""
+    import numpy as np
+
+    n, dim, nlist = 600, 16, 8
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    idx, cents, books = S.build_ivfpq_index(emb, nlist=nlist, m=8, ksub=16)
+    q = [float(x) for x in mat[3]]
+    want = S.ivfpq_topk_rerank(
+        idx, cents, books, emb, q, k=10, rerank=50, nprobe=2
+    ).collect()
+
+    path = str(tmp_path / "ivfpq_idx")
+    S.save_ivfpq_index(idx, cents, books, path)
+    idx2, cents2, books2 = S.load_ivfpq_index(spark, path)
+    assert np.array_equal(cents, cents2) and np.array_equal(books, books2)
+    assert set(idx2.columns) == {"vec_id", "pq_code", "ivf_cell"}
+    got_df = S.ivfpq_topk_rerank(
+        idx2, cents2, books2, emb, q, k=10, rerank=50, nprobe=2
+    )
+    got = got_df.collect()
+    assert [(r.vec_id, round(r.score, 9)) for r in got] == [
+        (r.vec_id, round(r.score, 9)) for r in want
+    ]
+    # the ADC candidate scan prunes stored cell partitions
+    cand_plan = (
+        S.ivfpq_topk_indexed(idx2, cents2, books2, q, k=50, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in cand_plan
+    assert "ivf_cell" in cand_plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # refuses to clobber; overwrite works
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        S.save_ivfpq_index(idx, cents, books, path)
+    S.save_ivfpq_index(idx, cents, books, path, overwrite=True)
+
+
+def test_ivfpq_rerank_indexed_query_equals_build_inclusive(spark):
+    """The stored-index driver query (embedding_ivfpq_rerank_indexed)
+    must return exactly the build-inclusive query's rows — the index
+    build is deterministic (id-seeded k-means, no RNG), so caching it
+    changes WHERE the work happens, never the answer."""
+    from tests.conftest import SF_SMOKE
+
+    from dwh_with_dask_spark.plans import QUERIES
+
+    a = QUERIES["embedding_ivfpq_rerank_topk"](spark, SF_SMOKE).collect()
+    b = QUERIES["embedding_ivfpq_rerank_indexed"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

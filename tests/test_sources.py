@@ -553,3 +553,35 @@ def test_versioned_prune_temporal_bound_normalization(spark, tmp_path):
         t2, prune={"d": (T(2024, 1, 2, 12), T(2024, 1, 2, 13))}
     ) == ["data/v1"]
     assert manifest_dirs(t2, prune={"d": (T(2024, 1, 3, 0, 0, 1), None)}) == []
+
+
+def test_versioned_prune_orders_query_skips_dirs(spark):
+    """The versioned_prune_orders driver query's pruning claim, pinned
+    on inputFiles: the cached 4-batch date-ordered table prunes to
+    exactly ONE directory for the 2000+ bound (read_version prunes at
+    the PATH level, so inputFiles reflects it), and the pruned+filtered
+    aggregate equals the unpruned one."""
+    import datetime as _dt
+
+    from tests.conftest import SF_SMOKE
+
+    from dwh_with_dask_spark.plans.warehouse import _versioned_orders_table
+    from dwh_with_dask_spark.versioned import manifest_dirs, read_version
+
+    t = _versioned_orders_table(spark, SF_SMOKE)
+    all_dirs = manifest_dirs(t)
+    assert len(all_dirs) == 4
+    pruned = manifest_dirs(
+        t, prune={"o_orderdate": (_dt.date(2000, 1, 1), None)}
+    )
+    assert len(pruned) == 1
+    df = read_version(
+        spark, t, prune={"o_orderdate": (_dt.date(2000, 1, 1), None)}
+    )
+    files = df.inputFiles()
+    assert files
+    assert all(pruned[0] in f for f in files)  # only the matching dir
+    flt = "o_orderdate >= DATE'2000-01-01'"
+    got = df.filter(flt).count()
+    want = read_version(spark, t).filter(flt).count()
+    assert got == want > 0

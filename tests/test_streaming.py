@@ -1487,3 +1487,66 @@ def test_upsert_sink_same_ts_tie_is_deterministic(spark, tmpdir_spark):
         )
         results.append(spark.read.parquet(dim).collect()[0].s)
     assert results == ["zeta", "zeta", "zeta"]  # max value struct
+
+
+def test_versioned_commit_sink_stats_propagate_to_prune(
+    spark, tmpdir_spark
+):
+    """VERDICT r8 ask #7: versioned_commit_sink(stats_cols=...) must
+    carry per-BATCH min/max into each streamed commit's manifest, and a
+    pruned read over the streamed table must return exactly the
+    batch-filtered rows while listing only the overlapping batch
+    directories."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.versioned import (
+        list_versions,
+        manifest_dirs,
+        read_version,
+        versioned_commit_sink,
+    )
+
+    T = _dt.datetime
+    src = f"{tmpdir_spark}/batches"
+    days = [1, 2, 3]
+    for d in days:  # one file per day -> one micro-batch per day
+        spark.createDataFrame(
+            [(d * 10 + j, T(2024, 1, d, 6 + j)) for j in range(4)],
+            "id long, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    table = f"{tmpdir_spark}/vtable"
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            versioned_commit_sink(table, mode="append", stats_cols=["ts"])
+        )
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_vsink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    manifests = list_versions(table)
+    assert len(manifests) == 3  # one commit per micro-batch
+    final = manifests[-1]
+    assert len(final["dirs"]) == 3
+    # every streamed dir carries ts stats spanning exactly one day
+    assert set(final["stats"]) == set(final["dirs"])
+    for st in final["stats"].values():
+        lo, hi = st["ts"]
+        assert lo[:10] == hi[:10]
+    # pruned read: only day-2's dir is listed, rows are exactly day 2
+    pruned = manifest_dirs(
+        table, prune={"ts": (T(2024, 1, 2), T(2024, 1, 2, 23))}
+    )
+    assert len(pruned) == 1
+    df = read_version(
+        spark, table, prune={"ts": (T(2024, 1, 2), T(2024, 1, 2, 23))}
+    )
+    assert all(pruned[0] in f for f in df.inputFiles())
+    assert sorted(r.id for r in df.collect()) == [20, 21, 22, 23]
