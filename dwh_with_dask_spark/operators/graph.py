@@ -115,9 +115,11 @@ def _canonical_edges(
     previously a per-query convention): a multi-edge input (e.g. one
     row per order in which a part pair co-occurs) keeps only edges with
     >= min_count parallel rows, the cap-the-hot-keys contract that
-    bounds the wedge join's deg² blowup (measured 35 s -> ~1 s at sf1
-    on the part co-occurrence graph, re-measured through this parameter
-    in BENCH_SCALE.md round 9)."""
+    bounds the wedge join's deg² blowup (measured through this
+    parameter at sf1 on the part co-occurrence graph: 84.8 s unguarded
+    vs 0.43 s at min_count=2 — BENCH_SCALE.md round 9; round 8's
+    pre-operator measurement of the same pathology saw 35 s under a
+    different warm-cache protocol)."""
     e = edges.select(
         F.least(F.col(src), F.col(dst)).alias("lo"),
         F.greatest(F.col(src), F.col(dst)).alias("hi"),
