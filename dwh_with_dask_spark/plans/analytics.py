@@ -969,6 +969,56 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "link_prediction_parts",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS (
+      SELECT lo AS node, hi AS nbr FROM e
+      UNION ALL SELECT hi AS node, lo AS nbr FROM e),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    cand AS (
+      SELECT x.node AS a, y.nbr AS c, x.nbr AS b
+      FROM adj x JOIN adj y ON y.node = x.nbr
+      WHERE x.node < y.nbr),
+    miss AS (
+      SELECT a, c, b FROM cand
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.lo = cand.a AND e.hi = cand.c))
+    SELECT a AS node_a, c AS node_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(SUM(1.0 / d.d), 6) AS score
+    FROM miss JOIN deg d ON d.node = miss.b
+    GROUP BY a, c
+    ORDER BY score DESC, node_a ASC, node_b ASC
+    LIMIT 50
+    """,
+)
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators/graph.py:link_prediction, resource-
+    allocation index): the top-50 NON-adjacent part pairs most likely
+    to co-occur next, scored Σ 1/deg over their common co-occurrence
+    neighbors — the recommendation primitive over the same guarded
+    graph as the triangle family. RA (Zhou, Lü & Zhang 2009) is chosen
+    over Adamic-Adar for the driver row because its arithmetic is pure
+    rational: the round(,6) sum idiom makes it hash-match the oracle
+    exactly, no ``ln``."""
+    from dwh_with_dask_spark.operators.graph import link_prediction
+
+    edges = _part_cooccurrence_pairs(spark, sf_dir)
+    return (
+        link_prediction(edges, method="ra", min_count=2)
+        .orderBy(F.desc("score"), F.asc("node_a"), F.asc("node_b"))
+        .limit(50)
+    )
+
+
 # DuckDB twin of the 52-bit md5 priority: digit-sum the first 13 hex
 # chars (no conv() in DuckDB; 16^12 * 15 < 2^52, all exact in BIGINT).
 _KMV_H_SQL = "(" + " + ".join(

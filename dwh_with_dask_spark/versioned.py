@@ -334,6 +334,8 @@ def optimize_versioned(
     table: str,
     target_file_mb: int = 128,
     order_by: list[str] | None = None,
+    zorder_by=None,
+    zorder_bits: int = 16,
     stats_cols: list[str] | None = None,
 ) -> dict:
     """Compaction/clustering for VERSIONED tables — ``sinks.
@@ -350,10 +352,21 @@ def optimize_versioned(
     references ONLY the new dir, so vacuuming old versions later
     reclaims every fragment.
 
+    ``zorder_by`` (mutually exclusive with ``order_by``): a list of
+    already-int-mapped Columns (the ``operators/zorder.zvalue`` input
+    contract — non-negative ints fitting ``zorder_bits`` bits; use
+    ``scale_to_bits``/``datediff`` mappings) — the rewrite range-
+    clusters on the Morton interleave, so with ``stats_cols`` over the
+    SAME dimensions the manifest gets bounded min/max ranges on EVERY
+    interleaved column in every data file: Delta/Iceberg's
+    ``OPTIMIZE ZORDER BY``, published through the atomic pointer.
+
     Returns {"version", "files_before", "files_after", "target_files"}.
     """
     import math
 
+    if order_by and zorder_by:
+        raise ValueError("order_by and zorder_by are mutually exclusive")
     cur = read_version(spark, table)
     with open(_manifest_path(table, current_version(table))) as f:
         dirs = json.load(f)["dirs"]
@@ -378,6 +391,21 @@ def optimize_versioned(
         cols = [F.col(c) for c in order_by]
         out = cur.repartitionByRange(target_files, *cols).sortWithinPartitions(
             *cols
+        )
+    elif zorder_by:
+        from pyspark.sql import functions as F
+
+        from dwh_with_dask_spark.operators.zorder import zvalue
+
+        zv = zvalue(list(zorder_by), bits=zorder_bits)
+        # materialize the z-value as a column so the range partitioner
+        # and the in-file sort agree on one evaluation, then drop it —
+        # the clustering lives in the LAYOUT, not the schema
+        out = (
+            cur.withColumn("__zv", zv)
+            .repartitionByRange(target_files, F.col("__zv"))
+            .sortWithinPartitions("__zv")
+            .drop("__zv")
         )
     else:
         out = cur.coalesce(target_files)

@@ -960,3 +960,35 @@ def test_clustering_coefficient_known_graph(spark):
     assert got[3] == (3, 3, 1.0)
     assert got[4] == (3, 4, 0.5)
     assert got[5] == (0, 1, 0.0)
+
+
+def test_link_prediction_hand_checked(spark):
+    """Hand-computed RA / common-neighbors scores on a known graph:
+    square 1-2-3-4-1 (non-edges (1,3) and (2,4), each with two
+    degree-2 common neighbors -> RA = 1/2+1/2 = 1.0) plus a pendant 5
+    on node 1 — (5,2) and (5,4) get RA 1/3 via common neighbor 1
+    (deg 3); adjacent pairs never appear."""
+    from dwh_with_dask_spark.operators.graph import link_prediction
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ra = {
+        (r.node_a, r.node_b): (r.n_common, r.score)
+        for r in link_prediction(e, method="ra").collect()
+    }
+    assert ra[(1, 3)] == (2, 1.0)  # via 2 and 4, both deg 2
+    assert ra[(2, 4)] == (2, 0.833333)  # via 3 (deg 2) and 1 (deg 3)
+    cn = {
+        (r.node_a, r.node_b): r.n_common
+        for r in link_prediction(e, method="common_neighbors").collect()
+    }
+    assert cn[(1, 3)] == 2 and cn[(2, 4)] == 2
+    assert (2, 5) in ra and ra[(2, 5)][1] == round(1 / 3, 6)
+    assert (4, 5) in ra and ra[(4, 5)][1] == round(1 / 3, 6)
+    assert (3, 5) not in ra  # no common neighbor
+    # no adjacent pair is ever scored
+    assert not (set(ra) & {(1, 2), (2, 3), (3, 4), (1, 4), (1, 5)})
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown link_prediction"):
+        link_prediction(e, method="katz")

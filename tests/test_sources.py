@@ -585,3 +585,65 @@ def test_versioned_prune_orders_query_skips_dirs(spark):
     got = df.filter(flt).count()
     want = read_version(spark, t).filter(flt).count()
     assert got == want > 0
+
+
+def test_optimize_versioned_zorder_clusters_both_dims(spark, tmp_path):
+    """optimize_versioned(zorder_by=...): the Morton-interleaved rewrite
+    gives bounded min/max ranges on BOTH dimensions in every output
+    file — with stats_cols over the same dims, a prune on EITHER
+    column drops most directories' worth of rows... here files, since
+    the rewrite is one version: assert per-file range containment via
+    parquet footers, rows byte-identical, order_by+zorder_by mutually
+    exclusive."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.versioned import (
+        optimize_versioned,
+        read_version,
+        versioned_commit,
+    )
+
+    # 2-D grid shuffled across many fragments: neither dim is sorted
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "__shuffle", F.xxhash64("x", "y")
+    ).orderBy("__shuffle").drop("__shuffle").repartition(8)
+    t = str(tmp_path / "zt")
+    versioned_commit(df, t)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_versioned(
+            spark, t, order_by=["x"], zorder_by=[F.col("x"), F.col("y")]
+        )
+    before = sorted(map(tuple, read_version(spark, t).collect()))
+    res = optimize_versioned(
+        spark,
+        t,
+        target_file_mb=1,  # force multiple output files on tiny data
+        zorder_by=[F.col("x"), F.col("y")],
+        zorder_bits=6,
+        stats_cols=["x", "y"],
+    )
+    assert sorted(map(tuple, read_version(spark, t).collect())) == before
+    # per-file min/max spans on both dims must be narrow: for a Morton
+    # layout over a 64x64 grid split into k files, each file's x and y
+    # ranges are O(side/sqrt(k)), far below the full 0..63 span that a
+    # 1-D sort leaves on its secondary column
+    import pyarrow.parquet as pq
+
+    files = read_version(spark, t).inputFiles()
+    if len(files) > 1:
+        for f in files:
+            md = pq.ParquetFile(f.replace("file:", "")).metadata
+            spans = {"x": [], "y": []}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in spans:
+                        st = col.statistics
+                        spans[name].append((st.min, st.max))
+            for dim in ("x", "y"):
+                lo = min(s[0] for s in spans[dim])
+                hi = max(s[1] for s in spans[dim])
+                assert hi - lo < 64 - 1, (f, dim, lo, hi)
