@@ -113,3 +113,80 @@ def winsorize_agg(
             ).alias("mean_raw"),
         )
     )
+
+
+def population_stability(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    min_frac: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE standard drift alarm between a warehouse's model-
+    training snapshot and today's data. Returns one row per occupied
+    bin: (bin, n_old, n_new, p_old, p_new, psi_term) with
+    ``psi_term = (p_new − p_old) · ln(p_new / p_old)`` rounded to 6 dp
+    (``ln`` + order-dependent proportions — the repo's standard
+    round(,6) cross-engine idiom); total PSI = SUM(psi_term). The usual
+    reading: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted.
+
+    Binning is FIXED equi-width over [lo, hi) with edge bins absorbing
+    out-of-range values (``floor((x−lo)/w)`` clamped to [0, bins−1]) —
+    fixed edges, not quantiles, so the layout is deterministic, the
+    oracle twin is exact, and two snapshots are always binned
+    identically (quantile bins would move with the data being tested).
+    NULLs are excluded (profile_table reports them separately).
+    Zero-count sides get the ``min_frac`` proportion floor (the
+    standard PSI ε — without it one empty bin makes PSI infinite).
+
+    Scale shape: one map-side bin expression + one ``bins``-sized
+    aggregate per snapshot, a broadcast of two 1-row totals, one
+    ``bins``-row join — the 100 TB cost is two single-pass scans.
+    """
+    if bins < 2:
+        raise ValueError("population_stability needs at least 2 bins")
+    width = (hi - lo) / bins
+
+    def binned(df: DataFrame, n_name: str) -> DataFrame:
+        b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(b.cast("int").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    old_c = binned(df_old, "n_old")
+    new_c = binned(df_new, "n_new")
+    tot_o = old_c.agg(F.sum("n_old").alias("__to"))
+    tot_n = new_c.agg(F.sum("n_new").alias("__tn"))
+    j = (
+        old_c.join(new_c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+    )
+    p_old = F.greatest(
+        F.col("n_old").cast("double") / F.col("__to").cast("double"),
+        F.lit(min_frac),
+    )
+    p_new = F.greatest(
+        F.col("n_new").cast("double") / F.col("__tn").cast("double"),
+        F.lit(min_frac),
+    )
+    return j.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )

@@ -1167,3 +1167,147 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("name", "rec_id").alias("canonical_name"),
         )
     )
+
+
+@query(
+    "ab_test_purchase_events",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || 'exp1'),
+                                 1, 4) < '8000'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             converted
+      FROM u),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_control,
+        CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END)
+          AS BIGINT) AS x_control,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_treatment,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
+          AS BIGINT) AS x_treatment
+      FROM a)
+    SELECT n_control, x_control,
+           CASE WHEN n_control > 0
+                THEN CAST(x_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+           END AS rate_control,
+           n_treatment, x_treatment,
+           CASE WHEN n_treatment > 0
+                THEN CAST(x_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+           END AS rate_treatment,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+                 AND (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+                     / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) > 0
+                 AND (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+                     / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) < 1
+                THEN CAST(x_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+                   - CAST(x_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+           END AS abs_lift,
+           CASE WHEN n_control > 0 AND n_treatment > 0
+                 AND (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+                     / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) > 0
+                 AND (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+                     / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) < 1
+                THEN (CAST(x_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+                      - CAST(x_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+                     / sqrt(((CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+                             / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)))
+                            * (1.0 - (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+                                     / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)))
+                            * (1.0 / CAST(n_control AS DOUBLE)
+                               + 1.0 / CAST(n_treatment AS DOUBLE)))
+           END AS z_score
+    FROM s
+    """,
+)
+def ab_test_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/experiment.py): users are
+    deterministically md5-split 50/50 into control/treatment (salt =
+    the experiment id — stable across re-runs, the anti-RNG contract),
+    conversion = the user ever fired a 'purchase' event, and the
+    statistic is the pooled two-proportion z-test. Every op in the z
+    expression is IEEE correctly-rounded (+,-,*,/,sqrt) in the same
+    fixed tree as the oracle, so the row hash-matches with NO rounding
+    idiom. Null-hypothesis data (assignment is independent of
+    behavior), so |z| should be small — the plumbing and the statistic
+    are what's under test."""
+    from dwh_with_dask_spark.operators.experiment import (
+        ab_assign,
+        two_proportion_ztest,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    units = units.withColumn("arm", ab_assign("user_id", salt="exp1"))
+    return two_proportion_ztest(units)
+
+
+@query(
+    "drift_orders_price_psi",
+    """
+    WITH old AS (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-07-01'),
+    new AS (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-07-01'),
+    ob AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                        / 50000.0) AS BIGINT), 0), 11) AS bin
+      FROM old WHERE o_totalprice IS NOT NULL),
+    nb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                        / 50000.0) AS BIGINT), 0), 11) AS bin
+      FROM new WHERE o_totalprice IS NOT NULL),
+    oc AS (SELECT bin, COUNT(*) AS n_old FROM ob GROUP BY bin),
+    nc AS (SELECT bin, COUNT(*) AS n_new FROM nb GROUP BY bin),
+    j AS (
+      SELECT COALESCE(oc.bin, nc.bin) AS bin,
+             CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+      FROM oc FULL OUTER JOIN nc ON oc.bin = nc.bin),
+    t AS (SELECT (SELECT CAST(SUM(n_old) AS DOUBLE) FROM j) AS t_old,
+                 (SELECT CAST(SUM(n_new) AS DOUBLE) FROM j) AS t_new)
+    SELECT CAST(bin AS INTEGER) AS bin, n_old, n_new,
+           ROUND(GREATEST(CAST(n_old AS DOUBLE) / t_old, 0.0001), 6) AS p_old,
+           ROUND(GREATEST(CAST(n_new AS DOUBLE) / t_new, 0.0001), 6) AS p_new,
+           ROUND((GREATEST(CAST(n_new AS DOUBLE) / t_new, 0.0001)
+                  - GREATEST(CAST(n_old AS DOUBLE) / t_old, 0.0001))
+                 * ln(GREATEST(CAST(n_new AS DOUBLE) / t_new, 0.0001)
+                      / GREATEST(CAST(n_old AS DOUBLE) / t_old, 0.0001)), 6)
+             AS psi_term
+    FROM j CROSS JOIN t
+    ORDER BY bin
+    """,
+)
+def drift_orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift alarm (operators/profile.py:
+    population_stability): PSI of o_totalprice between the pre- and
+    post-1998-07 eras over 12 fixed equi-width bins on [0, 600000).
+    Fixed edges (not quantiles) keep the binning deterministic and the
+    oracle exact; the synthetic corpus is stationary, so SUM(psi_term)
+    should read ~0 ("stable") — the operator's discrimination is pinned
+    on genuinely shifted fixtures in tests/test_analytics.py."""
+    from dwh_with_dask_spark.operators.profile import population_stability
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-07-01").cast("timestamp")
+    return population_stability(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        bins=12,
+    ).orderBy("bin")

@@ -992,3 +992,82 @@ def test_link_prediction_hand_checked(spark):
 
     with pytest.raises(ValueError, match="unknown link_prediction"):
         link_prediction(e, method="katz")
+
+
+def test_two_proportion_ztest_hand_checked(spark):
+    """Known counts: control 1/4 vs treatment 3/4 -> pooled p = 0.5,
+    se = sqrt(.5*.5*(1/4+1/4)), z = 0.5/se = sqrt(2) exactly (all IEEE
+    correctly-rounded ops). Degenerate inputs yield NULL, not a
+    division-by-zero error under ANSI mode."""
+    import math
+
+    from dwh_with_dask_spark.operators.experiment import two_proportion_ztest
+
+    rows = [("control", i < 1) for i in range(4)] + [
+        ("treatment", i < 3) for i in range(4)
+    ]
+    u = spark.createDataFrame(rows, "arm string, converted boolean")
+    r = two_proportion_ztest(u).first()
+    assert (r.n_control, r.x_control) == (4, 1)
+    assert (r.n_treatment, r.x_treatment) == (4, 3)
+    assert r.rate_control == 0.25 and r.rate_treatment == 0.75
+    assert r.abs_lift == 0.5
+    assert abs(r.z_score - math.sqrt(2)) < 1e-12
+    # everyone converts -> pooled p = 1 -> NULL z, no ANSI error
+    allc = spark.createDataFrame(
+        [("control", True), ("treatment", True)],
+        "arm string, converted boolean",
+    )
+    r2 = two_proportion_ztest(allc).first()
+    assert r2.z_score is None and r2.abs_lift is None
+    # missing arm -> NULL rate and z
+    onearm = spark.createDataFrame(
+        [("control", True)], "arm string, converted boolean"
+    )
+    r3 = two_proportion_ztest(onearm).first()
+    assert r3.rate_treatment is None and r3.z_score is None
+
+
+def test_ab_assign_stable_and_balanced(spark):
+    """md5 assignment: deterministic across evaluations, ~50/50 over
+    1000 units, and independent across experiment salts."""
+    from dwh_with_dask_spark.operators.experiment import ab_assign
+
+    d = spark.range(1000).withColumn("a1", ab_assign("id", salt="e1"))
+    again = spark.range(1000).withColumn("a1", ab_assign("id", salt="e1"))
+    assert sorted(map(tuple, d.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    frac = d.filter("a1 = 'treatment'").count() / 1000
+    assert 0.42 <= frac <= 0.58
+    both = d.withColumn("a2", ab_assign("id", salt="e2"))
+    n_disagree = both.filter("a1 <> a2").count()
+    assert n_disagree > 300  # independent draws disagree ~half the time
+
+
+def test_population_stability_detects_shift(spark):
+    """PSI discrimination: identical snapshots read ~0; a +50 location
+    shift over [0,100) bins reads far past the 0.25 'shifted' bar; an
+    empty-on-one-side bin is floored, never infinite."""
+    from dwh_with_dask_spark.operators.profile import population_stability
+
+    old = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = population_stability(old, old, "v", lo=0.0, hi=100.0, bins=10)
+    rows = same.collect()
+    assert sum(r.psi_term for r in rows) == 0.0
+    assert all(r.n_old == r.n_new for r in rows)
+
+    shifted = spark.range(1000).selectExpr(
+        "CAST(50 + (id % 50) AS DOUBLE) AS v"
+    )
+    drift = population_stability(
+        old, shifted, "v", lo=0.0, hi=100.0, bins=10
+    ).collect()
+    total = sum(r.psi_term for r in drift)
+    assert total > 0.25  # standard 'shifted' threshold
+    # bins 0-4 are empty on the new side: floored proportions, finite
+    import math
+
+    assert all(math.isfinite(r.psi_term) for r in drift)
+    empty_new = [r for r in drift if r.n_new == 0]
+    assert empty_new and all(r.p_new == 0.0001 for r in empty_new)
