@@ -138,3 +138,75 @@ def gap_fill(
         out_value.alias("value"),
         (F.col("__i") > 0).alias("filled"),
     )
+
+
+def cusum_alarm(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold: float,
+    drift: float | None = None,
+    unit: str = "day",
+    value_decimals: int | None = None,
+) -> DataFrame:
+    """One-sided (upper) CUSUM change-point detection per key — the
+    classic sequential drift alarm (Page 1954) over a bucketed series:
+    ``C_t = max(0, C_{t-1} + (x_t − k))`` flags sustained upward shifts
+    long before any single point trips an outlier rule. Returns
+    (key, bucket, value, cusum, alarm).
+
+    The recursion is NOT expressed recursively (no UDF, no iteration):
+    with prefix sums ``P_t = Σ_{j≤t}(x_j − k)``, the floored CUSUM is
+    identically ``C_t = P_t − min(0, min_{j≤t} P_j)`` — two ordered
+    windows over one key shuffle, fully whole-stage-codegen, the same
+    trick as the repo's running-total shapes. Determinism: the window
+    order (key, bucket) is total, so both engines fold the same doubles
+    in the same sequence; ``cusum`` is rounded to 6 dp and the alarm
+    compares the ROUNDED value, so the flag can never disagree
+    cross-engine on a last-ulp tie.
+
+    ``drift`` (the reference level k) defaults to the RAW value mean,
+    computed in-plan as an exact DECIMAL sum / count (order-independent
+    — the bucketed series' own mean would be a double sum, which is
+    not) and broadcast. ``value_decimals`` keeps the per-bucket avg
+    exact (the q1 idiom, see ``bucketed``).
+
+    Scale shape: one groupBy shuffle (the bucketing), one window sort
+    per key, one broadcast 1-row join for the default drift. State is
+    the series, not the input — at 100 TB this is the rollup's cost
+    plus a window.
+    """
+    s = bucketed(
+        df, key_col, ts_col, value_col, unit=unit,
+        value_decimals=value_decimals,
+    )
+    if drift is None:
+        dec = f"decimal(25,{value_decimals if value_decimals is not None else 6})"
+        mean = df.agg(
+            (
+                F.sum(F.col(value_col).cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__drift")
+        )
+        s = s.crossJoin(F.broadcast(mean))
+        k = F.col("__drift")
+    else:
+        k = F.lit(float(drift))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col("value") - k).over(w)
+    out = s.withColumn("__p", p)
+    cusum = F.round(
+        F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w)), 6
+    )
+    return out.select(
+        "key",
+        "bucket",
+        "value",
+        cusum.alias("cusum"),
+        (cusum > F.lit(float(threshold))).alias("alarm"),
+    )

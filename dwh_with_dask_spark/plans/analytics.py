@@ -1311,3 +1311,55 @@ def drift_orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=600000.0,
         bins=12,
     ).orderBy("bin")
+
+
+@query(
+    "cusum_daily_event_values",
+    """
+    WITH m AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+               AS k
+      FROM events),
+    s AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+               AS value
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT key, bucket, value,
+             SUM(value - m.k) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      FROM s CROSS JOIN m),
+    c AS (
+      SELECT key, bucket, value,
+             ROUND(pp - LEAST(0.0, MIN(pp) OVER (
+               PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS cusum
+      FROM p)
+    SELECT key, CAST(bucket AS DATE) AS bucket, value, cusum,
+           cusum > 10.0 AS alarm
+    FROM c
+    """,
+)
+def cusum_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarm (operators/timeseries.py:cusum_alarm):
+    per-event-type daily value series, drift = the exact raw mean,
+    threshold 10 — flags sustained above-average stretches the rolling
+    z-score misses. The floored recursion is two ordered windows over
+    prefix sums (no UDF, no iteration); the alarm compares the ROUNDED
+    cusum so the flag is engine-stable even though each engine may
+    associate the windowed double sum differently (round(,6) absorbs
+    the last-ulp spread)."""
+    from dwh_with_dask_spark.operators.timeseries import cusum_alarm
+
+    e = load_table(spark, sf_dir, "events")
+    out = cusum_alarm(
+        e, "event_type", "ts", "value",
+        threshold=10.0, unit="day", value_decimals=2,
+    )
+    return out.select(
+        "key", F.col("bucket").cast("date").alias("bucket"),
+        "value", "cusum", "alarm",
+    )

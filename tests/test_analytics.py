@@ -1071,3 +1071,44 @@ def test_population_stability_detects_shift(spark):
     assert all(math.isfinite(r.psi_term) for r in drift)
     empty_new = [r for r in drift if r.n_new == 0]
     assert empty_new and all(r.p_new == 0.0001 for r in empty_new)
+
+
+def test_cusum_alarm_matches_recursion(spark):
+    """Hand-computed CUSUM (drift k=4) over [5,1,5,6]: the prefix-sum
+    floor formulation must equal the textbook recursion
+    C_t = max(0, C_{t-1} + x_t - k) -> [1, 0, 1, 3]; threshold 2.5
+    alarms only the final point. Default drift = exact raw mean."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.operators.timeseries import cusum_alarm
+
+    T = _dt.datetime
+    rows = [
+        ("a", T(2024, 1, d + 1), float(v))
+        for d, v in enumerate([5, 1, 5, 6])
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = (
+        cusum_alarm(df, "k", "ts", "v", threshold=2.5, drift=4.0)
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r.cusum for r in out] == [1.0, 0.0, 1.0, 3.0]
+    assert [r.alarm for r in out] == [False, False, False, True]
+    # recursion twin in python
+    c, want = 0.0, []
+    for v in [5, 1, 5, 6]:
+        c = max(0.0, c + v - 4.0)
+        want.append(c)
+    assert [r.cusum for r in out] == want
+    # default drift = exact raw mean (17/4 = 4.25): same shape, floored
+    out2 = (
+        cusum_alarm(df, "k", "ts", "v", threshold=2.0)
+        .orderBy("bucket")
+        .collect()
+    )
+    c, want2 = 0.0, []
+    for v in [5, 1, 5, 6]:
+        c = max(0.0, c + v - 4.25)
+        want2.append(round(c, 6))
+    assert [r.cusum for r in out2] == want2
