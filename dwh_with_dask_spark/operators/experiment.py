@@ -104,3 +104,148 @@ def two_proportion_ztest(
         F.when(ok, rate_t - rate_c).alias("abs_lift"),
         F.when(ok, (rate_t - rate_c) / se).alias("z_score"),
     )
+
+
+def cuped_welch_report(
+    units: DataFrame,
+    arm_col: str = "arm",
+    metric_col: str = "metric",
+    covariate_col: str = "covariate",
+    control: str = "control",
+    treatment: str = "treatment",
+    metric_decimals: int = 2,
+) -> DataFrame:
+    """Welch two-sample t-test on a continuous per-unit metric, raw AND
+    CUPED-adjusted (Deng, Xu, Kohavi & Walker 2013) — the standard
+    variance-reduction readout for revenue-style experiment metrics.
+    Returns TWO rows, ``variant ∈ {'raw', 'cuped'}``:
+    (variant, n_control, n_treatment, mean_control, mean_treatment,
+    lift, t_stat, dof, theta, var_reduction).
+
+    CUPED: ``y_adj = y − θ·(x − E[x])`` with the pooled
+    ``θ = cov(x, y) / var(x)`` over a pre-experiment covariate x that
+    assignment cannot affect; the adjustment removes the covariate-
+    explained variance, shrinking the standard error at the SAME
+    sample size. ``var_reduction`` = 1 − (se²_adj / se²_raw) on the
+    Welch standard error.
+
+    Determinism contract (what makes both rows hash-match a DuckDB
+    oracle): every SUM runs in exact DECIMAL(25, metric_decimals) —
+    25 digits so products stay inside both engines' int128 decimal
+    kernels (DuckDB's DECIMAL(18) multiply is int64 and overflows on
+    squared per-unit revenue) — and the per-unit adjusted metric is
+    ROUNDED back to ``metric_decimals`` and re-cast to DECIMAL before
+    its sums, so no double ever rides an order-dependent fold;
+    θ, means, variances, t, and dof are then fixed double expression
+    trees over those exact sums (IEEE correctly-rounded ops only), and
+    every reported statistic is round(,6). Degenerate inputs (an arm
+    with n ≤ 1, zero covariate variance) yield NULLs, never an ANSI
+    division error.
+
+    Scale shape: one pass for the pooled θ sums (broadcast 1 row), one
+    map-side adjustment expression, one global conditional-sum
+    aggregate — three scans of a unit-count-sized frame, no shuffle
+    beyond the aggregates. At 100 TB the units frame is the output of
+    a fact rollup; everything here is cheap after it.
+    """
+    d = metric_decimals
+    y_dec = F.col(metric_col).cast(f"decimal(25,{d})")
+    x_dec = F.col(covariate_col).cast(f"decimal(25,{d})")
+    u = units.select(
+        F.col(arm_col).alias("__arm"),
+        y_dec.alias("__y"),
+        x_dec.alias("__x"),
+    )
+    # pooled theta + covariate mean from exact sums
+    st = u.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    var_x = sxx - sx * sx / n
+    st = st.select(
+        F.when(var_x > 0, (sxy - sx * sy / n) / var_x).alias("__theta"),
+        (sx / n).alias("__mean_x"),
+    )
+    u = u.crossJoin(F.broadcast(st))
+    adj = F.when(
+        F.col("__theta").isNotNull(),
+        F.col("__y").cast("double")
+        - F.col("__theta")
+        * (F.col("__x").cast("double") - F.col("__mean_x")),
+    ).otherwise(F.col("__y").cast("double"))
+    u = u.withColumn("__a", F.round(adj, d).cast(f"decimal(25,{d})"))
+
+    is_c = F.col("__arm") == control
+    is_t = F.col("__arm") == treatment
+
+    agg = u.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_c, F.col("__y"))).alias("syc"),
+        F.sum(F.when(is_t, F.col("__y"))).alias("syt"),
+        F.sum(F.when(is_c, F.col("__y") * F.col("__y"))).alias("syyc"),
+        F.sum(F.when(is_t, F.col("__y") * F.col("__y"))).alias("syyt"),
+        F.sum(F.when(is_c, F.col("__a"))).alias("sac"),
+        F.sum(F.when(is_t, F.col("__a"))).alias("sat"),
+        F.sum(F.when(is_c, F.col("__a") * F.col("__a"))).alias("saac"),
+        F.sum(F.when(is_t, F.col("__a") * F.col("__a"))).alias("saat"),
+        F.first("__theta").alias("theta_raw"),
+    )
+
+    def welch(s1c, s2c, s1t, s2t):
+        nc = F.col("nc").cast("double")
+        nt = F.col("nt").cast("double")
+        mc = s1c.cast("double") / nc
+        mt = s1t.cast("double") / nt
+        vc = (s2c.cast("double") - s1c.cast("double") * s1c.cast("double") / nc) / (nc - F.lit(1.0))
+        vt = (s2t.cast("double") - s1t.cast("double") * s1t.cast("double") / nt) / (nt - F.lit(1.0))
+        se2 = vc / nc + vt / nt
+        ok = (F.col("nc") > 1) & (F.col("nt") > 1) & (se2 > 0)
+        t = F.when(ok, (mt - mc) / F.sqrt(se2))
+        dof = F.when(
+            ok,
+            se2 * se2
+            / ((vc / nc) * (vc / nc) / (nc - F.lit(1.0))
+               + (vt / nt) * (vt / nt) / (nt - F.lit(1.0))),
+        )
+        return mc, mt, t, dof, F.when(ok, se2)
+
+    mc_r, mt_r, t_r, dof_r, se2_r = welch(
+        F.col("syc"), F.col("syyc"), F.col("syt"), F.col("syyt")
+    )
+    mc_a, mt_a, t_a, dof_a, se2_a = welch(
+        F.col("sac"), F.col("saac"), F.col("sat"), F.col("saat")
+    )
+
+    def row(variant, mc, mt, t, dof, theta, var_red):
+        return agg.select(
+            F.lit(variant).alias("variant"),
+            F.col("nc").alias("n_control"),
+            F.col("nt").alias("n_treatment"),
+            F.round(mc, 6).alias("mean_control"),
+            F.round(mt, 6).alias("mean_treatment"),
+            F.round(mt - mc, 6).alias("lift"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(dof, 6).alias("dof"),
+            F.round(theta, 6).alias("theta"),
+            F.round(var_red, 6).alias("var_reduction"),
+        )
+
+    raw = row(
+        "raw", mc_r, mt_r, t_r, dof_r, F.lit(None).cast("double"),
+        F.lit(None).cast("double"),
+    )
+    var_red = F.when(
+        se2_r.isNotNull() & se2_a.isNotNull(),
+        F.lit(1.0) - se2_a / se2_r,
+    )
+    cuped = row("cuped", mc_a, mt_a, t_a, dof_a, F.col("theta_raw"), var_red)
+    return raw.unionByName(cuped)
