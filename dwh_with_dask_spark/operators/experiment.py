@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dwh_with_dask_spark.operators.curation import frac_to_hex, md5_prefix
 
@@ -226,7 +227,7 @@ def cuped_welch_report(
     )
 
     def row(variant, mc, mt, t, dof, theta, var_red):
-        return agg.select(
+        return F.struct(
             F.lit(variant).alias("variant"),
             F.col("nc").alias("n_control"),
             F.col("nt").alias("n_treatment"),
@@ -239,13 +240,104 @@ def cuped_welch_report(
             F.round(var_red, 6).alias("var_reduction"),
         )
 
-    raw = row(
-        "raw", mc_r, mt_r, t_r, dof_r, F.lit(None).cast("double"),
-        F.lit(None).cast("double"),
-    )
     var_red = F.when(
         se2_r.isNotNull() & se2_a.isNotNull(),
         F.lit(1.0) - se2_a / se2_r,
     )
-    cuped = row("cuped", mc_a, mt_a, t_a, dof_a, F.col("theta_raw"), var_red)
-    return raw.unionByName(cuped)
+    # Both report rows explode out of the SAME 1-row aggregate — a
+    # union of two selects would recompute the whole pipeline (theta
+    # pass included) once per branch.
+    return agg.select(
+        F.explode(
+            F.array(
+                row(
+                    "raw", mc_r, mt_r, t_r, dof_r,
+                    F.lit(None).cast("double"), F.lit(None).cast("double"),
+                ),
+                row(
+                    "cuped", mc_a, mt_a, t_a, dof_a,
+                    F.col("theta_raw"), var_red,
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
+
+
+def mann_whitney_u(
+    units: DataFrame,
+    arm_col: str = "arm",
+    metric_col: str = "metric",
+    control: str = "control",
+    treatment: str = "treatment",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the standard ROBUST
+    A/B readout for heavy-tailed metrics (revenue, latency), where the
+    Welch t-test's mean is hostage to outliers. Returns ONE row:
+    (n_control, n_treatment, u_stat, mu, z_score) with the normal
+    approximation and the textbook tie correction; positive z means
+    the treatment's values rank higher. No continuity correction
+    (documented; both engines then share one exact formula).
+
+    Exactness: mid-ranks are computed VALUE-GROUP-wise —
+    ``midrank(v) = (# rows < v) + (count(v)+1)/2`` — so every rank is
+    an exact multiple of 0.5 and every rank sum is exact in a double
+    (halves stay exact far past any realistic N); the tie term
+    ``Σ(t³−t)`` runs in DECIMAL(38,0). U and z are then fixed IEEE
+    trees over exact ingredients — bit-identical cross-engine, no
+    rounding idiom (z is rounded to 6 dp only as belt-and-braces).
+
+    Scale shape — NO global row window (the single-partition trap of
+    naive ranking): rows aggregate to per-(value, arm) counts, the
+    ordered cumulative count runs over the DISTINCT VALUES only
+    (bounded by metric cardinality, tiny for fixed-scale money), and
+    the rank sums are one more aggregate. Three shuffles of
+    value-cardinality-sized frames; input rows are touched once.
+    """
+    m = F.col(metric_col).cast("double")
+    is_t = F.col(arm_col) == treatment
+    is_c = F.col(arm_col) == control
+    per_val = (
+        units.filter(is_t | is_c)
+        .select(m.alias("__v"), is_t.alias("__t"))
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__cnt_t"),
+        )
+    )
+    w = (
+        Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_val.withColumn(
+        "__below", F.sum("__cnt").over(w) - F.col("__cnt")
+    ).withColumn(
+        "__midrank",
+        F.col("__below").cast("double")
+        + (F.col("__cnt").cast("double") + F.lit(1.0)) / F.lit(2.0),
+    )
+    cnt_dec = F.col("__cnt").cast("decimal(38,0)")
+    agg = ranked.agg(
+        F.sum("__cnt").alias("n_all"),
+        F.sum("__cnt_t").alias("n_t"),
+        F.sum(F.col("__cnt_t").cast("double") * F.col("__midrank")).alias(
+            "rank_sum_t"
+        ),
+        F.sum(cnt_dec * cnt_dec * cnt_dec - cnt_dec).alias("tie_term"),
+    )
+    n_all = F.col("n_all").cast("double")
+    n_t = F.col("n_t").cast("double")
+    n_c = n_all - n_t
+    u = F.col("rank_sum_t") - n_t * (n_t + F.lit(1.0)) / F.lit(2.0)
+    mu = n_c * n_t / F.lit(2.0)
+    var = n_c * n_t * (n_all + F.lit(1.0)) / F.lit(12.0) - n_c * n_t * F.col(
+        "tie_term"
+    ).cast("double") / (F.lit(12.0) * n_all * (n_all - F.lit(1.0)))
+    ok = (F.col("n_t") > 0) & (F.col("n_all") - F.col("n_t") > 0) & (var > 0)
+    return agg.select(
+        (F.col("n_all") - F.col("n_t")).alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        u.alias("u_stat"),
+        mu.alias("mu"),
+        F.round(F.when(ok, (u - mu) / F.sqrt(var)), 6).alias("z_score"),
+    )

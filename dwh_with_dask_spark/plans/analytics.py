@@ -1521,3 +1521,104 @@ def cuped_ab_test_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cuped_welch_report(units).orderBy("variant")
+
+
+@query(
+    "mwu_customer_spend",
+    """
+    WITH post AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY 1),
+    u0 AS (
+      SELECT c_custkey AS cust,
+             CAST(COALESCE(post.y, 0) AS DECIMAL(25,2)) AS y
+      FROM customer LEFT JOIN post ON post.o_custkey = c_custkey),
+    u AS (
+      SELECT CASE WHEN substring(md5(CAST(cust AS VARCHAR) || 'spend'),
+                                 1, 4) < '8000'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(y AS DOUBLE) AS v
+      FROM u0),
+    pv AS (
+      SELECT v, COUNT(*) AS cnt,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_t
+      FROM u GROUP BY v),
+    r AS (
+      SELECT v, cnt, cnt_t,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS below
+      FROM pv),
+    a AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_all,
+             CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+             SUM(CAST(cnt_t AS DOUBLE)
+                 * (CAST(below AS DOUBLE)
+                    + (CAST(cnt AS DOUBLE) + 1.0) / 2.0)) AS rank_sum_t,
+             SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_term
+      FROM r)
+    SELECT n_all - n_t AS n_control,
+           n_t AS n_treatment,
+           rank_sum_t
+             - CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) + 1.0) / 2.0
+             AS u_stat,
+           (CAST(n_all AS DOUBLE) - CAST(n_t AS DOUBLE))
+             * CAST(n_t AS DOUBLE) / 2.0 AS mu,
+           ROUND(CASE WHEN n_t > 0 AND n_all - n_t > 0
+                       AND ((CAST(n_all AS DOUBLE) - CAST(n_t AS DOUBLE))
+                            * CAST(n_t AS DOUBLE)
+                            * (CAST(n_all AS DOUBLE) + 1.0) / 12.0
+                            - (CAST(n_all AS DOUBLE) - CAST(n_t AS DOUBLE))
+                              * CAST(n_t AS DOUBLE)
+                              * CAST(tie_term AS DOUBLE)
+                              / (12.0 * CAST(n_all AS DOUBLE)
+                                 * (CAST(n_all AS DOUBLE) - 1.0))) > 0
+                 THEN (rank_sum_t
+                       - CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) + 1.0)
+                         / 2.0
+                       - (CAST(n_all AS DOUBLE) - CAST(n_t AS DOUBLE))
+                         * CAST(n_t AS DOUBLE) / 2.0)
+                      / sqrt((CAST(n_all AS DOUBLE) - CAST(n_t AS DOUBLE))
+                             * CAST(n_t AS DOUBLE)
+                             * (CAST(n_all AS DOUBLE) + 1.0) / 12.0
+                             - (CAST(n_all AS DOUBLE) - CAST(n_t AS DOUBLE))
+                               * CAST(n_t AS DOUBLE)
+                               * CAST(tie_term AS DOUBLE)
+                               / (12.0 * CAST(n_all AS DOUBLE)
+                                  * (CAST(n_all AS DOUBLE) - 1.0)))
+            END, 6) AS z_score
+    FROM a
+    """,
+)
+def mwu_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U robust A/B readout (operators/experiment.py:
+    mann_whitney_u) on the same per-customer post-period spend units as
+    the CUPED query — the rank-based test a heavy-tailed revenue metric
+    calls for. Ranks come from value-group counts (no global row
+    window — the ordered window runs over DISTINCT spend values only),
+    rank sums are exact multiples of 0.5, the tie term is exact
+    integer arithmetic, and z is one fixed IEEE tree — the row
+    hash-matches the oracle."""
+    from dwh_with_dask_spark.operators.experiment import (
+        ab_assign,
+        mann_whitney_u,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1998-07-01").cast("timestamp")
+    post = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    units = (
+        c.select(F.col("c_custkey").alias("cust"))
+        .join(post, post.o_custkey == F.col("cust"), "left")
+        .select(
+            ab_assign("cust", salt="spend").alias("arm"),
+            F.coalesce("y", F.lit(0)).cast("decimal(25,2)").alias("metric"),
+        )
+    )
+    return mann_whitney_u(units)

@@ -1147,3 +1147,29 @@ def test_cuped_variance_reduction(spark):
     g2 = {r.variant: r for r in cuped_welch_report(flat).collect()}
     assert g2["cuped"].theta is None
     assert g2["cuped"].t_stat == g2["raw"].t_stat
+
+
+def test_mann_whitney_hand_checked(spark):
+    """Textbook example with ties: control [1,2,3] vs treatment
+    [2,3,4] -> midranks {1:1, 2:2.5, 3:4.5, 4:6}, U = 13 - 6 = 7,
+    mu = 4.5, tie term (2^3-2)*2 = 12, var = 4.95,
+    z = 2.5/sqrt(4.95). Degenerate single-arm input yields NULL z."""
+    import math
+
+    from dwh_with_dask_spark.operators.experiment import mann_whitney_u
+
+    rows = [("control", v) for v in (1.0, 2.0, 3.0)] + [
+        ("treatment", v) for v in (2.0, 3.0, 4.0)
+    ]
+    u = spark.createDataFrame(rows, "arm string, metric double")
+    r = mann_whitney_u(u).first()
+    assert (r.n_control, r.n_treatment) == (3, 3)
+    assert r.u_stat == 7.0 and r.mu == 4.5
+    assert r.z_score == round(2.5 / math.sqrt(4.95), 6)
+    one = spark.createDataFrame([("control", 1.0)], "arm string, metric double")
+    assert mann_whitney_u(one).first().z_score is None
+    # all-tied values: zero variance -> NULL, not a division error
+    tied = spark.createDataFrame(
+        [("control", 5.0), ("treatment", 5.0)], "arm string, metric double"
+    )
+    assert mann_whitney_u(tied).first().z_score is None
