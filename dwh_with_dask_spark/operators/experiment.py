@@ -341,3 +341,46 @@ def mann_whitney_u(
         mu.alias("mu"),
         F.round(F.when(ok, (u - mu) / F.sqrt(var)), 6).alias("z_score"),
     )
+
+
+def srm_check(
+    units: DataFrame,
+    arm_col: str = "arm",
+    expected_treat_frac: float = 0.5,
+    control: str = "control",
+    treatment: str = "treatment",
+    alarm_z: float = 3.0,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST thing a trustworthy
+    experiment pipeline checks: if the realized arm split deviates from
+    the designed fraction beyond randomization noise, the assignment or
+    logging is broken and every downstream readout is invalid
+    (Fabijan et al. 2019 call SRM the most common corrupted-experiment
+    symptom). One row: (n_control, n_treatment, expected_treat_frac,
+    srm_z, srm_alarm) — a one-proportion z against the design fraction,
+    ``z = (n_t − N·f) / sqrt(N·f·(1−f))``, alarm at |z| > ``alarm_z``
+    (≈3 ⇔ the usual p < 0.003 bar). Fixed IEEE tree over exact counts —
+    bit-identical cross-engine; the alarm compares the ROUNDED z.
+
+    Scale shape: one 2-counter aggregate with map-side partials — one
+    pass, no shuffle beyond it."""
+    is_c = F.col(arm_col) == control
+    is_t = F.col(arm_col) == treatment
+    agg = units.filter(is_c | is_t).agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_treatment"),
+    )
+    f = F.lit(float(expected_treat_frac))
+    n = (F.col("n_control") + F.col("n_treatment")).cast("double")
+    nt = F.col("n_treatment").cast("double")
+    ok = (n > 0) & (f > 0) & (f < 1)
+    z = F.round(
+        F.when(ok, (nt - n * f) / F.sqrt(n * f * (F.lit(1.0) - f))), 6
+    )
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        f.alias("expected_treat_frac"),
+        z.alias("srm_z"),
+        (F.abs(z) > F.lit(float(alarm_z))).alias("srm_alarm"),
+    )

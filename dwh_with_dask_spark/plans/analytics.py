@@ -1622,3 +1622,51 @@ def mwu_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mann_whitney_u(units)
+
+
+@query(
+    "srm_check_events_users",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || 'exp1'),
+                                 1, 4) < '8000'
+                  THEN 'treatment' ELSE 'control' END AS arm
+      FROM u),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_control,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_treatment
+      FROM a)
+    SELECT n_control, n_treatment,
+           CAST(0.5 AS DOUBLE) AS expected_treat_frac,
+           ROUND((CAST(n_treatment AS DOUBLE)
+                  - (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE))
+                    * 0.5)
+                 / sqrt((CAST(n_control AS DOUBLE)
+                         + CAST(n_treatment AS DOUBLE))
+                        * 0.5 * (1.0 - 0.5)), 6) AS srm_z,
+           abs(ROUND((CAST(n_treatment AS DOUBLE)
+                  - (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE))
+                    * 0.5)
+                 / sqrt((CAST(n_control AS DOUBLE)
+                         + CAST(n_treatment AS DOUBLE))
+                        * 0.5 * (1.0 - 0.5)), 6)) > 3.0 AS srm_alarm
+    FROM s
+    """,
+)
+def srm_check_events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (operators/experiment.py:
+    srm_check) over the same md5 user split as ab_test_purchase_events:
+    a healthy deterministic 50/50 assignment must NOT alarm (|z| stays
+    within randomization noise) — the check that invalidates every
+    other experiment readout when it fires."""
+    from dwh_with_dask_spark.operators.experiment import ab_assign, srm_check
+
+    e = load_table(spark, sf_dir, "events")
+    units = e.select("user_id").distinct().select(
+        ab_assign("user_id", salt="exp1").alias("arm")
+    )
+    return srm_check(units, expected_treat_frac=0.5)

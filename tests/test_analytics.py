@@ -1173,3 +1173,27 @@ def test_mann_whitney_hand_checked(spark):
         [("control", 5.0), ("treatment", 5.0)], "arm string, metric double"
     )
     assert mann_whitney_u(tied).first().z_score is None
+
+
+def test_srm_check_alarms_on_broken_split(spark):
+    """SRM guardrail: a clean 50/50 split stays quiet; a corrupted
+    80/20 realization of a designed 50/50 alarms hard; a designed-30%
+    split evaluated at f=0.3 stays quiet (the check tests the DESIGN
+    fraction, not 50/50)."""
+    from dwh_with_dask_spark.operators.experiment import ab_assign, srm_check
+
+    clean = spark.range(2000).select(ab_assign("id", salt="s1").alias("arm"))
+    r = srm_check(clean).first()
+    assert not r.srm_alarm and abs(r.srm_z) < 3.0
+
+    broken = spark.range(1000).selectExpr(
+        "CASE WHEN id % 10 < 8 THEN 'treatment' ELSE 'control' END AS arm"
+    )
+    rb = srm_check(broken).first()
+    assert rb.srm_alarm and rb.srm_z > 3.0
+    # design fraction respected
+    skewed = spark.range(3000).select(
+        ab_assign("id", salt="s2", treat_frac=0.3).alias("arm")
+    )
+    rs = srm_check(skewed, expected_treat_frac=0.3).first()
+    assert not rs.srm_alarm
