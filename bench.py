@@ -78,7 +78,7 @@ def mad(xs: list[float]) -> float:
     return statistics.median(abs(x - m) for x in xs)
 
 
-ANCHOR_ROWS = 6_400_000_000  # ~1.7 s on an idle 32-core host
+ANCHOR_ROWS = 6_400_000_000  # ~1.25-1.4 s on an idle 32-core host (BASELINE.md)
 
 
 def anchor_sec(spark, runs: int = 3) -> dict:

@@ -772,9 +772,9 @@ def build_bm25_index(
     crc32(term) % ``n_buckets`` (one file per bucket — the postings are
     repartitioned by bucket before the write), plus ``_bm25_meta.json``
     recording (id_col, n_buckets, scoring params) so the probe validates
-    it speaks the same index dialect. Published via write-to-staging +
-    one directory rename; single-writer, like the repo's other stored
-    indexes.
+    it speaks the same index dialect. Published via ``fsutil.
+    staged_publish`` (write-to-staging + one directory rename);
+    single-writer, like the repo's other stored indexes.
 
     Scale shape: at 100 TB the index is df-bounded per term and the
     bucket count is the knob for probe-side partition pruning — a
@@ -785,28 +785,24 @@ def build_bm25_index(
     by design."""
     import json as _json
     import os
-    import shutil
 
-    if os.path.exists(path):
-        if not overwrite:
-            raise FileExistsError(
-                f"bm25 index already exists at {path} (overwrite=False)"
+    from dwh_with_dask_spark.fsutil import staged_publish
+
+    def build(staging: str) -> None:
+        scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
+        (
+            scored.withColumn(
+                "__bucket", _bm25_bucket(F.col("term"), n_buckets)
             )
-        shutil.rmtree(path)
-    staging = path + ".inprogress"
-    shutil.rmtree(staging, ignore_errors=True)
-    scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
-    (
-        scored.withColumn("__bucket", _bm25_bucket(F.col("term"), n_buckets))
-        .repartition("__bucket")
-        .write.partitionBy("__bucket")
-        .parquet(staging)
-    )
-    meta = {"id_col": id_col, "n_buckets": n_buckets, "params": dict(kw)}
-    with open(os.path.join(staging, "_bm25_meta.json"), "w") as f:
-        _json.dump(meta, f)
-    os.rename(staging, path)
-    return path
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .parquet(staging)
+        )
+        meta = {"id_col": id_col, "n_buckets": n_buckets, "params": dict(kw)}
+        with open(os.path.join(staging, "_bm25_meta.json"), "w") as f:
+            _json.dump(meta, f)
+
+    return staged_publish(path, build, overwrite=overwrite)
 
 
 def bm25_search_indexed(

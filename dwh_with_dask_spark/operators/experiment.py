@@ -45,6 +45,15 @@ def ab_assign(
     ).otherwise(F.lit(control))
 
 
+def _pos(x):
+    """NULL-guard a denominator: x when > 0 else NULL. NULL propagates
+    through arithmetic instead of tripping ANSI division-by-zero —
+    Spark's vectorized evaluation does not reliably short-circuit
+    division subterms under CASE WHEN (round-9 review: an empty frame's
+    0-counts raised where NULL counts used to flow through)."""
+    return F.when(x > 0, x)
+
+
 def two_proportion_ztest(
     units: DataFrame,
     arm_col: str = "arm",
@@ -73,21 +82,25 @@ def two_proportion_ztest(
     is_c = F.col(arm_col) == control
     is_t = F.col(arm_col) == treatment
     conv = F.col(converted_col).cast("long")
+    # coalesce: a SUM over ZERO rows is NULL, and a counters row must
+    # read 0, not NULL (round-9 review)
+    z0 = F.lit(0).cast("long")
     agg = units.agg(
-        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_control"),
-        F.sum(F.when(is_c, conv).otherwise(0)).alias("x_control"),
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_treatment"),
-        F.sum(F.when(is_t, conv).otherwise(0)).alias("x_treatment"),
+        F.coalesce(F.sum(F.when(is_c, 1).otherwise(0)), z0).alias("n_control"),
+        F.coalesce(F.sum(F.when(is_c, conv).otherwise(0)), z0).alias("x_control"),
+        F.coalesce(F.sum(F.when(is_t, 1).otherwise(0)), z0).alias("n_treatment"),
+        F.coalesce(F.sum(F.when(is_t, conv).otherwise(0)), z0).alias("x_treatment"),
     )
     n_c = F.col("n_control").cast("double")
     n_t = F.col("n_treatment").cast("double")
     x_c = F.col("x_control").cast("double")
     x_t = F.col("x_treatment").cast("double")
-    rate_c = x_c / n_c
-    rate_t = x_t / n_t
-    p = (x_c + x_t) / (n_c + n_t)
+    rate_c = x_c / _pos(n_c)
+    rate_t = x_t / _pos(n_t)
+    p = (x_c + x_t) / _pos(n_c + n_t)
     se = F.sqrt(
-        p * (F.lit(1.0) - p) * (F.lit(1.0) / n_c + F.lit(1.0) / n_t)
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / _pos(n_c) + F.lit(1.0) / _pos(n_t))
     )
     ok = (
         (F.col("n_control") > 0)
@@ -165,7 +178,7 @@ def cuped_welch_report(
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
         F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
     )
-    n = F.col("__n").cast("double")
+    n = _pos(F.col("__n").cast("double"))
     sx = F.col("__sx").cast("double")
     sy = F.col("__sy").cast("double")
     sxy = F.col("__sxy").cast("double")
@@ -202,12 +215,12 @@ def cuped_welch_report(
     )
 
     def welch(s1c, s2c, s1t, s2t):
-        nc = F.col("nc").cast("double")
-        nt = F.col("nt").cast("double")
+        nc = _pos(F.col("nc").cast("double"))
+        nt = _pos(F.col("nt").cast("double"))
         mc = s1c.cast("double") / nc
         mt = s1t.cast("double") / nt
-        vc = (s2c.cast("double") - s1c.cast("double") * s1c.cast("double") / nc) / (nc - F.lit(1.0))
-        vt = (s2t.cast("double") - s1t.cast("double") * s1t.cast("double") / nt) / (nt - F.lit(1.0))
+        vc = (s2c.cast("double") - s1c.cast("double") * s1c.cast("double") / nc) / _pos(nc - F.lit(1.0))
+        vt = (s2t.cast("double") - s1t.cast("double") * s1t.cast("double") / nt) / _pos(nt - F.lit(1.0))
         se2 = vc / nc + vt / nt
         ok = (F.col("nc") > 1) & (F.col("nt") > 1) & (se2 > 0)
         t = F.when(ok, (mt - mc) / F.sqrt(se2))
@@ -296,8 +309,11 @@ def mann_whitney_u(
     m = F.col(metric_col).cast("double")
     is_t = F.col(arm_col) == treatment
     is_c = F.col(arm_col) == control
+    # NULL metrics are EXCLUDED (unmeasured units have no rank; Spark
+    # would otherwise sort them NULLS-FIRST into the lowest rank group
+    # while a SQL oracle's ORDER BY ranks them last — round-9 review)
     per_val = (
-        units.filter(is_t | is_c)
+        units.filter((is_t | is_c) & m.isNotNull())
         .select(m.alias("__v"), is_t.alias("__t"))
         .groupBy("__v")
         .agg(
@@ -318,8 +334,8 @@ def mann_whitney_u(
     )
     cnt_dec = F.col("__cnt").cast("decimal(38,0)")
     agg = ranked.agg(
-        F.sum("__cnt").alias("n_all"),
-        F.sum("__cnt_t").alias("n_t"),
+        F.coalesce(F.sum("__cnt"), F.lit(0).cast("long")).alias("n_all"),
+        F.coalesce(F.sum("__cnt_t"), F.lit(0).cast("long")).alias("n_t"),
         F.sum(F.col("__cnt_t").cast("double") * F.col("__midrank")).alias(
             "rank_sum_t"
         ),
@@ -332,7 +348,7 @@ def mann_whitney_u(
     mu = n_c * n_t / F.lit(2.0)
     var = n_c * n_t * (n_all + F.lit(1.0)) / F.lit(12.0) - n_c * n_t * F.col(
         "tie_term"
-    ).cast("double") / (F.lit(12.0) * n_all * (n_all - F.lit(1.0)))
+    ).cast("double") / _pos(F.lit(12.0) * n_all * (n_all - F.lit(1.0)))
     ok = (F.col("n_t") > 0) & (F.col("n_all") - F.col("n_t") > 0) & (var > 0)
     return agg.select(
         (F.col("n_all") - F.col("n_t")).alias("n_control"),
@@ -366,16 +382,17 @@ def srm_check(
     pass, no shuffle beyond it."""
     is_c = F.col(arm_col) == control
     is_t = F.col(arm_col) == treatment
+    z0 = F.lit(0).cast("long")
     agg = units.filter(is_c | is_t).agg(
-        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_control"),
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_treatment"),
+        F.coalesce(F.sum(F.when(is_c, 1).otherwise(0)), z0).alias("n_control"),
+        F.coalesce(F.sum(F.when(is_t, 1).otherwise(0)), z0).alias("n_treatment"),
     )
     f = F.lit(float(expected_treat_frac))
     n = (F.col("n_control") + F.col("n_treatment")).cast("double")
     nt = F.col("n_treatment").cast("double")
     ok = (n > 0) & (f > 0) & (f < 1)
     z = F.round(
-        F.when(ok, (nt - n * f) / F.sqrt(n * f * (F.lit(1.0) - f))), 6
+        F.when(ok, (nt - n * f) / _pos(F.sqrt(n * f * (F.lit(1.0) - f)))), 6
     )
     return agg.select(
         "n_control",

@@ -148,6 +148,10 @@ def population_stability(
     """
     if bins < 2:
         raise ValueError("population_stability needs at least 2 bins")
+    if not hi > lo:
+        raise ValueError(
+            f"population_stability needs hi > lo (got lo={lo}, hi={hi})"
+        )
     width = (hi - lo) / bins
 
     def binned(df: DataFrame, n_name: str) -> DataFrame:

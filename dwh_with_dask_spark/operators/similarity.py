@@ -950,32 +950,26 @@ def save_ivfpq_index(
     compression point — partitioned by cell so ``nprobe`` cell filters
     become directory pruning, plus the centroids/codebooks as an
     ``_``-prefixed npz beside the data (parquet readers ignore
-    underscore files). Published via staging + one rename;
+    underscore files). Published via ``fsutil.staged_publish``;
     single-writer, like the repo's other stored indexes."""
     import os
-    import shutil
 
-    if os.path.exists(path):
-        if not overwrite:
-            raise FileExistsError(
-                f"ivfpq index already exists at {path} (overwrite=False)"
-            )
-        shutil.rmtree(path)
-    staging = path + ".inprogress"
-    shutil.rmtree(staging, ignore_errors=True)
-    (
-        index_df.select(id_col, cell_col, code_col)
-        .repartition(cell_col)
-        .write.partitionBy(cell_col)
-        .parquet(staging)
-    )
-    np.savez(
-        os.path.join(staging, "_ivfpq_aux.npz"),
-        centroids=centroids,
-        codebooks=codebooks,
-    )
-    os.rename(staging, path)
-    return path
+    from dwh_with_dask_spark.fsutil import staged_publish
+
+    def build(staging: str) -> None:
+        (
+            index_df.select(id_col, cell_col, code_col)
+            .repartition(cell_col)
+            .write.partitionBy(cell_col)
+            .parquet(staging)
+        )
+        np.savez(
+            os.path.join(staging, "_ivfpq_aux.npz"),
+            centroids=centroids,
+            codebooks=codebooks,
+        )
+
+    return staged_publish(path, build, overwrite=overwrite)
 
 
 def load_ivfpq_index(spark, path: str):

@@ -49,13 +49,21 @@ def _fingerprint(src: str) -> str:
     return h.hexdigest()[:16]
 
 
-def artifact_path(name: str, sf_dir: str, source_table: str) -> str:
+def artifact_path(
+    name: str, sf_dir: str, source_table: str, params: dict | None = None
+) -> str:
     """Cache location for artifact ``name`` derived from
     ``<sf_dir>/<source_table>.parquet``. Existence of the returned path
-    means the artifact is current (the key embeds the source
-    fingerprint; a changed source yields a NEW path, and stale siblings
-    are just dead cache — .localdata is scratch space)."""
+    means the artifact is current: the key embeds the source
+    fingerprint AND the build ``params`` (round-9 review finding — a
+    changed ``n_buckets``/``nlist`` must yield a NEW path, never
+    silently serve the old-parameter index). A changed source or param
+    set leaves stale siblings behind as dead cache — .localdata is
+    scratch space."""
     src = os.path.join(sf_dir, f"{source_table}.parquet")
-    key = _fingerprint(src)
+    h = hashlib.sha256(_fingerprint(src).encode())
+    if params:
+        h.update(repr(sorted(params.items())).encode())
+    key = h.hexdigest()[:16]
     os.makedirs(CACHE_ROOT, exist_ok=True)
     return os.path.join(CACHE_ROOT, f"{name}_{key}")

@@ -437,32 +437,36 @@ def _versioned_orders_table(spark: SparkSession, sf_dir: str) -> str:
     its manifest. Published via staging + rename so a crashed build is
     never half-visible."""
     import os
-    import shutil
 
+    from dwh_with_dask_spark.fsutil import staged_publish
     from dwh_with_dask_spark.plans.artifacts import artifact_path
     from dwh_with_dask_spark.versioned import versioned_commit
 
-    path = artifact_path("vorders_skip", sf_dir, "orders")
+    path = artifact_path(
+        "vorders_skip", sf_dir, "orders",
+        {"cuts": "1997/1999/2000", "stats": "o_orderdate"},
+    )
     if not os.path.exists(path):
-        o = load_table(spark, sf_dir, "orders")
-        d = F.col("o_orderdate")
-        cuts = ["1997-01-01", "1999-01-01", "2000-01-01"]
-        batches = [
-            o.filter(d < cuts[0]),
-            o.filter((d >= cuts[0]) & (d < cuts[1])),
-            o.filter((d >= cuts[1]) & (d < cuts[2])),
-            o.filter(d >= cuts[2]),
-        ]
-        staging = path + ".inprogress"
-        shutil.rmtree(staging, ignore_errors=True)
-        for i, b in enumerate(batches):
-            versioned_commit(
-                b,
-                staging,
-                mode="append" if i else "overwrite",
-                stats_cols=["o_orderdate"],
-            )
-        os.rename(staging, path)
+
+        def build(staging: str) -> None:
+            o = load_table(spark, sf_dir, "orders")
+            d = F.col("o_orderdate")
+            cuts = ["1997-01-01", "1999-01-01", "2000-01-01"]
+            batches = [
+                o.filter(d < cuts[0]),
+                o.filter((d >= cuts[0]) & (d < cuts[1])),
+                o.filter((d >= cuts[1]) & (d < cuts[2])),
+                o.filter(d >= cuts[2]),
+            ]
+            for i, b in enumerate(batches):
+                versioned_commit(
+                    b,
+                    staging,
+                    mode="append" if i else "overwrite",
+                    stats_cols=["o_orderdate"],
+                )
+
+        staged_publish(path, build)
     return path
 
 

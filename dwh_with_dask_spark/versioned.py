@@ -239,19 +239,30 @@ def manifest_dirs(
             # lexicographic compare silently prunes the midnight rows
             # (dlo '2024-01-03 00:00:00' > qhi '2024-01-03'). Widen bare
             # dates to full-day intervals on BOTH sides before comparing.
-            if any(map(_is_temporal_str, (dlo, dhi, qlo, qhi))):
-                vals = [x for x in (dlo, dhi, qlo, qhi) if x is not None]
-                if not all(map(_is_temporal_str, vals)):
-                    raise TypeError(
-                        f"prune bound for {col!r}: temporal stats compared "
-                        f"against non-temporal bound {lo!r}/{hi!r} — pass "
-                        "bounds as the column's native date/datetime type"
-                    )
+            vals = [x for x in (dlo, dhi, qlo, qhi) if x is not None]
+            str_vals = [x for x in vals if isinstance(x, str)]
+            if str_vals and len(str_vals) != len(vals):
+                # a temporal/string stat against a numeric bound (or
+                # vice versa) cannot be compared meaningfully — raise
+                # with a diagnosis instead of a bare compare TypeError
+                raise TypeError(
+                    f"prune bound for {col!r}: string/temporal stats "
+                    f"compared against non-string bound {lo!r}/{hi!r} — "
+                    "pass bounds as the column's native type"
+                )
+            if str_vals and all(map(_is_temporal_str, vals)):
+                # every value is temporal-shaped: widen bare dates so
+                # lexicographic order == temporal order (the midnight
+                # fix). A date-LOOKING min with a free-text max is a
+                # plain STRING column — it falls through to the raw
+                # lexicographic compare below, the pre-round-9 behavior
+                # (round-9 review: sniffing must not break string
+                # columns that merely contain some date-shaped values).
                 dlo = None if dlo is None else _norm_temporal(dlo, "lo")
                 dhi = None if dhi is None else _norm_temporal(dhi, "hi")
                 qlo = None if qlo is None else _norm_temporal(qlo, "lo")
                 qhi = None if qhi is None else _norm_temporal(qhi, "hi")
-            elif qlo is not None or qhi is not None:
+            elif not str_vals and (qlo is not None or qhi is not None):
                 # numeric-vs-string (or other cross-type) bounds would
                 # raise a bare TypeError mid-compare; make it diagnosable
                 stat_t = type(dlo if dlo is not None else dhi)

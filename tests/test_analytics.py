@@ -1197,3 +1197,39 @@ def test_srm_check_alarms_on_broken_split(spark):
     )
     rs = srm_check(skewed, expected_treat_frac=0.3).first()
     assert not rs.srm_alarm
+
+
+def test_experiment_edge_inputs_round9_review(spark):
+    """Round-9 review fixes: empty frames yield ZERO counts (not NULL),
+    MWU excludes NULL metrics, PSI rejects inverted bounds."""
+    import pytest
+
+    from dwh_with_dask_spark.operators.experiment import (
+        mann_whitney_u,
+        srm_check,
+        two_proportion_ztest,
+    )
+    from dwh_with_dask_spark.operators.profile import population_stability
+
+    empty = spark.createDataFrame([], "arm string, converted boolean")
+    r = two_proportion_ztest(empty).first()
+    assert (r.n_control, r.x_control, r.n_treatment, r.x_treatment) == (
+        0, 0, 0, 0,
+    )
+    e2 = spark.createDataFrame([], "arm string, metric double")
+    rm = mann_whitney_u(e2).first()
+    assert (rm.n_control, rm.n_treatment) == (0, 0) and rm.z_score is None
+    rs = srm_check(spark.createDataFrame([], "arm string")).first()
+    assert (rs.n_control, rs.n_treatment) == (0, 0)
+    # NULL metrics carry no rank: result equals the non-NULL subset's
+    rows = [("control", 1.0), ("control", None), ("treatment", 2.0),
+            ("treatment", 3.0), ("treatment", None)]
+    u = spark.createDataFrame(rows, "arm string, metric double")
+    got = mann_whitney_u(u).first()
+    want = mann_whitney_u(
+        u.filter("metric IS NOT NULL")
+    ).first()
+    assert got == want and got.n_control == 1 and got.n_treatment == 2
+    old = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="hi > lo"):
+        population_stability(old, old, "v", lo=10.0, hi=0.0)

@@ -535,7 +535,7 @@ def test_versioned_prune_temporal_bound_normalization(spark, tmp_path):
     kept_dt = manifest_dirs(t, prune={"ts": (None, T(2024, 1, 2, 23, 59))})
     assert kept_dt == ["data/v1"]
     # cross-type bound fails loudly, not silently
-    with pytest.raises(TypeError, match="temporal stats"):
+    with pytest.raises(TypeError, match="string/temporal stats"):
         manifest_dirs(t, prune={"ts": (None, 42)})
 
     # DATE-typed stats probed with datetime bounds: stored bare dates
@@ -647,3 +647,40 @@ def test_optimize_versioned_zorder_clusters_both_dims(spark, tmp_path):
                 lo = min(s[0] for s in spans[dim])
                 hi = max(s[1] for s in spans[dim])
                 assert hi - lo < 64 - 1, (f, dim, lo, hi)
+
+
+def test_versioned_prune_plain_string_stats_not_sniffed(spark, tmp_path):
+    """Round-9 review: a plain STRING column whose min happens to look
+    like a date (free-text max) must keep the raw lexicographic prune
+    semantics — no widening, no TypeError."""
+    from dwh_with_dask_spark.versioned import manifest_dirs, versioned_commit
+
+    t = str(tmp_path / "vstr")
+    versioned_commit(
+        spark.createDataFrame(
+            [(1, "2024-01-01 meeting notes"), (2, "zebra report")],
+            "id long, title string",
+        ).coalesce(1),
+        t,
+        stats_cols=["title"],
+    )
+    # stats: min='2024-01-01 meeting notes' (temporal-shaped? no — the
+    # suffix breaks the pattern only if regex anchors... assert behavior:
+    # lexicographic bounds work and nothing raises
+    assert manifest_dirs(t, prune={"title": ("a", None)}) == ["data/v1"]
+    assert manifest_dirs(t, prune={"title": (None, "1")}) == []
+    # a genuinely date-shaped min with free-text max: still plain strings
+    t2 = str(tmp_path / "vstr2")
+    versioned_commit(
+        spark.createDataFrame(
+            [(1, "2024-01-03"), (2, "zebra")], "id long, title string"
+        ).coalesce(1),
+        t2,
+        stats_cols=["title"],
+    )
+    # raw lexicographic: dir max 'zebra' >= '2024-01-03' -> kept; no
+    # widening is applied because not every value is temporal-shaped
+    assert manifest_dirs(t2, prune={"title": ("2024-01-03", None)}) == [
+        "data/v1"
+    ]
+    assert manifest_dirs(t2, prune={"title": (None, "0")}) == []
