@@ -1550,3 +1550,62 @@ def test_versioned_commit_sink_stats_propagate_to_prune(
     )
     assert all(pruned[0] in f for f in df.inputFiles())
     assert sorted(r.id for r in df.collect()) == [20, 21, 22, 23]
+
+
+def test_streaming_srm_counters_equal_batch_guardrail(
+    spark, tmpdir_spark
+):
+    """Experiment monitoring composes with the exactly-once streaming
+    state: per-arm unit counters folded by incremental_agg_sink over 3
+    micro-batches equal the full-batch counts, and the SRM z recomputed
+    from the STORED counters equals srm_check over all units — the
+    always-on guardrail pattern (counters stream, the test reads
+    state)."""
+    import math
+
+    from dwh_with_dask_spark.operators.experiment import ab_assign, srm_check
+    from dwh_with_dask_spark.streaming.warehouse import incremental_agg_sink
+
+    src = f"{tmpdir_spark}/units"
+    for b in range(3):  # disjoint unit ranges, one file -> one batch
+        spark.range(b * 1000, (b + 1) * 1000).select(
+            F.col("id").alias("user_id")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = f"{tmpdir_spark}/srm_state"
+
+    def partial(df):
+        return (
+            df.select(ab_assign("user_id", salt="sexp").alias("arm"))
+            .groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_agg_sink(state, ["arm"], partial)
+        )
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_srm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    counts = {r.arm: r.n for r in spark.read.parquet(state).collect()}
+    full = spark.range(3000).select(
+        ab_assign("id", salt="sexp").alias("arm")
+    )
+    want = srm_check(full).first()
+    assert counts["control"] == want.n_control
+    assert counts["treatment"] == want.n_treatment
+    n = counts["control"] + counts["treatment"]
+    z = round(
+        (counts["treatment"] - n * 0.5) / math.sqrt(n * 0.5 * (1.0 - 0.5)),
+        6,
+    )
+    assert z == want.srm_z
