@@ -602,3 +602,79 @@ def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return dq_checks(o, rules)
+
+
+@query(
+    "versioned_member_prune_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+    GROUP BY o_orderstatus
+    """,
+)
+def versioned_member_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-MEMBERSHIP data skipping (versioned_commit's member_cols +
+    read_version(prune_eq=...)): orders committed as three append
+    batches holding priority sets {URGENT, MEDIUM} / {HIGH, NOT
+    SPECIFIED} / {LOW} — an interleaving a min/max RANGE cannot prune
+    for a point lookup ('2-HIGH' sits lexicographically INSIDE the
+    first dir's [1-URGENT, 3-MEDIUM] span) but the per-dir crc32
+    position set prunes exactly (2 of 3 dirs dropped, pinned on
+    inputFiles in tests/test_sources.py). Same filter+aggregate oracle
+    over the raw table: pruning shrinks the scan, never the answer."""
+    from dwh_with_dask_spark.versioned import read_version
+
+    snap = read_version(
+        spark,
+        _versioned_member_orders_table(spark, sf_dir),
+        prune_eq={"o_orderpriority": "2-HIGH"},
+    )
+    return (
+        snap.filter(F.col("o_orderpriority") == "2-HIGH")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(23,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+def _versioned_member_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the membership-indexed versioned orders
+    table: three append commits whose priority SETS interleave across
+    the lexicographic range, so only the membership index — not
+    min/max — can prune a point lookup."""
+    import os
+
+    from dwh_with_dask_spark.fsutil import staged_publish
+    from dwh_with_dask_spark.plans.artifacts import artifact_path
+    from dwh_with_dask_spark.versioned import versioned_commit
+
+    groups = [
+        ("1-URGENT", "3-MEDIUM"),
+        ("2-HIGH", "4-NOT SPECIFIED"),
+        ("5-LOW",),
+    ]
+    path = artifact_path(
+        "vorders_member", sf_dir, "orders",
+        {"groups": groups, "member": "o_orderpriority"},
+    )
+    if not os.path.exists(path):
+
+        def build(staging: str) -> None:
+            o = load_table(spark, sf_dir, "orders")
+            for i, g in enumerate(groups):
+                versioned_commit(
+                    o.filter(F.col("o_orderpriority").isin(list(g))),
+                    staging,
+                    mode="append" if i else "overwrite",
+                    member_cols=["o_orderpriority"],
+                )
+
+        staged_publish(path, build)
+    return path

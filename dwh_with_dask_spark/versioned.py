@@ -73,9 +73,13 @@ def list_versions(table: str) -> list[dict]:
     return out
 
 
+MEMBER_BITS = 4096
+
+
 def versioned_commit(
     df: DataFrame, table: str, mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    member_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the table's next version; returns the new
     version number. ``mode='overwrite'`` replaces the logical content;
@@ -93,6 +97,20 @@ def versioned_commit(
     forward untouched. At 100 TB with time/tenant-ordered appends this
     is the difference between scanning one day's directory and listing
     every file the table ever wrote.
+
+    ``member_cols`` stores a per-dir KEY-MEMBERSHIP index — the
+    Bloom/dictionary-skipping analog of min/max: each dir records the
+    set of ``crc32(value) % MEMBER_BITS`` positions its values occupy
+    (<= 4096 small ints per column; crc32 because the probe computes
+    the same position DRIVER-side via stdlib zlib — the bm25-bucket
+    trick), and ``read_version(prune_eq={col: value})`` drops dirs
+    whose position set lacks the probe's position. This prunes what a
+    min/max RANGE cannot: a dir holding priorities {URGENT, MEDIUM}
+    spans a range that CONTAINS 'HIGH' lexicographically, yet its
+    membership set excludes it. Position collisions give false
+    positives only (a dir is kept, never wrongly dropped); a saturated
+    set degrades to keep-always. NULLs carry no position — equality
+    probes never match NULL anyway.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite or append")
@@ -135,6 +153,24 @@ def versioned_commit(
             for c in stats_cols
         }
 
+    members: dict = {}
+    if member_cols:
+        from pyspark.sql import functions as F
+
+        batch = df.sparkSession.read.parquet(data_dir)
+        mem: dict = {}
+        for c in member_cols:
+            # distinct positions over the BATCH — bounded at MEMBER_BITS
+            # rows, driver-safe by construction
+            pos = batch.select(
+                F.pmod(
+                    F.crc32(F.encode(F.col(c).cast("string"), "UTF-8")),
+                    F.lit(MEMBER_BITS),
+                ).alias("p")
+            ).distinct().collect()
+            mem[c] = sorted(int(r.p) for r in pos if r.p is not None)
+        members[rel_dir] = mem
+
     dirs = [rel_dir]
     if mode == "append" and prev > 0:
         with open(_manifest_path(table, prev)) as f:
@@ -142,9 +178,18 @@ def versioned_commit(
         dirs = pm["dirs"] + dirs
         for d, s in pm.get("stats", {}).items():
             stats.setdefault(d, s)
+        # carry member sets forward only under the same position-space
+        # size — a mismatched space would mis-prune; dropping them is
+        # merely conservative
+        if pm.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
+            for d, m in pm.get("members", {}).items():
+                members.setdefault(d, m)
     manifest = {"version": version, "mode": mode, "dirs": dirs}
     if stats:
         manifest["stats"] = stats
+    if members:
+        manifest["members"] = members
+        manifest["member_bits"] = MEMBER_BITS
     mpath = _manifest_path(table, version)
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
@@ -202,13 +247,17 @@ def manifest_dirs(
     table: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    prune_eq: dict[str, object] | None = None,
 ) -> list[str]:
     """The data directories a version comprises, optionally pruned by
     the manifest's stored min/max stats: ``prune`` maps column → (lo,
     hi) query interval (either side None = unbounded); a dir survives
     only if EVERY pruned column's stored [min, max] overlaps the query
-    interval. Dirs without stored stats for a column are conservatively
-    kept — pruning can skip work, never rows."""
+    interval. ``prune_eq`` maps column → equality-probe value, checked
+    against the per-dir MEMBERSHIP index (``versioned_commit``'s
+    ``member_cols``): a dir is dropped when its position set provably
+    excludes the value. Dirs without stored stats/members for a column
+    are conservatively kept — pruning can skip work, never rows."""
     cur = current_version(table)
     if cur == 0:
         raise FileNotFoundError(f"no committed version at {table}")
@@ -218,13 +267,32 @@ def manifest_dirs(
     with open(_manifest_path(table, v)) as f:
         m = json.load(f)
     dirs = m["dirs"]
-    if not prune:
+    if not prune and not prune_eq:
         return dirs
     stats = m.get("stats", {})
+    members = m.get("members", {})
+    bits = m.get("member_bits", MEMBER_BITS)
+    eq_pos: dict[str, int] = {}
+    if prune_eq:
+        import zlib
+
+        for col, val in prune_eq.items():
+            if val is None:
+                raise ValueError(
+                    f"prune_eq[{col!r}] is None — equality probes never "
+                    "match NULL; filter IS NULL without pruning instead"
+                )
+            eq_pos[col] = zlib.crc32(str(val).encode("utf-8")) % bits
 
     def keep(d: str) -> bool:
+        dm = members.get(d)
+        if dm is not None:
+            for col, pos in eq_pos.items():
+                ms = dm.get(col)
+                if ms is not None and pos not in set(ms):
+                    return False
         ds = stats.get(d)
-        if ds is None:
+        if ds is None or not prune:
             return True
         for col, (lo, hi) in prune.items():
             if col not in ds:
@@ -289,6 +357,7 @@ def read_version(
     table: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    prune_eq: dict[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot read: the table as of ``version`` (default: current).
     Time travel is just picking an older manifest. ``prune`` applies
@@ -297,7 +366,7 @@ def read_version(
     scan. An empty post-prune dir list would be an empty table, but
     Spark needs a schema — read the first dir with an always-false
     filter in that case."""
-    dirs = manifest_dirs(table, version, prune)
+    dirs = manifest_dirs(table, version, prune, prune_eq)
     if not dirs:
         all_dirs = manifest_dirs(table, version)
         from pyspark.sql import functions as F

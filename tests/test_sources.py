@@ -684,3 +684,61 @@ def test_versioned_prune_plain_string_stats_not_sniffed(spark, tmp_path):
         "data/v1"
     ]
     assert manifest_dirs(t2, prune={"title": (None, "0")}) == []
+
+
+def test_versioned_member_prune_point_lookup(spark, tmp_path):
+    """member_cols + prune_eq: a point lookup prunes dirs whose
+    membership set excludes the value — including values INSIDE a
+    dir's min/max range (the case range stats cannot prune); dirs
+    without members are kept conservatively; NULL probes raise."""
+    import pytest
+
+    from dwh_with_dask_spark.versioned import (
+        manifest_dirs,
+        read_version,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "vmem")
+    batches = [["a", "m"], ["h", "z"], ["q"]]  # 'h' inside [a, m]'s range
+    for i, vals in enumerate(batches):
+        versioned_commit(
+            spark.createDataFrame(
+                [(i * 10 + j, v) for j, v in enumerate(vals)],
+                "id long, k string",
+            ).coalesce(1),
+            t,
+            mode="append" if i else "overwrite",
+            member_cols=["k"],
+        )
+    pruned = manifest_dirs(t, prune_eq={"k": "h"})
+    assert pruned == ["data/v2"]
+    df = read_version(spark, t, prune_eq={"k": "h"})
+    assert all("data/v2" in f for f in df.inputFiles())
+    assert [r.id for r in df.filter("k = 'h'").collect()] == [10]
+    # a value present nowhere prunes everything (modulo crc32 position
+    # collisions, deterministic for this fixture)
+    assert read_version(spark, t, prune_eq={"k": "nope"}).count() == 0
+    with pytest.raises(ValueError, match="prune_eq"):
+        manifest_dirs(t, prune_eq={"k": None})
+    # a legacy commit WITHOUT members is conservatively kept
+    versioned_commit(
+        spark.createDataFrame([(99, "x")], "id long, k string"),
+        t,
+        mode="append",
+    )
+    assert set(manifest_dirs(t, prune_eq={"k": "h"})) == {
+        "data/v2", "data/v4",
+    }
+    # composes with range pruning: stats + members in one read
+    t2 = str(tmp_path / "vmem2")
+    versioned_commit(
+        spark.createDataFrame([(1, "a"), (2, "m")], "id long, k string"),
+        t2,
+        stats_cols=["id"],
+        member_cols=["k"],
+    )
+    assert manifest_dirs(
+        t2, prune={"id": (1, 2)}, prune_eq={"k": "a"}
+    ) == ["data/v1"]
+    assert manifest_dirs(t2, prune={"id": (5, 9)}, prune_eq={"k": "a"}) == []
