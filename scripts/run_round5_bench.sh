@@ -1,6 +1,8 @@
 #!/bin/bash
 # Round-5 bench + evidence protocol (run each leg ALONE — concurrent
-# Spark jobs distort timings, see .claude/skills/verify/SKILL.md).
+# Spark jobs distort timings; see the measured contamination note in
+# BASELINE.md's round-6 section: a concurrent check inflated minhash
+# 2.6->7.4 s and cosine_topk 0.58->1.9 s in an otherwise-idle run).
 set -x
 cd /root/repo
 

@@ -1,7 +1,8 @@
 #!/bin/bash
 # Round-6 bench + evidence protocol (run each leg ALONE — concurrent
 # work, even "tiny" DuckDB checks, distorts timings; see the measured
-# contamination note in .claude/skills/verify/SKILL.md / memory).
+# contamination note in BASELINE.md's round-6 section: a concurrent
+# check inflated minhash 2.6->7.4 s and cosine_topk 0.58->1.9 s).
 set -x
 cd /root/repo
 
