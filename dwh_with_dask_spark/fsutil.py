@@ -22,8 +22,11 @@ def staged_publish(
     """Build into ``<path>.inprogress`` via ``build(staging_dir)``,
     then publish with one ``os.rename``. Raises FileExistsError when
     ``path`` already exists unless ``overwrite`` (the existing artifact
-    is then removed AFTER the new one is fully built, keeping the
-    no-partial-artifact invariant even on a failed rebuild)."""
+    is replaced by renaming it ASIDE first, renaming the new build into
+    place, then deleting the retired copy — an artifact exists at
+    ``path`` at every instant except the gap between the two renames,
+    and a crash in that gap leaves the old artifact recoverable at
+    ``<path>.old`` rather than lost; ADVICE r9)."""
     if os.path.exists(path) and not overwrite:
         raise FileExistsError(
             f"artifact already exists at {path} (overwrite=False)"
@@ -31,7 +34,10 @@ def staged_publish(
     staging = path + ".inprogress"
     shutil.rmtree(staging, ignore_errors=True)
     build(staging)
+    retired = path + ".old"
+    shutil.rmtree(retired, ignore_errors=True)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, retired)
     os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
     return path

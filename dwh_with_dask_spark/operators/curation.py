@@ -624,12 +624,7 @@ def bm25_scores(
     #    size() makes the post-Generate projection re-normalize and
     #    re-split the WHOLE document once per emitted token (O(tokens x
     #    doc length) — measured ~2x on this query).
-    base = widen(docs.select(id_col, text_col), id_col)
-    base = barrier(base.select(F.col(id_col), tokens(text_col).alias("__toks")))
-    base = base.select(
-        F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
-    )
-    tf = base.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _bm25_postings(docs, id_col, text_col)
     # Per-doc rollup of the aggregated postings: doc-count-sized.
     # sum(tf) per doc IS the doc length (total token occurrences), so
     # avgdl = sum(__ntf)/n_docs is bit-identical to sum(dl)/n_docs —
@@ -653,6 +648,33 @@ def bm25_scores(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     joined = tf.crossJoin(F.broadcast(stats))
+    score = _bm25_score_col(k1, b, log_idf)
+    return joined.select(
+        id_col, "term", "tf", "df", score.alias("score")
+    )
+
+
+def _bm25_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Raw inverted-index postings — (id, term, dl, tf) — the
+    corpus-LOCAL half of BM25 (everything here depends only on the
+    document itself, which is what makes the stored index refreshable:
+    an appended batch's postings are computable from the batch alone).
+    Carries the plan guards documented in ``bm25_scores``."""
+    base = widen(docs.select(id_col, text_col), id_col)
+    base = barrier(base.select(F.col(id_col), tokens(text_col).alias("__toks")))
+    base = base.select(
+        F.col(id_col), F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
+    )
+    return base.groupBy(id_col, "term", "dl").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _bm25_score_col(k1: float, b: float, log_idf: bool) -> Column:
+    """The ONE BM25 scoring expression — a fixed IEEE tree over columns
+    ``tf, df, dl`` (per posting) and ``n_docs, avgdl`` (corpus stats).
+    ``bm25_scores`` evaluates it at build time over the whole corpus;
+    ``bm25_search_indexed`` evaluates the SAME tree at probe time over
+    stored raw postings — scores agree bit-for-bit because the tree,
+    not just the formula, is shared."""
     idf_rational = (
         F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5))
@@ -663,10 +685,7 @@ def bm25_scores(
         - F.lit(b)
         + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
     )
-    score = idf * ((tf_d * F.lit(k1 + 1.0)) / norm)
-    return joined.select(
-        id_col, "term", "tf", "df", score.alias("score")
-    )
+    return idf * ((tf_d * F.lit(k1 + 1.0)) / norm)
 
 
 def bm25_top_terms(
@@ -752,6 +771,44 @@ def _bm25_bucket(term: Column, n_buckets: int) -> Column:
     return F.crc32(F.encode(term, "UTF-8")) % n_buckets
 
 
+def _bm25_write_segment(
+    postings: DataFrame, target: str, n_buckets: int
+) -> dict:
+    """Write one index SEGMENT — raw postings partitioned by term
+    bucket — into a staging dir, then publish it at ``target`` with one
+    ``os.rename`` (staging lives OUTSIDE the index dir, so partition
+    discovery never sees a half-written segment and a crash leaves the
+    published index untouched). Also writes the segment's corpus-stats
+    sidecar (``_bm25_seg.json``: exact n_docs / total token count)
+    INSIDE the staging dir before the rename — a segment's postings and
+    its stats publish atomically together. Returns the stats."""
+    import json as _json
+    import os
+    import shutil
+
+    staging = target + ".inprogress"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        postings.withColumn("__bucket", _bm25_bucket(F.col("term"), n_buckets))
+        .repartition("__bucket")
+        .write.partitionBy("__bucket")
+        .parquet(staging)
+    )
+    # Stats from the WRITTEN bytes (describe exactly what the segment
+    # serves): n_docs = distinct ids, total_len = Σ tf (= Σ doc lengths).
+    written = postings.sparkSession.read.parquet(staging)
+    id_name = [c for c in written.columns if c not in ("term", "dl", "tf", "__bucket")][0]
+    srow = written.agg(
+        F.countDistinct(id_name).alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("total_len"),
+    ).first()
+    stats = {"n_docs": int(srow["n_docs"]), "total_len": int(srow["total_len"])}
+    with open(os.path.join(staging, "_bm25_seg.json"), "w") as f:
+        _json.dump(stats, f)
+    os.rename(staging, target)
+    return stats
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
@@ -763,46 +820,111 @@ def build_bm25_index(
 ) -> str:
     """Materialize the BM25 inverted index ONCE — the stored-index half
     of the contract ``bm25_search`` documents (and the treatment
-    ``corpus_index``/``build_srp_index`` give their families): persist
-    the ``bm25_scores`` postings partitioned by term bucket, so every
-    subsequent query probes stored directories and NEVER tokenizes the
-    corpus again. Returns ``path``.
+    ``corpus_index``/``build_srp_index`` give their families). Returns
+    ``path``.
 
-    Layout: parquet partitioned by ``__bucket`` =
-    crc32(term) % ``n_buckets`` (one file per bucket — the postings are
-    repartitioned by bucket before the write), plus ``_bm25_meta.json``
-    recording (id_col, n_buckets, scoring params) so the probe validates
-    it speaks the same index dialect. Published via ``fsutil.
-    staged_publish`` (write-to-staging + one directory rename);
-    single-writer, like the repo's other stored indexes.
+    The index stores RAW postings (id, term, tf, dl) — never scores:
+    scores embed corpus-global stats (N, avgdl, df), so a score-bearing
+    index forces a full corpus re-tokenize on every append. Splitting
+    corpus-LOCAL state (postings — computable per batch) from GLOBAL
+    state (a per-segment stats sidecar summed at probe time; df counted
+    over the probed postings themselves) makes refresh O(batch):
+    ``refresh_bm25_index`` tokenizes ONLY the new documents and
+    publishes them as one more segment, and the probe's scores over
+    base+appended equal a full rebuild over the union bit-for-bit
+    (same ``_bm25_score_col`` tree, same exact-integer stats).
+
+    Layout::
+
+        path/_bm25_meta.json                 id_col, n_buckets, default
+                                             scoring params, format=2
+        path/__seg=N/_bm25_seg.json          exact {n_docs, total_len}
+        path/__seg=N/__bucket=B/*.parquet    (id, term, tf, dl)
+
+    ``__bucket`` = crc32(term) % ``n_buckets`` (probe-computable
+    driver-side via stdlib zlib); ``__seg``/``__bucket`` are partition
+    directories, so a probe's bucket IN-list is directory pruning
+    across every segment at once. Each segment publishes via one
+    ``os.rename`` of a staging dir built OUTSIDE the index (a reader
+    never sees a partial segment; a crash leaves only staging litter
+    that the next build clears). Single-writer, like the repo's other
+    stored indexes; appended documents must be NEW ids (the
+    ``incremental_dedup`` contract — re-adding an id double-counts it,
+    exactly as appending it to the corpus table would).
 
     Scale shape: at 100 TB the index is df-bounded per term and the
     bucket count is the knob for probe-side partition pruning — a
-    query's IN-list touches len(distinct buckets(query)) directories,
-    not the corpus. Rebuild on corpus change is the ``corpus_index``
-    refresh contract (append new postings / recommit); scores embed
-    corpus-global N/avgdl/df, so a changed corpus means changed scores
-    by design."""
+    query's IN-list touches len(distinct buckets(query)) directories
+    per segment, not the corpus; daily appends add segments without
+    touching old bytes (compact by rebuilding when segment count hurts
+    listing)."""
+    import json as _json
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(
+                f"artifact already exists at {path} (overwrite=False)"
+            )
+        retired = path + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(path, retired)
+        shutil.rmtree(retired, ignore_errors=True)
+    staging = path + ".inprogress"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    meta = {
+        "format": 2,
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_buckets": n_buckets,
+        "params": dict(kw),
+    }
+    with open(os.path.join(staging, "_bm25_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    postings = _bm25_postings(docs, id_col, text_col)
+    _bm25_write_segment(
+        postings, os.path.join(staging, "__seg=0"), n_buckets
+    )
+    os.rename(staging, path)
+    return path
+
+
+def refresh_bm25_index(
+    docs_batch: DataFrame, path: str, text_col: str | None = None
+) -> dict:
+    """Append a batch of NEW documents to a ``build_bm25_index`` table
+    in O(batch): tokenize ONLY the batch, publish its postings as the
+    next ``__seg=K`` directory (one atomic rename), with the segment's
+    exact corpus-stats sidecar inside. Nothing already stored is read
+    or rewritten — the probe-time scorer folds the new segment's
+    postings into df and its stats into N/avgdl automatically, so a
+    probe after refresh equals a full rebuild over the union
+    (asserted bit-for-bit in tests). Returns the new segment's stats.
+
+    Contract: batch ids must be new (same append-only rule as
+    ``incremental_dedup`` — a re-added id is double-counted, as it
+    would be in the corpus table itself). Single writer."""
+    import glob
     import json as _json
     import os
 
-    from dwh_with_dask_spark.fsutil import staged_publish
-
-    def build(staging: str) -> None:
-        scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
-        (
-            scored.withColumn(
-                "__bucket", _bm25_bucket(F.col("term"), n_buckets)
-            )
-            .repartition("__bucket")
-            .write.partitionBy("__bucket")
-            .parquet(staging)
-        )
-        meta = {"id_col": id_col, "n_buckets": n_buckets, "params": dict(kw)}
-        with open(os.path.join(staging, "_bm25_meta.json"), "w") as f:
-            _json.dump(meta, f)
-
-    return staged_publish(path, build, overwrite=overwrite)
+    with open(os.path.join(path, "_bm25_meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("format") != 2:
+        raise ValueError(f"not a refreshable (format-2) BM25 index: {path}")
+    segs = [
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in glob.glob(os.path.join(path, "__seg=*"))
+    ]
+    nxt = max(segs) + 1 if segs else 0
+    postings = _bm25_postings(
+        docs_batch, meta["id_col"], text_col or meta.get("text_col", "text")
+    )
+    return _bm25_write_segment(
+        postings, os.path.join(path, f"__seg={nxt}"), meta["n_buckets"]
+    )
 
 
 def bm25_search_indexed(
@@ -810,31 +932,74 @@ def bm25_search_indexed(
     path: str,
     query_terms: list[str],
     k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+    log_idf: bool | None = None,
 ) -> DataFrame:
     """Top-``k`` retrieval against a ``build_bm25_index`` table — the
     probe NEVER tokenizes the corpus: it reads only the index
     directories whose bucket ids the query's terms hash to (driver-side
-    crc32, zero Spark jobs to plan the probe; ``__bucket`` is a
-    partition column, so the bucket IN-list is directory-level
-    partition pruning), filters the postings by the term IN-list
-    (row-group min/max inside each bucket), and runs the identical
-    per-doc sum + top-k tail as ``bm25_search`` — scores are equal BY
-    CONSTRUCTION (the stored postings ARE ``bm25_scores`` output).
-    Same set-of-terms semantics: duplicate query terms collapse."""
+    crc32, zero Spark jobs to plan the probe; ``__seg``/``__bucket``
+    are partition columns, so the bucket IN-list is directory-level
+    partition pruning across all segments), filters the postings by the
+    term IN-list (row-group min/max inside each bucket), and SCORES AT
+    PROBE TIME: df is counted over the probed postings (complete per
+    term by construction — a term's postings all live in its bucket),
+    N/avgdl come from summing the per-segment exact-integer sidecars
+    (driver-side, no Spark job), and the score is the same
+    ``_bm25_score_col`` IEEE tree ``bm25_scores`` uses — bit-identical
+    to the recompute path, segments or not.
+
+    Scoring params (``k1``, ``b``, ``log_idf``) default to the values
+    recorded at build time and are applied HERE, not baked into stored
+    bytes — pass overrides to rescore the same index under different
+    params with zero rebuild (nothing is silently served under params
+    the caller did not ask for). Same set-of-terms semantics as
+    ``bm25_search``: duplicate query terms collapse."""
+    import glob
     import json as _json
     import os
     import zlib
 
     with open(os.path.join(path, "_bm25_meta.json")) as f:
         meta = _json.load(f)
+    if meta.get("format") != 2:
+        raise ValueError(
+            f"not a format-2 (raw-postings) BM25 index: {path} — "
+            "rebuild with build_bm25_index (the score-bearing v1 "
+            "layout has no per-segment stats and cannot be scored "
+            "at probe time)"
+        )
     id_col, n_buckets = meta["id_col"], meta["n_buckets"]
+    params = meta.get("params", {})
+    k1 = params.get("k1", 1.2) if k1 is None else k1
+    b = params.get("b", 0.75) if b is None else b
+    log_idf = params.get("log_idf", False) if log_idf is None else log_idf
+    n_docs, total_len = 0, 0
+    for sj in glob.glob(os.path.join(path, "__seg=*", "_bm25_seg.json")):
+        with open(sj) as f:
+            s = _json.load(f)
+        n_docs += s["n_docs"]
+        total_len += s["total_len"]
     terms = sorted(set(query_terms))
     buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
     idx = spark.read.parquet(path)
     hits = idx.filter(
         F.col("__bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    return _bm25_topk(hits, id_col, k)
+    # df over the probed postings == corpus df for these terms; the
+    # same exact-division avgdl as bm25_scores' stats rollup.
+    # avgdl divided driver-side: Python's float division is the same
+    # correctly-rounded IEEE op Spark's double Divide performs, so the
+    # literal is bit-identical to bm25_scores' in-plan division — and
+    # an empty index (n_docs=0, probe matches nothing anyway) never
+    # trips ANSI divide-by-zero.
+    avgdl = total_len / n_docs if n_docs else 0.0
+    hits = hits.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn("n_docs", F.lit(n_docs)).withColumn("avgdl", F.lit(avgdl))
+    scored = hits.withColumn("score", _bm25_score_col(k1, b, log_idf))
+    return _bm25_topk(scored, id_col, k)
 
 
 def temperature_sample(

@@ -128,6 +128,7 @@ def cuped_welch_report(
     control: str = "control",
     treatment: str = "treatment",
     metric_decimals: int = 2,
+    scope=None,
 ) -> DataFrame:
     """Welch two-sample t-test on a continuous per-unit metric, raw AND
     CUPED-adjusted (Deng, Xu, Kohavi & Walker 2013) — the standard
@@ -158,17 +159,28 @@ def cuped_welch_report(
 
     Scale shape: one pass for the pooled θ sums (broadcast 1 row), one
     map-side adjustment expression, one global conditional-sum
-    aggregate — three scans of a unit-count-sized frame, no shuffle
-    beyond the aggregates. At 100 TB the units frame is the output of
-    a fact rollup; everything here is cheap after it.
+    aggregate — the units frame is scanned by TWO jobs (θ, then the
+    report), so it is PERSISTED through both: the frame is usually the
+    output of a fact rollup (a join + groupBy at 100 TB) and
+    recomputing that rollup under each pass doubled the operator's
+    cost (measured round 10: the sf10 driver row read 2.66× of its
+    DuckDB oracle unshared). ``scope`` follows the repo's
+    caller-owned-cache contract (operators.caching): pass a
+    ``CacheScope`` to control release, or release via
+    ``release_caches`` on the returned frame.
     """
+    from dwh_with_dask_spark.operators.caching import attach, scoped
+
+    scope, created = scoped(scope)
     d = metric_decimals
     y_dec = F.col(metric_col).cast(f"decimal(25,{d})")
     x_dec = F.col(covariate_col).cast(f"decimal(25,{d})")
-    u = units.select(
-        F.col(arm_col).alias("__arm"),
-        y_dec.alias("__y"),
-        x_dec.alias("__x"),
+    u = scope.persist(
+        units.select(
+            F.col(arm_col).alias("__arm"),
+            y_dec.alias("__y"),
+            x_dec.alias("__x"),
+        )
     )
     # pooled theta + covariate mean from exact sums
     st = u.agg(
@@ -200,9 +212,13 @@ def cuped_welch_report(
     is_c = F.col("__arm") == control
     is_t = F.col("__arm") == treatment
 
+    # SUM over ZERO rows is NULL — coalesce the counters to 0 so an
+    # empty units frame reads n=0 like the z-test/SRM siblings
+    # (ADVICE r9), not NULL.
+    z0 = F.lit(0).cast("long")
     agg = u.agg(
-        F.sum(F.when(is_c, 1).otherwise(0)).alias("nc"),
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+        F.coalesce(F.sum(F.when(is_c, 1).otherwise(0)), z0).alias("nc"),
+        F.coalesce(F.sum(F.when(is_t, 1).otherwise(0)), z0).alias("nt"),
         F.sum(F.when(is_c, F.col("__y"))).alias("syc"),
         F.sum(F.when(is_t, F.col("__y"))).alias("syt"),
         F.sum(F.when(is_c, F.col("__y") * F.col("__y"))).alias("syyc"),
@@ -260,7 +276,7 @@ def cuped_welch_report(
     # Both report rows explode out of the SAME 1-row aggregate — a
     # union of two selects would recompute the whole pipeline (theta
     # pass included) once per branch.
-    return agg.select(
+    return attach(agg.select(
         F.explode(
             F.array(
                 row(
@@ -273,7 +289,7 @@ def cuped_welch_report(
                 ),
             )
         ).alias("__r")
-    ).select("__r.*")
+    ).select("__r.*"), scope, created)
 
 
 def mann_whitney_u(

@@ -652,7 +652,10 @@ def text_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dwh_with_dask_spark.plans.artifacts import artifact_path
 
-    path = artifact_path("bm25", sf_dir, "documents", {"n_buckets": 64})
+    # fmt=2: the raw-postings refreshable layout (round 10) — the key
+    # bump retires any cached score-bearing v1 index, which the v2
+    # probe would silently mis-score (no _bm25_seg.json sidecars).
+    path = artifact_path("bm25", sf_dir, "documents", {"n_buckets": 64, "fmt": 2})
     if not os.path.exists(path):
         C.build_bm25_index(
             load_table(spark, sf_dir, "documents"), path, n_buckets=64

@@ -158,6 +158,24 @@ def versioned_commit(
         from pyspark.sql import functions as F
 
         batch = df.sparkSession.read.parquet(data_dir)
+        # Membership columns are restricted to integral/string types:
+        # the driver-side probe (manifest_dirs prune_eq) hashes Python
+        # str(val), which equals Spark's cast-to-string only for those
+        # types (ADVICE r9 — bool/float/Decimal/timestamp renderings
+        # diverge and a diverged position wrongly prunes). Fail at
+        # COMMIT time, not at the first probe months later.
+        _member_ok = {"byte", "short", "int", "integer", "long", "string"}
+        for c in member_cols:
+            t = dict(batch.dtypes).get(c)
+            if t is None:
+                raise ValueError(f"member_cols column {c!r} not in batch")
+            if t not in _member_ok:
+                raise TypeError(
+                    f"member_cols[{c!r}] has type {t}: membership "
+                    "indexes accept only integral or string columns "
+                    "(driver-side probe hashing must match Spark's "
+                    "cast-to-string rendering). Cast the column first."
+                )
         mem: dict = {}
         for c in member_cols:
             # distinct positions over the BATCH — bounded at MEMBER_BITS
@@ -281,6 +299,27 @@ def manifest_dirs(
                 raise ValueError(
                     f"prune_eq[{col!r}] is None — equality probes never "
                     "match NULL; filter IS NULL without pruning instead"
+                )
+            # Representation contract (ADVICE r9): the stored position
+            # set hashed Spark's cast-to-string rendering; this probe
+            # hashes Python's str(). The two provably agree only for
+            # int and str (Spark renders longs as plain decimal digits,
+            # strings as themselves). They DIVERGE for bool ('True' vs
+            # 'true'), float ('1e-07' vs '1.0E-7'), Decimal ('5.00' vs
+            # '5'), date/timestamp (formatting) — and a diverged
+            # position would prune a directory that CONTAINS the value,
+            # membership pruning's one forbidden failure mode. Raise on
+            # anything but int/str (bool is an int subclass — check it
+            # first) instead of silently mis-pruning.
+            if isinstance(val, bool) or not isinstance(val, (int, str)):
+                raise TypeError(
+                    f"prune_eq[{col!r}]={val!r} ({type(val).__name__}): "
+                    "membership probes accept only int or str values — "
+                    "Python str() and Spark's cast-to-string rendering "
+                    "diverge for other types, which could wrongly prune "
+                    "a directory containing matching rows. Cast the "
+                    "column to string at commit time and probe with the "
+                    "exact string instead."
                 )
             eq_pos[col] = zlib.crc32(str(val).encode("utf-8")) % bits
 

@@ -510,3 +510,60 @@ def test_bm25_indexed_probe_matches_recompute_and_prunes(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_bm25_refresh_equals_full_rebuild(spark, tmp_path):
+    """refresh_bm25_index appends a batch as one new segment WITHOUT
+    re-tokenizing the base corpus, and a probe over base+appended
+    equals a full rebuild over the union bit-for-bit — the raw-postings
+    split (corpus-local postings stored, global stats summed at probe
+    time, df counted over probed postings) is what makes the equality
+    exact rather than approximate (VERDICT r9 ask #4)."""
+    import json
+    import os
+
+    base_rows = [
+        (1, "spark window merge spark spark engine"),
+        (2, "window functions rank over partitions window"),
+        (3, "merge into target when matched update"),
+        (4, "the rain in spain stays mainly on the plain"),
+    ]
+    batch_rows = [
+        (5, "spark merge spark window shuffle exchange"),
+        (6, "broadcast join window spark adaptive"),
+        (7, ""),  # zero-token doc: no postings, must not dilute avgdl
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    union = base.union(batch)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    C.build_bm25_index(base, inc, n_buckets=8)
+    stats = C.refresh_bm25_index(batch, inc)
+    assert stats["n_docs"] == 2  # the empty doc indexes no rows
+    C.build_bm25_index(union, full, n_buckets=8)
+
+    terms = ["spark", "window", "merge"]
+    got = C.bm25_search_indexed(spark, inc, terms, k=10).collect()
+    want_idx = C.bm25_search_indexed(spark, full, terms, k=10).collect()
+    want_live = C.bm25_search(union, terms, k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want_idx))
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want_live))
+
+    # the refresh wrote exactly one new segment and left seg 0's bytes
+    # untouched (O(batch) — nothing stored is read or rewritten)
+    segs = sorted(
+        e for e in os.listdir(inc) if e.startswith("__seg=")
+    )
+    assert segs == ["__seg=0", "__seg=1"]
+    with open(os.path.join(inc, "__seg=0", "_bm25_seg.json")) as f:
+        assert json.load(f)["n_docs"] == 4
+
+    # scoring params are applied at probe time, not baked into bytes:
+    # an override rescoring the SAME index must differ from the default
+    # probe and equal a live bm25_search under the same params
+    got_b0 = C.bm25_search_indexed(spark, inc, terms, k=10, b=0.0).collect()
+    want_b0 = C.bm25_search(union, terms, k=10, b=0.0).collect()
+    assert sorted(map(tuple, got_b0)) == sorted(map(tuple, want_b0))
+    assert sorted(map(tuple, got_b0)) != sorted(map(tuple, got))
