@@ -210,6 +210,7 @@ def link_prediction(
     dst: str = "dst",
     method: str = "ra",
     min_count: int = 1,
+    broadcast_deg_limit: int = 8_000_000,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction over an undirected edge list —
@@ -234,10 +235,17 @@ def link_prediction(
     Scale shape: one wedge join over the bidirectional adjacency (the
     same deg² work as ``triangle_count``, bounded by the same
     ``min_count`` density guard), one anti-join against the edge list
-    to keep NON-edges, one broadcast-sized degree join keyed on the
-    common neighbor, one (a, c) aggregate. The canonical edge list is
-    persisted — adjacency (twice), the anti-join, and degrees all
-    consume it.
+    to keep NON-edges, one degree join keyed on the common neighbor,
+    one (a, c) aggregate. The canonical edge list is persisted —
+    adjacency (twice), the anti-join, and degrees all consume it.
+
+    The degree join is EXPLICITLY broadcast when the node count (one
+    cheap aggregate over the already-persisted edge list) is at most
+    ``broadcast_deg_limit`` rows — the degree table is node-count-sized
+    and the wedge side is deg²-sized, so shuffling wedges to meet a
+    small degree table is pure waste; past the limit (billions of
+    nodes at 100 TB) it falls back to a shuffle join rather than risk a
+    driver OOM. Set ``broadcast_deg_limit=0`` to always shuffle.
     """
     if method not in ("common_neighbors", "ra", "adamic_adar"):
         raise ValueError(f"unknown link_prediction method {method!r}")
@@ -260,7 +268,14 @@ def link_prediction(
         ["node_a", "node_b"],
         "left_anti",
     )
-    per_b = missing.join(deg.withColumnRenamed("node", "__b"), "__b")
+    degb = deg.withColumnRenamed("node", "__b")
+    if broadcast_deg_limit:
+        # node count = degree-table row count — one tiny job over the
+        # persisted edge list, and it warms the same cache every
+        # downstream stage reads
+        if deg.count() <= broadcast_deg_limit:
+            degb = F.broadcast(degb)
+    per_b = missing.join(degb, "__b")
     if method == "common_neighbors":
         score = F.count(F.lit(1)).cast("double")
     elif method == "ra":

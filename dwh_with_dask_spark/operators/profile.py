@@ -139,8 +139,11 @@ def population_stability(
     oracle twin is exact, and two snapshots are always binned
     identically (quantile bins would move with the data being tested).
     NULLs are excluded (profile_table reports them separately).
-    Zero-count sides get the ``min_frac`` proportion floor (the
-    standard PSI ε — without it one empty bin makes PSI infinite).
+    ONLY zero-count sides get the ``min_frac`` proportion substitute
+    (the textbook PSI ε — without it one empty bin makes PSI
+    infinite); genuinely occupied bins keep their true proportion
+    however small, so tiny-but-real cells are never biased toward the
+    floor (ADVICE r9).
 
     Scale shape: one map-side bin expression + one ``bins``-sized
     aggregate per snapshot, a broadcast of two 1-row totals, one
@@ -178,13 +181,11 @@ def population_stability(
         .crossJoin(F.broadcast(tot_o))
         .crossJoin(F.broadcast(tot_n))
     )
-    p_old = F.greatest(
-        F.col("n_old").cast("double") / F.col("__to").cast("double"),
-        F.lit(min_frac),
+    p_old = F.when(F.col("n_old") == 0, F.lit(min_frac)).otherwise(
+        F.col("n_old").cast("double") / F.col("__to").cast("double")
     )
-    p_new = F.greatest(
-        F.col("n_new").cast("double") / F.col("__tn").cast("double"),
-        F.lit(min_frac),
+    p_new = F.when(F.col("n_new") == 0, F.lit(min_frac)).otherwise(
+        F.col("n_new").cast("double") / F.col("__tn").cast("double")
     )
     return j.select(
         "bin",

@@ -881,6 +881,17 @@ def build_ivfpq_index(
     indexed = build_pq_index(
         with_resid, books, id_col=id_col, vec_col="__resid",
         normalize=False,
+    )
+    # ||residual|| = the true assignment distance, computed while the
+    # residual is in hand — save_ivfpq_index records its mean as the
+    # drift baseline append_ivfpq_index's re-train trigger compares to.
+    indexed = indexed.withColumn(
+        "__adist",
+        F.sqrt(
+            F.aggregate(
+                F.col("__resid"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
     ).drop("__resid", "__nvec")
     return indexed, cents, books
 
@@ -934,6 +945,83 @@ def ivfpq_topk_indexed(
     )
 
 
+def encode_ivfpq(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors under a FIXED, already-trained IVF-PQ geometry —
+    the assignment tail of ``build_ivfpq_index`` with no k-means and no
+    codebook training: normalize → nearest cell → residual → PQ codes,
+    all Arrow-batched. Returns (id, cell, code, ``__adist``) where
+    ``__adist`` is the L2 distance of the normalized vector to its
+    assigned centroid — the drift statistic ``append_ivfpq_index``
+    reports (vectors drifting away from stale centroids show up as
+    growing mean assignment distance; the quantized codes cannot show
+    it because decoded residuals saturate at the codebook's span)."""
+    nrm = df.withColumn("__nvec", _normalize_udf()(F.col(vec_col)))
+    assigned = nrm.withColumn(
+        cell_col, _nearest_cell_udf(centroids)(F.col("__nvec"))
+    )
+    with_resid = assigned.withColumn(
+        "__resid", _residual_udf(centroids)(F.col("__nvec"), F.col(cell_col))
+    )
+    adist = F.sqrt(
+        F.aggregate(
+            F.col("__resid"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    enc = _pq_codes_udf(codebooks, normalize=False)
+    return with_resid.select(
+        F.col(id_col),
+        F.col(cell_col),
+        enc(F.col("__resid")).alias(code_col),
+        adist.alias("__adist"),
+    )
+
+
+def _ivfpq_write_segment(
+    rows: DataFrame, target: str, id_col: str, cell_col: str, code_col: str
+) -> dict:
+    """Write one (id, cell, code) SEGMENT partitioned by cell into a
+    staging dir OUTSIDE the index, with a ``_ivfpq_seg.json`` stats
+    sidecar (row count + mean assignment distance when ``rows`` carries
+    ``__adist``), then publish with one ``os.rename`` — readers never
+    see a partial segment. Returns the stats."""
+    import json as _json
+    import os
+    import shutil
+
+    staging = target + ".inprogress"
+    shutil.rmtree(staging, ignore_errors=True)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if "__adist" in rows.columns:
+        aggs.append(F.avg("__adist").alias("mad"))
+    srow = rows.agg(*aggs).first()
+    stats = {
+        "n": int(srow["n"]),
+        "mean_assign_dist": (
+            None
+            if "__adist" not in rows.columns or srow["mad"] is None
+            else float(srow["mad"])
+        ),
+    }
+    (
+        rows.select(id_col, cell_col, code_col)
+        .repartition(cell_col)
+        .write.partitionBy(cell_col)
+        .parquet(staging)
+    )
+    with open(os.path.join(staging, "_ivfpq_seg.json"), "w") as f:
+        _json.dump(stats, f)
+    os.rename(staging, target)
+    return stats
+
+
 def save_ivfpq_index(
     index_df: DataFrame,
     centroids: np.ndarray,
@@ -947,36 +1035,146 @@ def save_ivfpq_index(
     """Persist a ``build_ivfpq_index`` result as a probe-ready store:
     ONLY (id, cell, code) go to parquet — the float vectors stay in the
     source table; an index that re-stores them would forfeit PQ's whole
-    compression point — partitioned by cell so ``nprobe`` cell filters
-    become directory pruning, plus the centroids/codebooks as an
+    compression point — plus the centroids/codebooks as an
     ``_``-prefixed npz beside the data (parquet readers ignore
-    underscore files). Published via ``fsutil.staged_publish``;
-    single-writer, like the repo's other stored indexes."""
+    underscore files).
+
+    Layout (round 10, appendable)::
+
+        path/_ivfpq_meta.json                  id/cell/code col names,
+                                               format=2
+        path/_ivfpq_aux.npz                    centroids + codebooks
+        path/__seg=N/_ivfpq_seg.json           {n, mean_assign_dist}
+        path/__seg=N/ivf_cell=C/*.parquet      (id, code)
+
+    ``__seg``/``ivf_cell`` are partition directories, so ``nprobe``
+    cell filters prune directories across every segment at once.
+    ``append_ivfpq_index`` adds segments (one atomic rename each)
+    without touching stored bytes. When ``index_df`` carries an
+    ``__adist`` column (``encode_ivfpq`` output), the base segment's
+    mean assignment distance is recorded as the drift baseline.
+    Single-writer, like the repo's other stored indexes."""
+    import json as _json
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(
+                f"artifact already exists at {path} (overwrite=False)"
+            )
+        retired = path + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(path, retired)
+        shutil.rmtree(retired, ignore_errors=True)
+    staging = path + ".inprogress"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    meta = {
+        "format": 2,
+        "id_col": id_col,
+        "cell_col": cell_col,
+        "code_col": code_col,
+    }
+    with open(os.path.join(staging, "_ivfpq_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    np.savez(
+        os.path.join(staging, "_ivfpq_aux.npz"),
+        centroids=centroids,
+        codebooks=codebooks,
+    )
+    _ivfpq_write_segment(
+        index_df, os.path.join(staging, "__seg=0"), id_col, cell_col, code_col
+    )
+    os.rename(staging, path)
+    return path
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> dict:
+    """Append NEW vectors to a ``save_ivfpq_index`` store in O(batch):
+    assign them to the EXISTING cells and codebooks (``encode_ivfpq``
+    — no retraining, nothing stored is read or rewritten) and publish
+    the encodings as the next ``__seg=K`` directory with one atomic
+    rename. Probes over base+appended equal probes over the union
+    encoded under the same geometry in one shot (asserted in tests) —
+    the append changes WHICH rows are indexed, never how any row
+    scores.
+
+    The honest staleness caveat: centroids and codebooks are frozen at
+    build time, so a drifting vector distribution quantizes worse over
+    time even though every probe stays exact-over-codes. The returned
+    report carries the re-train trigger: the batch's
+    ``mean_assign_dist`` (true L2 distance to assigned centroids,
+    computed while the floats are in hand) vs the base segment's, as
+    ``drift_ratio`` — schedule a full rebuild when it grows past your
+    tolerance (the IVF analog of ``refresh_bm25_index``'s exact
+    refresh; BM25's global state is exact integers and folds, k-means
+    geometry is approximate and cannot).
+
+    Contract: batch ids must be new (append-only, the
+    ``incremental_dedup`` rule). Single writer. Returns
+    {segment, n, mean_assign_dist, base_mean_assign_dist, drift_ratio}.
+    """
+    import glob
+    import json as _json
     import os
 
-    from dwh_with_dask_spark.fsutil import staged_publish
-
-    def build(staging: str) -> None:
-        (
-            index_df.select(id_col, cell_col, code_col)
-            .repartition(cell_col)
-            .write.partitionBy(cell_col)
-            .parquet(staging)
-        )
-        np.savez(
-            os.path.join(staging, "_ivfpq_aux.npz"),
-            centroids=centroids,
-            codebooks=codebooks,
-        )
-
-    return staged_publish(path, build, overwrite=overwrite)
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("format") != 2:
+        raise ValueError(f"not an appendable (format-2) IVF-PQ index: {path}")
+    aux = np.load(os.path.join(path, "_ivfpq_aux.npz"))
+    enc = encode_ivfpq(
+        new_vectors,
+        aux["centroids"],
+        aux["codebooks"],
+        id_col=id_col or meta["id_col"],
+        vec_col=vec_col,
+        cell_col=meta["cell_col"],
+        code_col=meta["code_col"],
+    )
+    segs = sorted(
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in glob.glob(os.path.join(path, "__seg=*"))
+    )
+    nxt = (segs[-1] + 1) if segs else 0
+    stats = _ivfpq_write_segment(
+        enc,
+        os.path.join(path, f"__seg={nxt}"),
+        id_col or meta["id_col"],
+        meta["cell_col"],
+        meta["code_col"],
+    )
+    base = None
+    if segs:
+        with open(
+            os.path.join(path, f"__seg={segs[0]}", "_ivfpq_seg.json")
+        ) as f:
+            base = _json.load(f).get("mean_assign_dist")
+    return {
+        "segment": nxt,
+        "n": stats["n"],
+        "mean_assign_dist": stats["mean_assign_dist"],
+        "base_mean_assign_dist": base,
+        "drift_ratio": (
+            stats["mean_assign_dist"] / base
+            if base and stats["mean_assign_dist"] is not None
+            else None
+        ),
+    }
 
 
 def load_ivfpq_index(spark, path: str):
     """(index_df, centroids, codebooks) back from ``save_ivfpq_index``
     — hand straight to ``ivfpq_topk_indexed``/``ivfpq_topk_rerank``.
-    The cell filter inside those probes prunes the stored partitions;
-    nothing is rebuilt."""
+    The cell filter inside those probes prunes the stored partitions
+    (every segment at once); nothing is rebuilt. ``index_df`` carries
+    the ``__seg`` partition column — probe operators ignore it."""
     import os
 
     aux = np.load(os.path.join(path, "_ivfpq_aux.npz"))

@@ -1278,16 +1278,21 @@ def ab_test_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
       FROM oc FULL OUTER JOIN nc ON oc.bin = nc.bin),
     t AS (SELECT (SELECT CAST(SUM(n_old) AS DOUBLE) FROM j) AS t_old,
-                 (SELECT CAST(SUM(n_new) AS DOUBLE) FROM j) AS t_new)
+                 (SELECT CAST(SUM(n_new) AS DOUBLE) FROM j) AS t_new),
+    -- textbook PSI epsilon: ONLY empty cells take the floor; occupied
+    -- bins keep their true proportion however small
+    p AS (
+      SELECT bin, n_old, n_new,
+             CASE WHEN n_old = 0 THEN 0.0001
+                  ELSE CAST(n_old AS DOUBLE) / t_old END AS po,
+             CASE WHEN n_new = 0 THEN 0.0001
+                  ELSE CAST(n_new AS DOUBLE) / t_new END AS pn
+      FROM j CROSS JOIN t)
     SELECT CAST(bin AS INTEGER) AS bin, n_old, n_new,
-           ROUND(GREATEST(CAST(n_old AS DOUBLE) / t_old, 0.0001), 6) AS p_old,
-           ROUND(GREATEST(CAST(n_new AS DOUBLE) / t_new, 0.0001), 6) AS p_new,
-           ROUND((GREATEST(CAST(n_new AS DOUBLE) / t_new, 0.0001)
-                  - GREATEST(CAST(n_old AS DOUBLE) / t_old, 0.0001))
-                 * ln(GREATEST(CAST(n_new AS DOUBLE) / t_new, 0.0001)
-                      / GREATEST(CAST(n_old AS DOUBLE) / t_old, 0.0001)), 6)
-             AS psi_term
-    FROM j CROSS JOIN t
+           ROUND(po, 6) AS p_old,
+           ROUND(pn, 6) AS p_new,
+           ROUND((pn - po) * ln(pn / po), 6) AS psi_term
+    FROM p
     ORDER BY bin
     """,
 )

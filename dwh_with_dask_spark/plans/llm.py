@@ -1397,8 +1397,11 @@ def embedding_ivfpq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     e = load_table(spark, sf_dir, "embeddings")
     q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     rest = e.filter(F.col("vec_id") != 0)
+    # fmt=2: the segmented appendable layout (round 10) — key bump
+    # retires cached single-segment v1 stores.
     path = artifact_path(
-        "ivfpq", sf_dir, "embeddings", {"nlist": 16, "m": 16, "ksub": 64}
+        "ivfpq", sf_dir, "embeddings",
+        {"nlist": 16, "m": 16, "ksub": 64, "fmt": 2},
     )
     if not os.path.exists(path):
         idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)

@@ -164,7 +164,7 @@ def versioned_commit(
         # types (ADVICE r9 — bool/float/Decimal/timestamp renderings
         # diverge and a diverged position wrongly prunes). Fail at
         # COMMIT time, not at the first probe months later.
-        _member_ok = {"byte", "short", "int", "integer", "long", "string"}
+        _member_ok = {"tinyint", "smallint", "int", "bigint", "string"}
         for c in member_cols:
             t = dict(batch.dtypes).get(c)
             if t is None:

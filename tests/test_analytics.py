@@ -994,6 +994,44 @@ def test_link_prediction_hand_checked(spark):
         link_prediction(e, method="katz")
 
 
+def test_link_prediction_degree_join_broadcasts(spark):
+    """The documented 'broadcast-sized degree join' must be the PLAN,
+    not an AQE hope (VERDICT r9 ask #8): under the node-count guard the
+    degree side joins as a BroadcastHashJoin in the EXECUTED plan; with
+    the guard disabled (broadcast_deg_limit=0) no broadcast hint is
+    injected on that join."""
+    from dwh_with_dask_spark.operators.graph import link_prediction
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    # Disable size-based auto-broadcast so the ONLY possible
+    # BroadcastHashJoin is the operator's explicit hint — on a tiny
+    # fixture AQE would otherwise broadcast every join and the assert
+    # would pass vacuously.
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    before = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        out = link_prediction(e, method="ra")
+        out.collect()  # finalize AQE before reading the executed plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        off = link_prediction(e, method="ra", broadcast_deg_limit=0)
+        off.collect()
+        plan_off = off._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_off, plan_off
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_two_proportion_ztest_hand_checked(spark):
     """Known counts: control 1/4 vs treatment 3/4 -> pooled p = 0.5,
     se = sqrt(.5*.5*(1/4+1/4)), z = 0.5/se = sqrt(2) exactly (all IEEE

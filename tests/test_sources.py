@@ -742,3 +742,68 @@ def test_versioned_member_prune_point_lookup(spark, tmp_path):
         t2, prune={"id": (1, 2)}, prune_eq={"k": "a"}
     ) == ["data/v1"]
     assert manifest_dirs(t2, prune={"id": (5, 9)}, prune_eq={"k": "a"}) == []
+
+
+def test_member_prune_type_matrix(spark, tmp_path):
+    """The prune_eq representation contract (VERDICT r9 ask #3 /
+    ADVICE r9): the stored position set hashes Spark's cast-to-string
+    rendering while the probe hashes Python str(val) — the two provably
+    agree ONLY for int and str. The matrix: int and str probes must
+    find their directory (probe position == stored position, a wrongly
+    pruned dir being the one forbidden failure mode); float / Decimal /
+    date / bool probes raise; committing a membership index on a
+    non-int/str column raises at COMMIT time."""
+    import datetime
+    import decimal
+
+    import pytest
+
+    from dwh_with_dask_spark.versioned import (
+        manifest_dirs,
+        read_version,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "vtypes")
+    rows = [
+        (7, "alpha"),
+        (1234567890123, "UPPER lower 42"),
+        (-5, ""),  # negative int, empty string
+        (0, "unicode-é✓"),
+    ]
+    versioned_commit(
+        spark.createDataFrame(rows, "ik long, sk string").coalesce(1),
+        t,
+        member_cols=["ik", "sk"],
+    )
+    # decoy dir so pruning is observable
+    versioned_commit(
+        spark.createDataFrame([(999, "other")], "ik long, sk string"),
+        t,
+        mode="append",
+        member_cols=["ik", "sk"],
+    )
+    # every committed int/str value probes back to ITS dir — kept,
+    # never wrongly dropped
+    for ik, sk in rows:
+        assert "data/v1" in manifest_dirs(t, prune_eq={"ik": ik})
+        assert "data/v1" in manifest_dirs(t, prune_eq={"sk": sk})
+        got = read_version(spark, t, prune_eq={"ik": ik}).filter(
+            F.col("ik") == ik
+        )
+        assert got.count() == 1
+    # non-int/str probe values raise instead of risking a silent
+    # mis-prune (bool is an int subclass — must still raise)
+    for bad in [1.5, decimal.Decimal("5.00"), datetime.date(2024, 1, 3),
+                datetime.datetime(2024, 1, 3), True]:
+        with pytest.raises(TypeError, match="int or str"):
+            manifest_dirs(t, prune_eq={"ik": bad})
+    # non-int/str COLUMNS are rejected when the index is built
+    t2 = str(tmp_path / "vtypes2")
+    bad_df = spark.createDataFrame(
+        [(1.5, decimal.Decimal("1.50"), datetime.date(2024, 1, 3), True)],
+        "d double, dec decimal(10,2), dt date, b boolean",
+    )
+    for col in ["d", "dec", "dt", "b"]:
+        with pytest.raises(TypeError, match="integral or string"):
+            versioned_commit(bad_df, t2, member_cols=[col])
