@@ -144,12 +144,37 @@ def main() -> None:
         jvm_gc(spark)
 
     total = round(sum(timings.values()), 3)
+    anchor_after = anchor_sec(spark)
+    # The stdout contract is ONE COMPACT JSON line: the driver records
+    # only the tail of stdout, and round 8/9's line — medians + spread
+    # + mad + anchor run lists — overflowed it, truncating the
+    # machine-readable medians mid-map ("parsed": null in BENCH_r8/r9).
+    # Medians and the calibration anchors stay on the line; per-query
+    # spread/mad move to a side artifact.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
+                "n": RUNS,
+                "sf": float(sf),
+                "loadavg": [load_before, loadavg()],
+                "anchor": [
+                    anchor_before["anchor_sec"],
+                    anchor_after["anchor_sec"],
+                ],
+            },
+            separators=(",", ":"),
+        )
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail_last.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
                 "queries": timings,
                 "spread": spread,
                 "mad": mads,
@@ -158,10 +183,12 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": loadavg(),
                 "anchor_before": anchor_before,
-                "anchor_after": anchor_sec(spark),
-            }
+                "anchor_after": anchor_after,
+            },
+            f,
+            indent=1,
         )
-    )
+    print(f"detail: {detail_path}", file=sys.stderr)
     spark.stop()
 
 
