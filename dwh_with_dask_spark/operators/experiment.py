@@ -60,10 +60,15 @@ def two_proportion_ztest(
     converted_col: str = "converted",
     control: str = "control",
     treatment: str = "treatment",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Pooled two-proportion z-test over a per-UNIT frame (one row per
     experimental unit with its arm and boolean conversion) — the
-    standard conversion-rate readout. Returns ONE row:
+    standard conversion-rate readout. ``by`` groups the readout (one
+    test per key — e.g. one row per METRIC of a multi-metric readout,
+    the frame ``benjamini_hochberg`` consumes; the aggregate gains the
+    group keys, everything else is unchanged). Returns ONE row (per
+    ``by`` group):
     (n_control, x_control, rate_control, n_treatment, x_treatment,
     rate_treatment, abs_lift, z_score).
 
@@ -85,12 +90,13 @@ def two_proportion_ztest(
     # coalesce: a SUM over ZERO rows is NULL, and a counters row must
     # read 0, not NULL (round-9 review)
     z0 = F.lit(0).cast("long")
-    agg = units.agg(
+    counters = [
         F.coalesce(F.sum(F.when(is_c, 1).otherwise(0)), z0).alias("n_control"),
         F.coalesce(F.sum(F.when(is_c, conv).otherwise(0)), z0).alias("x_control"),
         F.coalesce(F.sum(F.when(is_t, 1).otherwise(0)), z0).alias("n_treatment"),
         F.coalesce(F.sum(F.when(is_t, conv).otherwise(0)), z0).alias("x_treatment"),
-    )
+    ]
+    agg = units.groupBy(*by).agg(*counters) if by else units.agg(*counters)
     n_c = F.col("n_control").cast("double")
     n_t = F.col("n_treatment").cast("double")
     x_c = F.col("x_control").cast("double")
@@ -109,6 +115,7 @@ def two_proportion_ztest(
         & (p < 1)
     )
     return agg.select(
+        *(by or []),
         "n_control",
         "x_control",
         F.when(F.col("n_control") > 0, rate_c).alias("rate_control"),
@@ -417,3 +424,106 @@ def srm_check(
         z.alias("srm_z"),
         (F.abs(z) > F.lit(float(alarm_z))).alias("srm_alarm"),
     )
+
+
+def normal_two_sided_p(z: Column) -> Column:
+    """Two-sided normal p-value from a z-score, as a pure Column
+    expression both engines can evaluate: the Zelen & Severo polynomial
+    approximation of the normal survival function (Abramowitz & Stegun
+    26.2.17, |error| < 7.5e-8 — far below any decision threshold a
+    readout uses), ``p = 2·φ(|z|)·poly(t)``, ``t = 1/(1+0.2316419|z|)``,
+    in ONE fixed Horner tree. ``exp`` is implementation-defined at the
+    last ulp (unlike +,-,*,/,sqrt), so the result is rounded to 9 dp —
+    the md5-draw-threshold idiom: a 1e-9-rounded probability cannot
+    disagree across engines' last-ulp ``exp`` differences. NULL z
+    (degenerate test) propagates to NULL p."""
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    phi = F.exp(-(az * az) / F.lit(2.0)) / F.lit(2.5066282746310002)
+    poly = t * (
+        F.lit(0.319381530)
+        + t * (
+            F.lit(-0.356563782)
+            + t * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    return F.round(F.lit(2.0) * phi * poly, 9)
+
+
+def normal_two_sided_p_sql(z_expr: str) -> str:
+    """The DuckDB twin of ``normal_two_sided_p`` — the SAME constants
+    and the SAME Horner association over ``z_expr``, rounded to the
+    same 9 dp, so oracle p-values hash-match."""
+    az = f"abs({z_expr})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    phi = f"(exp(-({az} * {az}) / 2.0) / 2.5066282746310002)"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return f"ROUND(2.0 * {phi} * {poly}, 9)"
+
+
+def benjamini_hochberg(
+    results: DataFrame,
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a (test, p-value) frame —
+    the standard consumer of a MULTI-metric experiment readout
+    (Benjamini & Hochberg 1995): testing 20 metrics at α=0.05 expects a
+    false positive per experiment; BH caps the expected FALSE DISCOVERY
+    RATE at α instead. Adds (p_rank, p_adj, reject):
+    ``p_adj(i) = min_{j>=i} p(j)·m/j`` capped at 1 over the ascending-p
+    ranking (the step-up monotonization), ``reject = p_adj <= alpha``.
+
+    Determinism: rank ties break on ``tie_cols`` (default: every other
+    column, ascending) so the ranking is total; ``p·m/rank`` is two
+    IEEE ops on an already-rounded p; the running min is EXACT (no
+    addition, order-free result) — so ``p_adj`` needs no rounding
+    idiom beyond the p input's own. NULL p rows (degenerate tests)
+    pass through with NULL rank/p_adj and ``reject = false``; m counts
+    only real p-values.
+
+    Scale note: this is a REPORT operator — the input is
+    metrics-count-sized (one row per tested metric), so the two global
+    windows are driver-trivial by construction; it is not meant for
+    fact-table inputs (the heavy lifting happened in the per-metric
+    tests upstream)."""
+    tie_cols = (
+        [c for c in results.columns if c != p_col]
+        if tie_cols is None
+        else tie_cols
+    )
+    valid = results.filter(F.col(p_col).isNotNull())
+    invalid = results.filter(F.col(p_col).isNull())
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = Window.orderBy(
+        F.col(p_col).asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    ranked = valid.withColumn(
+        "p_rank", F.row_number().over(w_rank).cast("long")
+    ).withColumn("__m", F.count(F.lit(1)).over(w_all))
+    q = (
+        F.col(p_col).cast("double")
+        * F.col("__m").cast("double")
+        / F.col("p_rank").cast("double")
+    )
+    w_cum = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = F.least(F.lit(1.0), F.min(q).over(w_cum))
+    out = ranked.withColumn("p_adj", adj).withColumn(
+        "reject", F.col("p_adj") <= F.lit(float(alpha))
+    ).drop("__m")
+    missing = invalid.select(
+        "*",
+        F.lit(None).cast("long").alias("p_rank"),
+        F.lit(None).cast("double").alias("p_adj"),
+        F.lit(False).alias("reject"),
+    )
+    return out.unionByName(missing)

@@ -1675,3 +1675,154 @@ def srm_check_events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab_assign("user_id", salt="exp1").alias("arm")
     )
     return srm_check(units, expected_treat_frac=0.5)
+
+
+def _bh_oracle() -> str:
+    """Oracle for the multi-metric BH readout: the two_proportion_ztest
+    tree per metric (GROUPed), the normal_two_sided_p_sql twin for the
+    p-value, then the BH step-up as two windows — ROW_NUMBER over
+    (p, metric) and an EXACT running MIN of p·m/rank from the bottom
+    rank up (no addition, so no rounding idiom beyond p's own 9 dp)."""
+    from dwh_with_dask_spark.operators.experiment import (
+        normal_two_sided_p_sql,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    # conversion = "ever fired a HIGH-VALUE event of this type" — the
+    # value threshold keeps rates interior at every SF (plain "ever
+    # fired the type" saturates to 100% on small corpora, degenerating
+    # every z to NULL)
+    maxes = ",\n             ".join(
+        f"MAX(CASE WHEN event_type = '{t}' AND value > 150.0"
+        f" THEN 1 ELSE 0 END) AS m_{t}"
+        for t in types
+    )
+    legs = "\n      UNION ALL\n      ".join(
+        f"SELECT arm, '{t}' AS metric, m_{t} AS conv FROM a" for t in types
+    )
+    pool = (
+        "(CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))"
+        " / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE))"
+    )
+    zx = (
+        "(CAST(x_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)"
+        " - CAST(x_control AS DOUBLE) / CAST(n_control AS DOUBLE))"
+        f" / sqrt({pool} * (1.0 - {pool})"
+        " * (1.0 / CAST(n_control AS DOUBLE)"
+        " + 1.0 / CAST(n_treatment AS DOUBLE)))"
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             {maxes}
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || 'exp1'),
+                                 1, 4) < '8000'
+                  THEN 'treatment' ELSE 'control' END AS arm, *
+      FROM u),
+    l AS (
+      {legs}),
+    s AS (
+      SELECT metric,
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_control,
+        CAST(SUM(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS BIGINT)
+          AS x_control,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_treatment,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS BIGINT)
+          AS x_treatment
+      FROM l GROUP BY metric),
+    z AS (
+      SELECT *, CASE WHEN n_control > 0 AND n_treatment > 0
+                      AND {pool} > 0 AND {pool} < 1
+                     THEN {zx} END AS z_score
+      FROM s),
+    p AS (SELECT *, {normal_two_sided_p_sql('z_score')} AS p_value FROM z),
+    -- the operator's NULL-p contract: only real p-values are ranked
+    -- (m counts them alone); degenerate tests pass through unranked
+    r AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_value ASC, metric ASC)
+                  AS BIGINT) AS p_rank,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS m
+      FROM p WHERE p_value IS NOT NULL),
+    adj AS (
+      SELECT *, LEAST(1.0, MIN(p_value * m / CAST(p_rank AS DOUBLE))
+                           OVER (ORDER BY p_rank DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS p_adj
+      FROM r)
+    SELECT metric, n_control, x_control, n_treatment, x_treatment,
+           z_score, p_value, p_rank, p_adj,
+           p_adj <= 0.05 AS reject
+    FROM adj
+    UNION ALL
+    SELECT metric, n_control, x_control, n_treatment, x_treatment,
+           z_score, p_value, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           FALSE
+    FROM p WHERE p_value IS NULL
+    ORDER BY p_rank
+    """
+
+
+@query("bh_multi_metric_readout", _bh_oracle())
+def bh_multi_metric_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing-corrected experiment readout (VERDICT r9 ask
+    #9; operators/experiment.py:benjamini_hochberg, Benjamini &
+    Hochberg 1995): ONE md5 user split, FIVE conversion metrics (did
+    the user ever fire each event type), a pooled two-proportion z per
+    metric (two_proportion_ztest's ``by=`` grouping), two-sided normal
+    p (normal_two_sided_p — A&S 26.2.17 polynomial, round(,9) absorbs
+    ``exp``'s last-ulp variance), then BH: p_adj = step-up min of
+    p·m/rank, reject at FDR 0.05. Null-hypothesis data, so rejects
+    should be none — the plumbing, the p calibration, and the step-up
+    monotonization are what the oracle pins. The per-metric z is
+    bit-exact (IEEE tree over exact counts); rank ties break on
+    metric name in both engines.
+
+    Scale shape: the 100 TB work is the per-user rollup (one shuffle)
+    + a 5-way explode of unit rows + one metric-keyed aggregate; the
+    BH windows run on a 5-row frame."""
+    from dwh_with_dask_spark.operators.experiment import (
+        ab_assign,
+        benjamini_hochberg,
+        normal_two_sided_p,
+        two_proportion_ztest,
+    )
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    e = load_table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        *[
+            F.max(
+                (
+                    (F.col("event_type") == t) & (F.col("value") > 150.0)
+                ).cast("int")
+            ).alias(f"m_{t}")
+            for t in types
+        ]
+    ).withColumn("arm", ab_assign("user_id", salt="exp1"))
+    long = units.select(
+        "arm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("metric"),
+                        F.col(f"m_{t}").alias("conv"),
+                    )
+                    for t in types
+                ]
+            )
+        ).alias("r"),
+    ).select("arm", "r.*")
+    z = two_proportion_ztest(long, converted_col="conv", by=["metric"])
+    scored = z.select(
+        "metric", "n_control", "x_control", "n_treatment", "x_treatment",
+        "z_score", normal_two_sided_p(F.col("z_score")).alias("p_value"),
+    )
+    return benjamini_hochberg(
+        scored, p_col="p_value", alpha=0.05, tie_cols=["metric"]
+    ).orderBy("p_rank")

@@ -1271,3 +1271,48 @@ def test_experiment_edge_inputs_round9_review(spark):
     old = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS v")
     with pytest.raises(ValueError, match="hi > lo"):
         population_stability(old, old, "v", lo=10.0, hi=0.0)
+
+
+def test_benjamini_hochberg_hand_checked(spark):
+    """BH step-up on known p-values, including the monotonization case
+    (a later rank's smaller q must pull earlier ranks DOWN) and the
+    NULL-p passthrough; plus the A&S normal-p calibration at the two
+    textbook anchors (z=1.959964 -> p~0.05, z=0 -> p~1)."""
+    from dwh_with_dask_spark.operators.experiment import (
+        benjamini_hochberg,
+        normal_two_sided_p,
+    )
+
+    rows = [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005),
+            ("e", None)]
+    d = spark.createDataFrame(rows, "metric string, p_value double")
+    got = {
+        r.metric: (r.p_rank, r.p_adj, r.reject)
+        for r in benjamini_hochberg(d, alpha=0.03).collect()
+    }
+    # m=4 (NULL excluded); q = [0.02, 0.02, 0.04, 0.04] by rank;
+    # step-up mins: ranks 1-2 -> 0.02, ranks 3-4 -> 0.04
+    assert got["d"] == (1, 0.02, True)
+    assert got["a"] == (2, 0.02, True)
+    assert got["c"] == (3, 0.04, False)
+    assert got["b"] == (4, 0.04, False)
+    assert got["e"] == (None, None, False)
+
+    # monotonization: rank 3's q=0.028 caps ranks 1-2's q=0.04
+    d2 = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.021), ("d", 0.9)],
+        "metric string, p_value double",
+    )
+    adj = {
+        r.metric: round(r.p_adj, 9)
+        for r in benjamini_hochberg(d2, alpha=0.05).collect()
+    }
+    assert adj == {"a": 0.028, "b": 0.028, "c": 0.028, "d": 0.9}
+
+    # p-value calibration (A&S 26.2.17, |err| < 7.5e-8)
+    pz = spark.createDataFrame(
+        [(1.959964,), (0.0,), (None,)], "z double"
+    ).select(normal_two_sided_p(F.col("z")).alias("p")).collect()
+    assert abs(pz[0].p - 0.05) < 1e-5
+    assert abs(pz[1].p - 1.0) < 1e-6
+    assert pz[2].p is None
