@@ -719,13 +719,17 @@ def bm25_search(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_qtf: bool = False,
     **kw,
 ) -> DataFrame:
     """Top-``k`` documents for a SET-of-terms query by summed BM25 —
-    duplicate query terms collapse (the ``isin`` filter matches each
-    distinct term once; textbook BM25's query-term-frequency weighting
-    is deliberately not applied, and the DuckDB oracle's IN-list has
-    the same set semantics) —
+    duplicate query terms collapse by default (the ``isin`` filter
+    matches each distinct term once; the DuckDB oracle's IN-list has
+    the same set semantics). ``use_qtf=True`` applies textbook BM25's
+    query-term-frequency weighting instead: each distinct term's score
+    is multiplied by its count in ``query_terms`` (a driver-side
+    Counter shipped as a tiny map literal — duplicates then MEAN
+    something, matching Robertson's qtf·score formulation) —
     retrieval over the same inverted index ``bm25_scores`` builds (the
     search half of the pipeline: quality probes, near-eval-set lookups,
     boilerplate hunts all phrase as "give me the docs that score
@@ -746,17 +750,35 @@ def bm25_search(
     """
     scored = bm25_scores(docs, id_col=id_col, text_col=text_col, **kw)
     hits = scored.filter(F.col("term").isin([t for t in query_terms]))
-    return _bm25_topk(hits, id_col, k)
+    return _bm25_topk(
+        hits, id_col, k, qtf=_qtf_weights(query_terms) if use_qtf else None
+    )
 
 
-def _bm25_topk(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+def _qtf_weights(query_terms: list[str]) -> dict[str, int]:
+    from collections import Counter
+
+    return dict(Counter(query_terms))
+
+
+def _bm25_topk(
+    hits: DataFrame, id_col: str, k: int, qtf: dict[str, int] | None = None
+) -> DataFrame:
     """Shared retrieval tail: per-doc sum over matched postings →
-    deterministic top-k (TakeOrderedAndProject)."""
+    deterministic top-k (TakeOrderedAndProject). ``qtf`` (term → query
+    count) weights each posting's score before the sum — a tiny map
+    literal, evaluated row-locally."""
+    score = F.col("score")
+    if qtf and any(v != 1 for v in qtf.values()):
+        wmap = F.create_map(
+            *[F.lit(x) for kv in qtf.items() for x in (kv[0], float(kv[1]))]
+        )
+        score = score * F.element_at(wmap, F.col("term"))
     return (
         hits.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_hit"),
-            F.round(F.sum("score"), 6).alias("bm25"),
+            F.round(F.sum(score), 6).alias("bm25"),
         )
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
@@ -935,6 +957,7 @@ def bm25_search_indexed(
     k1: float | None = None,
     b: float | None = None,
     log_idf: bool | None = None,
+    use_qtf: bool = False,
 ) -> DataFrame:
     """Top-``k`` retrieval against a ``build_bm25_index`` table — the
     probe NEVER tokenizes the corpus: it reads only the index
@@ -955,7 +978,8 @@ def bm25_search_indexed(
     bytes — pass overrides to rescore the same index under different
     params with zero rebuild (nothing is silently served under params
     the caller did not ask for). Same set-of-terms semantics as
-    ``bm25_search``: duplicate query terms collapse."""
+    ``bm25_search`` by default; ``use_qtf=True`` applies the same
+    query-term-frequency weighting."""
     import glob
     import json as _json
     import os
@@ -999,7 +1023,10 @@ def bm25_search_indexed(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     ).withColumn("n_docs", F.lit(n_docs)).withColumn("avgdl", F.lit(avgdl))
     scored = hits.withColumn("score", _bm25_score_col(k1, b, log_idf))
-    return _bm25_topk(scored, id_col, k)
+    return _bm25_topk(
+        scored, id_col, k,
+        qtf=_qtf_weights(query_terms) if use_qtf else None,
+    )
 
 
 def temperature_sample(

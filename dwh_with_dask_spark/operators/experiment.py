@@ -472,6 +472,7 @@ def benjamini_hochberg(
     p_col: str = "p_value",
     alpha: float = 0.05,
     tie_cols: list[str] | None = None,
+    method: str = "bh",
 ) -> DataFrame:
     """Benjamini-Hochberg FDR correction over a (test, p-value) frame —
     the standard consumer of a MULTI-metric experiment readout
@@ -481,19 +482,36 @@ def benjamini_hochberg(
     ``p_adj(i) = min_{j>=i} p(j)·m/j`` capped at 1 over the ascending-p
     ranking (the step-up monotonization), ``reject = p_adj <= alpha``.
 
+    ``method`` selects the correction family (all published):
+
+    - ``'bh'`` (default) — Benjamini-Hochberg step-up, FDR control
+      under independence/PRDS;
+    - ``'by'`` — Benjamini-Yekutieli 2001: BH with the factor inflated
+      by the harmonic sum ``c(m) = Σ_{i<=m} 1/i``, FDR control under
+      ARBITRARY dependence (the conservative default for correlated
+      metrics, which real experiment metrics are);
+    - ``'holm'`` — Holm 1979 step-DOWN, ``p_adj(i) = max_{j<=i}
+      p(j)·(m−j+1)`` capped at 1: controls the stricter FAMILYWISE
+      error rate, uniformly more powerful than plain Bonferroni.
+
     Determinism: rank ties break on ``tie_cols`` (default: every other
-    column, ascending) so the ranking is total; ``p·m/rank`` is two
-    IEEE ops on an already-rounded p; the running min is EXACT (no
-    addition, order-free result) — so ``p_adj`` needs no rounding
-    idiom beyond the p input's own. NULL p rows (degenerate tests)
-    pass through with NULL rank/p_adj and ``reject = false``; m counts
-    only real p-values.
+    column, ascending) so the ranking is total; the per-rank factor is
+    two IEEE ops on an already-rounded p; the running min (bh/by) and
+    max (holm) are EXACT (no addition, order-free result) — so
+    ``p_adj`` needs no rounding idiom beyond the p input's own, except
+    'by', whose harmonic sum is an ordered double fold and is rounded
+    to 9 dp before use (the md5-rate idiom — engines' fold orders
+    cannot disagree past 1e-9 at report sizes). NULL p rows (degenerate
+    tests) pass through with NULL rank/p_adj and ``reject = false``; m
+    counts only real p-values.
 
     Scale note: this is a REPORT operator — the input is
     metrics-count-sized (one row per tested metric), so the two global
     windows are driver-trivial by construction; it is not meant for
     fact-table inputs (the heavy lifting happened in the per-metric
     tests upstream)."""
+    if method not in ("bh", "by", "holm"):
+        raise ValueError(f"unknown correction method {method!r}")
     tie_cols = (
         [c for c in results.columns if c != p_col]
         if tie_cols is None
@@ -508,18 +526,33 @@ def benjamini_hochberg(
     ranked = valid.withColumn(
         "p_rank", F.row_number().over(w_rank).cast("long")
     ).withColumn("__m", F.count(F.lit(1)).over(w_all))
-    q = (
-        F.col(p_col).cast("double")
-        * F.col("__m").cast("double")
-        / F.col("p_rank").cast("double")
-    )
-    w_cum = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    adj = F.least(F.lit(1.0), F.min(q).over(w_cum))
+    p_d = F.col(p_col).cast("double")
+    m_d = F.col("__m").cast("double")
+    rank_d = F.col("p_rank").cast("double")
+    if method == "holm":
+        # step-down: running MAX of p·(m−rank+1) from the TOP rank
+        q = p_d * (m_d - rank_d + F.lit(1.0))
+        w_cum = Window.orderBy(F.col("p_rank").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        adj = F.least(F.lit(1.0), F.max(q).over(w_cum))
+    else:
+        factor = m_d
+        if method == "by":
+            # harmonic sum over the ranked frame itself (1/i for every
+            # rank is exactly the Σ 1/i over i <= m), rounded before use
+            ranked = ranked.withColumn(
+                "__cm", F.round(F.sum(F.lit(1.0) / rank_d).over(w_all), 9)
+            )
+            factor = m_d * F.col("__cm")
+        q = p_d * factor / rank_d
+        w_cum = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        adj = F.least(F.lit(1.0), F.min(q).over(w_cum))
     out = ranked.withColumn("p_adj", adj).withColumn(
         "reject", F.col("p_adj") <= F.lit(float(alpha))
-    ).drop("__m")
+    ).drop("__m", *(["__cm"] if method == "by" else []))
     missing = invalid.select(
         "*",
         F.lit(None).cast("long").alias("p_rank"),

@@ -1316,3 +1316,42 @@ def test_benjamini_hochberg_hand_checked(spark):
     assert abs(pz[0].p - 0.05) < 1e-5
     assert abs(pz[1].p - 1.0) < 1e-6
     assert pz[2].p is None
+
+
+def test_correction_methods_holm_and_by(spark):
+    """Holm step-down and Benjamini-Yekutieli on the same known
+    p-values as the BH hand-check: Holm's running MAX of p*(m-i+1)
+    gives [0.02, 0.03, 0.06, 0.06] (FWER — stricter than BH's
+    [0.02, 0.02, 0.04, 0.04]); BY inflates BH by the harmonic sum
+    c(4) = 25/12. Unknown methods raise."""
+    from dwh_with_dask_spark.operators.experiment import benjamini_hochberg
+
+    d = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        "metric string, p_value double",
+    )
+    holm = {
+        r.metric: (r.p_rank, round(r.p_adj, 9), r.reject)
+        for r in benjamini_hochberg(d, alpha=0.05, method="holm").collect()
+    }
+    assert holm["d"] == (1, 0.02, True)
+    assert holm["a"] == (2, 0.03, True)
+    assert holm["c"] == (3, 0.06, False)
+    assert holm["b"] == (4, 0.06, False)  # monotone: capped by rank 3
+
+    c4 = 1.0 + 0.5 + 1.0 / 3.0 + 0.25  # 25/12
+    by = {
+        r.metric: r.p_adj
+        for r in benjamini_hochberg(d, method="by").collect()
+    }
+    assert by["d"] == pytest.approx(0.005 * 4 * c4 / 1, rel=1e-6)
+    assert by["a"] == pytest.approx(0.005 * 4 * c4 / 1, rel=1e-6)  # min'd
+    assert by["c"] == pytest.approx(0.03 * 4 * c4 / 3, rel=1e-6)
+    # BY is uniformly more conservative than BH
+    bh = {
+        r.metric: r.p_adj for r in benjamini_hochberg(d).collect()
+    }
+    assert all(by[m] >= bh[m] for m in bh)
+
+    with pytest.raises(ValueError, match="unknown correction"):
+        benjamini_hochberg(d, method="bonferroni")

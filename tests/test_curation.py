@@ -567,3 +567,48 @@ def test_bm25_refresh_equals_full_rebuild(spark, tmp_path):
     want_b0 = C.bm25_search(union, terms, k=10, b=0.0).collect()
     assert sorted(map(tuple, got_b0)) == sorted(map(tuple, want_b0))
     assert sorted(map(tuple, got_b0)) != sorted(map(tuple, got))
+
+
+def test_bm25_qtf_weighting(spark, tmp_path):
+    """use_qtf=True applies Robertson's query-term-frequency weighting:
+    a doubled query term contributes twice its score; with all-unique
+    terms qtf degenerates to the default set semantics; and the stored
+    index probe under qtf equals the live search under qtf."""
+    rows = [
+        (1, "spark window merge spark spark engine"),
+        (2, "window functions rank over partitions window"),
+        (3, "merge into target when matched update"),
+        (5, "spark merge spark window shuffle exchange"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "window", "merge"]
+    dup = terms + ["spark"]
+
+    base = {r.doc_id: r.bm25 for r in C.bm25_search(d, terms, k=10).collect()}
+    # unique terms: qtf on == qtf off
+    same = {
+        r.doc_id: r.bm25
+        for r in C.bm25_search(d, terms, k=10, use_qtf=True).collect()
+    }
+    assert same == base
+    # doubled 'spark': its per-doc contribution doubles exactly
+    scored = {
+        (r.doc_id, r.term): r.score for r in C.bm25_scores(d).collect()
+    }
+    qtf = {
+        r.doc_id: r.bm25
+        for r in C.bm25_search(d, dup, k=10, use_qtf=True).collect()
+    }
+    for doc in base:
+        extra = scored.get((doc, "spark"), 0.0)
+        assert qtf[doc] == pytest.approx(base[doc] + extra, abs=2e-6)
+    # duplicates still collapse when qtf is off (set semantics)
+    off = {r.doc_id: r.bm25 for r in C.bm25_search(d, dup, k=10).collect()}
+    assert off == base
+    # stored-index probe under qtf == live search under qtf
+    path = str(tmp_path / "bm25_qtf")
+    C.build_bm25_index(d, path, n_buckets=8)
+    got = C.bm25_search_indexed(spark, path, dup, k=10, use_qtf=True)
+    assert sorted((r.doc_id, r.bm25) for r in got.collect()) == sorted(
+        qtf.items()
+    )
