@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -155,24 +155,45 @@ def population_stability(
         raise ValueError(
             f"population_stability needs hi > lo (got lo={lo}, hi={hi})"
         )
-    width = (hi - lo) / bins
 
     def binned(df: DataFrame, n_name: str) -> DataFrame:
-        b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
-        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
         return (
             df.filter(F.col(col).isNotNull())
-            .select(b.cast("int").alias("bin"))
+            .select(psi_bin(col, lo, hi, bins).alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias(n_name))
         )
 
-    old_c = binned(df_old, "n_old")
-    new_c = binned(df_new, "n_new")
-    tot_o = old_c.agg(F.sum("n_old").alias("__to"))
-    tot_n = new_c.agg(F.sum("n_new").alias("__tn"))
+    return psi_from_bin_counts(
+        binned(df_old, "n_old"), binned(df_new, "n_new"), min_frac=min_frac
+    )
+
+
+def psi_bin(col: str, lo: float, hi: float, bins: int) -> Column:
+    """The PSI binning expression — fixed equi-width over [lo, hi) with
+    edge bins absorbing out-of-range values. Exposed so a STREAMING
+    monitor can compute per-batch bin counts with the exact expression
+    the batch operator uses (the stored-counters == batch contract)."""
+    width = (hi - lo) / bins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+
+def psi_from_bin_counts(
+    old_counts: DataFrame,
+    new_counts: DataFrame,
+    min_frac: float = 1e-4,
+) -> DataFrame:
+    """``population_stability``'s scoring half over PRECOMPUTED bin
+    counts — (bin, n_old) and (bin, n_new) frames. This is the entry
+    point the always-on monitoring pattern uses: per-bin counters
+    folded exactly-once by ``streaming.incremental_agg_sink`` feed the
+    same report as a batch scan, bit-for-bit (the counts are exact
+    longs; everything after them is the one shared expression tree)."""
+    tot_o = old_counts.agg(F.sum("n_old").alias("__to"))
+    tot_n = new_counts.agg(F.sum("n_new").alias("__tn"))
     j = (
-        old_c.join(new_c, "bin", "full_outer")
+        old_counts.join(new_counts, "bin", "full_outer")
         .select(
             "bin",
             F.coalesce("n_old", F.lit(0)).alias("n_old"),

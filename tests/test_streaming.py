@@ -1609,3 +1609,78 @@ def test_streaming_srm_counters_equal_batch_guardrail(
         6,
     )
     assert z == want.srm_z
+
+
+def test_streaming_psi_counters_equal_batch_drift(spark, tmpdir_spark):
+    """Monitoring composes with the exactly-once streaming state the
+    same way SRM does (round 10): per-BIN counters folded by
+    incremental_agg_sink over 3 micro-batches feed
+    psi_from_bin_counts, and every report column equals the batch
+    population_stability over the same snapshots bit-for-bit — the
+    binning expression (psi_bin) and the scoring tree are shared, the
+    counts are exact longs, so streaming cannot drift from batch."""
+    from dwh_with_dask_spark.operators.profile import (
+        population_stability,
+        psi_bin,
+        psi_from_bin_counts,
+    )
+    from dwh_with_dask_spark.streaming.warehouse import incremental_agg_sink
+
+    lo, hi, bins = 0.0, 100.0, 10
+
+    def vals(seed, n):
+        # deterministic synthetic metric, shifted per snapshot
+        return [(i, float((i * 37 + seed) % 120) - 10.0) for i in range(n)]
+
+    old_df = spark.createDataFrame(vals(0, 900), "id long, v double")
+    src = f"{tmpdir_spark}/psi_new"
+    for b in range(3):  # one file -> one micro-batch
+        spark.createDataFrame(
+            vals(53, 900)[b * 300 : (b + 1) * 300], "id long, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = f"{tmpdir_spark}/psi_state"
+
+    def partial(df):
+        return (
+            df.filter(F.col("v").isNotNull())
+            .select(psi_bin("v", lo, hi, bins).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_new"))
+        )
+
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_agg_sink(state, ["bin"], partial)
+        )
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_psi")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    old_counts = (
+        old_df.filter(F.col("v").isNotNull())
+        .select(psi_bin("v", lo, hi, bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    stored = spark.read.parquet(state).select("bin", "n_new")
+    got = sorted(
+        map(tuple, psi_from_bin_counts(old_counts, stored).collect())
+    )
+    new_df = spark.read.parquet(src)
+    want = sorted(
+        map(
+            tuple,
+            population_stability(old_df, new_df, "v", lo, hi, bins).collect(),
+        )
+    )
+    assert got == want
+    # the shifted snapshot genuinely drifts (nonzero total PSI)
+    assert sum(r[5] for r in got) > 0
