@@ -1,0 +1,274 @@
+"""Variable-length ExactSubstr: a DISTRIBUTED suffix-array construction
+via prefix doubling (Manber & Myers 1993), DataFrame-native.
+
+Closes the one documented approximation in the ExactSubstr family
+(``dedup.duplicate_spans`` hashes FIXED-k windows — finds all repeats of
+length >= k, but reports k-resolution coverage): this module computes,
+for every token position in the corpus, the TRUE length of the longest
+substring starting there that also occurs anywhere else (Lee et al.
+2022's suffix-array semantics), with no Python in the per-row path and
+no text ever riding a shuffle after tokenization.
+
+Method — every step is a standard published algorithm, re-expressed as
+DataFrame ops:
+
+1. **Prefix doubling**: ``rank_0`` = dense rank of the single token;
+   ``rank_{j+1}`` = dense rank of the pair ``(rank_j[p],
+   rank_j[p + 2^j])`` (−1 past the document end — suffixes never cross
+   documents, the per-doc sentinel of the concatenated-corpus
+   construction). After round j, two positions share ``rank_j`` iff
+   their suffixes agree on the first ``2^j`` tokens (or are equal
+   complete suffixes — see the clamp below). ``ceil(log2(max_doc_len))``
+   rounds, with early stop once every rank is distinct.
+   The pair shift is a per-document ``lead`` window (no join), and the
+   dense rank is fully distributed: distinct keys → range-sort →
+   ``ids.sequential_id`` (JVM stamp + broadcast offsets — NO
+   single-partition window anywhere in this module) → hash-join back.
+2. **Suffix-array adjacency**: order positions by the final rank
+   (ties — equal complete suffixes — break on (id, pos)); adjacency via
+   ``sequential_id`` + a self-join on ``sa+1``.
+3. **LCP of adjacent suffixes** by descending doubling (the classic
+   O(log n) rank-table LCP): for j = J..0, if ``rank_j`` matches at
+   both cursors, advance the common prefix by ``2^j``. Each step is two
+   expression-keyed equi-joins against the rank table. A final
+   ``least(lcp, remaining_a, remaining_b)`` clamp repairs the one
+   overcount the shared end-of-document sentinel allows (two EQUAL
+   complete suffixes shorter than ``2^j`` match at round j; true LCP is
+   their full length).
+4. **Longest repeat per position** = max(LCP with SA-predecessor, LCP
+   with SA-successor) — the textbook neighbor property.
+
+Scale notes: every shuffle moves fixed-width (id, pos, rank) rows —
+O(N) each, O(log max_len) rounds; the LCP pass is O(log max_len)
+equi-joins of an (N-1)-row pair table. That is the honest cost of
+EXACT variable-length semantics; ``dedup.duplicate_spans`` (one shuffle,
+fixed k) remains the data-proportional default and this module the
+exact-semantics option — the same default/exact split as
+approx_distinct vs count_distinct. The equivalence theorem tested in
+tests/test_dedup_similarity.py (coverage at ``min_len=k`` equals the
+fixed-k scheme's coverage exactly) is what lets the driver query share
+the fixed-k DuckDB oracle.
+
+Reference for parity: the reference repo has no dedup at all; this is
+SURVEY.md §2B north-star surface (the training-data-pipeline layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
+from dwh_with_dask_spark.operators.dedup import text_tokens
+from dwh_with_dask_spark.operators.ids import sequential_id
+from dwh_with_dask_spark.operators.partitioning import barrier, widen
+
+
+def _dense_rank_distributed(
+    df: DataFrame, key_cols: list[str], out: str
+) -> DataFrame:
+    """Dense rank of ``key_cols`` over the whole frame WITHOUT a global
+    window: distinct keys → range-sorted ``sequential_id`` (JVM stamp +
+    broadcast offsets) → join back. Rank values are 0-based, contiguous
+    over distinct keys, and deterministic (the key order is total)."""
+    keys = sequential_id(
+        df.select(*key_cols).distinct(),
+        order_by=[F.col(c).asc() for c in key_cols],
+        name=out,
+        start=0,
+        checkpoint=True,
+    )
+    return df.join(keys, key_cols)
+
+
+def suffix_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int]:
+    """(positions, J): ``positions`` = one row per token position —
+    (id, pos, dl, r0..rJ) where ``r_j`` is the prefix-doubling rank
+    after round j — eagerly checkpointed (safe to re-action); ``J`` is
+    the last round computed. Suffixes are per-document (repeats never
+    span documents). Zero-token documents contribute no positions."""
+    src = widen(df.select(id_col, text_col), id_col)
+    base = barrier(
+        src.select(
+            F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks")
+        )
+    ).filter(F.size("__toks") >= 1)
+    pos = base.select(
+        "id",
+        F.size("__toks").alias("dl"),
+        F.posexplode("__toks").alias("pos", "__tok"),
+    )
+    pos = _dense_rank_distributed(pos, ["__tok"], "r0").drop("__tok")
+    pos = pos.localCheckpoint(eager=True)
+    n_total = pos.count()
+    max_dl = pos.agg(F.max("dl")).first()[0] or 1
+
+    j, k = 0, 1
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    while k < max_dl:
+        prev, nxt = f"r{j}", f"r{j + 1}"
+        # rank_{j+1} key: (rank_j[p], rank_j[p + 2^j] or -1 past end)
+        paired = pos.withColumn(
+            "__r2", F.coalesce(F.lead(prev, k).over(w_doc), F.lit(-1))
+        )
+        pos = _dense_rank_distributed(paired, [prev, "__r2"], nxt).drop(
+            "__r2"
+        )
+        # iterative-loop idiom: truncate lineage every round, or the
+        # plan grows by two joins per round and re-actions replay the
+        # nondeterministic sequential_id stamps
+        pos = pos.localCheckpoint(eager=True)
+        j, k = j + 1, k * 2
+        n_distinct = pos.agg(F.countDistinct(f"r{j}")).first()[0]
+        if n_distinct == n_total:
+            break  # every suffix separated: no repeat reaches 2^j
+    return pos, j
+
+
+def longest_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """(id, pos, dl, rep): for every token position, the EXACT length of
+    the longest substring starting there that occurs at least once more
+    anywhere in the corpus (0 when the suffix shares no prefix with any
+    other). The suffix-array semantics the fixed-k family approximates.
+    """
+    scope, created = scoped(scope)
+    pos, J = suffix_ranks(df, text_col=text_col, id_col=id_col)
+    last = f"r{J}"
+    ranks = scope.persist(pos)
+    sa = sequential_id(
+        ranks.select("id", "pos", "dl", last),
+        order_by=[F.col(last).asc(), F.col("id").asc(), F.col("pos").asc()],
+        name="__sa",
+        start=0,
+        checkpoint=True,
+    ).drop(last)
+
+    a = sa.select(
+        F.col("id").alias("ida"), F.col("pos").alias("posa"),
+        F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
+    )
+    b = sa.select(
+        F.col("id").alias("idb"), F.col("pos").alias("posb"),
+        F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
+    )
+    pairs = a.join(b, "__i").drop("__i").withColumn(
+        "lcp", F.lit(0).cast("long")
+    )
+    # descending-doubling LCP: two expression-keyed equi-joins per level
+    for j in range(J, -1, -1):
+        rj = ranks.select(
+            F.col("id").alias("__rid"), F.col("pos").alias("__rpos"),
+            F.col(f"r{j}").alias("__rv"),
+        )
+        pairs = (
+            pairs.join(
+                rj,
+                (F.col("ida") == F.col("__rid"))
+                & (F.col("__rpos") == F.col("posa") + F.col("lcp")),
+                "left",
+            )
+            .withColumnRenamed("__rv", "__ra")
+            .drop("__rid", "__rpos")
+        )
+        pairs = (
+            pairs.join(
+                rj,
+                (F.col("idb") == F.col("__rid"))
+                & (F.col("__rpos") == F.col("posb") + F.col("lcp")),
+                "left",
+            )
+            .withColumnRenamed("__rv", "__rb")
+            .drop("__rid", "__rpos")
+        )
+        hit = (
+            F.col("__ra").isNotNull()
+            & F.col("__rb").isNotNull()
+            & (F.col("__ra") == F.col("__rb"))
+        )
+        pairs = pairs.withColumn(
+            "lcp",
+            F.when(hit, F.col("lcp") + F.lit(2 ** j)).otherwise(F.col("lcp")),
+        ).drop("__ra", "__rb")
+        pairs = pairs.localCheckpoint(eager=True)
+    # shared-sentinel clamp: equal COMPLETE suffixes shorter than 2^j
+    # rank-match at round j; their true LCP is the full remaining length
+    pairs = pairs.withColumn(
+        "lcp",
+        F.least(
+            F.col("lcp"),
+            F.col("dla") - F.col("posa"),
+            F.col("dlb") - F.col("posb"),
+        ),
+    )
+    both = pairs.select(
+        F.col("ida").alias("id"), F.col("posa").alias("pos"),
+        F.col("dla").alias("dl"), "lcp",
+    ).unionByName(
+        pairs.select(
+            F.col("idb").alias("id"), F.col("posb").alias("pos"),
+            F.col("dlb").alias("dl"), "lcp",
+        )
+    )
+    # SA-boundary positions appear once; interior ones twice — max of
+    # the (one or two) neighbor LCPs IS the longest repeat (textbook)
+    rep = (
+        both.groupBy("id", "pos")
+        .agg(F.max("dl").alias("dl"), F.max("lcp").alias("rep"))
+    )
+    return attach(rep, scope, created)
+
+
+def suffix_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Variable-length ExactSubstr coverage: per document, the token
+    positions covered by SOME duplicated substring of length >=
+    ``min_len`` — computed from TRUE longest-repeat lengths, not fixed
+    windows. Output (id_col, n_dup_windows, dup_tokens) is
+    column-compatible with ``dedup.duplicate_spans(k=min_len)`` and —
+    by the coverage-equivalence theorem — value-IDENTICAL to it:
+    a position's k-window is duplicated iff its longest repeat is
+    >= k, and the union of [p, p + rep(p)) over rep >= k equals the
+    union of the duplicated k-windows (each [p, p+rep) is exactly the
+    chain of k-windows starting at p..p+rep-k). What the variable-
+    length path ADDS is ``longest_repeats``' exact per-position rep —
+    the quantity the fixed-k scheme cannot report — at
+    O(log max_len)-shuffle cost instead of one."""
+    rep = longest_repeats(df, text_col=text_col, id_col=id_col, scope=scope)
+    spans = rep.filter(F.col("rep") >= min_len)
+    prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.col("rep")
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        end - F.greatest(
+            F.col("pos"), F.coalesce(F.max(end).over(prev), F.lit(0))
+        ),
+    )
+    out = (
+        spans.withColumn("__c", contrib)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("__c").alias("dup_tokens"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+    return out

@@ -1089,3 +1089,83 @@ def test_ivfpq_rerank_indexed_query_equals_build_inclusive(spark):
     a = QUERIES["embedding_ivfpq_rerank_topk"](spark, SF_SMOKE).collect()
     b = QUERIES["embedding_ivfpq_rerank_indexed"](spark, SF_SMOKE).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _brute_longest_repeats(docs):
+    """Quadratic reference: for every (doc, pos), the longest prefix of
+    that suffix occurring at any OTHER corpus position."""
+    toks = {i: t.lower().split() for i, t in docs}
+    sufs = [(i, p) for i, t in toks.items() for p in range(len(t))]
+    rep = {}
+    for i, p in sufs:
+        a = toks[i][p:]
+        best = 0
+        for j, q in sufs:
+            if (i, p) == (j, q):
+                continue
+            b = toks[j][q:]
+            m = 0
+            while m < len(a) and m < len(b) and a[m] == b[m]:
+                m += 1
+            best = max(best, m)
+        rep[(i, p)] = best
+    return rep
+
+
+def test_suffix_longest_repeats_match_bruteforce(spark):
+    """The distributed prefix-doubling suffix array reports the EXACT
+    longest-repeat length per position — verified against a quadratic
+    in-Python reference on a corpus with variable-length overlaps,
+    within-doc repeats, equal complete suffixes (the shared-sentinel
+    clamp case), and a unique-token doc."""
+    from dwh_with_dask_spark.operators.suffix import longest_repeats
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox ran away"),
+        (3, "over the lazy dog they jumped"),
+        (4, "completely unique tokens here zebra"),
+        (5, "the lazy dog"),          # equal complete suffix vs doc 1/3
+        (6, "echo echo echo echo"),   # within-doc variable repeat
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id, r.pos): r.rep for r in longest_repeats(d).collect()
+    }
+    want = _brute_longest_repeats(docs)
+    assert got == want
+    # spot-check the semantics the fixed-k scheme cannot express:
+    # doc 1 pos 5 = "over the lazy dog" repeats with TRUE length 4
+    assert want[(1, 5)] == 4
+    # doc 6: suffix "echo echo echo" recurs (shifted) with length 3
+    assert want[(6, 0)] == 3
+    # the unique doc has zero-length repeats except any shared tokens
+    assert all(
+        v == 0 for (i, _), v in want.items() if i == 4
+    )
+
+
+def test_suffix_spans_equal_fixed_k_coverage(spark):
+    """Coverage-equivalence theorem (documented in suffix.py): variable-
+    length coverage at min_len=k equals the hashed fixed-k scheme's
+    (n_dup_windows, dup_tokens) exactly — on a corpus with repeats
+    longer than, equal to, and shorter than k."""
+    from dwh_with_dask_spark.operators.dedup import duplicate_spans
+    from dwh_with_dask_spark.operators.suffix import suffix_duplicate_spans
+
+    boiler = "all rights reserved contact us at example dot com for info"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} unrelated tail text here"),
+        (3, "alpha beta gamma delta short repeat alpha beta"),
+        (4, "no duplication in this document at all whatsoever"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (3, 8):
+        want = sorted(
+            map(tuple, duplicate_spans(d, k=k).collect())
+        )
+        got = sorted(
+            map(tuple, suffix_duplicate_spans(d, min_len=k).collect())
+        )
+        assert got == want, f"k={k}: {got} != {want}"
