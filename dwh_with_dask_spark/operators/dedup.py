@@ -1251,6 +1251,23 @@ def duplicate_span_removal(
             ).alias("__cuts")
         )
     )
+    return _reassemble_after_cuts(df, ivals, text_col, id_col, k)
+
+
+def _reassemble_after_cuts(
+    df: DataFrame,
+    ivals: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+) -> DataFrame:
+    """Shared removal tail (fixed-k ``duplicate_span_removal`` and the
+    variable-length ``suffix.suffix_span_removal``): given per-doc
+    MERGED disjoint cut intervals — (id, __cuts: array<struct<__s,
+    __e>>, sorted) — re-tokenize the docs (scan-vs-shuffle call
+    documented in the fixed-k docstring), take the complement keep
+    intervals row-locally, and reassemble. Docs with fewer than
+    ``min_tokens`` tokens are excluded (they can hold no cut)."""
     n = F.size(F.col("__toks"))
     # tokenize below the conditional exchange carrying __toks (same
     # shape and rationale as _doc_shingles): HashPartitioning(id)
@@ -1261,7 +1278,7 @@ def duplicate_span_removal(
             F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks")
         ),
         "id",
-    ).filter(n >= k)
+    ).filter(n >= min_tokens)
     joined = toks.join(ivals, "id", "left")
     cuts = F.coalesce(
         F.col("__cuts"), F.array().cast("array<struct<__s:int,__e:int>>")

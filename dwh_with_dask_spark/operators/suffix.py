@@ -142,88 +142,24 @@ def longest_repeats(
     other). The suffix-array semantics the fixed-k family approximates.
     """
     scope, created = scoped(scope)
-    pos, J = suffix_ranks(df, text_col=text_col, id_col=id_col)
-    last = f"r{J}"
-    ranks = scope.persist(pos)
-    sa = sequential_id(
-        ranks.select("id", "pos", "dl", last),
-        order_by=[F.col(last).asc(), F.col("id").asc(), F.col("pos").asc()],
-        name="__sa",
-        start=0,
-        checkpoint=True,
-    ).drop(last)
-
-    a = sa.select(
-        F.col("id").alias("ida"), F.col("pos").alias("posa"),
-        F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
+    sa = _sa_with_lcp(df, text_col, id_col, scope)
+    # rep = max(LCP with predecessor, LCP with successor) — the
+    # successor's LCP is the NEXT sa row's lcp_prev: a self-join on the
+    # sa index, never an ordered global window
+    nxt = sa.select(
+        (F.col("__sa") - 1).alias("__sa"), F.col("lcp_prev").alias("__ln")
     )
-    b = sa.select(
-        F.col("id").alias("idb"), F.col("pos").alias("posb"),
-        F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
-    )
-    pairs = a.join(b, "__i").drop("__i").withColumn(
-        "lcp", F.lit(0).cast("long")
-    )
-    # descending-doubling LCP: two expression-keyed equi-joins per level
-    for j in range(J, -1, -1):
-        rj = ranks.select(
-            F.col("id").alias("__rid"), F.col("pos").alias("__rpos"),
-            F.col(f"r{j}").alias("__rv"),
-        )
-        pairs = (
-            pairs.join(
-                rj,
-                (F.col("ida") == F.col("__rid"))
-                & (F.col("__rpos") == F.col("posa") + F.col("lcp")),
-                "left",
-            )
-            .withColumnRenamed("__rv", "__ra")
-            .drop("__rid", "__rpos")
-        )
-        pairs = (
-            pairs.join(
-                rj,
-                (F.col("idb") == F.col("__rid"))
-                & (F.col("__rpos") == F.col("posb") + F.col("lcp")),
-                "left",
-            )
-            .withColumnRenamed("__rv", "__rb")
-            .drop("__rid", "__rpos")
-        )
-        hit = (
-            F.col("__ra").isNotNull()
-            & F.col("__rb").isNotNull()
-            & (F.col("__ra") == F.col("__rb"))
-        )
-        pairs = pairs.withColumn(
-            "lcp",
-            F.when(hit, F.col("lcp") + F.lit(2 ** j)).otherwise(F.col("lcp")),
-        ).drop("__ra", "__rb")
-        pairs = pairs.localCheckpoint(eager=True)
-    # shared-sentinel clamp: equal COMPLETE suffixes shorter than 2^j
-    # rank-match at round j; their true LCP is the full remaining length
-    pairs = pairs.withColumn(
-        "lcp",
-        F.least(
-            F.col("lcp"),
-            F.col("dla") - F.col("posa"),
-            F.col("dlb") - F.col("posb"),
-        ),
-    )
-    both = pairs.select(
-        F.col("ida").alias("id"), F.col("posa").alias("pos"),
-        F.col("dla").alias("dl"), "lcp",
-    ).unionByName(
-        pairs.select(
-            F.col("idb").alias("id"), F.col("posb").alias("pos"),
-            F.col("dlb").alias("dl"), "lcp",
-        )
-    )
-    # SA-boundary positions appear once; interior ones twice — max of
-    # the (one or two) neighbor LCPs IS the longest repeat (textbook)
     rep = (
-        both.groupBy("id", "pos")
-        .agg(F.max("dl").alias("dl"), F.max("lcp").alias("rep"))
+        sa.join(nxt, "__sa", "left")
+        .select(
+            "id",
+            "pos",
+            "dl",
+            F.greatest(
+                F.coalesce(F.col("lcp_prev"), F.lit(0)),
+                F.coalesce(F.col("__ln"), F.lit(0)),
+            ).alias("rep"),
+        )
     )
     return attach(rep, scope, created)
 
@@ -272,3 +208,258 @@ def suffix_duplicate_spans(
         .withColumnRenamed("id", id_col)
     )
     return out
+
+
+def _sa_with_lcp(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    scope: CacheScope,
+) -> DataFrame:
+    """(id, pos, dl, __sa, lcp_prev): every position with its
+    suffix-array index and its LCP with the SA-predecessor (NULL at
+    __sa = 0). The shared core of ``longest_repeats`` and
+    ``suffix_span_removal``."""
+    pos, J = suffix_ranks(df, text_col=text_col, id_col=id_col)
+    last = f"r{J}"
+    ranks = scope.persist(pos)
+    sa = sequential_id(
+        ranks.select("id", "pos", "dl", last),
+        order_by=[F.col(last).asc(), F.col("id").asc(), F.col("pos").asc()],
+        name="__sa",
+        start=0,
+        checkpoint=True,
+    ).drop(last)
+
+    a = sa.select(
+        F.col("id").alias("ida"), F.col("pos").alias("posa"),
+        F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
+    )
+    b = sa.select(
+        F.col("id").alias("idb"), F.col("pos").alias("posb"),
+        F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
+    )
+    pairs = a.join(b, "__i").withColumn("lcp", F.lit(0).cast("long"))
+    for j in range(J, -1, -1):
+        rj = ranks.select(
+            F.col("id").alias("__rid"), F.col("pos").alias("__rpos"),
+            F.col(f"r{j}").alias("__rv"),
+        )
+        pairs = (
+            pairs.join(
+                rj,
+                (F.col("ida") == F.col("__rid"))
+                & (F.col("__rpos") == F.col("posa") + F.col("lcp")),
+                "left",
+            )
+            .withColumnRenamed("__rv", "__ra")
+            .drop("__rid", "__rpos")
+        )
+        pairs = (
+            pairs.join(
+                rj,
+                (F.col("idb") == F.col("__rid"))
+                & (F.col("__rpos") == F.col("posb") + F.col("lcp")),
+                "left",
+            )
+            .withColumnRenamed("__rv", "__rb")
+            .drop("__rid", "__rpos")
+        )
+        hit = (
+            F.col("__ra").isNotNull()
+            & F.col("__rb").isNotNull()
+            & (F.col("__ra") == F.col("__rb"))
+        )
+        pairs = pairs.withColumn(
+            "lcp",
+            F.when(hit, F.col("lcp") + F.lit(2 ** j)).otherwise(F.col("lcp")),
+        ).drop("__ra", "__rb")
+        pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.withColumn(
+        "lcp",
+        F.least(
+            F.col("lcp"),
+            F.col("dla") - F.col("posa"),
+            F.col("dlb") - F.col("posb"),
+        ),
+    )
+    # lcp_prev of position b = the pair's lcp; __sa=0 has no predecessor
+    lp = pairs.select(
+        F.col("idb").alias("id"), F.col("posb").alias("pos"),
+        F.col("lcp").alias("lcp_prev"),
+    )
+    return sa.join(lp, ["id", "pos"], "left")
+
+
+def _running_sum_by_order(
+    frame: DataFrame,
+    order_col: str,
+    flag_col: str,
+    out: str,
+    scope: CacheScope,
+) -> DataFrame:
+    """Global inclusive running sum of ``flag_col`` in ``order_col``
+    order WITHOUT a single-partition window — the ``sequential_id``
+    pattern generalized to sums: range-repartition + in-partition sort,
+    per-partition flag totals collected (one row per partition),
+    prefix-summed on the driver, broadcast back as offsets, and the
+    in-partition running sum is an ordinary per-partition window. The
+    persist pins the partition assignment across the two jobs (same
+    contract as ``ids.sequential_id``)."""
+    p = frame.repartitionByRange(
+        max(frame.sparkSession.sparkContext.defaultParallelism, 2), order_col
+    ).sortWithinPartitions(order_col)
+    stamped = scope.persist(p.withColumn("__pid", F.spark_partition_id()))
+    totals = (
+        stamped.groupBy("__pid")
+        .agg(F.coalesce(F.sum(flag_col), F.lit(0)).alias("__t"))
+        .collect()
+    )
+    running, offs = 0, []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], running))
+        running += r["__t"]
+    offsets = frame.sparkSession.createDataFrame(
+        offs, "__pid int, __off long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        stamped.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.sum(flag_col).over(w) + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
+def suffix_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Variable-length ExactSubstr REMOVAL (Lee et al. 2022): cut every
+    duplicated substring occurrence of length >= ``min_len`` except a
+    canonical first copy, using TRUE repeat extents from the suffix
+    array — where the fixed-k ``dedup.duplicate_span_removal`` cuts
+    k-window unions, this cuts each occurrence's exact shared length.
+
+    Rule (deterministic, published-semantics):
+
+    1. SA positions whose longest repeat is >= ``min_len`` form RUNS —
+       maximal SA-consecutive blocks chained by adjacent LCP >=
+       ``min_len``. By the range-minimum property of LCP, every two
+       members of a run share a >= ``min_len`` prefix pairwise.
+    2. The run's canonical instance is its smallest (doc_id, pos) —
+       the corpus-wide first occurrence, the fixed-k scheme's rule.
+    3. Every OTHER member p cuts ``[pos_p, pos_p + shared_p)`` where
+       ``shared_p`` = the exact LCP between p and the canonical (the
+       running min of adjacent LCPs along the SA between them) — so
+       every cut token provably survives inside the canonical's kept
+       span (keep-one holds span-exactly, not just window-exactly),
+       up to cuts made by OTHER runs overlapping the canonical (the
+       same caveat the fixed-k removal documents).
+
+    Run segmentation uses a distributed prefix-sum (no global window);
+    per-run windows are run-sized. Re-assembly shares
+    ``dedup._reassemble_after_cuts``. Returns (id_col, n_tokens,
+    n_removed, clean_text) for every doc with >= ``min_len`` tokens.
+
+    No SQL oracle (a suffix array is beyond SQL at honest cost) —
+    correctness is pinned by the brute-force twin + hand fixtures in
+    tests/test_dedup_similarity.py; the spans side carries the full
+    DuckDB hash-match (dedup_suffix_spans)."""
+    from dwh_with_dask_spark.operators.dedup import _reassemble_after_cuts
+
+    scope, created = scoped(scope)
+    sa = _sa_with_lcp(df, text_col, id_col, scope)
+    # rep = max(lcp_prev, lcp_next) without any global window: a
+    # position's lcp_next is its SA-successor row's lcp_prev — a
+    # self-join on the sa index, not an ordered window
+    nxt = sa.select(
+        (F.col("__sa") - 1).alias("__sa"), F.col("lcp_prev").alias("l")
+    )
+    rep = (
+        sa.select("id", "pos", "dl", "__sa", "lcp_prev")
+        .join(nxt, "__sa", "left")
+        .withColumn(
+            "rep",
+            F.greatest(
+                F.coalesce(F.col("lcp_prev"), F.lit(0)),
+                F.coalesce(F.col("l"), F.lit(0)),
+            ),
+        )
+        .drop("l")
+    )
+    members = rep.filter(F.col("rep") >= min_len)
+    members = _running_sum_by_order(
+        members.withColumn(
+            "__new",
+            (
+                F.col("lcp_prev").isNull()
+                | (F.col("lcp_prev") < min_len)
+            ).cast("int"),
+        ),
+        "__sa",
+        "__new",
+        "__run",
+        scope,
+    )
+    # adjacent-lcp toward the successor, computed per run BEFORE any
+    # filtering so the backward running min sees the canonical's edge
+    w_run = Window.partitionBy("__run").orderBy("__sa")
+    members = members.withColumn("lcp_next", F.lead("lcp_prev").over(w_run))
+    canon = members.groupBy("__run").agg(
+        F.min_by("__sa", F.struct(F.col("id"), F.col("pos"))).alias("__csa")
+    )
+    m = members.join(F.broadcast(canon), "__run")
+    w_fwd = w_run.rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = (
+        Window.partitionBy("__run")
+        .orderBy(F.col("__sa").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    after = m.filter(F.col("__sa") > F.col("__csa")).withColumn(
+        "__cut", F.min("lcp_prev").over(w_fwd)
+    )
+    before = m.filter(F.col("__sa") < F.col("__csa")).withColumn(
+        "__cut", F.min("lcp_next").over(w_bwd)
+    )
+    cuts = after.unionByName(before).select(
+        "id", "pos", (F.col("pos") + F.col("__cut")).alias("__end")
+    )
+    # merge overlapping variable-length intervals per doc
+    prevw = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runw = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = cuts.withColumn(
+        "__new",
+        (
+            F.col("pos") >= F.coalesce(F.max("__end").over(prevw), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("__seg", F.sum("__new").over(runw))
+    ivals = (
+        seg.groupBy("id", "__seg")
+        .agg(
+            F.min("pos").cast("int").alias("__s"),
+            F.max("__end").cast("int").alias("__e"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__s"), F.col("__e")))
+            ).alias("__cuts")
+        )
+    )
+    out = _reassemble_after_cuts(df, ivals, text_col, id_col, min_len)
+    return attach(out, scope, created)

@@ -1237,6 +1237,25 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_suffix_removal")
+def dedup_suffix_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ExactSubstr REMOVAL over the suffix array
+    (operators/suffix.py:suffix_span_removal): every duplicated
+    substring occurrence of length >= 8 cut at its TRUE shared extent,
+    keeping the corpus-wide-first canonical copy per SA run. Rows-only
+    by design (the keep-one-per-run rule over exact LCPs has no
+    honest-cost SQL twin); correctness is pinned by the quadratic
+    brute-force reference and the hand fixture in
+    tests/test_dedup_similarity.py, and the SPANS side of the same
+    suffix array carries a full DuckDB hash-match
+    (dedup_suffix_spans)."""
+    from dwh_with_dask_spark.operators.suffix import suffix_span_removal
+
+    return suffix_span_removal(
+        load_table(spark, sf_dir, "documents"), min_len=8
+    ).select("doc_id", "n_tokens", "n_removed")
+
+
 
 
 @query(

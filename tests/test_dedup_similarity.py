@@ -1169,3 +1169,91 @@ def test_suffix_spans_equal_fixed_k_coverage(spark):
             map(tuple, suffix_duplicate_spans(d, min_len=k).collect())
         )
         assert got == want, f"k={k}: {got} != {want}"
+
+
+def _brute_suffix_removal(docs, min_len):
+    """Quadratic reference for suffix_span_removal's documented rule:
+    SA runs chained by adjacent LCP >= min_len, canonical = smallest
+    (id, pos), non-canonicals cut [pos, pos + LCP-to-canonical)."""
+    toks = {i: t.lower().split() for i, t in docs}
+    sufs = sorted(
+        (tuple(t[p:]), i, p)
+        for i, t in toks.items()
+        for p in range(len(t))
+    )
+
+    def lcp(a, b):
+        m = 0
+        while m < len(a) and m < len(b) and a[m] == b[m]:
+            m += 1
+        return m
+
+    adj = [lcp(sufs[k - 1][0], sufs[k][0]) for k in range(1, len(sufs))]
+    cuts = {}
+    k = 0
+    while k < len(sufs):
+        # run start: this suffix chains forward with >= min_len
+        if k + 1 - 1 < len(adj) and k < len(adj) and adj[k] >= min_len:
+            end = k
+            while end < len(adj) and adj[end] >= min_len:
+                end += 1
+            run = list(range(k, end + 1))
+            canon = min(run, key=lambda x: (sufs[x][1], sufs[x][2]))
+            for m in run:
+                if m == canon:
+                    continue
+                lo, hi = (m, canon) if m < canon else (canon, m)
+                shared = min(adj[lo:hi])
+                _, i, p = sufs[m]
+                cuts.setdefault(i, []).append((p, p + shared))
+            k = end + 1
+        else:
+            k += 1
+    out = {}
+    for i, t in toks.items():
+        if len(t) < min_len:
+            continue
+        ivs = sorted(cuts.get(i, []))
+        merged = []
+        for s, e in ivs:
+            if merged and s < merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        removed = set()
+        for s, e in merged:
+            removed.update(range(s, e))
+        kept = [w for p, w in enumerate(t) if p not in removed]
+        out[i] = (len(t), len(removed), " ".join(kept))
+    return out
+
+
+def test_suffix_span_removal_matches_bruteforce(spark):
+    """Variable-length removal equals the quadratic reference rule
+    exactly — the canonical copy survives intact, every non-canonical
+    occurrence is cut at its TRUE shared extent (not a k-window
+    union), and too-short docs are excluded."""
+    from dwh_with_dask_spark.operators.suffix import suffix_span_removal
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    docs = [
+        (1, f"intro text {boiler} outro one"),
+        (2, f"{boiler} completely different tail here"),
+        (3, f"other head words {boiler}"),
+        (4, "echo echo echo echo echo echo echo echo"),  # within-doc
+        (5, "too short"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in suffix_span_removal(d, min_len=4).collect()
+    }
+    want = _brute_suffix_removal(docs, 4)
+    assert got == want
+    # the canonical (smallest doc_id) keeps the boilerplate verbatim
+    assert boiler in got[1][2]
+    assert boiler not in got[2][2] and boiler not in got[3][2]
+    # the cut is the TRUE extent: docs 2/3 lose exactly the passage
+    assert got[2][1] == len(boiler.split())
+    assert got[3][1] == len(boiler.split())
+    assert 5 not in got  # below min_len tokens
