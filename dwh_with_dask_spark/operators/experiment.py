@@ -560,3 +560,82 @@ def benjamini_hochberg(
         F.lit(False).alias("reject"),
     )
     return out.unionByName(missing)
+
+
+def msprt_always_valid(
+    units: DataFrame,
+    arm_col: str = "arm",
+    converted_col: str = "converted",
+    control: str = "control",
+    treatment: str = "treatment",
+    tau: float = 0.1,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Always-valid (peeking-safe) two-proportion readout via the
+    mixture Sequential Probability Ratio Test (Johari, Koomen, Pekelis
+    & Walsh 2017/2022 — the 'always-valid inference' construction
+    behind continuous-monitoring A/B platforms): unlike the fixed-n
+    z-test, the mSPRT p-value may be inspected after EVERY new unit
+    without inflating the false-positive rate, because 1/Λ_n is a
+    supermartingale under H0.
+
+    Normal-mixture likelihood ratio over the effect estimate
+    ``θ̂ = rate_t − rate_c`` with variance ``V = p̂(1−p̂)(1/n_c+1/n_t)``
+    and a N(0, τ²) mixing prior on the effect::
+
+        Λ = sqrt(V / (V + τ²)) · exp(θ̂²·τ² / (2·V·(V + τ²)))
+        p_always_valid = min(1, 1/Λ),  reject ⇔ p <= alpha
+
+    ``τ`` encodes the expected effect scale (0.1 ≈ ten-point lifts);
+    mis-setting it costs power, never validity. One row:
+    (n_control, x_control, n_treatment, x_treatment, abs_lift,
+    lambda_stat, p_always_valid, reject).
+
+    Determinism: the counters are exact longs; V, θ̂, Λ are one fixed
+    IEEE tree; ``exp`` is implementation-defined at the last ulp, so
+    Λ and p round to 9 dp (the md5-rate idiom — same treatment as
+    ``normal_two_sided_p``). Degenerate inputs (empty arm, pooled rate
+    0/1) yield NULL statistics and ``reject = false``, never an ANSI
+    error. Scale shape: identical to ``two_proportion_ztest`` — one
+    4-counter aggregate with map-side partials; the monitoring loop
+    re-reads counters, never units (compose with
+    ``streaming.incremental_agg_sink`` exactly like the SRM leg)."""
+    is_c = F.col(arm_col) == control
+    is_t = F.col(arm_col) == treatment
+    conv = F.col(converted_col).cast("long")
+    z0 = F.lit(0).cast("long")
+    agg = units.agg(
+        F.coalesce(F.sum(F.when(is_c, 1).otherwise(0)), z0).alias("n_control"),
+        F.coalesce(F.sum(F.when(is_c, conv).otherwise(0)), z0).alias("x_control"),
+        F.coalesce(F.sum(F.when(is_t, 1).otherwise(0)), z0).alias("n_treatment"),
+        F.coalesce(F.sum(F.when(is_t, conv).otherwise(0)), z0).alias("x_treatment"),
+    )
+    n_c = F.col("n_control").cast("double")
+    n_t = F.col("n_treatment").cast("double")
+    x_c = F.col("x_control").cast("double")
+    x_t = F.col("x_treatment").cast("double")
+    theta = x_t / _pos(n_t) - x_c / _pos(n_c)
+    p = (x_c + x_t) / _pos(n_c + n_t)
+    v = p * (F.lit(1.0) - p) * (F.lit(1.0) / _pos(n_c) + F.lit(1.0) / _pos(n_t))
+    t2 = F.lit(float(tau) * float(tau))
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        theta * theta * t2 / (F.lit(2.0) * v * (v + t2))
+    )
+    ok = (
+        (F.col("n_control") > 0)
+        & (F.col("n_treatment") > 0)
+        & (p > 0)
+        & (p < 1)
+    )
+    lam_r = F.round(F.when(ok, lam), 9)
+    p_av = F.round(F.when(ok, F.least(F.lit(1.0), F.lit(1.0) / lam)), 9)
+    return agg.select(
+        "n_control",
+        "x_control",
+        "n_treatment",
+        "x_treatment",
+        F.when(ok, theta).alias("abs_lift"),
+        lam_r.alias("lambda_stat"),
+        p_av.alias("p_always_valid"),
+        F.coalesce(p_av <= F.lit(float(alpha)), F.lit(False)).alias("reject"),
+    )

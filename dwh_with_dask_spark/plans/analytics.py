@@ -1826,3 +1826,92 @@ def bh_multi_metric_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benjamini_hochberg(
         scored, p_col="p_value", alpha=0.05, tie_cols=["metric"]
     ).orderBy("p_rank")
+
+
+def _msprt_oracle(tau: float = 0.1, alpha: float = 0.05) -> str:
+    """Oracle for the always-valid readout: same counters as the
+    z-test oracle, then the mixture-likelihood tree with tau^2 inlined
+    as the exact Python double repr (string->double parse is correctly
+    rounded, so both engines compute over the identical literal);
+    lambda and p round to 9 dp (exp's last-ulp idiom)."""
+    t2 = repr(float(tau) * float(tau))
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || 'exp1'),
+                                 1, 4) < '8000'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             converted
+      FROM u),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_control,
+        CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END)
+          AS BIGINT) AS x_control,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_treatment,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
+          AS BIGINT) AS x_treatment
+      FROM a),
+    c AS (
+      SELECT *,
+        CAST(x_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+          - CAST(x_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS theta,
+        (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+          / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) AS pool,
+        n_control > 0 AND n_treatment > 0
+          AND (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+              / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) > 0
+          AND (CAST(x_control AS DOUBLE) + CAST(x_treatment AS DOUBLE))
+              / (CAST(n_control AS DOUBLE) + CAST(n_treatment AS DOUBLE)) < 1
+          AS ok
+      FROM s),
+    v AS (
+      SELECT *,
+        pool * (1.0 - pool) * (1.0 / CAST(n_control AS DOUBLE)
+                               + 1.0 / CAST(n_treatment AS DOUBLE)) AS vv
+      FROM c),
+    l AS (
+      SELECT *,
+        sqrt(vv / (vv + {t2}))
+          * exp(theta * theta * {t2} / (2.0 * vv * (vv + {t2}))) AS lam
+      FROM v)
+    SELECT n_control, x_control, n_treatment, x_treatment,
+           CASE WHEN ok THEN theta END AS abs_lift,
+           ROUND(CASE WHEN ok THEN lam END, 9) AS lambda_stat,
+           ROUND(CASE WHEN ok THEN LEAST(1.0, 1.0 / lam) END, 9)
+             AS p_always_valid,
+           COALESCE(ROUND(CASE WHEN ok THEN LEAST(1.0, 1.0 / lam) END, 9)
+                    <= {alpha}, FALSE) AS reject
+    FROM l
+    """
+
+
+@query("msprt_purchase_events", _msprt_oracle())
+def msprt_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid (peeking-safe) A/B readout
+    (operators/experiment.py:msprt_always_valid — Johari et al.'s
+    mixture SPRT, the continuous-monitoring construction): same units
+    and md5 split as ab_test_purchase_events, but the p-value may be
+    read after every new unit without alpha inflation. Null-hypothesis
+    data, so p_always_valid should sit near 1 and reject=false — the
+    statistic's plumbing and the exp-rounding idiom are what the
+    oracle pins (lambda and p hash-match at 9 dp)."""
+    from dwh_with_dask_spark.operators.experiment import (
+        ab_assign,
+        msprt_always_valid,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    units = units.withColumn("arm", ab_assign("user_id", salt="exp1"))
+    return msprt_always_valid(units, tau=0.1, alpha=0.05)

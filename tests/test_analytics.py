@@ -1355,3 +1355,44 @@ def test_correction_methods_holm_and_by(spark):
 
     with pytest.raises(ValueError, match="unknown correction"):
         benjamini_hochberg(d, method="bonferroni")
+
+
+def test_msprt_hand_computed_and_degenerate(spark):
+    """mSPRT always-valid p on known counters: control 10/100 vs
+    treatment 30/100 with tau=0.1 — Lambda computed by hand in
+    IEEE doubles; a strong effect rejects while a null split reads
+    p ~ 1; degenerate inputs yield NULLs and reject=false."""
+    import math
+
+    from dwh_with_dask_spark.operators.experiment import msprt_always_valid
+
+    def units(nc, xc, nt, xt):
+        rows = [("control", 1)] * xc + [("control", 0)] * (nc - xc)
+        rows += [("treatment", 1)] * xt + [("treatment", 0)] * (nt - xt)
+        return spark.createDataFrame(rows, "arm string, converted int")
+
+    r = msprt_always_valid(units(100, 10, 100, 30), tau=0.1).first()
+    theta = 30 / 100 - 10 / 100
+    pool = 40 / 200
+    v = pool * (1.0 - pool) * (1.0 / 100 + 1.0 / 100)
+    t2 = 0.1 * 0.1
+    lam = math.sqrt(v / (v + t2)) * math.exp(
+        theta * theta * t2 / (2.0 * v * (v + t2))
+    )
+    assert r.lambda_stat == round(lam, 9)
+    assert r.p_always_valid == round(min(1.0, 1.0 / lam), 9)
+    assert r.reject  # 20-point lift on n=200: decisive
+    assert r.abs_lift == theta
+
+    # null split: p pinned at 1 (Lambda < 1 clips via LEAST)
+    r0 = msprt_always_valid(units(100, 20, 100, 20), tau=0.1).first()
+    assert r0.p_always_valid == 1.0 and not r0.reject
+    # degenerate: everyone converts -> pooled rate 1 -> NULLs, no raise
+    rd = msprt_always_valid(units(10, 10, 10, 10), tau=0.1).first()
+    assert rd.lambda_stat is None and rd.p_always_valid is None
+    assert rd.reject is False
+    # empty frame: counters 0, reject false
+    re_ = msprt_always_valid(
+        spark.createDataFrame([], "arm string, converted int"), tau=0.1
+    ).first()
+    assert re_.n_control == 0 and re_.reject is False
