@@ -289,3 +289,177 @@ def dq_gate_sink(
             flagged.unpersist()
 
     return fn
+
+
+def cusum_sink(
+    state_path: str,
+    results_path: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold: float,
+    drift: float,
+    unit: str = "day",
+    value_decimals: int | None = None,
+):
+    """foreachBatch fn: STREAMING CUSUM change-point monitoring — the
+    always-on leg of ``operators/timeseries.cusum_alarm``, bit-for-bit
+    equal to running the batch operator over everything streamed so far
+    (asserted in tests). Per-key state is two doubles: the prefix sum
+    ``P`` at the end of the series and the running min ``M`` of all
+    prefix sums; each micro-batch extends the fold and appends its
+    buckets' (key, bucket, value, cusum, alarm, batch_id) rows to
+    ``results_path``.
+
+    Bit-exactness mechanics: the batch operator's running window sum is
+    a sequential left fold, so the stream must CONTINUE that exact
+    fold — each stateful key contributes a GHOST row whose summand is
+    the stored ``P`` (ordered before every real bucket via NULLS FIRST),
+    making the batch-boundary addition associate exactly as the
+    uninterrupted fold would; the running min is exact (order-free) and
+    merges via ``least``. The cusum is rounded to 6 dp BEFORE the alarm
+    compare, same as batch.
+
+    Contracts: ``drift`` must be EXPLICIT (the batch default — the
+    in-plan value mean — would drift as data arrives, silently moving
+    the reference level between batches); buckets must not straddle
+    micro-batches and must arrive in bucket order per key (the same
+    day-batch contract as the stats-propagation leg). Exactly-once:
+    the state swap carries the ``_meta.json`` batch-id watermark
+    (redelivered batches are skipped), and results land in one
+    ``batch=N`` directory per batch, overwritten idempotently on
+    replay — a crash between the results write and the state swap
+    replays into the SAME directory with the SAME state, so no
+    duplicate and no drift."""
+    import json
+
+    from dwh_with_dask_spark.operators.timeseries import bucketed
+
+    def _last_folded(path: str) -> int:
+        meta = os.path.join(path, "_meta.json")
+        try:
+            with open(meta) as f:
+                return int(json.load(f)["last_batch_id"])
+        except OSError:
+            return -1
+        except (ValueError, KeyError) as exc:
+            raise RuntimeError(
+                f"cusum_sink: corrupt watermark {meta!r} — rebuild the "
+                "state from the source and restore the matching "
+                '{"last_batch_id": N} before restarting.'
+            ) from exc
+
+    k = float(drift)
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        _recover_dim_swap(state_path)
+        exists = os.path.exists(state_path)
+        if exists and batch_id <= _last_folded(state_path):
+            return
+        s = bucketed(
+            batch_df, key_col, ts_col, value_col, unit=unit,
+            value_decimals=value_decimals,
+        )
+        rows = s.select(
+            "key", "bucket", "value",
+            F.lit(False).alias("__ghost"),
+            (F.col("value") - F.lit(k)).alias("__c"),
+        )
+        if exists:
+            st = spark.read.parquet(state_path)
+            ghosts = st.select(
+                "key",
+                F.lit(None).cast(dict(s.dtypes)["bucket"]).alias("bucket"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(True).alias("__ghost"),
+                F.col("p_end").alias("__c"),
+            )
+            rows = rows.unionByName(ghosts)
+        else:
+            st = None
+        # NULLS FIRST (Spark asc default) puts each key's ghost before
+        # every real bucket — the fold continues exactly where it left
+        w = (
+            Window.partitionBy("key")
+            .orderBy(F.col("bucket").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        folded = rows.withColumn("__p", F.sum("__c").over(w)).withColumn(
+            "__mb", F.min("__p").over(w)
+        )
+        if st is not None:
+            folded = folded.join(
+                F.broadcast(st.select("key", "m_end")), "key", "left"
+            )
+        else:
+            folded = folded.withColumn(
+                "m_end", F.lit(None).cast("double")
+            )
+        m_all = F.coalesce(
+            F.least(F.col("m_end"), F.col("__mb")), F.col("__mb")
+        )
+        cusum = F.round(
+            F.col("__p") - F.least(F.lit(0.0), m_all), 6
+        )
+        out = (
+            folded.filter(~F.col("__ghost"))
+            .select(
+                "key", "bucket", "value",
+                cusum.alias("cusum"),
+                (cusum > F.lit(float(threshold))).alias("alarm"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        # idempotent per-batch results dir: replay overwrites, never
+        # duplicates
+        out.write.mode("overwrite").parquet(
+            os.path.join(results_path, f"batch={batch_id}")
+        )
+        # new state: fold end per key from this batch's REAL rows,
+        # full-outer-merged with the prior state (keys absent from the
+        # batch carry forward untouched)
+        batch_state = (
+            folded.filter(~F.col("__ghost"))
+            .groupBy("key")
+            .agg(
+                F.max_by("__p", "bucket").alias("__pb"),
+                F.min("__p").alias("__mbk"),
+            )
+        )
+        if st is not None:
+            new_state = (
+                st.select(
+                    "key",
+                    F.col("p_end").alias("__po"),
+                    F.col("m_end").alias("__mo"),
+                )
+                .join(batch_state, "key", "full_outer")
+                .select(
+                    "key",
+                    F.coalesce("__pb", "__po").alias("p_end"),
+                    F.coalesce(
+                        F.least("__mo", "__mbk"), F.col("__mo"), F.col("__mbk")
+                    ).alias("m_end"),
+                )
+            )
+        else:
+            new_state = batch_state.select(
+                "key",
+                F.col("__pb").alias("p_end"),
+                F.col("__mbk").alias("m_end"),
+            )
+        tmp = state_path + ".__tmp__"
+        new_state.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+        old = state_path + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if exists:
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return fn

@@ -1684,3 +1684,84 @@ def test_streaming_psi_counters_equal_batch_drift(spark, tmpdir_spark):
     assert got == want
     # the shifted snapshot genuinely drifts (nonzero total PSI)
     assert sum(r[5] for r in got) > 0
+
+
+def test_streaming_cusum_equals_batch_alarm(spark, tmpdir_spark):
+    """cusum_sink: three day-batches folded with two doubles of per-key
+    state reproduce operators/timeseries.cusum_alarm over the full
+    series BIT-FOR-BIT (the ghost-row fold keeps the batch-boundary
+    additions associating exactly as the uninterrupted window sum) —
+    including alarms that only fire in LATER batches as the shift
+    accumulates, and a key that stops arriving mid-stream."""
+    import datetime as _dt
+
+    from dwh_with_dask_spark.operators.timeseries import cusum_alarm
+    from dwh_with_dask_spark.streaming.warehouse import cusum_sink
+
+    T = _dt.datetime
+    # key 'a': level 10 for days 1-4, shifted to 13 for days 5-9
+    # key 'b': flat at 10, stops after day 6
+    def day_rows(d):
+        rows = []
+        lvl = 10.0 if d <= 4 else 13.0
+        rows += [("a", T(2024, 1, d, h), lvl + (h % 3) * 0.25)
+                 for h in range(4)]
+        if d <= 6:
+            rows += [("b", T(2024, 1, d, h), 10.0 + (h % 2) * 0.5)
+                     for h in range(4)]
+        return rows
+
+    src = f"{tmpdir_spark}/cusum_src"
+    days = list(range(1, 10))
+    batches = [days[0:3], days[3:6], days[6:9]]
+    for chunk in batches:  # one file -> one micro-batch of whole days
+        rows = [r for d in chunk for r in day_rows(d)]
+        spark.createDataFrame(
+            rows, "key string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = f"{tmpdir_spark}/cusum_state"
+    results = f"{tmpdir_spark}/cusum_results"
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cusum_sink(
+                state, results, "key", "ts", "v",
+                threshold=5.0, drift=10.25, unit="day", value_decimals=2,
+            )
+        )
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_cusum")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.key, r.bucket, r.value, r.cusum, r.alarm)
+        for r in spark.read.parquet(results).collect()
+    )
+    full = spark.createDataFrame(
+        [r for d in days for r in day_rows(d)],
+        "key string, ts timestamp, v double",
+    )
+    want = sorted(
+        map(
+            tuple,
+            cusum_alarm(
+                full, "key", "ts", "v",
+                threshold=5.0, drift=10.25, unit="day", value_decimals=2,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the shift genuinely alarms, and only after accumulation (not on
+    # the shift day itself) — the sequential-detection point
+    a_rows = {r[1].day: (r[3], r[4]) for r in got if r[0] == "a"}
+    assert not a_rows[5][1] and a_rows[9][1]
+    # key 'b' never alarms and carries through its absent batches
+    assert all(not r[4] for r in got if r[0] == "b")
+    assert sum(1 for r in got if r[0] == "b") == 6
