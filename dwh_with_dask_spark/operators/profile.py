@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 
@@ -215,4 +216,113 @@ def psi_from_bin_counts(
         F.round(p_old, 6).alias("p_old"),
         F.round(p_new, 6).alias("p_new"),
         F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )
+
+
+def ks_two_sample(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test — the DISTRIBUTION-FREE
+    companion to the binned PSI alarm: ``D = sup_x |F_old(x) −
+    F_new(x)|`` over the EXACT empirical CDFs (no bins, no [lo, hi)
+    prior), with the asymptotic two-sided p-value
+    ``Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}`` at
+    ``λ = D·sqrt(n₁n₂/(n₁+n₂))`` (Kolmogorov's limit distribution;
+    series truncated at k=100 — terms decay like e^{−2k²λ²}, far past
+    double precision by k≈10 for any λ the alarm cares about). One
+    row: (n_old, n_new, ks_d, ks_lambda, p_value, reject).
+
+    Exactness (the MWU value-group idiom): both samples aggregate to
+    per-DISTINCT-value counts; the ECDFs are running sums of exact
+    LONGS over the ordered distinct values (never a per-row window,
+    never a float fold), so every |c_old/n_old − c_new/n_new| is two
+    correctly-rounded divisions and one subtraction — ``ks_d`` is
+    bit-identical cross-engine with NO rounding idiom. Only the
+    p-value touches ``exp`` and rounds to 9 dp. NULLs are excluded;
+    an empty side yields NULL statistics and ``reject = false``.
+
+    Scale shape: two map-side-combined value-count aggregates, one
+    full-outer merge on value, one ordered window over DISTINCT values
+    only (bounded by value cardinality, not row count), one max. At
+    100 TB of floats the distinct-value frame is the footprint — for
+    truly continuous columns, quantize upstream or use the binned PSI.
+    """
+    def counts(df: DataFrame, n_name: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(F.col(col).cast("double").alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    c = counts(df_old, "__co").join(
+        counts(df_new, "__cn"), "__v", "full_outer"
+    ).select(
+        "__v",
+        F.coalesce("__co", F.lit(0)).alias("__co"),
+        F.coalesce("__cn", F.lit(0)).alias("__cn"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = c.withColumn("__ao", F.sum("__co").over(w)).withColumn(
+        "__an", F.sum("__cn").over(w)
+    )
+    tot = cum.agg(
+        F.coalesce(F.max("__ao"), F.lit(0).cast("long")).alias("n_old"),
+        F.coalesce(F.max("__an"), F.lit(0).cast("long")).alias("n_new"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    # NULL-guarded denominators (the _pos idiom): an empty side makes
+    # the gap NULL -> max NULL -> guarded output, never an ANSI error
+    d_old = F.when(F.col("n_old") > 0, F.col("n_old").cast("double"))
+    d_new = F.when(F.col("n_new") > 0, F.col("n_new").cast("double"))
+    gap = F.abs(
+        F.col("__ao").cast("double") / d_old
+        - F.col("__an").cast("double") / d_new
+    )
+    # global aggregate (not groupBy) so an empty input still yields the
+    # one report row, then rejoin the counts
+    agg = tot.crossJoin(F.broadcast(j.agg(F.max(gap).alias("ks_d"))))
+    n1 = F.col("n_old").cast("double")
+    n2 = F.col("n_new").cast("double")
+    ok = (F.col("n_old") > 0) & (F.col("n_new") > 0)
+    lam = F.when(ok, F.col("ks_d") * F.sqrt(n1 * n2 / (n1 + n2)))
+    # Kolmogorov Q(lambda), truncated alternating series in one fixed
+    # left-to-right fold (both engines share the literal k sequence)
+    terms = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.pow(F.lit(-1.0), (k - 1).cast("double"))
+        * F.exp(
+            F.lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam
+        ),
+    )
+    # Small-lambda guard: the alternating series only converges for
+    # lambda bounded away from 0 (at lambda=0 every term is ±1 and a
+    # truncated sum reads 0 — a false certain-drift on IDENTICAL
+    # samples). Q(0.18) = 1 − 3e-10, beyond the 9-dp rounding, so
+    # clamping to 1 below 0.18 is exact at the reported precision.
+    p = F.round(
+        F.when(
+            ok,
+            F.when(lam < 0.18, F.lit(1.0)).otherwise(
+                F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * terms))
+            ),
+        ),
+        9,
+    )
+    # degenerate-but-valid: an empty side NULLs every statistic
+    empty_guard = F.when(ok, F.col("ks_d"))
+    return agg.select(
+        "n_old",
+        "n_new",
+        empty_guard.alias("ks_d"),
+        F.round(lam, 9).alias("ks_lambda"),
+        p.alias("p_value"),
+        F.coalesce(p <= F.lit(float(alpha)), F.lit(False)).alias("reject"),
     )

@@ -1915,3 +1915,87 @@ def msprt_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     units = units.withColumn("arm", ab_assign("user_id", salt="exp1"))
     return msprt_always_valid(units, tau=0.1, alpha=0.05)
+
+
+_KS_ORACLE = """
+    WITH old_v AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-07-01'
+        AND o_totalprice IS NOT NULL),
+    new_v AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+        AND o_totalprice IS NOT NULL),
+    co AS (SELECT v, COUNT(*) AS c FROM old_v GROUP BY v),
+    cn AS (SELECT v, COUNT(*) AS c FROM new_v GROUP BY v),
+    m AS (
+      SELECT COALESCE(co.v, cn.v) AS v,
+             COALESCE(co.c, 0) AS c_old, COALESCE(cn.c, 0) AS c_new
+      FROM co FULL OUTER JOIN cn ON co.v = cn.v),
+    cum AS (
+      SELECT v,
+             SUM(c_old) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ao,
+             SUM(c_new) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS an
+      FROM m),
+    tot AS (SELECT CAST(COALESCE(MAX(ao), 0) AS BIGINT) AS n_old,
+                   CAST(COALESCE(MAX(an), 0) AS BIGINT) AS n_new
+            FROM cum),
+    d AS (
+      SELECT MAX(ABS(CAST(ao AS DOUBLE)
+                       / CASE WHEN n_old > 0 THEN CAST(n_old AS DOUBLE) END
+                     - CAST(an AS DOUBLE)
+                       / CASE WHEN n_new > 0 THEN CAST(n_new AS DOUBLE) END))
+               AS ks_d
+      FROM cum CROSS JOIN tot),
+    l AS (
+      SELECT n_old, n_new, ks_d,
+             CASE WHEN n_old > 0 AND n_new > 0
+                  THEN ks_d * sqrt(CAST(n_old AS DOUBLE)
+                                   * CAST(n_new AS DOUBLE)
+                                   / (CAST(n_old AS DOUBLE)
+                                      + CAST(n_new AS DOUBLE))) END AS lam
+      FROM tot CROSS JOIN d),
+    q AS (
+      SELECT l.*,
+             2.0 * SUM(power(-1.0, CAST(k - 1 AS DOUBLE))
+                       * exp(-2.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                             * lam * lam)) AS series
+      FROM l CROSS JOIN (SELECT unnest(range(1, 101)) AS k)
+      GROUP BY ALL)
+    SELECT n_old, n_new,
+           CASE WHEN n_old > 0 AND n_new > 0 THEN ks_d END AS ks_d,
+           ROUND(lam, 9) AS ks_lambda,
+           ROUND(CASE WHEN lam IS NULL THEN NULL
+                      WHEN lam < 0.18 THEN 1.0
+                      ELSE LEAST(1.0, GREATEST(0.0, series)) END, 9)
+             AS p_value,
+           COALESCE(ROUND(CASE WHEN lam IS NULL THEN NULL
+                               WHEN lam < 0.18 THEN 1.0
+                               ELSE LEAST(1.0, GREATEST(0.0, series)) END, 9)
+                    <= 0.05, FALSE) AS reject
+    FROM q
+"""
+
+
+@query("ks_drift_orders_price", _KS_ORACLE)
+def ks_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test
+    (operators/profile.py:ks_two_sample) of o_totalprice between the
+    pre- and post-1998-07 eras — the DISTRIBUTION-FREE companion to
+    drift_orders_price_psi (no bins, no [lo, hi) prior): exact integer
+    ECDFs over distinct values, D bit-exact with no rounding idiom,
+    Kolmogorov's asymptotic p (truncated series + the small-lambda
+    clamp) rounded to 9 dp. The synthetic corpus is stationary, so D
+    should be small and reject=false; discrimination is pinned on a
+    shifted fixture in tests/test_analytics.py."""
+    from dwh_with_dask_spark.operators.profile import ks_two_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-07-01").cast("timestamp")
+    return ks_two_sample(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+    )

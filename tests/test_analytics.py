@@ -1396,3 +1396,44 @@ def test_msprt_hand_computed_and_degenerate(spark):
         spark.createDataFrame([], "arm string, converted int"), tau=0.1
     ).first()
     assert re_.n_control == 0 and re_.reject is False
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """KS drift test: D on known staircases (old {1..5} vs new {3..7}
+    -> sup gap 0.4 at v in [2,5]), the Kolmogorov p from the same
+    truncated series evaluated in Python, identical samples read D=0 /
+    p=1 (the small-lambda guard — a truncated alternating series at
+    lambda~0 would otherwise read p~0), a large shifted sample
+    rejects, and an empty side yields NULLs with reject=false."""
+    import math
+
+    from dwh_with_dask_spark.operators.profile import ks_two_sample
+
+    def frame(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    old = frame([1, 2, 3, 4, 5])
+    new = frame([3, 4, 5, 6, 7])
+    r = ks_two_sample(old, new, "v").first()
+    assert r.n_old == 5 and r.n_new == 5
+    assert r.ks_d == 0.4
+    lam = 0.4 * math.sqrt(25 / 10)
+    assert r.ks_lambda == round(lam, 9)
+    q = 2.0 * sum(
+        (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    assert r.p_value == round(min(1.0, max(0.0, q)), 9)
+    assert not r.reject  # n=5 vs 5: far from significance
+
+    same = ks_two_sample(old, frame([1, 2, 3, 4, 5]), "v").first()
+    assert same.ks_d == 0.0 and same.p_value == 1.0 and not same.reject
+
+    big_old = frame([i % 100 for i in range(2000)])
+    big_new = frame([i % 100 + 30 for i in range(2000)])
+    shifted = ks_two_sample(big_old, big_new, "v").first()
+    assert shifted.ks_d >= 0.29 and shifted.reject
+
+    empty = ks_two_sample(old, frame([]), "v").first()
+    assert empty.n_new == 0 and empty.ks_d is None
+    assert empty.p_value is None and empty.reject is False
