@@ -517,22 +517,31 @@ def benjamini_hochberg(
         if tie_cols is None
         else tie_cols
     )
-    valid = results.filter(F.col(p_col).isNotNull())
-    invalid = results.filter(F.col(p_col).isNull())
+    # ONE consumer of `results` (plan-audit round 10): a valid/invalid
+    # filter split re-derived the whole upstream per-metric pipeline —
+    # a fact rollup — once per branch. Instead rank with NULLS LAST
+    # (Spark's asc_nulls_last), count only real p-values for m, and
+    # NULL-out the outputs on NULL-p rows; the running min/max windows
+    # skip the NULL q's on their own.
+    valid = F.col(p_col).isNotNull()
     w_all = Window.partitionBy(F.lit(1))
     w_rank = Window.orderBy(
-        F.col(p_col).asc(), *[F.col(c).asc() for c in tie_cols]
+        F.col(p_col).asc_nulls_last(), *[F.col(c).asc() for c in tie_cols]
     )
-    ranked = valid.withColumn(
-        "p_rank", F.row_number().over(w_rank).cast("long")
-    ).withColumn("__m", F.count(F.lit(1)).over(w_all))
+    ranked = results.withColumn(
+        "p_rank", F.when(valid, F.row_number().over(w_rank).cast("long"))
+    ).withColumn(
+        "__m", F.count(F.when(valid, 1)).over(w_all)
+    )
     p_d = F.col(p_col).cast("double")
     m_d = F.col("__m").cast("double")
     rank_d = F.col("p_rank").cast("double")
     if method == "holm":
         # step-down: running MAX of p·(m−rank+1) from the TOP rank
+        # (NULL ranks order last under asc_nulls_last, after every
+        # real rank — their q is NULL and max() skips it)
         q = p_d * (m_d - rank_d + F.lit(1.0))
-        w_cum = Window.orderBy(F.col("p_rank").asc()).rowsBetween(
+        w_cum = Window.orderBy(F.col("p_rank").asc_nulls_last()).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         adj = F.least(F.lit(1.0), F.max(q).over(w_cum))
@@ -540,26 +549,29 @@ def benjamini_hochberg(
         factor = m_d
         if method == "by":
             # harmonic sum over the ranked frame itself (1/i for every
-            # rank is exactly the Σ 1/i over i <= m), rounded before use
+            # real rank is exactly the Σ 1/i over i <= m), rounded
             ranked = ranked.withColumn(
-                "__cm", F.round(F.sum(F.lit(1.0) / rank_d).over(w_all), 9)
+                "__cm",
+                F.round(
+                    F.sum(F.when(valid, F.lit(1.0) / rank_d)).over(w_all), 9
+                ),
             )
             factor = m_d * F.col("__cm")
         q = p_d * factor / rank_d
-        w_cum = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
+        # NULL ranks first under desc_nulls_first == before every real
+        # rank — their NULL q never pollutes the running min
+        w_cum = Window.orderBy(
+            F.col("p_rank").desc_nulls_first()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         adj = F.least(F.lit(1.0), F.min(q).over(w_cum))
-    out = ranked.withColumn("p_adj", adj).withColumn(
-        "reject", F.col("p_adj") <= F.lit(float(alpha))
-    ).drop("__m", *(["__cm"] if method == "by" else []))
-    missing = invalid.select(
-        "*",
-        F.lit(None).cast("long").alias("p_rank"),
-        F.lit(None).cast("double").alias("p_adj"),
-        F.lit(False).alias("reject"),
+    return (
+        ranked.withColumn("p_adj", F.when(valid, adj))
+        .withColumn(
+            "reject",
+            F.coalesce(F.col("p_adj") <= F.lit(float(alpha)), F.lit(False)),
+        )
+        .drop("__m", *(["__cm"] if method == "by" else []))
     )
-    return out.unionByName(missing)
 
 
 def msprt_always_valid(

@@ -246,9 +246,13 @@ def ks_two_sample(
 
     Scale shape: two map-side-combined value-count aggregates, one
     full-outer merge on value, one ordered window over DISTINCT values
-    only (bounded by value cardinality, not row count), one max. At
-    100 TB of floats the distinct-value frame is the footprint — for
-    truly continuous columns, quantize upstream or use the binned PSI.
+    only (bounded by value cardinality, not row count), one max. The
+    merged ECDF frame is eagerly checkpointed — its three consumers
+    (totals, the sup-gap aggregate, and nothing else re-derives the
+    raw scans; plan-audit round 10 found the unguarded form re-scanned
+    the fact 3x). At 100 TB of floats the distinct-value frame is the
+    footprint — for truly continuous columns, quantize upstream or use
+    the binned PSI.
     """
     def counts(df: DataFrame, n_name: str) -> DataFrame:
         return (
@@ -270,7 +274,7 @@ def ks_two_sample(
     )
     cum = c.withColumn("__ao", F.sum("__co").over(w)).withColumn(
         "__an", F.sum("__cn").over(w)
-    )
+    ).localCheckpoint(eager=True)
     tot = cum.agg(
         F.coalesce(F.max("__ao"), F.lit(0).cast("long")).alias("n_old"),
         F.coalesce(F.max("__an"), F.lit(0).cast("long")).alias("n_new"),
