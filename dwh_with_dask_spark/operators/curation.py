@@ -1159,3 +1159,59 @@ def mixture_sample(
         .filter(u < F.col("rate"))
         .drop("__g")
     )
+
+
+def compact_bm25_index(spark, path: str) -> dict:
+    """Compact a multi-segment ``build_bm25_index`` table back to ONE
+    segment — O(index bytes), never O(corpus): the stored postings are
+    raw (id, term, tf, dl) rows, so compaction is a read of every
+    segment's parquet + one repartition-by-bucket write; the corpus is
+    NEVER re-tokenized (the whole point of the v2 split — contrast the
+    v1 score-bearing layout, where any rewrite meant re-scoring and
+    re-tokenizing). Run it when ``refresh_bm25_index`` has accumulated
+    enough segments that per-query directory listing hurts.
+
+    Publishes a WHOLE new index directory via the rename-aside dance
+    (an index exists at ``path`` at every instant; the probe's answers
+    are identical before and after by construction — same postings,
+    same summed stats, asserted in tests). Single writer. Returns the
+    compacted corpus stats."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "_bm25_meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("format") != 2:
+        raise ValueError(f"not a format-2 BM25 index: {path}")
+    segs = glob.glob(os.path.join(path, "__seg=*"))
+    stats = {"n_docs": 0, "total_len": 0}
+    for sj in segs:
+        with open(os.path.join(sj, "_bm25_seg.json")) as f:
+            s = _json.load(f)
+        stats["n_docs"] += s["n_docs"]
+        stats["total_len"] += s["total_len"]
+    postings = spark.read.parquet(path).drop("__seg", "__bucket")
+    staging = path + ".compact.inprogress"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "_bm25_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    seg_dir = os.path.join(staging, "__seg=0")
+    (
+        postings.withColumn(
+            "__bucket", _bm25_bucket(F.col("term"), meta["n_buckets"])
+        )
+        .repartition("__bucket")
+        .write.partitionBy("__bucket")
+        .parquet(seg_dir)
+    )
+    with open(os.path.join(seg_dir, "_bm25_seg.json"), "w") as f:
+        _json.dump(stats, f)
+    retired = path + ".old"
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return stats

@@ -612,3 +612,54 @@ def test_bm25_qtf_weighting(spark, tmp_path):
     assert sorted((r.doc_id, r.bm25) for r in got.collect()) == sorted(
         qtf.items()
     )
+
+
+def test_bm25_compact_preserves_probe(spark, tmp_path):
+    """compact_bm25_index merges every segment into one WITHOUT
+    re-tokenizing (stored raw postings are simply re-bucketed): the
+    probe answers identically before and after, the segment count
+    drops to 1, the summed stats sidecar is exact, and a subsequent
+    refresh keeps working (the compaction is just another state of the
+    same format)."""
+    import json
+    import os
+
+    base = spark.createDataFrame(
+        [(1, "spark window merge engine"),
+         (2, "window functions rank over partitions")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "merge into target when matched")],
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame(
+        [(4, "spark merge shuffle exchange window")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25c")
+    C.build_bm25_index(base, path, n_buckets=8)
+    C.refresh_bm25_index(b2, path)
+    C.refresh_bm25_index(b3, path)
+    terms = ["spark", "window", "merge"]
+    before = sorted(
+        map(tuple, C.bm25_search_indexed(spark, path, terms, k=10).collect())
+    )
+    stats = C.compact_bm25_index(spark, path)
+    assert stats == {"n_docs": 4, "total_len": 4 + 5 + 5 + 5}
+    segs = [e for e in os.listdir(path) if e.startswith("__seg=")]
+    assert segs == ["__seg=0"]
+    with open(os.path.join(path, "__seg=0", "_bm25_seg.json")) as f:
+        assert json.load(f) == stats
+    after = sorted(
+        map(tuple, C.bm25_search_indexed(spark, path, terms, k=10).collect())
+    )
+    assert after == before
+    # refresh still works post-compaction
+    C.refresh_bm25_index(
+        spark.createDataFrame([(5, "spark spark window")],
+                              "doc_id long, text string"),
+        path,
+    )
+    grown = C.bm25_search_indexed(spark, path, terms, k=10).collect()
+    assert {r.doc_id for r in grown} >= {r[0] for r in before}
