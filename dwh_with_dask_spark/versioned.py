@@ -80,6 +80,7 @@ def versioned_commit(
     df: DataFrame, table: str, mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     member_cols: list[str] | None = None,
+    expect: dict[str, str | None] | None = None,
 ) -> int:
     """Commit ``df`` as the table's next version; returns the new
     version number. ``mode='overwrite'`` replaces the logical content;
@@ -111,11 +112,57 @@ def versioned_commit(
     positives only (a dir is kept, never wrongly dropped); a saturated
     set degrades to keep-always. NULLs carry no position — equality
     probes never match NULL anyway.
+
+    ``expect`` declares named CHECK constraints as SQL boolean
+    expressions — the Delta-Lake constraint contract: constraints are
+    TABLE metadata, persisted in the manifest and re-enforced on every
+    subsequent commit without re-passing them; a new entry adds or
+    replaces a constraint, a ``None`` value drops one. The incoming
+    batch is validated BEFORE any bytes land (one extra aggregate over
+    the batch): a row violates a constraint when its expression is
+    FALSE — NULL passes, ANSI CHECK semantics — and any violation
+    raises with per-constraint counts, leaving the table at its prior
+    version, fully readable. Constraints guard the WRITE path;
+    time-travel reads of old versions are never re-checked (their
+    manifests recorded the constraints they were written under).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite or append")
     os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
     prev = current_version(table)
+
+    # --- CHECK constraints: inherit from the previous manifest, apply
+    # the caller's adds/replacements/drops, validate the batch BEFORE
+    # any data is written (a failed commit leaves zero new bytes).
+    constraints: dict = {}
+    if prev > 0:
+        with open(_manifest_path(table, prev)) as f:
+            constraints = dict(json.load(f).get("constraints", {}))
+    for name, expr in (expect or {}).items():
+        if expr is None:
+            constraints.pop(name, None)
+        else:
+            constraints[name] = expr
+    if constraints:
+        from pyspark.sql import functions as F
+
+        checks = [
+            F.sum(
+                (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
+            ).alias(name)
+            for name, e in constraints.items()
+        ]
+        row = df.agg(*checks).first()
+        bad = {n: int(row[n]) for n in constraints if row[n]}
+        if bad:
+            raise ValueError(
+                f"versioned_commit: CHECK constraint violation(s) on "
+                f"{table!r}: "
+                + ", ".join(f"{n}: {c} row(s)" for n, c in sorted(bad.items()))
+                + " — nothing was committed (table stays at version "
+                f"{prev})."
+            )
+
     version = prev + 1
     rel_dir = os.path.join("data", f"v{version}")
     data_dir = os.path.join(table, rel_dir)
@@ -208,6 +255,8 @@ def versioned_commit(
     if members:
         manifest["members"] = members
         manifest["member_bits"] = MEMBER_BITS
+    if constraints:
+        manifest["constraints"] = constraints
     mpath = _manifest_path(table, version)
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)

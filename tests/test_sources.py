@@ -807,3 +807,71 @@ def test_member_prune_type_matrix(spark, tmp_path):
     for col in ["d", "dec", "dt", "b"]:
         with pytest.raises(TypeError, match="integral or string"):
             versioned_commit(bad_df, t2, member_cols=[col])
+
+
+def test_versioned_check_constraints(spark, tmp_path):
+    """Delta-style CHECK constraints on versioned tables: persisted in
+    the manifest and re-enforced on every later commit without
+    re-passing them; violations raise BEFORE any bytes land (table
+    stays at its prior version, readable); NULL passes (ANSI CHECK);
+    None drops a constraint; streamed/appended history is unaffected."""
+    import pytest
+
+    from dwh_with_dask_spark.versioned import (
+        list_versions,
+        read_version,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "vchk")
+    ok1 = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "id long, amount double"
+    )
+    # NULL amount passes the check (ANSI semantics)
+    v1 = versioned_commit(
+        ok1, t, expect={"amount_nonneg": "amount >= 0", "id_pos": "id > 0"}
+    )
+    assert v1 == 1
+    assert list_versions(t)[-1]["constraints"] == {
+        "amount_nonneg": "amount >= 0",
+        "id_pos": "id > 0",
+    }
+
+    # inherited enforcement: the violating append names the constraint
+    # and the count, and commits NOTHING
+    bad = spark.createDataFrame(
+        [(3, -5.0), (4, 1.0), (-9, -1.0)], "id long, amount double"
+    )
+    with pytest.raises(ValueError, match="amount_nonneg: 2 row"):
+        versioned_commit(bad, t, mode="append")
+    assert len(list_versions(t)) == 1
+    assert read_version(spark, t).count() == 2
+    import os
+
+    assert not os.path.exists(os.path.join(t, "data", "v2"))
+
+    # clean append under the inherited constraints
+    v2 = versioned_commit(
+        spark.createDataFrame([(5, 2.5)], "id long, amount double"),
+        t,
+        mode="append",
+    )
+    assert v2 == 2 and read_version(spark, t).count() == 3
+    # constraints carry forward in the new manifest
+    assert "amount_nonneg" in list_versions(t)[-1]["constraints"]
+
+    # drop one, tighten another
+    v3 = versioned_commit(
+        spark.createDataFrame([(6, -1.0)], "id long, amount double"),
+        t,
+        mode="append",
+        expect={"amount_nonneg": None},
+    )
+    assert v3 == 3
+    assert "amount_nonneg" not in list_versions(t)[-1]["constraints"]
+    with pytest.raises(ValueError, match="id_pos: 1 row"):
+        versioned_commit(
+            spark.createDataFrame([(0, 1.0)], "id long, amount double"),
+            t,
+            mode="append",
+        )
