@@ -798,17 +798,24 @@ def _bm25_write_segment(
 ) -> dict:
     """Write one index SEGMENT — raw postings partitioned by term
     bucket — into a staging dir, then publish it at ``target`` with one
-    ``os.rename`` (staging lives OUTSIDE the index dir, so partition
-    discovery never sees a half-written segment and a crash leaves the
-    published index untouched). Also writes the segment's corpus-stats
-    sidecar (``_bm25_seg.json``: exact n_docs / total token count)
-    INSIDE the staging dir before the rename — a segment's postings and
-    its stats publish atomically together. Returns the stats."""
+    ``os.rename``. The staging name is DOT-prefixed
+    (``.__seg=N.inprogress``): Spark's FileIndex ignores dot/underscore
+    paths and the refresh's ``__seg=*`` glob never matches it, so a
+    reader concurrent with (or a restart after) a half-written refresh
+    sees only complete segments — a crashed staging dir is invisible
+    litter the next writer clears. Also writes the segment's
+    corpus-stats sidecar (``_bm25_seg.json``: exact n_docs / total
+    token count) INSIDE the staging dir before the rename — a segment's
+    postings and its stats publish atomically together. Returns the
+    stats."""
     import json as _json
     import os
     import shutil
 
-    staging = target + ".inprogress"
+    staging = os.path.join(
+        os.path.dirname(target),
+        "." + os.path.basename(target) + ".inprogress",
+    )
     shutil.rmtree(staging, ignore_errors=True)
     (
         postings.withColumn("__bucket", _bm25_bucket(F.col("term"), n_buckets))
@@ -936,6 +943,12 @@ def refresh_bm25_index(
         meta = _json.load(f)
     if meta.get("format") != 2:
         raise ValueError(f"not a refreshable (format-2) BM25 index: {path}")
+    # clear litter from any PREVIOUS crashed refresh (dot-prefixed, so
+    # it was invisible to readers; harmless but untidy)
+    import shutil
+
+    for stale in glob.glob(os.path.join(path, ".__seg=*.inprogress")):
+        shutil.rmtree(stale, ignore_errors=True)
     segs = [
         int(os.path.basename(d).split("=", 1)[1])
         for d in glob.glob(os.path.join(path, "__seg=*"))

@@ -988,15 +988,21 @@ def _ivfpq_write_segment(
     rows: DataFrame, target: str, id_col: str, cell_col: str, code_col: str
 ) -> dict:
     """Write one (id, cell, code) SEGMENT partitioned by cell into a
-    staging dir OUTSIDE the index, with a ``_ivfpq_seg.json`` stats
-    sidecar (row count + mean assignment distance when ``rows`` carries
+    DOT-PREFIXED staging dir (invisible to Spark's FileIndex and to the
+    append's ``__seg=*`` glob — a crashed half-write is inert litter
+    the next writer clears, never a partition-discovery landmine inside
+    the live index), with a ``_ivfpq_seg.json`` stats sidecar (row
+    count + mean assignment distance when ``rows`` carries
     ``__adist``), then publish with one ``os.rename`` — readers never
     see a partial segment. Returns the stats."""
     import json as _json
     import os
     import shutil
 
-    staging = target + ".inprogress"
+    staging = os.path.join(
+        os.path.dirname(target),
+        "." + os.path.basename(target) + ".inprogress",
+    )
     shutil.rmtree(staging, ignore_errors=True)
     aggs = [F.count(F.lit(1)).alias("n")]
     if "__adist" in rows.columns:
@@ -1138,6 +1144,10 @@ def append_ivfpq_index(
         cell_col=meta["cell_col"],
         code_col=meta["code_col"],
     )
+    import shutil
+
+    for stale in glob.glob(os.path.join(path, ".__seg=*.inprogress")):
+        shutil.rmtree(stale, ignore_errors=True)
     segs = sorted(
         int(os.path.basename(d).split("=", 1)[1])
         for d in glob.glob(os.path.join(path, "__seg=*"))

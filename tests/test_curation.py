@@ -568,6 +568,24 @@ def test_bm25_refresh_equals_full_rebuild(spark, tmp_path):
     assert sorted(map(tuple, got_b0)) == sorted(map(tuple, want_b0))
     assert sorted(map(tuple, got_b0)) != sorted(map(tuple, got))
 
+    # crash litter: a half-written refresh leaves a DOT-prefixed staging
+    # dir INSIDE the index — it must be invisible to probes (Spark's
+    # FileIndex skips dot paths), must not confuse the next refresh's
+    # segment numbering, and the next refresh clears it
+    litter = os.path.join(inc, ".__seg=9.inprogress")
+    os.makedirs(os.path.join(litter, "__bucket=0"), exist_ok=True)
+    with open(os.path.join(litter, "__bucket=0", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    still = C.bm25_search_indexed(spark, inc, terms, k=10).collect()
+    assert sorted(map(tuple, still)) == sorted(map(tuple, got))
+    C.refresh_bm25_index(
+        spark.createDataFrame([(8, "spark anew")], "doc_id long, text string"),
+        inc,
+    )
+    assert not os.path.exists(litter)
+    segs2 = sorted(e for e in os.listdir(inc) if e.startswith("__seg="))
+    assert segs2 == ["__seg=0", "__seg=1", "__seg=2"]
+
 
 def test_bm25_qtf_weighting(spark, tmp_path):
     """use_qtf=True applies Robertson's query-term-frequency weighting:

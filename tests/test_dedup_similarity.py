@@ -1029,7 +1029,7 @@ def test_ivfpq_append_equals_union_encoded_same_geometry(spark, tmp_path):
 
     n, dim, nlist = 600, 16, 8
     rng = np.random.default_rng(11)
-    mat = rng.normal(size=(n + 120, dim))
+    mat = rng.normal(size=(n + 130, dim))
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
 
     def frame(lo, hi):
@@ -1075,6 +1075,17 @@ def test_ivfpq_append_equals_union_encoded_same_geometry(spark, tmp_path):
         idx2, cents2, books2, union, qb, k=3, rerank=60, nprobe=nlist
     ).collect()
     assert top[0].vec_id == n + 5
+
+    # crash litter: a half-written append's DOT-prefixed staging inside
+    # the index is invisible to loads and cleared by the next append
+    litter = os.path.join(path, ".__seg=7.inprogress")
+    os.makedirs(os.path.join(litter, "ivf_cell=0"), exist_ok=True)
+    with open(os.path.join(litter, "ivf_cell=0", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    idx3, _, _ = S.load_ivfpq_index(spark, path)
+    assert idx3.count() == n + 120
+    r2 = S.append_ivfpq_index(frame(n + 120, n + 121), path)
+    assert r2["segment"] == 2 and not os.path.exists(litter)
 
 
 def test_ivfpq_rerank_indexed_query_equals_build_inclusive(spark):
