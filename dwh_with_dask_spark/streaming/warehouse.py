@@ -370,6 +370,28 @@ def cusum_sink(
         )
         if exists:
             st = spark.read.parquet(state_path)
+            # ENFORCE the in-order contract instead of silently folding
+            # a late bucket into the wrong position: any batch bucket at
+            # or before a key's stored last_bucket is a loud error (the
+            # fold is order-defined; a violation means the upstream
+            # batching no longer aligns with bucket boundaries).
+            late = (
+                s.join(
+                    F.broadcast(st.select("key", "last_bucket")), "key"
+                )
+                .filter(F.col("bucket") <= F.col("last_bucket"))
+                .limit(1)
+                .collect()
+            )
+            if late:
+                r = late[0]
+                raise ValueError(
+                    f"cusum_sink: out-of-order bucket for key "
+                    f"{r['key']!r}: batch {batch_id} carries bucket "
+                    f"{r['bucket']} but the state already folded through "
+                    f"{r['last_bucket']} — buckets must arrive in order "
+                    "and never straddle micro-batches."
+                )
             ghosts = st.select(
                 "key",
                 F.lit(None).cast(dict(s.dtypes)["bucket"]).alias("bucket"),
@@ -427,6 +449,7 @@ def cusum_sink(
             .agg(
                 F.max_by("__p", "bucket").alias("__pb"),
                 F.min("__p").alias("__mbk"),
+                F.max("bucket").alias("__lb"),
             )
         )
         if st is not None:
@@ -435,6 +458,7 @@ def cusum_sink(
                     "key",
                     F.col("p_end").alias("__po"),
                     F.col("m_end").alias("__mo"),
+                    F.col("last_bucket").alias("__lo"),
                 )
                 .join(batch_state, "key", "full_outer")
                 .select(
@@ -443,6 +467,7 @@ def cusum_sink(
                     F.coalesce(
                         F.least("__mo", "__mbk"), F.col("__mo"), F.col("__mbk")
                     ).alias("m_end"),
+                    F.coalesce("__lb", "__lo").alias("last_bucket"),
                 )
             )
         else:
@@ -450,6 +475,7 @@ def cusum_sink(
                 "key",
                 F.col("__pb").alias("p_end"),
                 F.col("__mbk").alias("m_end"),
+                F.col("__lb").alias("last_bucket"),
             )
         tmp = state_path + ".__tmp__"
         new_state.write.mode("overwrite").parquet(tmp)

@@ -1765,6 +1765,20 @@ def test_streaming_cusum_equals_batch_alarm(spark, tmpdir_spark):
     # key 'b' never alarms and carries through its absent batches
     assert all(not r[4] for r in got if r[0] == "b")
     assert sum(1 for r in got if r[0] == "b") == 6
+    # the in-order contract is ENFORCED, not assumed: replaying an
+    # already-folded day through a NEW batch id must raise loudly
+    # instead of silently folding it into the wrong position
+    import pytest
+
+    sink = cusum_sink(
+        state, f"{tmpdir_spark}/cusum_results2", "key", "ts", "v",
+        threshold=5.0, drift=10.25, unit="day", value_decimals=2,
+    )
+    stale = spark.createDataFrame(
+        day_rows(3), "key string, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="out-of-order bucket"):
+        sink(stale, batch_id=99)
 
 
 def test_streaming_msprt_counters_equal_batch_readout(
