@@ -1268,3 +1268,35 @@ def test_suffix_span_removal_matches_bruteforce(spark):
     assert got[2][1] == len(boiler.split())
     assert got[3][1] == len(boiler.split())
     assert 5 not in got  # below min_len tokens
+
+
+def test_suffix_longest_repeats_randomized_property(spark):
+    """Randomized (fixed-seed, deterministic) corpora vs the quadratic
+    reference: small alphabets force heavy sharing, within-doc repeats,
+    equal complete suffixes, and length-1 documents — the edge classes
+    a single fixture can miss. Exact equality on every per-position
+    longest-repeat length, for every corpus."""
+    import random
+
+    from dwh_with_dask_spark.operators.suffix import longest_repeats
+
+    rng = random.Random(20260815)
+    for trial, (alpha, ndocs, maxlen) in enumerate(
+        [(2, 6, 9), (3, 5, 14), (5, 8, 6), (2, 4, 17)]
+    ):
+        docs = [
+            (
+                i,
+                " ".join(
+                    f"w{rng.randrange(alpha)}"
+                    for _ in range(rng.randrange(1, maxlen + 1))
+                ),
+            )
+            for i in range(ndocs)
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id, r.pos): r.rep for r in longest_repeats(d).collect()
+        }
+        want = _brute_longest_repeats(docs)
+        assert got == want, f"trial {trial} ({alpha},{ndocs},{maxlen})"
