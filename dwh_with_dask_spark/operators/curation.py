@@ -891,15 +891,15 @@ def build_bm25_index(
     import os
     import shutil
 
-    if os.path.exists(path):
-        if not overwrite:
-            raise FileExistsError(
-                f"artifact already exists at {path} (overwrite=False)"
-            )
-        retired = path + ".old"
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(path, retired)
-        shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(
+            f"artifact already exists at {path} (overwrite=False)"
+        )
+    # Build the FULL staging directory before touching the existing
+    # index: a failure anywhere in the expensive tokenize/write leaves
+    # the old artifact untouched at ``path`` (no-partial-artifact
+    # invariant; the swap below is the same rename-aside dance
+    # ``compact_bm25_index`` and ``fsutil.staged_publish`` use).
     staging = path + ".inprogress"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
@@ -916,7 +916,12 @@ def build_bm25_index(
     _bm25_write_segment(
         postings, os.path.join(staging, "__seg=0"), n_buckets
     )
+    retired = path + ".old"
+    shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, retired)
     os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
     return path
 
 

@@ -1064,15 +1064,13 @@ def save_ivfpq_index(
     import os
     import shutil
 
-    if os.path.exists(path):
-        if not overwrite:
-            raise FileExistsError(
-                f"artifact already exists at {path} (overwrite=False)"
-            )
-        retired = path + ".old"
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(path, retired)
-        shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(
+            f"artifact already exists at {path} (overwrite=False)"
+        )
+    # Staging is built COMPLETELY before the existing index is touched
+    # (no-partial-artifact invariant: a failed encode/write leaves the
+    # old store intact; same rename-aside swap as compact_bm25_index).
     staging = path + ".inprogress"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
@@ -1092,7 +1090,12 @@ def save_ivfpq_index(
     _ivfpq_write_segment(
         index_df, os.path.join(staging, "__seg=0"), id_col, cell_col, code_col
     )
+    retired = path + ".old"
+    shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, retired)
     os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
     return path
 
 

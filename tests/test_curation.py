@@ -512,6 +512,35 @@ def test_bm25_indexed_probe_matches_recompute_and_prunes(spark, tmp_path):
     )
 
 
+def test_bm25_failed_overwrite_rebuild_keeps_old_index(
+    spark, tmp_path, monkeypatch
+):
+    """An overwrite=True rebuild that FAILS mid-build must leave the
+    existing index intact and probe-able: staging is built completely
+    BEFORE the rename-aside swap touches ``path`` (the
+    no-partial-artifact invariant; ADVICE r10 — the previous sequence
+    deleted the old index before the expensive tokenize/write)."""
+    rows = [(1, "spark window merge"), (2, "window rank over")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25idx")
+    C.build_bm25_index(d, path, n_buckets=4)
+    before = sorted(
+        map(tuple, C.bm25_search_indexed(spark, path, ["window"], k=5).collect())
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated build failure")
+
+    monkeypatch.setattr(C, "_bm25_write_segment", boom)
+    with pytest.raises(RuntimeError):
+        C.build_bm25_index(d, path, n_buckets=4, overwrite=True)
+    monkeypatch.undo()
+    after = sorted(
+        map(tuple, C.bm25_search_indexed(spark, path, ["window"], k=5).collect())
+    )
+    assert after == before
+
+
 def test_bm25_refresh_equals_full_rebuild(spark, tmp_path):
     """refresh_bm25_index appends a batch as one new segment WITHOUT
     re-tokenizing the base corpus, and a probe over base+appended

@@ -1014,6 +1014,35 @@ def test_ivfpq_index_save_load_round_trip(spark, tmp_path):
     S.save_ivfpq_index(idx, cents, books, path, overwrite=True)
 
 
+def test_ivfpq_failed_overwrite_keeps_old_index(spark, tmp_path, monkeypatch):
+    """save_ivfpq_index(overwrite=True) that fails mid-build leaves the
+    existing store loadable (staging built fully before the
+    rename-aside swap; ADVICE r10)."""
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(int(i), [float(i), 1.0, 0.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    idx, cents, books = S.build_ivfpq_index(emb, nlist=2, m=2, ksub=4)
+    path = str(tmp_path / "ivfpq_idx")
+    S.save_ivfpq_index(idx, cents, books, path)
+    before_idx, before_c, before_b = S.load_ivfpq_index(spark, path)
+    before = sorted(map(tuple, before_idx.collect()))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated build failure")
+
+    monkeypatch.setattr(S, "_ivfpq_write_segment", boom)
+    with pytest.raises(RuntimeError):
+        S.save_ivfpq_index(idx, cents, books, path, overwrite=True)
+    monkeypatch.undo()
+    after_idx, after_c, after_b = S.load_ivfpq_index(spark, path)
+    assert sorted(map(tuple, after_idx.collect())) == before
+    assert np.array_equal(after_c, before_c)
+    assert np.array_equal(after_b, before_b)
+
+
 def test_ivfpq_append_equals_union_encoded_same_geometry(spark, tmp_path):
     """append_ivfpq_index (VERDICT r9 ask #5): appending a batch to a
     stored index equals encoding the union under the SAME frozen
