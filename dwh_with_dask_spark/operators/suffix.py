@@ -247,41 +247,110 @@ def _sa_with_lcp(
     """(id, pos, dl, __sa, lcp_prev): every position with its
     suffix-array index and its LCP with the SA-predecessor (NULL at
     __sa = 0). The shared core of ``longest_repeats`` and
-    ``suffix_span_removal``."""
+    ``suffix_span_removal``.
+
+    The LCP of each adjacent pair is resolved in three tiers, cheapest
+    first — the two carried-rank tiers need NO join at all, because
+    the pair row already holds both suffixes' full rank columns:
+
+    1. **Equal final rank** ⟹ equal complete suffixes ⟹ lcp is the
+       full remaining length. True on BOTH ``suffix_ranks`` exit
+       paths: at the natural exit ``2^J >= max_dl`` so rank-J equality
+       is whole-(padded-)suffix equality; at the fixpoint break the
+       partition is stable under doubling, and a stable prefix-doubling
+       partition is exactly the suffix-equality partition (if two
+       distinct suffixes shared a 2^J prefix they would share a rank-J
+       class with unequal members, and the next doubling would have
+       split it). Without this tier the descending walk can accumulate
+       at most 2^(J+1)−1 and the end-clamp can only LOWER — exact
+       duplicate documents (the most common dedup input) were
+       undercounted (ADVICE r10, high).
+    2. **Offset-0 walk, one expression**: ranks are hierarchical
+       (``r_{j+1}`` equal ⟹ ``r_j`` equal), so the set of levels that
+       match at offset 0 is a prefix ``[0, h]``; the descending walk's
+       first hit is ``h`` and every level above it is a miss. One
+       CASE over the carried columns yields ``h``; ``lcp`` starts at
+       ``2^h`` (or 0 — final — when no level matches). Pairs with
+       ``h <= 0`` are DONE with zero joins: on diverse corpora that is
+       most of the table (adjacent suffixes rarely share >= 2 tokens).
+    3. **Join walk for the rest**: levels ``h−1..0`` at moving cursors
+       ``pos + lcp``, two expression-keyed equi-joins per level against
+       the level's rank table — only the still-active pairs
+       (``h > j``) ride the join; a pair with true lcp L joins at most
+       ``floor(log2 L)`` levels. An unequal-rank-J pair has
+       lcp <= 2^J − 1 (else its 2^J-prefix equality would force
+       rank-J equality on either exit path), so levels J−1..0 suffice.
+
+    The final ``least(lcp, remaining)`` clamp is kept as a safety
+    invariant (tier 1 already emits exact values)."""
     pos, J = suffix_ranks(df, text_col=text_col, id_col=id_col)
-    last = f"r{J}"
+    rcols = [f"r{j}" for j in range(J + 1)]
     ranks = scope.persist(pos)
     sa = sequential_id(
-        ranks.select("id", "pos", "dl", last),
-        order_by=[F.col(last).asc(), F.col("id").asc(), F.col("pos").asc()],
+        ranks.select("id", "pos", "dl", *rcols),
+        order_by=[
+            F.col(f"r{J}").asc(), F.col("id").asc(), F.col("pos").asc()
+        ],
         name="__sa",
         start=0,
         checkpoint=True,
-    ).drop(last)
+    )
 
     a = sa.select(
         F.col("id").alias("ida"), F.col("pos").alias("posa"),
         F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
+        *[F.col(f"r{j}").alias(f"__a{j}") for j in range(J + 1)],
     )
     b = sa.select(
         F.col("id").alias("idb"), F.col("pos").alias("posb"),
         F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
+        *[F.col(f"r{j}").alias(f"__b{j}") for j in range(J + 1)],
     )
-    pairs = a.join(b, "__i").withColumn("lcp", F.lit(0).cast("long"))
-    # The top level is redundant when 2^J >= max_dl: a match there
-    # requires 2^J shared tokens (impossible) or fully-equal complete
-    # suffixes — which the lower levels walk through and the remaining-
-    # length clamp repairs exactly. Skipping it drops the two most
-    # expensive lookup joins.
-    max_dl = ranks.agg(F.max("dl")).first()[0] or 1
-    j_top = J - 1 if (J >= 1 and 2 ** J >= max_dl) else J
-    for j in range(j_top, -1, -1):
+
+    def eq(j: int):
+        return F.col(f"__a{j}") == F.col(f"__b{j}")
+
+    if J >= 1:
+        h = F.when(eq(J - 1), F.lit(J - 1))
+        for j in range(J - 2, -1, -1):
+            h = h.when(eq(j), F.lit(j))
+        h = h.otherwise(F.lit(None).cast("int"))
+    else:
+        h = F.lit(None).cast("int")
+    rem = F.least(
+        F.col("dla") - F.col("posa"), F.col("dlb") - F.col("posb")
+    )
+    pairs = (
+        a.join(b, "__i")
+        .select(
+            "ida", "posa", "dla", "idb", "posb", "dlb",
+            eq(J).alias("__eqf"), h.alias("__h"),
+        )
+        .withColumn(
+            "lcp",
+            F.when(F.col("__eqf"), rem)
+            .when(
+                F.col("__h").isNotNull(),
+                F.pow(F.lit(2.0), F.col("__h")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    # pairs fully resolved by the carried tiers never enter the walk
+    walking_cond = (~F.col("__eqf")) & (F.col("__h") >= 1)
+    done = pairs.filter(~walking_cond).drop("__eqf", "__h")
+    walk = pairs.filter(walking_cond).drop("__eqf")
+    for j in range(J - 2, -1, -1):
+        active = F.col("__h") > j
+        idle = walk.filter(~active)
+        act = walk.filter(active)
         rj = ranks.select(
             F.col("id").alias("__rid"), F.col("pos").alias("__rpos"),
             F.col(f"r{j}").alias("__rv"),
         )
-        pairs = (
-            pairs.join(
+        act = (
+            act.join(
                 rj,
                 (F.col("ida") == F.col("__rid"))
                 & (F.col("__rpos") == F.col("posa") + F.col("lcp")),
@@ -290,8 +359,8 @@ def _sa_with_lcp(
             .withColumnRenamed("__rv", "__ra")
             .drop("__rid", "__rpos")
         )
-        pairs = (
-            pairs.join(
+        act = (
+            act.join(
                 rj,
                 (F.col("idb") == F.col("__rid"))
                 & (F.col("__rpos") == F.col("posb") + F.col("lcp")),
@@ -305,11 +374,12 @@ def _sa_with_lcp(
             & F.col("__rb").isNotNull()
             & (F.col("__ra") == F.col("__rb"))
         )
-        pairs = pairs.withColumn(
+        act = act.withColumn(
             "lcp",
             F.when(hit, F.col("lcp") + F.lit(2 ** j)).otherwise(F.col("lcp")),
         ).drop("__ra", "__rb")
-        pairs = pairs.localCheckpoint(eager=True)
+        walk = act.unionByName(idle).localCheckpoint(eager=True)
+    pairs = done.unionByName(walk.drop("__h"))
     pairs = pairs.withColumn(
         "lcp",
         F.least(
@@ -323,7 +393,9 @@ def _sa_with_lcp(
         F.col("idb").alias("id"), F.col("posb").alias("pos"),
         F.col("lcp").alias("lcp_prev"),
     )
-    return sa.join(lp, ["id", "pos"], "left")
+    return sa.select("id", "pos", "dl", "__sa").join(
+        lp, ["id", "pos"], "left"
+    )
 
 
 def _running_sum_by_order(

@@ -1299,6 +1299,43 @@ def test_suffix_span_removal_matches_bruteforce(spark):
     assert 5 not in got  # below min_len tokens
 
 
+def test_suffix_identical_docs_full_length_repeats(spark):
+    """ADVICE r10 (high) regression: EXACT duplicate documents must
+    report full-length repeats. Two confirmed triggers of the old
+    undercount: (1) distinct-token duplicate docs stabilize the rank
+    partition early (fixpoint break), so the descending walk could
+    accumulate at most 2^(J+1)-1 — two identical 10-token docs yielded
+    rep=7 and suffix_duplicate_spans(min_len=8) MISSED them entirely;
+    (2) with max_dl exactly a power of two the old 'redundant top
+    level' skip dropped the only level that could certify a full-length
+    match (identical 8-token docs -> rep=7). Equal-final-rank pairs are
+    equal complete suffixes by construction and short-circuit to the
+    full remaining length."""
+    from dwh_with_dask_spark.operators.suffix import (
+        longest_repeats,
+        suffix_duplicate_spans,
+    )
+
+    # trigger 1: identical 10-token docs, all tokens distinct
+    doc = " ".join(f"t{i}" for i in range(10))
+    d = spark.createDataFrame([(1, doc), (2, doc)], "doc_id long, text string")
+    rep = {(r.id, r.pos): r.rep for r in longest_repeats(d).collect()}
+    assert all(rep[(i, p)] == 10 - p for i in (1, 2) for p in range(10))
+    got = sorted(
+        map(tuple, suffix_duplicate_spans(d, min_len=8).collect())
+    )
+    want = sorted(map(tuple, D.duplicate_spans(d, k=8).collect()))
+    assert got == want and got  # non-empty: the dup IS found
+
+    # trigger 2: identical docs at a power-of-two length
+    doc8 = " ".join(f"t{i}" for i in range(8))
+    d8 = spark.createDataFrame(
+        [(1, doc8), (2, doc8)], "doc_id long, text string"
+    )
+    rep8 = {(r.id, r.pos): r.rep for r in longest_repeats(d8).collect()}
+    assert all(rep8[(i, p)] == 8 - p for i in (1, 2) for p in range(8))
+
+
 def test_suffix_longest_repeats_randomized_property(spark):
     """Randomized (fixed-seed, deterministic) corpora vs the quadratic
     reference: small alphabets force heavy sharing, within-doc repeats,
@@ -1323,6 +1360,9 @@ def test_suffix_longest_repeats_randomized_property(spark):
             )
             for i in range(ndocs)
         ]
+        # every trial also carries an EXACT duplicate of its longest doc
+        # (the equal-complete-suffix class the fixpoint break hits)
+        docs.append((ndocs, max(docs, key=lambda t: len(t[1]))[1]))
         d = spark.createDataFrame(docs, "doc_id long, text string")
         got = {
             (r.id, r.pos): r.rep for r in longest_repeats(d).collect()
