@@ -38,8 +38,15 @@ def sequential_id(
     start: int = 1,
     scope: CacheScope | None = None,
     checkpoint: bool = False,
+    with_count: bool = False,
 ) -> DataFrame:
     """Gap-free IDs ``start, start+1, ...`` in ``order_by`` order.
+
+    ``with_count=True`` returns ``(frame, n_rows)`` instead — the total
+    comes free from the per-partition stats this function already
+    collects to assign offsets, so callers that need the row count
+    (e.g. the suffix module's dense-rank group counts) never schedule a
+    separate ``count()`` job.
 
     When ``order_by`` is given the input is range-partition sorted on it
     first (one shuffle), so the global sequence follows that order across
@@ -125,8 +132,9 @@ def sequential_id(
         out = out.localCheckpoint(eager=True)
         if created:
             scope.release()  # stamp cache no longer needed post-truncation
-        return out
-    return attach(out, scope, created)
+        return (out, running) if with_count else out
+    out = attach(out, scope, created)
+    return (out, running) if with_count else out
 
 
 def sequential_id_window(

@@ -1,5 +1,5 @@
-"""Variable-length ExactSubstr: a DISTRIBUTED suffix-array construction
-via prefix doubling (Manber & Myers 1993), DataFrame-native.
+"""Variable-length ExactSubstr: a DISTRIBUTED suffix array,
+DataFrame-native — packed-prefix sort with a prefix-doubling tail.
 
 Closes the one documented approximation in the ExactSubstr family
 (``dedup.duplicate_spans`` hashes FIXED-k windows — finds all repeats of
@@ -9,45 +9,59 @@ substring starting there that also occurs anywhere else (Lee et al.
 2022's suffix-array semantics), with no Python in the per-row path and
 no text ever riding a shuffle after tokenization.
 
-Method — every step is a standard published algorithm, re-expressed as
-DataFrame ops:
+Method — standard published building blocks, re-expressed as DataFrame
+ops and specialized to the token-corpus case:
 
-1. **Prefix doubling**: ``rank_0`` = dense rank of the single token;
-   ``rank_{j+1}`` = dense rank of the pair ``(rank_j[p],
-   rank_j[p + 2^j])`` (−1 past the document end — suffixes never cross
-   documents, the per-doc sentinel of the concatenated-corpus
-   construction). After round j, two positions share ``rank_j`` iff
-   their suffixes agree on the first ``2^j`` tokens (or are equal
-   complete suffixes — see the clamp below). ``ceil(log2(max_doc_len))``
-   rounds, with early stop once every rank is distinct.
-   The pair shift is a per-document ``lead`` window (no join), and the
-   dense rank is fully distributed: distinct keys → range-sort →
-   ``ids.sequential_id`` (JVM stamp + broadcast offsets — NO
-   single-partition window anywhere in this module) → hash-join back.
-2. **Suffix-array adjacency**: order positions by the final rank
-   (ties — equal complete suffixes — break on (id, pos)); adjacency via
-   ``sequential_id`` + a self-join on ``sa+1``.
-3. **LCP of adjacent suffixes** by descending doubling (the classic
-   O(log n) rank-table LCP): for j = J..0, if ``rank_j`` matches at
-   both cursors, advance the common prefix by ``2^j``. Each step is two
-   expression-keyed equi-joins against the rank table. A final
-   ``least(lcp, remaining_a, remaining_b)`` clamp repairs the one
-   overcount the shared end-of-document sentinel allows (two EQUAL
-   complete suffixes shorter than ``2^j`` match at round j; true LCP is
-   their full length).
-4. **Longest repeat per position** = max(LCP with SA-predecessor, LCP
+1. **Packed prefix key** (``suffix_ranks``): dense-rank the token
+   vocabulary (m values; the rank join back is a BROADCAST — the
+   positions table never shuffles for it), then pack R0 = ⌊63 /
+   log2(m+1)⌋ shifted ranks per long (base-(m+1) positional encoding ==
+   lexicographic R0-tuple order, end-of-document sentinel 0 first) and
+   carry L such longs as one array column ``xs`` — each position's
+   first ``base = R0·L`` tokens in <= 256 bytes, built by ONE per-doc
+   window pass (Horner over R0 leads, then L-1 leads of the packed
+   value). Sorting by ``xs`` (arrays compare lexicographically) IS the
+   suffix order for every document shorter than ``base`` — a 31-token
+   vocabulary packs 12 ranks/long, so ``L = 16`` covers 192-token
+   documents with zero rank-refinement rounds.
+2. **Prefix-doubling tail** (only when max_dl > base — Manber & Myers
+   1993): dense-rank ``xs`` (distinct keys → range-sort →
+   ``ids.sequential_id`` — NO single-partition window anywhere in this
+   module), then alternate the measured-cheapest pair rounds: composite
+   ``rank·(m+1) + (lead+1)`` (one window) / distributed dense rank,
+   doubling the covered length each round, with the fixpoint stop
+   (an unchanged densify count means the partition is stable, i.e. IS
+   the suffix-equality partition).
+3. **Suffix-array adjacency**: order positions by the top-level key
+   (ties — equal complete suffixes — break on (id, pos));
+   adjacency via ``sequential_id`` + a self-join on ``sa+1``.
+4. **LCP of adjacent suffixes**: for documents within ``base`` this is
+   a PURE EXPRESSION on the pair row — component run over the two
+   carried ``xs`` arrays, then the first differing base-(m+1) digit of
+   the mismatching component (integer DIV/compare chain; no join, no
+   walk). Equal whole arrays ⟹ equal complete suffixes ⟹ lcp = full
+   remaining length (tier 1; ADVICE r10's undercount class). With a
+   doubling tail, pairs that match a tail level at offset 0 walk the
+   levels below it at moving cursors (count-guarded BROADCAST probes —
+   the rank table streams, never shuffles, against the tiny lcp>=base
+   probe set) and finish with one ``xs`` fetch for the sub-base
+   residual. A final ``least(lcp, remaining)`` clamp repairs the one
+   overcount the shared end-of-document sentinel allows.
+5. **Longest repeat per position** = max(LCP with SA-predecessor, LCP
    with SA-successor) — the textbook neighbor property.
 
-Scale notes: every shuffle moves fixed-width (id, pos, rank) rows —
-O(N) each, O(log max_len) rounds; the LCP pass is O(log max_len)
-equi-joins of an (N-1)-row pair table. That is the honest cost of
-EXACT variable-length semantics; ``dedup.duplicate_spans`` (one shuffle,
-fixed k) remains the data-proportional default and this module the
-exact-semantics option — the same default/exact split as
-approx_distinct vs count_distinct. The equivalence theorem tested in
-tests/test_dedup_similarity.py (coverage at ``min_len=k`` equals the
-fixed-k scheme's coverage exactly) is what lets the driver query share
-the fixed-k DuckDB oracle.
+Scale notes: every shuffle moves fixed-width rows (the widest carries
+the <=256-byte ``xs``), O(N) each; the common case is tokenize → one
+window pass → one range sort → one self-join — the same pass count as
+the fixed-k scheme plus the sort, which is the honest cost of EXACT
+variable-length semantics. The doubling tail adds O(log(max_len/base))
+rounds only when documents exceed ``base`` tokens.
+``dedup.duplicate_spans`` (one shuffle, fixed k) remains the
+data-proportional default and this module the exact-semantics option —
+the same default/exact split as approx_distinct vs count_distinct. The
+equivalence theorem tested in tests/test_dedup_similarity.py (coverage
+at ``min_len=k`` equals the fixed-k scheme's coverage exactly) is what
+lets the driver query share the fixed-k DuckDB oracle.
 
 Reference for parity: the reference repo has no dedup at all; this is
 SURVEY.md §2B north-star surface (the training-data-pipeline layer).
@@ -55,7 +69,9 @@ SURVEY.md §2B north-star surface (the training-data-pipeline layer).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import time
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -63,6 +79,32 @@ from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
 from dwh_with_dask_spark.operators.dedup import text_tokens
 from dwh_with_dask_spark.operators.ids import sequential_id
 from dwh_with_dask_spark.operators.partitioning import barrier, widen
+
+
+# Optional phase-timing hook: point at a list and every eagerly
+# materialized phase appends (label, seconds) — the measured
+# decomposition behind BENCH_SCALE's suffix rows. Lazy phases (the
+# pair expressions, the final left join) fold into the first
+# downstream action as usual.
+TIMINGS: list[tuple[str, float]] | None = None
+
+
+def _mark(label: str, t0: float) -> float:
+    now = time.perf_counter()
+    if TIMINGS is not None:
+        TIMINGS.append((label, now - t0))
+    return now
+
+
+# broadcast the dense-rank key table below this row count (16 bytes/row
+# of key + rank: ~32 MB of hash table at the cap — one copy per JVM)
+_KEYS_BROADCAST_MAX = 2_000_000
+# broadcast walk probes below this row count (pair key + cursor,
+# ~56 bytes/row); above it the walk falls back to a shuffle join
+_PROBE_BROADCAST_MAX = 400_000
+# max packed longs per position: caps the xs column at 256 bytes/row;
+# documents longer than R0 * _XS_CAP tokens take the doubling tail
+_XS_CAP = 32
 
 
 def _dense_rank_distributed(
@@ -73,89 +115,150 @@ def _dense_rank_distributed(
     broadcast offsets) → join back. Rank values are 0-based, contiguous
     over distinct keys, and deterministic (the key order is total).
     Returns (ranked frame, number of distinct keys) — the count comes
-    free off the checkpointed keys frame, so callers never re-aggregate
-    the full positions table to know the group count."""
-    keys = sequential_id(
+    free from ``sequential_id``'s own per-partition stats (no separate
+    count job), and when it is small the join back is a broadcast (the
+    token-vocabulary case: the N-row positions table never shuffles)."""
+    keys, n = sequential_id(
         df.select(*key_cols).distinct(),
         order_by=[F.col(c).asc() for c in key_cols],
         name=out,
         start=0,
         checkpoint=True,
+        with_count=True,
     )
-    return df.join(keys, key_cols), keys.count()
+    if n <= _KEYS_BROADCAST_MAX:
+        keys = F.broadcast(keys)
+    return df.join(keys, key_cols), n
 
 
 def suffix_ranks(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, int]:
-    """(positions, J): ``positions`` = one row per token position —
-    (id, pos, dl, r0..rJ) where ``r_j`` is the prefix-doubling rank
-    after round j — eagerly checkpointed (safe to re-action); ``J`` is
-    the last round computed. Suffixes are per-document (repeats never
-    span documents). Zero-token documents contribute no positions."""
+) -> tuple[DataFrame, list[tuple[str, int]], int, int]:
+    """(positions, levels, R0, B): ``positions`` = one row per token
+    position — (id, pos, dl, xs, <tail level columns>) — eagerly
+    checkpointed. ``xs`` is the PACKED PREFIX: an array of L longs,
+    element i encoding the R0 shifted token ranks at
+    ``[pos + i·R0, pos + (i+1)·R0)`` in base ``B = m+1`` (sentinel 0
+    past the document end), so array comparison == suffix order out to
+    ``base = R0·L`` tokens. ``levels`` is the rank LADDER, ascending
+    ``(column, covered_length)``: always ``[("xs", base)]``, plus
+    prefix-doubling tail levels when any document exceeds ``base``
+    (two positions share a tail level's value iff their suffixes agree
+    on its covered length, padded, or are equal complete suffixes).
+    L adapts to the corpus: ``ceil(max_dl / R0)`` capped at
+    ``_XS_CAP``. Suffixes are per-document (repeats never span
+    documents); zero-token documents contribute no positions."""
+    t = time.perf_counter()
     src = widen(df.select(id_col, text_col), id_col)
-    base = barrier(
+    base_df = barrier(
         src.select(
             F.col(id_col).alias("id"), text_tokens(text_col).alias("__toks")
         )
     ).filter(F.size("__toks") >= 1)
-    pos = base.select(
+    ex = base_df.select(
         "id",
         F.size("__toks").alias("dl"),
         F.posexplode("__toks").alias("pos", "__tok"),
     )
-    pos, n_groups = _dense_rank_distributed(pos, ["__tok"], "r0")
-    pos = pos.drop("__tok").localCheckpoint(eager=True)
-    max_dl = pos.agg(F.max("dl")).first()[0] or 1
+    # materialize the exploded positions ONCE: the vocabulary distinct,
+    # the max_dl aggregate and the packing window all re-scan this
+    # frame — without the checkpoint each re-runs tokenize+explode
+    ex = ex.localCheckpoint(eager=True)
+    ranked, m = _dense_rank_distributed(ex, ["__tok"], "__r0")
+    max_dl = ex.agg(F.max("dl")).first()[0] or 1
 
-    j, k = 0, 1
-    densified = True  # r0 is a dense rank
+    # R0 = ranks packed per long: the largest R <= 16 with B^R < 2^63
+    # (exact Python-int check; R == 1 only past ~9e18 distinct tokens)
+    B = int(m) + 1
+    R0 = 1
+    while R0 < 16 and B ** (R0 + 1) < 2 ** 63:
+        R0 += 1
+    L = min(max(-(-max_dl // R0), 1), _XS_CAP)
+    base = R0 * L
+    t = _mark(f"tokenize+vocab (m={m}, R0={R0}, L={L})", t)
+
+    # ONE per-doc window pass builds the whole packed prefix: Horner
+    # over R0 shifted-rank leads -> s1 (the first packed long), then
+    # L-1 leads of s1 itself (same window spec — no second sort).
+    # Shifting every component (+1, sentinel 0) keeps base-B encoding
+    # == lexicographic tuple order with past-end sorting first; a real
+    # s1 is >= B^(R0-1) >= 1, so 0 is unambiguous for missing leads.
     w_doc = Window.partitionBy("id").orderBy("pos")
+    digits = [
+        F.coalesce(F.lead("__r0", i).over(w_doc), F.lit(-1)).cast("long")
+        + F.lit(1)
+        for i in range(R0)
+    ]
+    s1 = digits[0]
+    for d in digits[1:]:
+        s1 = s1 * F.lit(B) + d
+    packed = ranked.withColumn("__s1", s1)
+    xs = F.array(
+        F.col("__s1"),
+        *[
+            F.coalesce(F.lead("__s1", i * R0).over(w_doc), F.lit(0))
+            for i in range(1, L)
+        ],
+    )
+    pos = (
+        packed.withColumn("xs", xs)
+        .select("id", "pos", "dl", "xs")
+        .localCheckpoint(eager=True)
+    )
+    t = _mark(f"packed prefix xs (base={base})", t)
+    levels: list[tuple[str, int]] = [("xs", base)]
+    if max_dl <= base:
+        return pos, levels, R0, B
+
+    # prefix-doubling TAIL for documents longer than the packed prefix
+    pos, n_dense = _dense_rank_distributed(pos, ["xs"], "s2")
+    pos = pos.localCheckpoint(eager=True)
+    t = _mark(f"tail densify xs k={base}", t)
+    k, cur, densified, i = base, "s2", True, 2
     while k < max_dl:
-        prev, nxt = f"r{j}", f"r{j + 1}"
-        lead2 = F.coalesce(F.lead(prev, k).over(w_doc), F.lit(-1))
-        if densified and n_groups < 2 ** 31:
+        i += 1
+        nxt = f"s{i}"
+        lead2 = F.coalesce(F.lead(cur, k).over(w_doc), F.lit(-1))
+        if densified and (int(n_dense) + 1) ** 2 < 2 ** 63:
             # COMPOSITE round (measured ~4x cheaper than a densify):
-            # when the previous level is a dense rank with m groups,
-            # ``r·(m+1) + (lead+1)`` is a single LONG that orders
-            # exactly like the (rank, lead-or-−1) pair — rank in
-            # [0, m), shifted lead in [0, m] — so the level table is
-            # built with ONE per-doc window and no distinct/sort/join.
-            # Its values reach ~m², so the NEXT level must densify
-            # before composing again (alternation keeps everything in
-            # long range; past 2^31 groups — never at any tested scale
-            # — every round densifies).
+            # rank·(m+1) + (lead+1) is a single LONG ordering exactly
+            # like the (rank, lead-or-−1) pair; values reach ~m², so
+            # the next round must densify before composing again.
             pos = pos.withColumn(
                 nxt,
-                F.col(prev).cast("long") * F.lit(int(n_groups) + 1)
+                F.col(cur).cast("long") * F.lit(int(n_dense) + 1)
                 + (lead2.cast("long") + F.lit(1)),
-            )
-            pos = pos.localCheckpoint(eager=True)
-            densified = False
-            j, k = j + 1, k * 2
+            ).localCheckpoint(eager=True)
+            levels.append((nxt, k * 2))
+            t = _mark(f"tail level {nxt} k={k * 2} composite", t)
+            densified, cur, k = False, nxt, k * 2
             continue
-        # DENSIFY round: dense rank of the (composite, shifted
-        # composite) pair — restores [0, n) values for the next
-        # composite round
+        # DENSIFY round: dense rank of the (value, shifted value) pair
+        # — restores [0, n) values for the next composite round.
+        # (Truncate lineage every round, or the plan grows by two joins
+        # per round and re-actions replay the nondeterministic
+        # sequential_id stamps.)
         paired = pos.withColumn("__r2", lead2)
-        pos, n_new = _dense_rank_distributed(paired, [prev, "__r2"], nxt)
-        pos = pos.drop("__r2")
-        # iterative-loop idiom: truncate lineage every round, or the
-        # plan grows by two joins per round and re-actions replay the
-        # nondeterministic sequential_id stamps
-        pos = pos.localCheckpoint(eager=True)
-        j, k = j + 1, k * 2
-        # Fixpoint stop: refinement only ever SPLITS groups, so an
-        # unchanged count across two doublings means the partition is
-        # stable (equal prefixes ⟹ equal complete suffixes, which the
-        # LCP clamp handles) and every later round is a no-op.
-        if n_new == n_groups:
+        pos, n_new = _dense_rank_distributed(paired, [cur, "__r2"], nxt)
+        pos = pos.drop("__r2").localCheckpoint(eager=True)
+        levels.append((nxt, k * 2))
+        t = _mark(f"tail level {nxt} k={k * 2} densify", t)
+        # Fixpoint stop: refinement only ever SPLITS groups, so
+        # consecutive densify counts equal (the composite between, if
+        # any, only refines) ⟹ the partition never split across a
+        # >=2x refinement window ⟹ it is stable — i.e. IS the
+        # suffix-equality partition (equal top rank ⟺ equal complete
+        # suffixes, the tier-1 short-circuit in _sa_with_lcp), and
+        # unequal-top pairs then have lcp < the top length (two
+        # distinct suffixes sharing a top-length prefix would have
+        # split in the next round), so the walk still covers them.
+        stable = n_new == n_dense
+        densified, cur, k, n_dense = True, nxt, k * 2, n_new
+        if stable:
             break
-        n_groups = n_new
-        densified = True
-    return pos, j
+    return pos, levels, R0, B
 
 
 def longest_repeats(
@@ -170,23 +273,25 @@ def longest_repeats(
     other). The suffix-array semantics the fixed-k family approximates.
     """
     scope, created = scoped(scope)
-    sa = _sa_with_lcp(df, text_col, id_col, scope)
-    # rep = max(LCP with predecessor, LCP with successor) — the
-    # successor's LCP is the NEXT sa row's lcp_prev: a self-join on the
-    # sa index, never an ordered global window
-    nxt = sa.select(
-        (F.col("__sa") - 1).alias("__sa"), F.col("lcp_prev").alias("__ln")
+    sa, pairs = _sa_pairs(df, text_col, id_col, scope)
+    # rep = max(LCP with predecessor, LCP with successor). Each pair
+    # (rows __i, __i+1 in SA order) contributes its lcp to BOTH
+    # members: explode to the two target indexes, max per index, ONE
+    # join back — never an ordered global window, and one join fewer
+    # than attaching lcp_prev row-wise and self-joining for lcp_next.
+    contrib = pairs.select(
+        F.explode(
+            F.array(F.col("__i"), F.col("__i") + 1)
+        ).alias("__sa"),
+        "lcp",
     )
+    agg = contrib.groupBy("__sa").agg(F.max("lcp").alias("__rep"))
     rep = (
-        sa.join(nxt, "__sa", "left")
+        sa.select("id", "pos", "dl", "__sa")
+        .join(agg, "__sa", "left")
         .select(
-            "id",
-            "pos",
-            "dl",
-            F.greatest(
-                F.coalesce(F.col("lcp_prev"), F.lit(0)),
-                F.coalesce(F.col("__ln"), F.lit(0)),
-            ).alias("rep"),
+            "id", "pos", "dl",
+            F.coalesce(F.col("__rep"), F.lit(0)).alias("rep"),
         )
     )
     return attach(rep, scope, created)
@@ -238,6 +343,82 @@ def suffix_duplicate_spans(
     return out
 
 
+def _xs_run(xa: Column, xb: Column, L: int, R0: int, B: int) -> Column:
+    """Common-prefix TOKEN count of two packed-prefix arrays — an LCP
+    below ``base`` as ONE expression, no join: the component run (first
+    differing array element) gives lcp DIV R0; the first differing
+    base-B digit of that component gives lcp MOD R0. Digit comparison
+    never divides: leading digits through place p are equal iff
+    ``da − pmod(da, p) == db − pmod(db, p)`` — pure long arithmetic
+    (double division would round above 2^53; packed values reach
+    2^62). Sentinel digits (0) compare equal on both sides, so a run
+    through shared past-end padding can only overcount past a document
+    end — the caller's ``least(lcp, remaining)`` clamp repairs it
+    exactly. Returns ``L·R0`` (= base) when the arrays are fully equal
+    (the caller maps that to full-equality semantics); NULL in (cursor
+    row absent) ⟹ NULL out."""
+    z = F.zip_with(xa, xb, lambda x, y: x == y)
+    fpos = F.array_position(z, False)
+    n = F.when(fpos > 0, fpos - 1).otherwise(F.lit(L))
+    da, db = F.get(xa, n.cast("int")), F.get(xb, n.cast("int"))
+    run = None
+    for i in range(R0):
+        p = F.lit(B ** (R0 - 1 - i))
+        neq = (da - F.pmod(da, p)) != (db - F.pmod(db, p))
+        run = F.when(neq, F.lit(i)) if run is None else run.when(neq, F.lit(i))
+    run = run.otherwise(F.lit(R0))
+    return F.when(n < L, n * F.lit(R0) + run).otherwise(F.lit(L * R0))
+
+
+def _cursor_lookup(
+    act: DataFrame,
+    tbl: DataFrame,
+    val_col: str,
+    out: str,
+    side: str,
+    n_act: int,
+) -> DataFrame:
+    """Fetch ``tbl``'s ``val_col`` at the walk cursor
+    ``(id_<side>, pos_<side> + lcp)`` for every pair in ``act``,
+    as ``out`` (NULL when the cursor is past the document end).
+
+    Small probe sets (the usual case — only lcp >= base pairs walk) go
+    broadcast: an INNER join streams the N-row rank table against the
+    broadcast probe hash (no shuffle, no sort of the big side), and
+    the hits (<= n_act rows) broadcast-left-join back onto the pairs
+    by their unique successor key (idb, posb). Past the guard the
+    lookup falls back to the expression-keyed shuffle join — same
+    semantics, data-proportional cost."""
+    id_c, pos_c = f"id{side}", f"pos{side}"
+    cursor = F.col(pos_c) + F.col("lcp")
+    if n_act <= _PROBE_BROADCAST_MAX:
+        probes = act.select(
+            "idb", "posb",
+            F.col(id_c).alias("__pid"), cursor.alias("__ppos"),
+        )
+        hits = (
+            tbl.join(
+                F.broadcast(probes),
+                (F.col("id") == F.col("__pid"))
+                & (F.col("pos") == F.col("__ppos")),
+                "inner",
+            )
+            .select("idb", "posb", F.col(val_col).alias(out))
+        )
+        return act.join(F.broadcast(hits), ["idb", "posb"], "left")
+    return (
+        act.join(
+            tbl.select(
+                F.col("id").alias("__rid"), F.col("pos").alias("__rpos"),
+                F.col(val_col).alias(out),
+            ),
+            (F.col(id_c) == F.col("__rid")) & (F.col("__rpos") == cursor),
+            "left",
+        )
+        .drop("__rid", "__rpos")
+    )
+
+
 def _sa_with_lcp(
     df: DataFrame,
     text_col: str,
@@ -246,148 +427,10 @@ def _sa_with_lcp(
 ) -> DataFrame:
     """(id, pos, dl, __sa, lcp_prev): every position with its
     suffix-array index and its LCP with the SA-predecessor (NULL at
-    __sa = 0). The shared core of ``longest_repeats`` and
-    ``suffix_span_removal``.
-
-    The LCP of each adjacent pair is resolved in three tiers, cheapest
-    first — the two carried-rank tiers need NO join at all, because
-    the pair row already holds both suffixes' full rank columns:
-
-    1. **Equal final rank** ⟹ equal complete suffixes ⟹ lcp is the
-       full remaining length. True on BOTH ``suffix_ranks`` exit
-       paths: at the natural exit ``2^J >= max_dl`` so rank-J equality
-       is whole-(padded-)suffix equality; at the fixpoint break the
-       partition is stable under doubling, and a stable prefix-doubling
-       partition is exactly the suffix-equality partition (if two
-       distinct suffixes shared a 2^J prefix they would share a rank-J
-       class with unequal members, and the next doubling would have
-       split it). Without this tier the descending walk can accumulate
-       at most 2^(J+1)−1 and the end-clamp can only LOWER — exact
-       duplicate documents (the most common dedup input) were
-       undercounted (ADVICE r10, high).
-    2. **Offset-0 walk, one expression**: ranks are hierarchical
-       (``r_{j+1}`` equal ⟹ ``r_j`` equal), so the set of levels that
-       match at offset 0 is a prefix ``[0, h]``; the descending walk's
-       first hit is ``h`` and every level above it is a miss. One
-       CASE over the carried columns yields ``h``; ``lcp`` starts at
-       ``2^h`` (or 0 — final — when no level matches). Pairs with
-       ``h <= 0`` are DONE with zero joins: on diverse corpora that is
-       most of the table (adjacent suffixes rarely share >= 2 tokens).
-    3. **Join walk for the rest**: levels ``h−1..0`` at moving cursors
-       ``pos + lcp``, two expression-keyed equi-joins per level against
-       the level's rank table — only the still-active pairs
-       (``h > j``) ride the join; a pair with true lcp L joins at most
-       ``floor(log2 L)`` levels. An unequal-rank-J pair has
-       lcp <= 2^J − 1 (else its 2^J-prefix equality would force
-       rank-J equality on either exit path), so levels J−1..0 suffice.
-
-    The final ``least(lcp, remaining)`` clamp is kept as a safety
-    invariant (tier 1 already emits exact values)."""
-    pos, J = suffix_ranks(df, text_col=text_col, id_col=id_col)
-    rcols = [f"r{j}" for j in range(J + 1)]
-    ranks = scope.persist(pos)
-    sa = sequential_id(
-        ranks.select("id", "pos", "dl", *rcols),
-        order_by=[
-            F.col(f"r{J}").asc(), F.col("id").asc(), F.col("pos").asc()
-        ],
-        name="__sa",
-        start=0,
-        checkpoint=True,
-    )
-
-    a = sa.select(
-        F.col("id").alias("ida"), F.col("pos").alias("posa"),
-        F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
-        *[F.col(f"r{j}").alias(f"__a{j}") for j in range(J + 1)],
-    )
-    b = sa.select(
-        F.col("id").alias("idb"), F.col("pos").alias("posb"),
-        F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
-        *[F.col(f"r{j}").alias(f"__b{j}") for j in range(J + 1)],
-    )
-
-    def eq(j: int):
-        return F.col(f"__a{j}") == F.col(f"__b{j}")
-
-    if J >= 1:
-        h = F.when(eq(J - 1), F.lit(J - 1))
-        for j in range(J - 2, -1, -1):
-            h = h.when(eq(j), F.lit(j))
-        h = h.otherwise(F.lit(None).cast("int"))
-    else:
-        h = F.lit(None).cast("int")
-    rem = F.least(
-        F.col("dla") - F.col("posa"), F.col("dlb") - F.col("posb")
-    )
-    pairs = (
-        a.join(b, "__i")
-        .select(
-            "ida", "posa", "dla", "idb", "posb", "dlb",
-            eq(J).alias("__eqf"), h.alias("__h"),
-        )
-        .withColumn(
-            "lcp",
-            F.when(F.col("__eqf"), rem)
-            .when(
-                F.col("__h").isNotNull(),
-                F.pow(F.lit(2.0), F.col("__h")).cast("long"),
-            )
-            .otherwise(F.lit(0))
-            .cast("long"),
-        )
-    )
-    # pairs fully resolved by the carried tiers never enter the walk
-    walking_cond = (~F.col("__eqf")) & (F.col("__h") >= 1)
-    done = pairs.filter(~walking_cond).drop("__eqf", "__h")
-    walk = pairs.filter(walking_cond).drop("__eqf")
-    for j in range(J - 2, -1, -1):
-        active = F.col("__h") > j
-        idle = walk.filter(~active)
-        act = walk.filter(active)
-        rj = ranks.select(
-            F.col("id").alias("__rid"), F.col("pos").alias("__rpos"),
-            F.col(f"r{j}").alias("__rv"),
-        )
-        act = (
-            act.join(
-                rj,
-                (F.col("ida") == F.col("__rid"))
-                & (F.col("__rpos") == F.col("posa") + F.col("lcp")),
-                "left",
-            )
-            .withColumnRenamed("__rv", "__ra")
-            .drop("__rid", "__rpos")
-        )
-        act = (
-            act.join(
-                rj,
-                (F.col("idb") == F.col("__rid"))
-                & (F.col("__rpos") == F.col("posb") + F.col("lcp")),
-                "left",
-            )
-            .withColumnRenamed("__rv", "__rb")
-            .drop("__rid", "__rpos")
-        )
-        hit = (
-            F.col("__ra").isNotNull()
-            & F.col("__rb").isNotNull()
-            & (F.col("__ra") == F.col("__rb"))
-        )
-        act = act.withColumn(
-            "lcp",
-            F.when(hit, F.col("lcp") + F.lit(2 ** j)).otherwise(F.col("lcp")),
-        ).drop("__ra", "__rb")
-        walk = act.unionByName(idle).localCheckpoint(eager=True)
-    pairs = done.unionByName(walk.drop("__h"))
-    pairs = pairs.withColumn(
-        "lcp",
-        F.least(
-            F.col("lcp"),
-            F.col("dla") - F.col("posa"),
-            F.col("dlb") - F.col("posb"),
-        ),
-    )
+    __sa = 0) — ``_sa_pairs`` with the pair lcp attached row-wise
+    (``suffix_span_removal``'s shape; ``longest_repeats`` consumes the
+    pairs directly and skips this join)."""
+    sa, pairs = _sa_pairs(df, text_col, id_col, scope)
     # lcp_prev of position b = the pair's lcp; __sa=0 has no predecessor
     lp = pairs.select(
         F.col("idb").alias("id"), F.col("posb").alias("pos"),
@@ -396,6 +439,172 @@ def _sa_with_lcp(
     return sa.select("id", "pos", "dl", "__sa").join(
         lp, ["id", "pos"], "left"
     )
+
+
+def _sa_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    scope: CacheScope,
+) -> tuple[DataFrame, DataFrame]:
+    """(sa, pairs): ``sa`` = every position with its suffix-array index
+    ``__sa`` (order: top-level key, ties — equal complete suffixes —
+    on (id, pos)); ``pairs`` = one row per ADJACENT sa pair
+    (ida, posa, dla, idb, posb, dlb, __i, lcp) where ``__i`` is the
+    successor's sa index and ``lcp`` the pair's exact LCP. The shared
+    core of ``longest_repeats`` and ``suffix_span_removal``.
+
+    Common case (every document within ``base = R0·L`` tokens): the
+    adjacent pair's LCP is ``_xs_run`` over the two CARRIED packed
+    arrays — one expression, zero joins — with the full-equality case
+    (run == base ⟹ equal complete suffixes, since base >= max_dl)
+    mapped to the full remaining length. Equal complete suffixes MUST
+    short-circuit to full length: a bounded walk cannot reach it and
+    the end clamp only lowers — exact duplicate documents were
+    undercounted before this tier existed (ADVICE r10, high).
+
+    With a prefix-doubling tail (documents longer than base), three
+    tiers, cheapest first:
+
+    1. equal TOP level ⟹ equal complete suffixes ⟹ lcp = remaining.
+       True on both tail exit paths: at the natural exit the top
+       length >= max_dl (padded-prefix equality is whole-suffix
+       equality); at the fixpoint break the partition is stable, and a
+       stable prefix-doubling partition IS the suffix-equality
+       partition.
+    2. offset-0, carried: ladder levels are hierarchical (longer level
+       equal ⟹ every shorter equal), so one CASE finds the highest
+       matching level h; no match ⟹ lcp < base, read off the carried
+       xs arrays. Nearly every pair resolves here.
+    3. join walk: ladder levels below h, descending, at moving cursors
+       ``pos + lcp`` (tiny count-guarded broadcast probes), then one
+       xs fetch for the sub-base residual. Coverage is exact and
+       tight: a miss at level len bounds the residual < len, and
+       Σ(lower levels) + (base−1) = top − 1; unequal-top pairs under
+       the fixpoint break have lcp < top by stability.
+
+    The final ``least(lcp, remaining)`` clamp repairs the one
+    overcount the shared end-of-document sentinel allows (padded
+    matches past a document end)."""
+    pos, levels, R0, B = suffix_ranks(df, text_col=text_col, id_col=id_col)
+    t = time.perf_counter()
+    lvl_cols = [name for name, _ in levels]
+    top, _top_len = levels[-1]
+    base = dict(levels)["xs"]
+    L = base // R0
+    # only the doubling tail's walk re-reads the rank table — the
+    # packed-prefix-only path would persist it for nothing
+    ranks = scope.persist(pos) if len(levels) > 1 else pos
+    sa = sequential_id(
+        ranks.select("id", "pos", "dl", *lvl_cols),
+        order_by=[F.col(top).asc(), F.col("id").asc(), F.col("pos").asc()],
+        name="__sa",
+        start=0,
+        checkpoint=True,
+    )
+    t = _mark("sa order+seq_id", t)
+
+    a = sa.select(
+        F.col("id").alias("ida"), F.col("pos").alias("posa"),
+        F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
+        *[F.col(c).alias(f"__a_{c}") for c in lvl_cols],
+    )
+    b = sa.select(
+        F.col("id").alias("idb"), F.col("pos").alias("posb"),
+        F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
+        *[F.col(c).alias(f"__b_{c}") for c in lvl_cols],
+    )
+    rem = F.least(
+        F.col("dla") - F.col("posa"), F.col("dlb") - F.col("posb")
+    )
+    run0 = _xs_run(F.col("__a_xs"), F.col("__b_xs"), L, R0, B)
+    keep = ["ida", "posa", "dla", "idb", "posb", "dlb", "__i"]
+
+    if len(levels) == 1:
+        # packed-prefix-only: the LCP is one expression on the pair row
+        pairs = (
+            a.join(b, "__i")
+            .select(
+                *keep,
+                F.when(run0 >= base, rem).otherwise(run0).alias("lcp"),
+            )
+        )
+    else:
+
+        def eq(c: str):
+            return F.col(f"__a_{c}") == F.col(f"__b_{c}")
+
+        chain = levels[:-1]  # xs + mid tail levels, ascending
+        h = F.when(eq(chain[-1][0]), F.lit(chain[-1][1]).cast("long"))
+        for n_, ln_ in reversed(chain[:-1]):
+            h = h.when(eq(n_), F.lit(ln_).cast("long"))
+        h = h.otherwise(F.lit(None).cast("long"))
+        pairs = (
+            a.join(b, "__i")
+            .select(
+                *keep,
+                eq(top).alias("__eqf"), h.alias("__h"),
+                run0.alias("__run0"),
+            )
+            .withColumn(
+                "lcp",
+                F.when(F.col("__eqf"), rem)
+                .when(F.col("__h").isNotNull(), F.col("__h"))
+                .otherwise(F.least(F.col("__run0"), rem))
+                .cast("long"),
+            )
+            .drop("__run0")
+        )
+        # pairs fully resolved by the carried tiers never enter the walk
+        walking = (~F.col("__eqf")) & F.col("__h").isNotNull()
+        done = pairs.filter(~walking).drop("__eqf", "__h")
+        walk = pairs.filter(walking).drop("__eqf")
+        walk = walk.localCheckpoint(eager=True)
+        t = _mark("pair tiers (carried)", t)
+        n_walk = walk.count()
+        for name, ln in reversed(chain[:-1]):
+            active = F.col("__h") > ln
+            idle = walk.filter(~active)
+            act = walk.filter(active)
+            lv = ranks.select("id", "pos", name)
+            act = _cursor_lookup(act, lv, name, "__ra", "a", n_walk)
+            act = _cursor_lookup(act, lv, name, "__rb", "b", n_walk)
+            hit = (
+                F.col("__ra").isNotNull()
+                & F.col("__rb").isNotNull()
+                & (F.col("__ra") == F.col("__rb"))
+            )
+            act = act.withColumn(
+                "lcp",
+                F.when(hit, F.col("lcp") + F.lit(ln)).otherwise(F.col("lcp")),
+            ).drop("__ra", "__rb")
+            walk = act.unionByName(idle).localCheckpoint(eager=True)
+            t = _mark(f"lcp walk level {name} len={ln}", t)
+        # final sub-base residual: one xs fetch at the walk's end cursor
+        # (a full-run fetch means both cursors sit in shared past-end
+        # padding or an end-reaching match — the clamp finishes it)
+        gw = ranks.select("id", "pos", "xs")
+        walk = _cursor_lookup(walk, gw, "xs", "__xca", "a", n_walk)
+        walk = _cursor_lookup(walk, gw, "xs", "__xcb", "b", n_walk)
+        walk = walk.withColumn(
+            "lcp",
+            F.col("lcp")
+            + F.coalesce(
+                _xs_run(F.col("__xca"), F.col("__xcb"), L, R0, B), F.lit(0)
+            ),
+        ).drop("__xca", "__xcb", "__h")
+        t = _mark("lcp residual xs fetch", t)
+        pairs = done.unionByName(walk)
+
+    pairs = pairs.withColumn(
+        "lcp",
+        F.least(
+            F.col("lcp"),
+            F.col("dla") - F.col("posa"),
+            F.col("dlb") - F.col("posb"),
+        ),
+    )
+    return sa, pairs
 
 
 def _running_sum_by_order(

@@ -1336,6 +1336,52 @@ def test_suffix_identical_docs_full_length_repeats(spark):
     assert all(rep8[(i, p)] == 8 - p for i in (1, 2) for p in range(8))
 
 
+def test_suffix_doubling_tail_and_probe_fallback(spark, monkeypatch):
+    """The prefix-doubling TAIL (documents longer than the packed
+    prefix base = R0·L) and the walk's shuffle-join fallback are
+    exercised against the quadratic reference by forcing _XS_CAP=1
+    (base = R0 — every doc longer than one packed long takes the tail)
+    and _PROBE_BROADCAST_MAX=0 (every cursor lookup takes the
+    expression-keyed shuffle join). Includes an exact duplicate doc
+    (equal complete suffixes through the tail's tier-1) and the
+    removal operator end-to-end."""
+    import random
+
+    from dwh_with_dask_spark.operators import suffix
+
+    rng = random.Random(20260815)
+    docs = [
+        (
+            i,
+            " ".join(
+                f"w{rng.randrange(3)}" for _ in range(rng.randrange(1, 60))
+            ),
+        )
+        for i in range(12)
+    ]
+    docs.append((100, max(docs, key=lambda t: len(t[1]))[1]))  # exact dup
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    want = _brute_longest_repeats(docs)
+
+    monkeypatch.setattr(suffix, "_XS_CAP", 1)
+    got = {
+        (r.id, r.pos): r.rep for r in suffix.longest_repeats(d).collect()
+    }
+    assert got == want
+
+    monkeypatch.setattr(suffix, "_PROBE_BROADCAST_MAX", 0)
+    got2 = {
+        (r.id, r.pos): r.rep for r in suffix.longest_repeats(d).collect()
+    }
+    assert got2 == want
+    # removal through the tail path matches its quadratic reference
+    got_rm = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in suffix.suffix_span_removal(d, min_len=4).collect()
+    }
+    assert got_rm == _brute_suffix_removal(docs, 4)
+
+
 def test_suffix_longest_repeats_randomized_property(spark):
     """Randomized (fixed-seed, deterministic) corpora vs the quadratic
     reference: small alphabets force heavy sharing, within-doc repeats,
