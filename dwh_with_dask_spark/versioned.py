@@ -117,14 +117,20 @@ def versioned_commit(
     expressions — the Delta-Lake constraint contract: constraints are
     TABLE metadata, persisted in the manifest and re-enforced on every
     subsequent commit without re-passing them; a new entry adds or
-    replaces a constraint, a ``None`` value drops one. The incoming
-    batch is validated BEFORE any bytes land (one extra aggregate over
-    the batch): a row violates a constraint when its expression is
-    FALSE — NULL passes, ANSI CHECK semantics — and any violation
-    raises with per-constraint counts, leaving the table at its prior
-    version, fully readable. Constraints guard the WRITE path;
-    time-travel reads of old versions are never re-checked (their
-    manifests recorded the constraints they were written under).
+    replaces a constraint, a ``None`` value drops one. Validation runs
+    on the WRITTEN bytes (the staged data dir read back — the same
+    read-back the stats/members passes use), never on the incoming
+    plan: validating ``df`` itself would evaluate the plan twice, and
+    a nondeterministic frame (rand, changing source) could pass
+    validation yet persist violating rows under a manifest claiming
+    the constraints hold (ADVICE r10). A row violates a constraint
+    when its expression is FALSE — NULL passes, ANSI CHECK semantics;
+    any violation DELETES the staged data dir and raises with
+    per-constraint counts, leaving the table at its prior version,
+    fully readable (the pointer never moved, so no reader ever saw the
+    rejected bytes). Constraints guard the WRITE path; time-travel
+    reads of old versions are never re-checked (their manifests
+    recorded the constraints they were written under).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite or append")
@@ -132,8 +138,8 @@ def versioned_commit(
     prev = current_version(table)
 
     # --- CHECK constraints: inherit from the previous manifest, apply
-    # the caller's adds/replacements/drops, validate the batch BEFORE
-    # any data is written (a failed commit leaves zero new bytes).
+    # the caller's adds/replacements/drops. Validation happens BELOW,
+    # on the read-back of the written bytes (see docstring).
     constraints: dict = {}
     if prev > 0:
         with open(_manifest_path(table, prev)) as f:
@@ -143,25 +149,6 @@ def versioned_commit(
             constraints.pop(name, None)
         else:
             constraints[name] = expr
-    if constraints:
-        from pyspark.sql import functions as F
-
-        checks = [
-            F.sum(
-                (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
-            ).alias(name)
-            for name, e in constraints.items()
-        ]
-        row = df.agg(*checks).first()
-        bad = {n: int(row[n]) for n in constraints if row[n]}
-        if bad:
-            raise ValueError(
-                f"versioned_commit: CHECK constraint violation(s) on "
-                f"{table!r}: "
-                + ", ".join(f"{n}: {c} row(s)" for n, c in sorted(bad.items()))
-                + " — nothing was committed (table stays at version "
-                f"{prev})."
-            )
 
     version = prev + 1
     rel_dir = os.path.join("data", f"v{version}")
@@ -183,6 +170,35 @@ def versioned_commit(
 
         shutil.rmtree(data_dir)
     df.write.mode("error").parquet(data_dir)
+
+    if constraints:
+        from pyspark.sql import functions as F
+
+        # validate the WRITTEN bytes: the data dir is still staging
+        # (the pointer hasn't moved), so a violation deletes it and
+        # the table stays at its prior version — and the rows checked
+        # are exactly the rows a reader would see, even when df's plan
+        # is nondeterministic (ADVICE r10)
+        batch = df.sparkSession.read.parquet(data_dir)
+        checks = [
+            F.sum(
+                (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
+            ).alias(name)
+            for name, e in constraints.items()
+        ]
+        row = batch.agg(*checks).first()
+        bad = {n: int(row[n]) for n in constraints if row[n]}
+        if bad:
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                f"versioned_commit: CHECK constraint violation(s) on "
+                f"{table!r}: "
+                + ", ".join(f"{n}: {c} row(s)" for n, c in sorted(bad.items()))
+                + " — nothing was committed (table stays at version "
+                f"{prev})."
+            )
 
     stats: dict = {}
     if stats_cols:

@@ -812,9 +812,12 @@ def test_member_prune_type_matrix(spark, tmp_path):
 def test_versioned_check_constraints(spark, tmp_path):
     """Delta-style CHECK constraints on versioned tables: persisted in
     the manifest and re-enforced on every later commit without
-    re-passing them; violations raise BEFORE any bytes land (table
-    stays at its prior version, readable); NULL passes (ANSI CHECK);
-    None drops a constraint; streamed/appended history is unaffected."""
+    re-passing them; validation runs on the WRITTEN bytes (staged data
+    dir read back — ADVICE r10: validating the incoming plan evaluates
+    it twice, and a nondeterministic frame could pass validation yet
+    persist violating rows); violations delete the staged dir and
+    raise (table stays at its prior version, readable); NULL passes
+    (ANSI CHECK); None drops a constraint."""
     import pytest
 
     from dwh_with_dask_spark.versioned import (
@@ -875,3 +878,20 @@ def test_versioned_check_constraints(spark, tmp_path):
             t,
             mode="append",
         )
+
+    # NONDETERMINISTIC frame: the rows validated are the rows written
+    # (read-back), so a rand-bearing plan cannot sneak violating rows
+    # past a separately-evaluated check — the commit must reject and
+    # leave no staged bytes
+    from pyspark.sql import functions as F
+
+    nd = spark.range(200).select(
+        (F.col("id") + 1).alias("id"),
+        (F.rand() - F.lit(0.5)).alias("amount"),
+    )
+    t2 = str(tmp_path / "vchk_nd")
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        versioned_commit(
+            nd, t2, expect={"amount_nonneg": "amount >= 0"}
+        )
+    assert not os.path.exists(os.path.join(t2, "data", "v1"))
