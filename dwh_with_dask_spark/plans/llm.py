@@ -1237,23 +1237,112 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_suffix_removal")
+# LCP of two token-array suffixes as DuckDB list ops: zip (NULL-padded
+# to the longer), positional equality with NULL->FALSE (stops at the
+# shorter suffix's end), first FALSE position; no FALSE at all means
+# the suffixes are equal through the shorter's full length.
+def _suffix_lcp_sql(sa: str, sb: str) -> str:
+    return (
+        f"COALESCE(list_position(list_transform(list_zip({sa}, {sb}),"
+        f" x -> COALESCE(x[1] = x[2], FALSE)), FALSE) - 1,"
+        f" LEAST(len({sa}), len({sb})))"
+    )
+
+
+@query(
+    "dedup_suffix_removal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos
+          FROM t),
+    w AS (SELECT doc_id, pos,
+                 substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),
+                           1, 16) AS h
+          FROM p),
+    inst AS (SELECT doc_id, pos, h,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                      AS rn,
+                    COUNT(*) OVER (PARTITION BY h) AS n
+             FROM w),
+    mem AS (SELECT doc_id, pos, h, rn FROM inst WHERE n >= 2),
+    can AS (SELECT h, doc_id AS c_doc, pos AS c_pos FROM mem WHERE rn = 1),
+    -- cut extent of a non-canonical member = its exact LCP with the
+    -- run's canonical (pairwise, by the LCP range-minimum property)
+    cutm AS (
+      SELECT m.doc_id, m.pos,
+             m.pos + {_suffix_lcp_sql("mt.toks[m.pos+1:]",
+                                      "ct.toks[can.c_pos+1:]")} AS e
+      FROM mem m
+      JOIN can USING (h)
+      JOIN t mt ON mt.doc_id = m.doc_id
+      JOIN t ct ON ct.doc_id = can.c_doc
+      WHERE m.rn >= 2),
+    segd AS (SELECT doc_id, pos, e,
+               CASE WHEN pos >= COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1)
+                    THEN 1 ELSE 0 END AS newseg
+             FROM cutm),
+    seg AS (SELECT doc_id, pos, e,
+                   SUM(newseg) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS segid
+            FROM segd),
+    iv AS (SELECT doc_id, segid, MIN(pos) AS s, MAX(e) AS e
+           FROM seg GROUP BY doc_id, segid),
+    tok AS (SELECT doc_id,
+                   unnest(range(0, len(toks))) AS pos,
+                   unnest(toks) AS tok
+            FROM t WHERE len(toks) >= 8),
+    rm AS (SELECT t0.doc_id, t0.pos, t0.tok, (iv.s IS NOT NULL) AS removed
+           FROM tok t0 LEFT JOIN iv
+             ON iv.doc_id = t0.doc_id AND t0.pos >= iv.s AND t0.pos < iv.e)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT removed), '') AS clean_text
+    FROM rm GROUP BY doc_id
+    """,
+)
 def dedup_suffix_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length ExactSubstr REMOVAL over the suffix array
     (operators/suffix.py:suffix_span_removal): every duplicated
     substring occurrence of length >= 8 cut at its TRUE shared extent,
-    keeping the corpus-wide-first canonical copy per SA run. Rows-only
-    by design (the keep-one-per-run rule over exact LCPs has no
-    honest-cost SQL twin); correctness is pinned by the quadratic
-    brute-force reference and the hand fixture in
-    tests/test_dedup_similarity.py, and the SPANS side of the same
-    suffix array carries a full DuckDB hash-match
-    (dedup_suffix_spans)."""
+    keeping the corpus-wide-first canonical copy per SA run.
+
+    FULL DuckDB oracle (VERDICT r10 ask #5 — was rows-only) via two
+    identities that make the SA rule SQL-expressible without building
+    a suffix array:
+
+    1. a RUN (maximal SA-consecutive block chained by adjacent
+       LCP >= 8) is exactly an equal-8-token-prefix GROUP: adjacent
+       LCP >= 8 means identical first 8 tokens, that relation is an
+       equivalence (no chaining beyond it), and its classes are
+       SA-contiguous — so runs == the duplicated-8-gram hash groups
+       the fixed-k oracle already enumerates, and the run's canonical
+       (min (doc_id, pos)) is the group's first occurrence;
+    2. a member's cut extent — the implementation's running min of
+       adjacent LCPs between it and the canonical — equals the PLAIN
+       PAIRWISE LCP(member, canonical) by the LCP range-minimum
+       property, computed in SQL as the first positional mismatch of
+       the two token-array suffixes (list_zip/list_transform).
+
+    A hash-match here therefore pins the SA adjacency, run
+    segmentation, canonical choice, both directional running-min
+    windows, interval merging, and text reassembly end-to-end against
+    independent SQL. (The oracle is quadratic-ish in group sizes —
+    fine at driver scale; BENCH_SCALE keeps the rows-only growth legs
+    for sf1/sf10.) The quadratic brute-force twin and the doubling-tail
+    fixture in tests/test_dedup_similarity.py cover non-default
+    min_len and long-document paths the fixed corpus cannot."""
     from dwh_with_dask_spark.operators.suffix import suffix_span_removal
 
     return suffix_span_removal(
         load_table(spark, sf_dir, "documents"), min_len=8
-    ).select("doc_id", "n_tokens", "n_removed")
+    )
 
 
 
