@@ -252,7 +252,8 @@ def ks_two_sample(
     raw scans; plan-audit round 10 found the unguarded form re-scanned
     the fact 3x). At 100 TB of floats the distinct-value frame is the
     footprint — for truly continuous columns, quantize upstream or use
-    the binned PSI.
+    ``ks_two_sample_binned`` (bounded state, documented resolution
+    bound, and a streaming counter leg).
     """
     def counts(df: DataFrame, n_name: str) -> DataFrame:
         return (
@@ -269,6 +270,81 @@ def ks_two_sample(
         F.coalesce("__co", F.lit(0)).alias("__co"),
         F.coalesce("__cn", F.lit(0)).alias("__cn"),
     )
+    return _ks_report(c, alpha)
+
+
+def ks_two_sample_binned(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """``ks_two_sample`` over a FIXED equi-width bin grid — the
+    bounded-state twin for truly continuous columns (VERDICT r10 ask
+    #4): state is ``bins`` counters per side, never
+    distinct-value-sized, so an always-on streaming monitor can hold
+    it exactly (see ``ks_from_bin_counts``). Bins are ``psi_bin``'s:
+    fixed edges over [lo, hi), edge bins absorbing out-of-range values
+    — deterministic layout, identical for both samples and for every
+    micro-batch.
+
+    RESOLUTION BOUND (what binning costs): the ECDF gap is evaluated
+    only at bin upper edges, so with per-bin masses ``p_side(i)``::
+
+        D_binned <= D_exact <= D_binned + max_i max(p_old(i), p_new(i))
+
+    (inside bin i the gap can move at most one bin's mass away from
+    its edge values). The statistic NEVER over-alarms relative to the
+    exact test at the same n; it can under-alarm by at most the
+    largest bin mass — pick ``bins`` so the heaviest bin is small
+    relative to the D you need to detect. The p-value applies
+    Kolmogorov's limit law to D_binned, inheriting the same one-sided
+    conservatism."""
+    def binned(df: DataFrame, n_name: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(psi_bin(col, lo, hi, bins).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    return ks_from_bin_counts(
+        binned(df_old, "n_old"), binned(df_new, "n_new"), alpha=alpha
+    )
+
+
+def ks_from_bin_counts(
+    old_counts: DataFrame, new_counts: DataFrame, alpha: float = 0.05
+) -> DataFrame:
+    """``ks_two_sample_binned``'s scoring half over PRECOMPUTED bin
+    counters — (bin, n_old) and (bin, n_new) frames, the exact shape
+    ``streaming.incremental_agg_sink`` folds exactly-once from
+    ``psi_bin``-keyed micro-batch counts (the PSI monitoring pattern).
+    The counters are exact longs and everything after them is the one
+    shared ``_ks_report`` expression tree, so a streaming monitor's
+    report equals the batch ``ks_two_sample_binned`` over the same
+    rows BIT-FOR-BIT (asserted in tests/test_streaming.py)."""
+    c = (
+        old_counts.join(new_counts, "bin", "full_outer")
+        .select(
+            F.col("bin").alias("__v"),
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("__co"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("__cn"),
+        )
+    )
+    return _ks_report(c, alpha)
+
+
+def _ks_report(c: DataFrame, alpha: float) -> DataFrame:
+    """Shared KS scoring tree over a merged count frame
+    (__v orderable, __co, __cn): exact-long cumulative ECDFs, the sup
+    gap, Kolmogorov's truncated series with the small-lambda clamp —
+    one report row. ``__v`` is a distinct VALUE for the exact test and
+    a BIN id for the binned/streaming twins; the tree neither knows
+    nor cares."""
     w = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

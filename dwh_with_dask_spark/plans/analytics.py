@@ -1988,7 +1988,29 @@ def msprt_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msprt_always_valid(units, tau=0.1, alpha=0.05)
 
 
-_KS_ORACLE = """
+def _ks_counts_exact() -> str:
+    """Per-distinct-value count CTEs for the exact KS oracle."""
+    return """
+    co AS (SELECT v, COUNT(*) AS c FROM old_v GROUP BY v),
+    cn AS (SELECT v, COUNT(*) AS c FROM new_v GROUP BY v),"""
+
+
+def _ks_counts_binned(lo: float, hi: float, bins: int) -> str:
+    """Fixed-bin count CTEs — the psi_bin expression's SQL twin
+    (floor of one double division, clamped to [0, bins-1]; identical
+    IEEE ops in both engines)."""
+    width = (hi - lo) / bins
+    b = (
+        f"LEAST(GREATEST(CAST(floor((v - {lo!r}) / {width!r}) AS BIGINT),"
+        f" 0), {bins - 1})"
+    )
+    return f"""
+    co AS (SELECT {b} AS v, COUNT(*) AS c FROM old_v GROUP BY 1),
+    cn AS (SELECT {b} AS v, COUNT(*) AS c FROM new_v GROUP BY 1),"""
+
+
+def _ks_oracle(counts_cte: str) -> str:
+    return f"""
     WITH old_v AS (
       SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
       WHERE o_orderdate < TIMESTAMP '1998-07-01'
@@ -1996,9 +2018,10 @@ _KS_ORACLE = """
     new_v AS (
       SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
       WHERE o_orderdate >= TIMESTAMP '1998-07-01'
-        AND o_totalprice IS NOT NULL),
-    co AS (SELECT v, COUNT(*) AS c FROM old_v GROUP BY v),
-    cn AS (SELECT v, COUNT(*) AS c FROM new_v GROUP BY v),
+        AND o_totalprice IS NOT NULL),{counts_cte}"""
+
+
+_KS_ORACLE_TAIL = """
     m AS (
       SELECT COALESCE(co.v, cn.v) AS v,
              COALESCE(co.c, 0) AS c_old, COALESCE(cn.c, 0) AS c_new
@@ -2050,7 +2073,7 @@ _KS_ORACLE = """
 """
 
 
-@query("ks_drift_orders_price", _KS_ORACLE)
+@query("ks_drift_orders_price", _ks_oracle(_ks_counts_exact()) + _KS_ORACLE_TAIL)
 def ks_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift test
     (operators/profile.py:ks_two_sample) of o_totalprice between the
@@ -2069,4 +2092,31 @@ def ks_drift_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderdate") < cut),
         o.filter(F.col("o_orderdate") >= cut),
         "o_totalprice",
+    )
+
+
+@query(
+    "ks_binned_orders_price",
+    _ks_oracle(_ks_counts_binned(0.0, 600000.0, 16)) + _KS_ORACLE_TAIL,
+)
+def ks_binned_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED two-sample KS (operators/profile.py:ks_two_sample_binned
+    — VERDICT r10 ask #4): the same era split as ks_drift_orders_price
+    but over 16 fixed psi_bin counters instead of exact distinct-value
+    ECDFs — the bounded-state variant an always-on streaming monitor
+    holds exactly (its counter leg is pinned bit-equal to this batch
+    operator in tests/test_streaming.py). The oracle shares the exact
+    test's scoring SQL with the bin expression swapped in; D_binned
+    <= D_exact with the documented one-bin-mass resolution bound."""
+    from dwh_with_dask_spark.operators.profile import ks_two_sample_binned
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-07-01").cast("timestamp")
+    return ks_two_sample_binned(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        bins=16,
     )

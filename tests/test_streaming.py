@@ -1686,6 +1686,86 @@ def test_streaming_psi_counters_equal_batch_drift(spark, tmpdir_spark):
     assert sum(r[5] for r in got) > 0
 
 
+def test_streaming_ks_counters_equal_batch_binned(spark, tmpdir_spark):
+    """Binned KS closes the streaming gap the exact test documents
+    (VERDICT r10 ask #4 — ks_two_sample's state is distinct-value-
+    sized on continuous columns): per-BIN counters folded exactly-once
+    by incremental_agg_sink over 3 micro-batches feed
+    ks_from_bin_counts, and every report column equals the batch
+    ks_two_sample_binned over the same snapshots BIT-FOR-BIT — the
+    binning expression (psi_bin) and the _ks_report scoring tree are
+    shared, the counters are exact longs. The shifted snapshot also
+    pins discrimination (reject fires) and the documented resolution
+    bound (D_binned <= D_exact)."""
+    from dwh_with_dask_spark.operators.profile import (
+        ks_from_bin_counts,
+        ks_two_sample,
+        ks_two_sample_binned,
+        psi_bin,
+    )
+    from dwh_with_dask_spark.streaming.warehouse import incremental_agg_sink
+
+    lo, hi, bins = 0.0, 100.0, 20
+
+    def vals(shift, n):
+        # continuous-ish synthetic metric: every value distinct, so the
+        # exact test's state would be n rows; the binned state is 20
+        return [
+            (i, ((i * 37) % 120) + i / 10000.0 + shift) for i in range(n)
+        ]
+
+    old_df = spark.createDataFrame(vals(0.0, 900), "id long, v double")
+    src = f"{tmpdir_spark}/ks_new"
+    for b in range(3):  # one file -> one micro-batch
+        spark.createDataFrame(
+            vals(9.0, 900)[b * 300 : (b + 1) * 300], "id long, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = f"{tmpdir_spark}/ks_state"
+
+    def partial(df):
+        return (
+            df.filter(F.col("v").isNotNull())
+            .select(psi_bin("v", lo, hi, bins).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_new"))
+        )
+
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_agg_sink(state, ["bin"], partial)
+        )
+        .option("checkpointLocation", f"{tmpdir_spark}/ckpt_ks")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    old_counts = (
+        old_df.filter(F.col("v").isNotNull())
+        .select(psi_bin("v", lo, hi, bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    stored = spark.read.parquet(state).select("bin", "n_new")
+    got = ks_from_bin_counts(old_counts, stored).collect()
+    new_df = spark.read.parquet(src)
+    want = ks_two_sample_binned(
+        old_df, new_df, "v", lo, hi, bins
+    ).collect()
+    assert list(map(tuple, got)) == list(map(tuple, want))
+    # the shifted snapshot genuinely drifts through the binned statistic
+    assert got[0]["reject"] is True and got[0]["ks_d"] > 0
+    # resolution bound: the binned D never exceeds the exact D
+    exact = ks_two_sample(old_df, new_df, "v").first()
+    assert got[0]["ks_d"] <= exact["ks_d"]
+
+
 def test_streaming_cusum_equals_batch_alarm(spark, tmpdir_spark):
     """cusum_sink: three day-batches folded with two doubles of per-key
     state reproduce operators/timeseries.cusum_alarm over the full
