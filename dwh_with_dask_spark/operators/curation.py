@@ -1193,7 +1193,16 @@ def compact_bm25_index(spark, path: str) -> dict:
     (an index exists at ``path`` at every instant; the probe's answers
     are identical before and after by construction — same postings,
     same summed stats, asserted in tests). Single writer. Returns the
-    compacted corpus stats."""
+    compacted corpus stats.
+
+    WHEN to compact (measured, sf1 corpus, scripts/exp_bm25_segments
+    .py → BENCH_SCALE.md): probe latency is flat through ~8 segments
+    (0.43/0.37 s at 1/8) and degrades past a few dozen (0.51 s at 64
+    vs 0.27 s compacted — per-segment directory listing + sidecar
+    reads are the cost, not the postings). Compaction itself cost
+    1.35 s (~2 probes) there. Policy: compact when the segment count
+    passes ~16-32, or opportunistically once probe latency matters;
+    more often is harmless (O(index bytes), never O(corpus))."""
     import glob
     import json as _json
     import os

@@ -483,6 +483,11 @@ def _sa_pairs(
        Σ(lower levels) + (base−1) = top − 1; unequal-top pairs under
        the fixpoint break have lcp < top by stability.
 
+    The tail's one driver sync is a single ``count()`` of the
+    checkpointed walk frame (an in-memory scan, sizing the
+    broadcast-probe guard for every lookup); the packed-prefix-only
+    path schedules no count at all.
+
     The final ``least(lcp, remaining)`` clamp repairs the one
     overcount the shared end-of-document sentinel allows (padded
     matches past a document end)."""
