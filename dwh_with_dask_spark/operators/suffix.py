@@ -105,6 +105,10 @@ _PROBE_BROADCAST_MAX = 400_000
 # max packed longs per position: caps the xs column at 256 bytes/row;
 # documents longer than R0 * _XS_CAP tokens take the doubling tail
 _XS_CAP = 32
+# max token ranks packed per long (16 already needs a <16-value
+# vocabulary); the data-driven bound B^R0 < 2^63 is the real limiter —
+# R0 degrades to 1 (xs = raw ranks) only past ~3e9 distinct tokens
+_R0_CAP = 16
 
 
 def _dense_rank_distributed(
@@ -173,7 +177,7 @@ def suffix_ranks(
     # (exact Python-int check; R == 1 only past ~9e18 distinct tokens)
     B = int(m) + 1
     R0 = 1
-    while R0 < 16 and B ** (R0 + 1) < 2 ** 63:
+    while R0 < _R0_CAP and B ** (R0 + 1) < 2 ** 63:
         R0 += 1
     L = min(max(-(-max_dl // R0), 1), _XS_CAP)
     base = R0 * L

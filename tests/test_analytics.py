@@ -1437,3 +1437,33 @@ def test_ks_two_sample_hand_computed(spark):
     empty = ks_two_sample(old, frame([]), "v").first()
     assert empty.n_new == 0 and empty.ks_d is None
     assert empty.p_value is None and empty.reject is False
+
+
+def test_ks_binned_identity_bound_and_empty(spark):
+    """ks_two_sample_binned: with unit bins aligned to integer data
+    the report EQUALS the exact test column-for-column (bins == value
+    groups — the identity that pins the shared scoring tree); on a
+    coarse grid the binned D never exceeds the exact D and stays
+    within the documented one-bin-mass bound; an empty side yields
+    NULLs with reject=false."""
+    from dwh_with_dask_spark.operators.profile import (
+        ks_two_sample,
+        ks_two_sample_binned,
+    )
+
+    def frame(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+    old = frame([i % 20 for i in range(800)])
+    new = frame([(i % 20) + 4 for i in range(600)])
+    exact = ks_two_sample(old, new, "v").first()
+    # unit bins over [0, 24): every integer value gets its own bin
+    unit = ks_two_sample_binned(old, new, "v", 0.0, 24.0, bins=24).first()
+    assert tuple(unit) == tuple(exact)
+    # coarse bins: D_binned <= D_exact <= D_binned + max bin mass
+    coarse = ks_two_sample_binned(old, new, "v", 0.0, 24.0, bins=4).first()
+    assert coarse.ks_d <= exact.ks_d
+    # max bin mass at 4 bins over 20/24 occupied values: 6/20 = 0.3
+    assert exact.ks_d <= coarse.ks_d + 0.3 + 1e-12
+    empty = ks_two_sample_binned(old, frame([]), "v", 0.0, 24.0, 4).first()
+    assert empty.n_new == 0 and empty.ks_d is None and empty.reject is False

@@ -1374,6 +1374,14 @@ def test_suffix_doubling_tail_and_probe_fallback(spark, monkeypatch):
         (r.id, r.pos): r.rep for r in suffix.longest_repeats(d).collect()
     }
     assert got2 == want
+    # R0 = 1 (the huge-vocabulary degenerate: xs = raw single ranks,
+    # digit run trivially empty) through the same uniform path
+    monkeypatch.setattr(suffix, "_R0_CAP", 1)
+    got_r1 = {
+        (r.id, r.pos): r.rep for r in suffix.longest_repeats(d).collect()
+    }
+    assert got_r1 == want
+    monkeypatch.setattr(suffix, "_R0_CAP", 16)
     # removal through the tail path matches its quadratic reference
     got_rm = {
         r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
