@@ -279,25 +279,35 @@ def longest_repeats(
     scope, created = scoped(scope)
     sa, pairs = _sa_pairs(df, text_col, id_col, scope)
     # rep = max(LCP with predecessor, LCP with successor). Each pair
-    # (rows __i, __i+1 in SA order) contributes its lcp to BOTH
-    # members: explode to the two target indexes, max per index, ONE
-    # join back — never an ordered global window, and one join fewer
-    # than attaching lcp_prev row-wise and self-joining for lcp_next.
-    contrib = pairs.select(
-        F.explode(
-            F.array(F.col("__i"), F.col("__i") + 1)
-        ).alias("__sa"),
-        "lcp",
-    )
-    agg = contrib.groupBy("__sa").agg(F.max("lcp").alias("__rep"))
-    rep = (
-        sa.select("id", "pos", "dl", "__sa")
-        .join(agg, "__sa", "left")
-        .select(
-            "id", "pos", "dl",
-            F.coalesce(F.col("__rep"), F.lit(0)).alias("rep"),
+    # contributes its lcp to BOTH members, and the pair row already
+    # carries both members' (id, pos, dl) — so explode to two
+    # identity-keyed rows and max-aggregate: NO join back to the sa
+    # frame at all (and never an ordered global window). With >= 2
+    # positions every position sits in at least one adjacent pair, so
+    # the aggregate covers the whole corpus; the one-position corpus
+    # (no pairs) is the lone exception, caught below via the count the
+    # sa build already produced.
+    member = F.explode(
+        F.array(
+            F.struct(
+                F.col("ida").alias("id"), F.col("posa").alias("pos"),
+                F.col("dla").alias("dl"),
+            ),
+            F.struct(
+                F.col("idb").alias("id"), F.col("posb").alias("pos"),
+                F.col("dlb").alias("dl"),
+            ),
         )
     )
+    rep = (
+        pairs.select(member.alias("m"), "lcp")
+        .groupBy("m.id", "m.pos", "m.dl")
+        .agg(F.max("lcp").alias("rep"))
+    )
+    if getattr(sa, "_sa_count", None) == 1:
+        rep = sa.select(
+            "id", "pos", "dl", F.lit(0).cast("long").alias("rep")
+        )
     return attach(rep, scope, created)
 
 
@@ -504,13 +514,18 @@ def _sa_pairs(
     # only the doubling tail's walk re-reads the rank table — the
     # packed-prefix-only path would persist it for nothing
     ranks = scope.persist(pos) if len(levels) > 1 else pos
-    sa = sequential_id(
+    sa, n_sa = sequential_id(
         ranks.select("id", "pos", "dl", *lvl_cols),
         order_by=[F.col(top).asc(), F.col("id").asc(), F.col("pos").asc()],
         name="__sa",
         start=0,
         checkpoint=True,
+        with_count=True,
     )
+    # ride the (free) position count along for longest_repeats'
+    # one-position-corpus guard — same rides-on-the-frame convention
+    # as caching's cache_scope attribute
+    sa._sa_count = n_sa
     t = _mark("sa order+seq_id", t)
 
     a = sa.select(
