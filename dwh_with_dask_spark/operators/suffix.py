@@ -254,7 +254,7 @@ def suffix_ranks(
         # any, only refines) ⟹ the partition never split across a
         # >=2x refinement window ⟹ it is stable — i.e. IS the
         # suffix-equality partition (equal top rank ⟺ equal complete
-        # suffixes, the tier-1 short-circuit in _sa_with_lcp), and
+        # suffixes, the tier-1 short-circuit in _sa_pairs), and
         # unequal-top pairs then have lcp < the top length (two
         # distinct suffixes sharing a top-length prefix would have
         # split in the next round), so the walk still covers them.
@@ -430,28 +430,6 @@ def _cursor_lookup(
             "left",
         )
         .drop("__rid", "__rpos")
-    )
-
-
-def _sa_with_lcp(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    scope: CacheScope,
-) -> DataFrame:
-    """(id, pos, dl, __sa, lcp_prev): every position with its
-    suffix-array index and its LCP with the SA-predecessor (NULL at
-    __sa = 0) — ``_sa_pairs`` with the pair lcp attached row-wise
-    (``suffix_span_removal``'s shape; ``longest_repeats`` consumes the
-    pairs directly and skips this join)."""
-    sa, pairs = _sa_pairs(df, text_col, id_col, scope)
-    # lcp_prev of position b = the pair's lcp; __sa=0 has no predecessor
-    lp = pairs.select(
-        F.col("idb").alias("id"), F.col("posb").alias("pos"),
-        F.col("lcp").alias("lcp_prev"),
-    )
-    return sa.select("id", "pos", "dl", "__sa").join(
-        lp, ["id", "pos"], "left"
     )
 
 
@@ -708,31 +686,46 @@ def suffix_span_removal(
     ``dedup._reassemble_after_cuts``. Returns (id_col, n_tokens,
     n_removed, clean_text) for every doc with >= ``min_len`` tokens.
 
-    No SQL oracle (a suffix array is beyond SQL at honest cost) —
-    correctness is pinned by the brute-force twin + hand fixtures in
-    tests/test_dedup_similarity.py; the spans side carries the full
-    DuckDB hash-match (dedup_suffix_spans)."""
+    Full DuckDB oracle on the driver path (plans/llm.py:
+    dedup_suffix_removal — run == equal-min_len-prefix group, cut ==
+    pairwise LCP to the canonical by the RMQ identity); the
+    brute-force twin + hand fixtures in tests/test_dedup_similarity.py
+    cover non-default min_len and the doubling-tail path."""
     from dwh_with_dask_spark.operators.dedup import _reassemble_after_cuts
 
     scope, created = scoped(scope)
-    sa = _sa_with_lcp(df, text_col, id_col, scope)
-    # rep = max(lcp_prev, lcp_next) without any global window: a
-    # position's lcp_next is its SA-successor row's lcp_prev — a
-    # self-join on the sa index, not an ordered window
-    nxt = sa.select(
-        (F.col("__sa") - 1).alias("__sa"), F.col("lcp_prev").alias("l")
-    )
-    rep = (
-        sa.select("id", "pos", "dl", "__sa", "lcp_prev")
-        .join(nxt, "__sa", "left")
-        .withColumn(
-            "rep",
-            F.greatest(
-                F.coalesce(F.col("lcp_prev"), F.lit(0)),
-                F.coalesce(F.col("l"), F.lit(0)),
+    sa, pairs = _sa_pairs(df, text_col, id_col, scope)
+    # Per-row (rep, lcp_prev) from ONE exploded aggregate — no sa
+    # self-joins: each adjacent pair carries both members' identities,
+    # contributes its lcp to both members' rep, and IS the successor
+    # member's lcp_prev (role flag). Rows in no pair (the one-position
+    # corpus) have no repeats and produce no members — removal then
+    # returns every document uncut, which is correct.
+    member = F.explode(
+        F.array(
+            F.struct(
+                F.col("ida").alias("id"), F.col("posa").alias("pos"),
+                F.col("dla").alias("dl"), F.col("__i").alias("__sa"),
+                F.lit(0).alias("__isb"), F.col("lcp"),
+            ),
+            F.struct(
+                F.col("idb").alias("id"), F.col("posb").alias("pos"),
+                F.col("dlb").alias("dl"),
+                (F.col("__i") + 1).alias("__sa"),
+                F.lit(1).alias("__isb"), F.col("lcp"),
             ),
         )
-        .drop("l")
+    )
+    rep = (
+        pairs.select(member.alias("m"))
+        .select("m.*")
+        .groupBy("id", "pos", "dl", "__sa")
+        .agg(
+            F.max("lcp").alias("rep"),
+            F.max(
+                F.when(F.col("__isb") == 1, F.col("lcp"))
+            ).alias("lcp_prev"),
+        )
     )
     members = rep.filter(F.col("rep") >= min_len)
     members = _running_sum_by_order(
