@@ -1249,10 +1249,11 @@ def _suffix_lcp_sql(sa: str, sb: str) -> str:
     )
 
 
-@query(
-    "dedup_suffix_removal",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+# Shared CTE chain for the suffix-removal oracle, ending in
+# clean AS (doc_id, n_tokens, n_removed, clean_text) — the same shape
+# as _SPAN_REMOVAL_CTES, so composed pipelines reuse it verbatim.
+_SUFFIX_REMOVAL_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     p AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos
           FROM t),
     w AS (SELECT doc_id, pos,
@@ -1266,8 +1267,6 @@ def _suffix_lcp_sql(sa: str, sb: str) -> str:
              FROM w),
     mem AS (SELECT doc_id, pos, h, rn FROM inst WHERE n >= 2),
     can AS (SELECT h, doc_id AS c_doc, pos AS c_pos FROM mem WHERE rn = 1),
-    -- cut extent of a non-canonical member = its exact LCP with the
-    -- run's canonical (pairwise, by the LCP range-minimum property)
     cutm AS (
       SELECT m.doc_id, m.pos,
              m.pos + {_suffix_lcp_sql("mt.toks[m.pos+1:]",
@@ -1297,14 +1296,23 @@ def _suffix_lcp_sql(sa: str, sb: str) -> str:
             FROM t WHERE len(toks) >= 8),
     rm AS (SELECT t0.doc_id, t0.pos, t0.tok, (iv.s IS NOT NULL) AS removed
            FROM tok t0 LEFT JOIN iv
-             ON iv.doc_id = t0.doc_id AND t0.pos >= iv.s AND t0.pos < iv.e)
-    SELECT doc_id,
-           COUNT(*) AS n_tokens,
-           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_removed,
-           COALESCE(string_agg(tok, ' ' ORDER BY pos)
-                      FILTER (WHERE NOT removed), '') AS clean_text
-    FROM rm GROUP BY doc_id
+             ON iv.doc_id = t0.doc_id AND t0.pos >= iv.s AND t0.pos < iv.e),
+    clean AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT removed), '') AS clean_text
+      FROM rm GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_suffix_removal",
+    f"""
+    WITH {_SUFFIX_REMOVAL_CTES}
+    SELECT doc_id, n_tokens, n_removed, clean_text FROM clean
     """,
 )
 def dedup_suffix_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,6 +1391,70 @@ def corpus_prepare_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     clean = D.duplicate_span_removal(d, k=8)
+    floor_ok = clean.filter(
+        (F.col("n_tokens") - F.col("n_removed")) >= 10
+    ).select(
+        "doc_id",
+        "n_removed",
+        (F.col("n_tokens") - F.col("n_removed")).alias("kept_tokens"),
+        "clean_text",
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.sha2(F.col("clean_text"), 256)).orderBy("doc_id")
+    )
+    return (
+        floor_ok.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "n_removed",
+            "kept_tokens",
+            C.hash_split("doc_id", 0.90, 0.05).alias("split"),
+        )
+    )
+
+
+@query(
+    "corpus_prepare_pipeline_v3",
+    f"""
+    WITH {_SUFFIX_REMOVAL_CTES},
+    floor_ok AS (
+      SELECT doc_id, n_removed, n_tokens - n_removed AS kept_tokens,
+             clean_text
+      FROM clean WHERE n_tokens - n_removed >= 10),
+    dd AS (
+      SELECT *, row_number() OVER (PARTITION BY sha256(clean_text)
+                                   ORDER BY doc_id) AS rn
+      FROM floor_ok)
+    SELECT doc_id, n_removed, kept_tokens,
+           CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < 'e666' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < 'f333' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM dd WHERE rn = 1
+    """,
+)
+def corpus_prepare_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 curation pipeline with the EXACT variable-length
+    ExactSubstr removal swapped in (suffix.suffix_span_removal instead
+    of the fixed-k window union): suffix-array removal -> 10-surviving-
+    token floor -> exact dedup of the cleaned text (first doc_id wins
+    per sha256) -> stable 90/5/5 hash split. One oracle covers the
+    whole composition — the suffix-removal CTE chain (run ==
+    equal-8-prefix group, cut == pairwise LCP to the canonical) shared
+    verbatim with dedup_suffix_removal's, the tail with v2's — so the
+    hash-match pins the exact-removal path COMPOSING with downstream
+    curation, not just in isolation."""
+    from pyspark.sql.window import Window as W
+
+    from dwh_with_dask_spark.operators import curation as C
+    from dwh_with_dask_spark.operators.suffix import suffix_span_removal
+
+    d = load_table(spark, sf_dir, "documents")
+    clean = suffix_span_removal(d, min_len=8)
     floor_ok = clean.filter(
         (F.col("n_tokens") - F.col("n_removed")) >= 10
     ).select(
