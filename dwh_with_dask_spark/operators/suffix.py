@@ -135,6 +135,56 @@ def _dense_rank_distributed(
     return df.join(keys, key_cols), n
 
 
+def _dense_rank_by_sort(
+    df: DataFrame, key_cols: list[str], out: str
+) -> tuple[DataFrame, int]:
+    """Sort-based distributed dense rank — the WIDE-key strategy
+    (e.g. the 256-byte packed-prefix array, where the distinct+join
+    strategy's hash aggregate and wide-key join back are the measured
+    memory/shuffle hazards): range-partition by the keys (equal keys
+    colocate by the partitioner's contract, so no key ever splits
+    across partitions), stamp partition ids and checkpoint (pinning
+    the nondeterministic range sampling across jobs — the
+    sequential_id contract), collect per-partition DISTINCT counts
+    (one row per partition), prefix-sum them on the driver, and add
+    the broadcast offsets to a partition-local dense_rank window.
+    Sorting spills gracefully where a 10M-row wide-key hash table
+    OOMs. Skew caveat: all copies of one key land in one partition —
+    fine for rank keys (prefix groups), pathological only for a
+    corpus that is mostly ONE duplicated document (dedup upstream).
+    Returns (ranked frame, number of distinct keys)."""
+    spark = df.sparkSession
+    np_ = max(spark.sparkContext.defaultParallelism, 2)
+    stamped = (
+        df.repartitionByRange(np_, *key_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        stamped.groupBy("__pid")
+        .agg(F.countDistinct(*key_cols).alias("__n"))
+        .collect()
+    )
+    running, offs = 0, []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], running))
+        running += r["__n"]
+    offsets = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(
+        *[F.col(c).asc() for c in key_cols]
+    )
+    ranked = (
+        stamped.join(F.broadcast(offsets), "__pid", "left")
+        .withColumn(
+            out,
+            (F.dense_rank().over(w) - 1 + F.coalesce("__off", F.lit(0)))
+            .cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+    return ranked, running
+
+
 def suffix_ranks(
     df: DataFrame,
     text_col: str = "text",
@@ -214,11 +264,20 @@ def suffix_ranks(
     t = _mark(f"packed prefix xs (base={base})", t)
     levels: list[tuple[str, int]] = [("xs", base)]
     if max_dl <= base:
-        return pos, levels, R0, B
+        return pos, levels, R0, B, pos.select("id", "pos", "xs")
 
-    # prefix-doubling TAIL for documents longer than the packed prefix
-    pos, n_dense = _dense_rank_distributed(pos, ["xs"], "s2")
-    pos = pos.localCheckpoint(eager=True)
+    # prefix-doubling TAIL for documents longer than the packed prefix.
+    # The tail rounds run on a NARROW (id, pos, dl, <levels>) frame —
+    # dragging the 256-byte xs through every round's shuffle/checkpoint
+    # was 2x the tail's bytes for nothing; xs rejoins once at the end
+    # (int keys) for the pair tiers and walk fetches. Densifies are
+    # SORT-based: at realistic vocabulary the level-key tables are
+    # position-sized, and the distinct+join strategy's wide-key hash
+    # structures were the measured bottleneck (stress leg in
+    # BENCH_SCALE: the xs densify alone was 109 s of 175).
+    base_frame = pos
+    ranked, n_dense = _dense_rank_by_sort(pos, ["xs"], "s2")
+    pos = ranked.select("id", "pos", "dl", "s2").localCheckpoint(eager=True)
     t = _mark(f"tail densify xs k={base}", t)
     k, cur, densified, i = base, "s2", True, 2
     while k < max_dl:
@@ -241,11 +300,10 @@ def suffix_ranks(
             continue
         # DENSIFY round: dense rank of the (value, shifted value) pair
         # — restores [0, n) values for the next composite round.
-        # (Truncate lineage every round, or the plan grows by two joins
-        # per round and re-actions replay the nondeterministic
-        # sequential_id stamps.)
+        # (Truncate lineage every round, or the plan grows per round
+        # and re-actions replay nondeterministic partition stamps.)
         paired = pos.withColumn("__r2", lead2)
-        pos, n_new = _dense_rank_distributed(paired, [cur, "__r2"], nxt)
+        pos, n_new = _dense_rank_by_sort(paired, [cur, "__r2"], nxt)
         pos = pos.drop("__r2").localCheckpoint(eager=True)
         levels.append((nxt, k * 2))
         t = _mark(f"tail level {nxt} k={k * 2} densify", t)
@@ -262,7 +320,12 @@ def suffix_ranks(
         densified, cur, k, n_dense = True, nxt, k * 2, n_new
         if stable:
             break
-    return pos, levels, R0, B
+    # the packed prefix stays on its own checkpointed frame: the tail
+    # frame (and the SA sort it feeds) remains NARROW; _sa_pairs joins
+    # xs onto the adjacent-pair rows per side (int keys) where the
+    # carried tiers need it, and the walk's residual fetch probes the
+    # xs frame directly
+    return pos, levels, R0, B, base_frame.select("id", "pos", "xs")
 
 
 def longest_repeats(
@@ -483,17 +546,26 @@ def _sa_pairs(
     The final ``least(lcp, remaining)`` clamp repairs the one
     overcount the shared end-of-document sentinel allows (padded
     matches past a document end)."""
-    pos, levels, R0, B = suffix_ranks(df, text_col=text_col, id_col=id_col)
+    pos, levels, R0, B, xs_src = suffix_ranks(
+        df, text_col=text_col, id_col=id_col
+    )
     t = time.perf_counter()
-    lvl_cols = [name for name, _ in levels]
     top, _top_len = levels[-1]
     base = dict(levels)["xs"]
     L = base // R0
-    # only the doubling tail's walk re-reads the rank table — the
-    # packed-prefix-only path would persist it for nothing
-    ranks = scope.persist(pos) if len(levels) > 1 else pos
+    has_tail = len(levels) > 1
+    # in tail mode the rank frame is NARROW (xs lives on xs_src): the
+    # SA range sort and the adjacent self-join move fixed-width longs,
+    # and the 256-byte arrays join onto the PAIR rows once per side
+    # (int keys) below. Only the tail's walk re-reads the rank table —
+    # the packed-prefix-only path would persist it for nothing.
+    carry_cols = (
+        [n for n, _ in levels if n != "xs"] if has_tail
+        else [n for n, _ in levels]
+    )
+    ranks = scope.persist(pos) if has_tail else pos
     sa, n_sa = sequential_id(
-        ranks.select("id", "pos", "dl", *lvl_cols),
+        ranks.select("id", "pos", "dl", *carry_cols),
         order_by=[F.col(top).asc(), F.col("id").asc(), F.col("pos").asc()],
         name="__sa",
         start=0,
@@ -509,24 +581,36 @@ def _sa_pairs(
     a = sa.select(
         F.col("id").alias("ida"), F.col("pos").alias("posa"),
         F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
-        *[F.col(c).alias(f"__a_{c}") for c in lvl_cols],
+        *[F.col(c).alias(f"__a_{c}") for c in carry_cols],
     )
     b = sa.select(
         F.col("id").alias("idb"), F.col("pos").alias("posb"),
         F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
-        *[F.col(c).alias(f"__b_{c}") for c in lvl_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in carry_cols],
     )
+    pj = a.join(b, "__i")
+    if has_tail:
+        # attach both sides' packed prefixes for the carried tiers —
+        # int-keyed inner joins (every position has an xs row)
+        xa = xs_src.select(
+            F.col("id").alias("ida"), F.col("pos").alias("posa"),
+            F.col("xs").alias("__a_xs"),
+        )
+        xb = xs_src.select(
+            F.col("id").alias("idb"), F.col("pos").alias("posb"),
+            F.col("xs").alias("__b_xs"),
+        )
+        pj = pj.join(xa, ["ida", "posa"]).join(xb, ["idb", "posb"])
     rem = F.least(
         F.col("dla") - F.col("posa"), F.col("dlb") - F.col("posb")
     )
     run0 = _xs_run(F.col("__a_xs"), F.col("__b_xs"), L, R0, B)
     keep = ["ida", "posa", "dla", "idb", "posb", "dlb", "__i"]
 
-    if len(levels) == 1:
+    if not has_tail:
         # packed-prefix-only: the LCP is one expression on the pair row
         pairs = (
-            a.join(b, "__i")
-            .select(
+            pj.select(
                 *keep,
                 F.when(run0 >= base, rem).otherwise(run0).alias("lcp"),
             )
@@ -542,8 +626,7 @@ def _sa_pairs(
             h = h.when(eq(n_), F.lit(ln_).cast("long"))
         h = h.otherwise(F.lit(None).cast("long"))
         pairs = (
-            a.join(b, "__i")
-            .select(
+            pj.select(
                 *keep,
                 eq(top).alias("__eqf"), h.alias("__h"),
                 run0.alias("__run0"),
@@ -557,6 +640,11 @@ def _sa_pairs(
             )
             .drop("__run0")
         )
+        # materialize the tier frame ONCE (narrow: the xs arrays are
+        # already collapsed into lcp/__h): both the walk and the done
+        # branch read it, and without the checkpoint the done branch
+        # would re-run the adjacent self-join AND both xs joins
+        pairs = pairs.localCheckpoint(eager=True)
         # pairs fully resolved by the carried tiers never enter the walk
         walking = (~F.col("__eqf")) & F.col("__h").isNotNull()
         done = pairs.filter(~walking).drop("__eqf", "__h")
@@ -568,7 +656,10 @@ def _sa_pairs(
             active = F.col("__h") > ln
             idle = walk.filter(~active)
             act = walk.filter(active)
-            lv = ranks.select("id", "pos", name)
+            lv = (
+                xs_src if name == "xs"
+                else ranks.select("id", "pos", name)
+            )
             act = _cursor_lookup(act, lv, name, "__ra", "a", n_walk)
             act = _cursor_lookup(act, lv, name, "__rb", "b", n_walk)
             hit = (
@@ -585,7 +676,7 @@ def _sa_pairs(
         # final sub-base residual: one xs fetch at the walk's end cursor
         # (a full-run fetch means both cursors sit in shared past-end
         # padding or an end-reaching match — the clamp finishes it)
-        gw = ranks.select("id", "pos", "xs")
+        gw = xs_src
         walk = _cursor_lookup(walk, gw, "xs", "__xca", "a", n_walk)
         walk = _cursor_lookup(walk, gw, "xs", "__xcb", "b", n_walk)
         walk = walk.withColumn(

@@ -1,0 +1,177 @@
+"""Suffix-array TAIL stress (round 11): on a REALISTIC corpus shape —
+large vocabulary (R0 small) and documents far longer than the packed
+prefix — the prefix-doubling tail is the COMMON path, not the edge.
+This leg builds such a corpus deterministically, runs
+suffix_duplicate_spans end-to-end (tail active: densify+composite
+rounds + broadcast-probe walks), checks the result against the fixed-k8
+DuckDB twin (coverage equivalence — exact VALUES, not just timing), and
+appends the measured row + the tail's phase decomposition to
+BENCH_SCALE.md.
+
+Corpus: 20k docs, length 200..800 tokens, vocabulary 50k words, with a
+1% exact-duplicate tail and planted shared passages (so spans is
+non-trivial). R0 = floor(63/log2(50001)) = 4, base = 4*32 = 128 -> all
+documents beyond ~1 packed prefix take the tail.
+
+Usage: SPARK_GRAFT_DRIVER_MEM=24g python scripts/exp_suffix_longdocs.py
+(idle machine; the 10M-position corpus with 256-byte packed-prefix keys
+needs more than the 8g default heap for the tail densify's array-keyed
+hash aggregate).
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from dwh_with_dask_spark.operators import suffix
+from dwh_with_dask_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = os.path.join(REPO, ".localdata", "longdocs", "documents.parquet")
+
+N_DOCS = 20_000
+VOCAB = 50_000
+
+FIXED_K8_SQL = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t <> '')
+                    AS toks
+           FROM read_parquet('{path}/*.parquet')),
+p AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos FROM t),
+w AS (SELECT doc_id, pos,
+             substring(md5(array_to_string(toks[pos+1:pos+8], ' ')), 1, 16)
+               AS h
+      FROM p),
+d AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+dw AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
+m AS (SELECT doc_id, pos,
+        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dw)
+SELECT doc_id, COUNT(*) AS n_dup_windows,
+       CAST(SUM(GREATEST(0, pos + 8 - GREATEST(pos,
+                COALESCE(prev_end, 0)))) AS BIGINT) AS dup_tokens
+FROM m GROUP BY doc_id
+"""
+
+
+def gen_corpus(spark) -> None:
+    """Deterministic long-doc corpus: md5-driven word choice, planted
+    64-token shared passages in 5% of docs, 1% exact duplicates."""
+    if os.path.exists(CORPUS):
+        return
+    from pyspark.sql import functions as F
+
+    base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+    dl = (F.xxhash64("doc_id", F.lit("len")) % 601 + 601) % 601 + 200
+    words = F.transform(
+        F.sequence(F.lit(0), dl - 1),
+        lambda i: F.concat(
+            F.lit("w"),
+            (
+                (F.xxhash64(F.col("doc_id"), i, F.lit("tok")) % VOCAB + VOCAB)
+                % VOCAB
+            ).cast("string"),
+        ),
+    )
+    # planted passage: docs with doc_id % 20 == 0 overwrite tokens
+    # [50, 114) with a shared passage keyed by doc_id % 7 (so each
+    # passage variant recurs ~143x)
+    passage = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.concat(
+            F.lit("p"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("_"), i.cast("string"),
+        ),
+    )
+    toks = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(
+            F.slice(words, 1, 50), passage,
+            F.slice(words, 115, 10_000),
+        ),
+    ).otherwise(words)
+    docs = base.select(
+        "doc_id", F.array_join(toks, " ").alias("text")
+    )
+    # 1% exact duplicates (new ids, same text as doc_id % 100 == 3)
+    dups = docs.filter(F.col("doc_id") % 100 == 3).select(
+        (F.col("doc_id") + N_DOCS).alias("doc_id"), "text"
+    )
+    docs.unionByName(dups).coalesce(8).write.mode("overwrite").parquet(CORPUS)
+
+
+def main() -> None:
+    # refuse to time on a busy box (BASELINE.md protocol): wait for the
+    # 1-minute load to drain below 1.5 before starting
+    while os.getloadavg()[0] > 1.5:
+        print("waiting for idle, loadavg", os.getloadavg(), flush=True)
+        time.sleep(20)
+    spark = get_spark()
+    print("loadavg", os.getloadavg())
+    gen_corpus(spark)
+    docs = spark.read.parquet(CORPUS)
+
+    suffix.TIMINGS = []
+    t0 = time.perf_counter()
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["dup_tokens"])
+        for r in suffix.suffix_duplicate_spans(docs, min_len=8).collect()
+    }
+    warm = time.perf_counter() - t0
+    phases = list(suffix.TIMINGS)
+    suffix.TIMINGS = None
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        suffix.suffix_duplicate_spans(docs, min_len=8).count()
+        ts.append(time.perf_counter() - t0)
+    spark_med = statistics.median([warm] + ts)
+
+    con = duckdb.connect()
+    sql = FIXED_K8_SQL.format(path=CORPUS)
+    t0 = time.perf_counter()
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    duck_s = time.perf_counter() - t0
+
+    assert got == want, (
+        f"coverage mismatch: {len(got)} vs {len(want)} rows; first diffs "
+        f"{[(k, got.get(k), want.get(k)) for k in list(want)[:3]]}"
+    )
+    print(f"spans rows={len(got)} spark_med={spark_med:.2f}s duck={duck_s:.2f}s")
+
+    with open(os.path.join(REPO, "BENCH_SCALE.md"), "a") as f:
+        f.write(
+            "\n## Suffix doubling-tail stress — long docs, large vocab "
+            "(appended by exp_suffix_longdocs)\n\n"
+            f"{N_DOCS + N_DOCS // 100} docs x 200-800 tokens, vocabulary "
+            f"{VOCAB} (R0=4, base=128 ->\nthe prefix-doubling tail is the "
+            "COMMON path: every doc beyond 128 tokens\nwalks it), planted "
+            "64-token shared passages + 1% exact duplicates.\n"
+            "Values hash-equal the fixed-k8 DuckDB twin (coverage "
+            "equivalence) —\nthis row exercises densify/composite tail "
+            "rounds AND the broadcast-probe\nwalk at realistic vocabulary, "
+            "which the small-vocab sf corpora cannot.\n\n"
+            "| query | spark s (med of 3) | duckdb s | ratio |\n"
+            "| --- | --- | --- | --- |\n"
+            f"| suffix spans, long-doc corpus | {spark_med:.2f} | "
+            f"{duck_s:.2f} | {spark_med / duck_s:.2f}x |\n"
+            "\nPhase decomposition (first run):\n\n| phase | seconds |\n"
+            "| --- | --- |\n"
+        )
+        for lbl, sec in phases:
+            f.write(f"| {lbl} | {sec:.2f} |\n")
+        f.write(f"\nloadavg at start {os.getloadavg()}; driver heap "
+            f"{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')}\n")
+    print("appended tail-stress section to BENCH_SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
