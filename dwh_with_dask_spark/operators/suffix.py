@@ -85,7 +85,10 @@ from dwh_with_dask_spark.operators.partitioning import barrier, widen
 # materialized phase appends (label, seconds) — the measured
 # decomposition behind BENCH_SCALE's suffix rows. Lazy phases (the
 # pair expressions, the final left join) fold into the first
-# downstream action as usual.
+# downstream action as usual. Module-level and mutable by design:
+# a single-threaded bench-only contract — two concurrent suffix
+# builds in one process would interleave entries. Production callers
+# leave it None (the default), where it costs nothing.
 TIMINGS: list[tuple[str, float]] | None = None
 
 
@@ -189,10 +192,14 @@ def suffix_ranks(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, list[tuple[str, int]], int, int]:
-    """(positions, levels, R0, B): ``positions`` = one row per token
-    position — (id, pos, dl, xs, <tail level columns>) — eagerly
-    checkpointed. ``xs`` is the PACKED PREFIX: an array of L longs,
+) -> tuple[DataFrame, list[tuple[str, int]], int, int, DataFrame]:
+    """(positions, levels, R0, B, xs_src): ``positions`` = one row per
+    token position — (id, pos, dl, xs, <tail level columns>) — eagerly
+    checkpointed. ``xs_src`` is the (id, pos, xs) packed-prefix frame:
+    in tail mode the tail rounds run NARROW and ``positions`` does not
+    carry ``xs``, so the caller fetches packed prefixes (pair tiers,
+    walk residual probes) from ``xs_src``; without a tail it is just a
+    projection of ``positions``. ``xs`` is the PACKED PREFIX: an array of L longs,
     element i encoding the R0 shifted token ranks at
     ``[pos + i·R0, pos + (i+1)·R0)`` in base ``B = m+1`` (sentinel 0
     past the document end), so array comparison == suffix order out to
@@ -224,7 +231,8 @@ def suffix_ranks(
     max_dl = ex.agg(F.max("dl")).first()[0] or 1
 
     # R0 = ranks packed per long: the largest R <= 16 with B^R < 2^63
-    # (exact Python-int check; R == 1 only past ~9e18 distinct tokens)
+    # (exact Python-int check; R == 1 only once B^2 >= 2^63, i.e. past
+    # ~3e9 distinct tokens — matching the _R0_CAP constant note)
     B = int(m) + 1
     R0 = 1
     while R0 < _R0_CAP and B ** (R0 + 1) < 2 ** 63:
@@ -433,7 +441,10 @@ def _xs_run(xa: Column, xb: Column, L: int, R0: int, B: int) -> Column:
     end — the caller's ``least(lcp, remaining)`` clamp repairs it
     exactly. Returns ``L·R0`` (= base) when the arrays are fully equal
     (the caller maps that to full-equality semantics); NULL in (cursor
-    row absent) ⟹ NULL out."""
+    row absent) ⟹ NULL out — enforced by the explicit isNotNull guard
+    below (without it a NULL array would fall through every NULL-valued
+    when-condition into the otherwise() branches and yield base, and
+    the walk's ``coalesce(_xs_run(...), 0)`` would be dead code)."""
     z = F.zip_with(xa, xb, lambda x, y: x == y)
     fpos = F.array_position(z, False)
     n = F.when(fpos > 0, fpos - 1).otherwise(F.lit(L))
@@ -444,7 +455,8 @@ def _xs_run(xa: Column, xb: Column, L: int, R0: int, B: int) -> Column:
         neq = (da - F.pmod(da, p)) != (db - F.pmod(db, p))
         run = F.when(neq, F.lit(i)) if run is None else run.when(neq, F.lit(i))
     run = run.otherwise(F.lit(R0))
-    return F.when(n < L, n * F.lit(R0) + run).otherwise(F.lit(L * R0))
+    out = F.when(n < L, n * F.lit(R0) + run).otherwise(F.lit(L * R0))
+    return F.when(xa.isNotNull() & xb.isNotNull(), out)
 
 
 def _cursor_lookup(

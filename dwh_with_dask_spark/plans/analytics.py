@@ -599,7 +599,7 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = (
         daily.select("day").distinct()
-        .crossJoin(daily.select("bucket").distinct())
+        .crossJoin(F.broadcast(daily.select("bucket").distinct()))
         .join(daily, ["day", "bucket"], "left")
         .withColumn("dn", F.datediff("day", F.lit("1970-01-01").cast("date")))
     )

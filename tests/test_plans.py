@@ -282,6 +282,24 @@ def test_q7_q8_broadcast_dims_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_gapfill_grid_crossjoin_broadcasts(spark):
+    """The day×bucket densify grid in rolling_7d_distinct_users is a
+    deliberate crossJoin of two tiny dimension frames; the broadcast
+    hint must keep it a BroadcastNestedLoopJoin (plan-stable regardless
+    of AQE) and never a partitioned CartesianProduct."""
+    from dwh_with_dask_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        QUERIES["rolling_7d_distinct_users"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Hive-partitioned parquet + a partition-key filter must prune at
     planning time: the scan's PartitionFilters is non-empty and only the
