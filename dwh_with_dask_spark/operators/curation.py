@@ -926,7 +926,10 @@ def build_bm25_index(
 
 
 def refresh_bm25_index(
-    docs_batch: DataFrame, path: str, text_col: str | None = None
+    docs_batch: DataFrame,
+    path: str,
+    text_col: str | None = None,
+    auto_compact_at: int | None = None,
 ) -> dict:
     """Append a batch of NEW documents to a ``build_bm25_index`` table
     in O(batch): tokenize ONLY the batch, publish its postings as the
@@ -936,6 +939,18 @@ def refresh_bm25_index(
     postings into df and its stats into N/avgdl automatically, so a
     probe after refresh equals a full rebuild over the union
     (asserted bit-for-bit in tests). Returns the new segment's stats.
+
+    ``auto_compact_at=N`` turns the measured compaction POLICY into a
+    mechanism: after the segment publishes, if the index now holds
+    >= N segments, ``compact_bm25_index`` runs in-line (identical
+    probe answers before and after — same postings, same summed
+    stats). Default off (None) so schedulers that already compact
+    out-of-band keep full control; the measured recommendation is
+    16-32 (probe latency is flat through ~8 segments and ~2x at 64,
+    BENCH_SCALE's segment-count curve; compaction itself costs ~2
+    probes and is O(index bytes), never O(corpus)). A pipeline calling
+    refresh hourly with the default would otherwise walk silently into
+    that degradation.
 
     Contract: batch ids must be new (same append-only rule as
     ``incremental_dedup`` — a re-added id is double-counted, as it
@@ -962,9 +977,14 @@ def refresh_bm25_index(
     postings = _bm25_postings(
         docs_batch, meta["id_col"], text_col or meta.get("text_col", "text")
     )
-    return _bm25_write_segment(
+    out = _bm25_write_segment(
         postings, os.path.join(path, f"__seg={nxt}"), meta["n_buckets"]
     )
+    if auto_compact_at is not None:
+        n_segs = len(glob.glob(os.path.join(path, "__seg=*")))
+        if n_segs >= auto_compact_at:
+            compact_bm25_index(docs_batch.sparkSession, path)
+    return out
 
 
 def bm25_search_indexed(

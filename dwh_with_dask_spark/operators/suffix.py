@@ -33,8 +33,15 @@ ops and specialized to the token-corpus case:
    (an unchanged densify count means the partition is stable, i.e. IS
    the suffix-equality partition).
 3. **Suffix-array adjacency**: order positions by the top-level key
-   (ties — equal complete suffixes — break on (id, pos));
-   adjacency via ``sequential_id`` + a self-join on ``sa+1``.
+   (ties — equal complete suffixes — break on (id, pos)) via
+   ``sequential_id``; adjacent pairs come from ``lead()`` INSIDE the
+   checkpoint-pinned sort partitions (both sides' carried columns for
+   free — no self-join), with the <= #partitions boundary pairs
+   stitched by a broadcast join on successor arithmetic. In tail mode
+   the carried columns stay NARROW: ``s2`` (the dense rank of ``xs`` —
+   equality-equivalent at 8 bytes) is the ladder's base rung and
+   ``x0`` (the first ``_X0_LONGS`` packed longs) resolves short
+   sub-base LCPs; the 256-byte ``xs`` never rides a pair row.
 4. **LCP of adjacent suffixes**: for documents within ``base`` this is
    a PURE EXPRESSION on the pair row — component run over the two
    carried ``xs`` arrays, then the first differing base-(m+1) digit of
@@ -62,6 +69,23 @@ the same default/exact split as approx_distinct vs count_distinct. The
 equivalence theorem tested in tests/test_dedup_similarity.py (coverage
 at ``min_len=k`` equals the fixed-k scheme's coverage exactly) is what
 lets the driver query share the fixed-k DuckDB oracle.
+
+Incremental maintenance: REBUILD-ONLY, by design. A suffix array's
+ranks are global — appending one document can reorder the rank of
+every existing suffix that shares a prefix with it, so an append path
+would be merge-based SA construction (research-grade; e.g. dynamic
+extended suffix arrays), not a bounded-state fold like the fixed-k
+``dedup.corpus_index``/``incremental_dedup`` pair. The measured bound
+that makes rebuild-only acceptable: the full variable-length pass
+costs ~2x the fixed-k oracle at sf1/sf10 (BENCH_SCALE), i.e. a
+per-refresh rebuild is ~5x the cost of one fixed-k full pass — fine
+for daily/weekly corpus refreshes, wrong for per-batch calls. The
+supported incremental COMPOSITION for streaming ingestion: probe each
+batch against the fixed-k stored index first (O(batch),
+``dedup.span_probe_sink``), and run this module's exact pass only on
+the colliding documents at the next scheduled rebuild — collisions at
+``k = min_len`` are exactly the documents whose variable-length spans
+can have changed (a new >= min_len repeat implies a shared k-window).
 
 Reference for parity: the reference repo has no dedup at all; this is
 SURVEY.md §2B north-star surface (the training-data-pipeline layer).
@@ -112,6 +136,16 @@ _XS_CAP = 32
 # vocabulary); the data-driven bound B^R0 < 2^63 is the real limiter —
 # R0 degrades to 1 (xs = raw ranks) only past ~3e9 distinct tokens
 _R0_CAP = 16
+# packed longs carried through the TAIL rounds and the SA sort as the
+# pair's MINI prefix ``x0`` (2 longs = 2·R0 tokens): adjacent pairs
+# whose suffixes first differ inside this window — the vast majority
+# at realistic vocabulary (expected adjacent-suffix LCP ≈ log_m N
+# tokens) — resolve their sub-base LCP from the carried longs alone;
+# the remainder fetch the full packed prefix through the walk's
+# count-guarded broadcast-probe residual. Keeps the tail's sort/pair
+# frames at ~80 B/row where carrying the full 256-byte ``xs`` made
+# the round-11 stress leg's pairing cost 54.6 s of 128 s.
+_X0_LONGS = 2
 
 
 def _dense_rank_distributed(
@@ -194,19 +228,21 @@ def suffix_ranks(
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, list[tuple[str, int]], int, int, DataFrame]:
     """(positions, levels, R0, B, xs_src): ``positions`` = one row per
-    token position — (id, pos, dl, xs, <tail level columns>) — eagerly
-    checkpointed. ``xs_src`` is the (id, pos, xs) packed-prefix frame:
-    in tail mode the tail rounds run NARROW and ``positions`` does not
-    carry ``xs``, so the caller fetches packed prefixes (pair tiers,
-    walk residual probes) from ``xs_src``; without a tail it is just a
-    projection of ``positions``. ``xs`` is the PACKED PREFIX: an array of L longs,
+    token position, eagerly checkpointed — without a tail it carries
+    (id, pos, dl, xs); in tail mode it runs NARROW as (id, pos, dl,
+    x0, s2, <tail level columns>) where ``s2`` is xs's dense rank
+    (equality-equivalent to xs at 8 bytes) and ``x0`` the first
+    ``min(_X0_LONGS, L)`` packed longs (the pair mini prefix).
+    ``xs_src`` is the (id, pos, xs) packed-prefix frame the walk's
+    residual probes read; without a tail it is just a projection of
+    ``positions``. ``xs`` is the PACKED PREFIX: an array of L longs,
     element i encoding the R0 shifted token ranks at
     ``[pos + i·R0, pos + (i+1)·R0)`` in base ``B = m+1`` (sentinel 0
     past the document end), so array comparison == suffix order out to
     ``base = R0·L`` tokens. ``levels`` is the rank LADDER, ascending
-    ``(column, covered_length)``: always ``[("xs", base)]``, plus
-    prefix-doubling tail levels when any document exceeds ``base``
-    (two positions share a tail level's value iff their suffixes agree
+    ``(column, covered_length)``: ``[("xs", base)]`` without a tail,
+    else ``[("s2", base)]`` plus prefix-doubling tail levels (two
+    positions share a tail level's value iff their suffixes agree
     on its covered length, padded, or are equal complete suffixes).
     L adapts to the corpus: ``ceil(max_dl / R0)`` capped at
     ``_XS_CAP``. Suffixes are per-document (repeats never span
@@ -285,7 +321,16 @@ def suffix_ranks(
     # BENCH_SCALE: the xs densify alone was 109 s of 175).
     base_frame = pos
     ranked, n_dense = _dense_rank_by_sort(pos, ["xs"], "s2")
-    pos = ranked.select("id", "pos", "dl", "s2").localCheckpoint(eager=True)
+    # s2 REPLACES xs as the base ladder level: it is xs's dense rank,
+    # so s2 equality ⟺ xs equality (base-length prefix equality) at
+    # 8 bytes instead of 256. The tail frame also carries the x0 MINI
+    # prefix (first _X0_LONGS packed longs) so adjacent pairs can
+    # resolve short sub-base LCPs without ever touching the wide frame.
+    x0w = min(_X0_LONGS, L)
+    pos = ranked.select(
+        "id", "pos", "dl", F.slice("xs", 1, x0w).alias("x0"), "s2"
+    ).localCheckpoint(eager=True)
+    levels = [("s2", base)]
     t = _mark(f"tail densify xs k={base}", t)
     k, cur, densified, i = base, "s2", True, 2
     while k < max_dl:
@@ -329,10 +374,9 @@ def suffix_ranks(
         if stable:
             break
     # the packed prefix stays on its own checkpointed frame: the tail
-    # frame (and the SA sort it feeds) remains NARROW; _sa_pairs joins
-    # xs onto the adjacent-pair rows per side (int keys) where the
-    # carried tiers need it, and the walk's residual fetch probes the
-    # xs frame directly
+    # rounds, the SA sort and the pair rows all stay NARROW (s2 + x0
+    # stand in for xs); only the walk's count-guarded broadcast-probe
+    # residual ever reads the wide frame again
     return pos, levels, R0, B, base_frame.select("id", "pos", "xs")
 
 
@@ -540,20 +584,27 @@ def _sa_pairs(
        stable prefix-doubling partition IS the suffix-equality
        partition.
     2. offset-0, carried: ladder levels are hierarchical (longer level
-       equal ⟹ every shorter equal), so one CASE finds the highest
-       matching level h; no match ⟹ lcp < base, read off the carried
-       xs arrays. Nearly every pair resolves here.
+       equal ⟹ every shorter equal), so one CASE over the carried INT
+       ranks (base rung: ``s2``, xs's dense rank) finds the highest
+       matching level h; no match ⟹ lcp < base, and when the suffixes
+       first differ inside the carried ``x0`` mini prefix the LCP is
+       read off it exactly. Nearly every pair resolves here — on
+       random text the expected adjacent LCP is ~log_m N tokens,
+       well inside ``x0``.
     3. join walk: ladder levels below h, descending, at moving cursors
-       ``pos + lcp`` (tiny count-guarded broadcast probes), then one
-       xs fetch for the sub-base residual. Coverage is exact and
-       tight: a miss at level len bounds the residual < len, and
-       Σ(lower levels) + (base−1) = top − 1; unequal-top pairs under
-       the fixpoint break have lcp < top by stability.
+       ``pos + lcp`` (count-guarded broadcast probes), then one
+       xs fetch for the sub-base residual — shared by x0-deep pairs
+       (no ladder match but x0 fully equal), which enter at lcp = 0
+       and read their whole sub-base run from the fetch. Coverage is
+       exact and tight: a miss at level len bounds the residual < len,
+       and Σ(lower levels) + (base−1) = top − 1; unequal-top pairs
+       under the fixpoint break have lcp < top by stability.
 
-    The tail's one driver sync is a single ``count()`` of the
+    Driver syncs are metadata-sized: per-partition (min, max) __sa
+    bounds for the boundary stitch (one row per partition, both
+    paths), plus — tail only — a single ``count()`` of the
     checkpointed walk frame (an in-memory scan, sizing the
-    broadcast-probe guard for every lookup); the packed-prefix-only
-    path schedules no count at all.
+    broadcast-probe guard for every lookup).
 
     The final ``least(lcp, remaining)`` clamp repairs the one
     overcount the shared end-of-document sentinel allows (padded
@@ -563,21 +614,33 @@ def _sa_pairs(
     )
     t = time.perf_counter()
     top, _top_len = levels[-1]
-    base = dict(levels)["xs"]
+    base = levels[0][1]
     L = base // R0
     has_tail = len(levels) > 1
-    # in tail mode the rank frame is NARROW (xs lives on xs_src): the
-    # SA range sort and the adjacent self-join move fixed-width longs,
-    # and the 256-byte arrays join onto the PAIR rows once per side
-    # (int keys) below. Only the tail's walk re-reads the rank table —
-    # the packed-prefix-only path would persist it for nothing.
-    carry_cols = (
-        [n for n, _ in levels if n != "xs"] if has_tail
-        else [n for n, _ in levels]
-    )
+    x0w = min(_X0_LONGS, L)
+    mini = x0w * R0
+    # in tail mode the rank frame is NARROW: the 256-byte xs never
+    # leaves its checkpointed frame (xs_src) — the ladder's base rung
+    # is s2 (xs's dense rank, equality-equivalent at 8 bytes) and the
+    # pair's sub-base LCP resolves from the carried x0 MINI prefix
+    # when the suffixes first differ within 2·R0 tokens (the common
+    # case); only the rare deeper pairs fetch full xs through the
+    # walk's broadcast-probe residual. (Round 11 instead attached both
+    # full arrays to all ~10M pair rows with two hash joins — 54.6 s
+    # of the 128 s long-doc stress leg, and those hash tables were the
+    # 24 GiB driver-heap cliff. The walk still re-reads the rank table
+    # for mid-level probes — the packed-prefix-only path would persist
+    # it for nothing.)
+    carry_cols = [n for n, _ in levels] if has_tail else []
+    pair_carry = ["x0", *carry_cols] if has_tail else ["xs"]
     ranks = scope.persist(pos) if has_tail else pos
+    sort_src = (
+        ranks.select("id", "pos", "dl", "x0", *carry_cols)
+        if has_tail
+        else pos
+    )
     sa, n_sa = sequential_id(
-        ranks.select("id", "pos", "dl", *carry_cols),
+        sort_src,
         order_by=[F.col(top).asc(), F.col("id").asc(), F.col("pos").asc()],
         name="__sa",
         start=0,
@@ -590,37 +653,58 @@ def _sa_pairs(
     sa._sa_count = n_sa
     t = _mark("sa order+seq_id", t)
 
-    a = sa.select(
+    # ADJACENT pairs via lead() within the checkpointed sort partitions
+    # — no self-join: sequential_id's checkpoint pins rows to their
+    # range-sorted partitions, so within a re-stamped partition id the
+    # rows are contiguous in __sa and lead() IS the SA successor. One
+    # __pid exchange (32-ish keys, each partition moves wholesale)
+    # replaces the round-11 a⋈b shuffle join. Partition-BOUNDARY pairs
+    # (the successor lives in the next non-empty partition) are
+    # stitched explicitly: per-partition min/max __sa (one tiny agg,
+    # one row per partition) pick out the boundary rows by isin filter
+    # on the checkpointed frame, and the <=#partitions first-rows
+    # broadcast-join to the last-rows on successor arithmetic.
+    sa2 = sa.withColumn("__pid", F.spark_partition_id())
+    bounds = (
+        sa2.groupBy("__pid")
+        .agg(F.min("__sa").alias("__lo"), F.max("__sa").alias("__hi"))
+        .collect()
+    )
+    last_sas = [r["__hi"] for r in bounds if r["__hi"] < n_sa - 1]
+    first_sas = [r["__lo"] for r in bounds if r["__lo"] > 0]
+    wlead = Window.partitionBy("__pid").orderBy("__sa")
+    a_side = [
         F.col("id").alias("ida"), F.col("pos").alias("posa"),
-        F.col("dl").alias("dla"), F.col("__sa").alias("__i"),
-        *[F.col(c).alias(f"__a_{c}") for c in carry_cols],
-    )
-    b = sa.select(
-        F.col("id").alias("idb"), F.col("pos").alias("posb"),
-        F.col("dl").alias("dlb"), (F.col("__sa") - 1).alias("__i"),
-        *[F.col(c).alias(f"__b_{c}") for c in carry_cols],
-    )
-    pj = a.join(b, "__i")
-    if has_tail:
-        # attach both sides' packed prefixes for the carried tiers —
-        # int-keyed inner joins (every position has an xs row)
-        xa = xs_src.select(
-            F.col("id").alias("ida"), F.col("pos").alias("posa"),
-            F.col("xs").alias("__a_xs"),
+        F.col("dl").alias("dla"),
+        *[F.col(c).alias(f"__a_{c}") for c in pair_carry],
+    ]
+    pj = sa2.select(
+        *a_side,
+        F.col("__sa").alias("__i"),
+        F.lead("id").over(wlead).alias("idb"),
+        F.lead("pos").over(wlead).alias("posb"),
+        F.lead("dl").over(wlead).alias("dlb"),
+        *[F.lead(c).over(wlead).alias(f"__b_{c}") for c in pair_carry],
+    ).filter(F.col("idb").isNotNull())
+    if last_sas:
+        lasts = sa2.filter(F.col("__sa").isin(last_sas)).select(
+            *a_side, F.col("__sa").alias("__i")
         )
-        xb = xs_src.select(
+        firsts = sa2.filter(F.col("__sa").isin(first_sas)).select(
+            (F.col("__sa") - 1).alias("__i"),
             F.col("id").alias("idb"), F.col("pos").alias("posb"),
-            F.col("xs").alias("__b_xs"),
+            F.col("dl").alias("dlb"),
+            *[F.col(c).alias(f"__b_{c}") for c in pair_carry],
         )
-        pj = pj.join(xa, ["ida", "posa"]).join(xb, ["idb", "posb"])
+        pj = pj.unionByName(lasts.join(F.broadcast(firsts), "__i"))
     rem = F.least(
         F.col("dla") - F.col("posa"), F.col("dlb") - F.col("posb")
     )
-    run0 = _xs_run(F.col("__a_xs"), F.col("__b_xs"), L, R0, B)
     keep = ["ida", "posa", "dla", "idb", "posb", "dlb", "__i"]
 
     if not has_tail:
         # packed-prefix-only: the LCP is one expression on the pair row
+        run0 = _xs_run(F.col("__a_xs"), F.col("__b_xs"), L, R0, B)
         pairs = (
             pj.select(
                 *keep,
@@ -632,40 +716,55 @@ def _sa_pairs(
         def eq(c: str):
             return F.col(f"__a_{c}") == F.col(f"__b_{c}")
 
-        chain = levels[:-1]  # xs + mid tail levels, ascending
+        chain = levels[:-1]  # s2 (base rung) + mid tail levels, asc
         h = F.when(eq(chain[-1][0]), F.lit(chain[-1][1]).cast("long"))
         for n_, ln_ in reversed(chain[:-1]):
             h = h.when(eq(n_), F.lit(ln_).cast("long"))
         h = h.otherwise(F.lit(None).cast("long"))
+        # mini-prefix run: exact sub-base LCP whenever the suffixes
+        # first differ inside the carried x0 window (< mini tokens);
+        # a full run (== mini) says only "they agree through x0" —
+        # those pairs fetch full xs in the walk's residual (lcp
+        # starts at 0 and the fetch at cursor pos+0 reads the whole
+        # sub-base run exactly; s2 inequality bounds it < base).
+        run01 = _xs_run(F.col("__a_x0"), F.col("__b_x0"), x0w, R0, B)
         pairs = (
             pj.select(
                 *keep,
                 eq(top).alias("__eqf"), h.alias("__h"),
-                run0.alias("__run0"),
+                run01.alias("__r01"),
             )
             .withColumn(
                 "lcp",
                 F.when(F.col("__eqf"), rem)
                 .when(F.col("__h").isNotNull(), F.col("__h"))
-                .otherwise(F.least(F.col("__run0"), rem))
+                .when(F.col("__r01") < mini, F.least(F.col("__r01"), rem))
+                .otherwise(F.lit(0))
                 .cast("long"),
             )
-            .drop("__run0")
+            .withColumn(
+                "__w",
+                (~F.col("__eqf"))
+                & (F.col("__h").isNotNull() | (F.col("__r01") >= mini)),
+            )
+            .drop("__r01")
         )
-        # materialize the tier frame ONCE (narrow: the xs arrays are
-        # already collapsed into lcp/__h): both the walk and the done
-        # branch read it, and without the checkpoint the done branch
-        # would re-run the adjacent self-join AND both xs joins
+        # materialize the tier frame ONCE (narrow: x0 and the level
+        # ranks are already collapsed into lcp/__h/__w): both the walk
+        # and the done branch read it, and without the checkpoint the
+        # done branch would re-run the adjacency window
         pairs = pairs.localCheckpoint(eager=True)
         # pairs fully resolved by the carried tiers never enter the walk
-        walking = (~F.col("__eqf")) & F.col("__h").isNotNull()
-        done = pairs.filter(~walking).drop("__eqf", "__h")
-        walk = pairs.filter(walking).drop("__eqf")
+        done = pairs.filter(~F.col("__w")).drop("__eqf", "__h", "__w")
+        walk = pairs.filter(F.col("__w")).drop("__eqf", "__w")
         walk = walk.localCheckpoint(eager=True)
         t = _mark("pair tiers (carried)", t)
         n_walk = walk.count()
         for name, ln in reversed(chain[:-1]):
-            active = F.col("__h") > ln
+            # NULL __h (x0-deep pairs headed straight for the residual
+            # fetch) must sort into idle, not vanish: a bare __h > ln
+            # is NULL for them and both filter branches would drop them
+            active = F.col("__h").isNotNull() & (F.col("__h") > ln)
             idle = walk.filter(~active)
             act = walk.filter(active)
             lv = (

@@ -25,10 +25,18 @@ format's incremental snapshots.
 
 Concurrency contract: SINGLE WRITER (readers unlimited). Without a
 lock service a local-FS format cannot arbitrate two committers racing
-to the same version number; the data write's ``mode('error')`` makes
-that race fail loudly (path-already-exists) rather than corrupt a
-commit. Crash orphans of the SAME single writer are healed at the next
-commit (see ``versioned_commit``). This module deliberately stores the
+to the same version number; what this module guarantees is loud
+DETECTION on both legs of the race: the data write's ``mode('error')``
+fails on path-already-exists when the other writer's staged dir is
+present, and the publish step re-checks the pointer at the last
+instant (``_publish``) and raises ``VersionConflictError`` before
+writing anything when a concurrent commit won the version — the
+optimistic-concurrency check Delta/Iceberg implement as a CAS on the
+log, minus the retry loop (retrying ``append`` needs the caller to
+re-read the new current version). One commit wins, the other raises
+cleanly, the winner's version is never corrupted (concurrent-commit
+test in tests/test_sources.py). Crash orphans of the SAME single
+writer are healed at the next commit (see ``versioned_commit``). This module deliberately stores the
 directory list (not per-file lists): Spark's parquet reader takes the
 directories and plans splits itself, and partial data-directory writes
 cannot be published because the manifest is written only after the
@@ -273,6 +281,38 @@ def versioned_commit(
         manifest["member_bits"] = MEMBER_BITS
     if constraints:
         manifest["constraints"] = constraints
+    _publish(table, version, manifest, prev)
+    return version
+
+
+class VersionConflictError(RuntimeError):
+    """Another committer published a version while this commit was in
+    flight — the optimistic-concurrency detection Delta/Iceberg do
+    with a CAS on the log. The losing commit raised BEFORE writing its
+    manifest or moving the pointer, so the winner's commit is intact;
+    the loser's staged data directory (if the winner's orphan-heal did
+    not already claim the path) is invisible to readers and reclaimed
+    by ``vacuum``. Retry the commit from scratch: re-reading the new
+    current version is required for ``append`` semantics."""
+
+
+def _publish(table: str, version: int, manifest: dict, prev: int) -> None:
+    """Manifest write + atomic pointer swap, guarded by the last-
+    instant optimistic check: if the pointer no longer reads ``prev``,
+    a concurrent committer won the version number — raise
+    ``VersionConflictError`` WITHOUT writing anything (writing the
+    manifest first would clobber the winner's manifest for the same
+    version number). This closes the detection gap of the single-
+    writer contract; it is detection, not arbitration — two commits
+    that interleave entirely between each other's checks still need a
+    real lock service, which a local FS cannot provide."""
+    cur = current_version(table)
+    if cur != prev:
+        raise VersionConflictError(
+            f"versioned_commit on {table!r}: based on version {prev} but "
+            f"the table is now at {cur} — a concurrent commit published "
+            "first. Nothing was written; retry from the new version."
+        )
     mpath = _manifest_path(table, version)
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
@@ -282,7 +322,6 @@ def versioned_commit(
     with open(ptmp, "w") as f:
         f.write(str(version))
     os.replace(ptmp, os.path.join(table, "_current"))  # THE commit
-    return version
 
 
 def _json_stat(v):

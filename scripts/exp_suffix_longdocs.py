@@ -1,23 +1,27 @@
-"""Suffix-array TAIL stress (round 11): on a REALISTIC corpus shape —
-large vocabulary (R0 small) and documents far longer than the packed
-prefix — the prefix-doubling tail is the COMMON path, not the edge.
-This leg builds such a corpus deterministically, runs
-suffix_duplicate_spans end-to-end (tail active: densify+composite
-rounds + broadcast-probe walks), checks the result against the fixed-k8
-DuckDB twin (coverage equivalence — exact VALUES, not just timing), and
-appends the measured row + the tail's phase decomposition to
-BENCH_SCALE.md.
+"""Suffix-array TAIL stress (rounds 11-12): on a REALISTIC corpus
+shape — large vocabulary (R0 small) and documents far longer than the
+packed prefix — the prefix-doubling tail is the COMMON path, not the
+edge. This leg builds such a corpus deterministically, runs BOTH
+suffix_duplicate_spans and suffix_span_removal end-to-end (tail
+active: densify+composite rounds + broadcast-probe walks), checks
+spans against the fixed-k8 DuckDB twin (coverage equivalence — exact
+VALUES, not just timing) and removal against the FULL suffix-removal
+DuckDB oracle (plans/llm._SUFFIX_REMOVAL_CTES — run/RMQ identities,
+per-doc md5 of the cleaned text), and appends the measured rows + the
+tail's phase decomposition to BENCH_SCALE.md.
 
 Corpus: 20k docs, length 200..800 tokens, vocabulary 50k words, with a
 1% exact-duplicate tail and planted shared passages (so spans is
 non-trivial). R0 = floor(63/log2(50001)) = 4, base = 4*32 = 128 -> all
 documents beyond ~1 packed prefix take the tail.
 
-Usage: SPARK_GRAFT_DRIVER_MEM=24g python scripts/exp_suffix_longdocs.py
-(idle machine; the 10M-position corpus with 256-byte packed-prefix keys
-needs more than the 8g default heap for the tail densify's array-keyed
-hash aggregate).
-"""
+Usage: python scripts/exp_suffix_longdocs.py (idle machine). Runs at
+the DEFAULT 8g driver heap since round 12: the SA sort and pair rows
+carry s2+x0 (~80 B/row) instead of the 256-byte packed arrays, so the
+peak is pinned localCheckpoint storage (~7-9 GiB across the xs frame,
+the densify stamps and the narrow tail frames — MEMORY_AND_DISK, so
+past-heap overflow spills instead of OOMing the old pair-join hash
+tables)."""
 
 from __future__ import annotations
 
@@ -115,7 +119,8 @@ def main() -> None:
         print("waiting for idle, loadavg", os.getloadavg(), flush=True)
         time.sleep(20)
     spark = get_spark()
-    print("loadavg", os.getloadavg())
+    la0 = os.getloadavg()
+    print("loadavg at start", la0)
     gen_corpus(spark)
     docs = spark.read.parquet(CORPUS)
 
@@ -147,6 +152,54 @@ def main() -> None:
     )
     print(f"spans rows={len(got)} spark_med={spark_med:.2f}s duck={duck_s:.2f}s")
 
+    # ---- removal leg (round 12): exact VALUES against the full
+    # suffix-removal oracle, per-doc md5 of the cleaned text ----
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.operators.suffix import suffix_span_removal
+
+    suffix.TIMINGS = []
+    t0 = time.perf_counter()
+    got_rm = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["h"])
+        for r in suffix_span_removal(docs, min_len=8)
+        .select("doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("h"))
+        .collect()
+    }
+    warm_rm = time.perf_counter() - t0
+    phases_rm = list(suffix.TIMINGS)
+    suffix.TIMINGS = None
+    ts_rm = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        suffix_span_removal(docs, min_len=8).select(F.md5("clean_text")).count()
+        ts_rm.append(time.perf_counter() - t0)
+    rm_med = statistics.median([warm_rm] + ts_rm)
+
+    from dwh_with_dask_spark.plans.llm import _SUFFIX_REMOVAL_CTES
+
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{CORPUS}/*.parquet')"
+    )
+    t0 = time.perf_counter()
+    want_rm = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"WITH {_SUFFIX_REMOVAL_CTES} "
+            "SELECT doc_id, n_tokens, n_removed, md5(clean_text) FROM clean"
+        ).fetchall()
+    }
+    rm_duck_s = time.perf_counter() - t0
+    assert got_rm == want_rm, (
+        f"removal mismatch: {len(got_rm)} vs {len(want_rm)} rows; diffs "
+        f"{[(k, got_rm.get(k), want_rm.get(k)) for k in list(want_rm) if got_rm.get(k) != want_rm.get(k)][:3]}"
+    )
+    print(
+        f"removal rows={len(got_rm)} spark_med={rm_med:.2f}s "
+        f"duck={rm_duck_s:.2f}s"
+    )
+
     with open(os.path.join(REPO, "BENCH_SCALE.md"), "a") as f:
         f.write(
             "\n## Suffix doubling-tail stress — long docs, large vocab "
@@ -163,12 +216,25 @@ def main() -> None:
             "| --- | --- | --- | --- |\n"
             f"| suffix spans, long-doc corpus | {spark_med:.2f} | "
             f"{duck_s:.2f} | {spark_med / duck_s:.2f}x |\n"
-            "\nPhase decomposition (first run):\n\n| phase | seconds |\n"
+            f"| suffix removal, long-doc corpus | {rm_med:.2f} | "
+            f"{rm_duck_s:.2f} | {rm_med / rm_duck_s:.2f}x |\n"
+            "\n(removal oracle: the FULL run/RMQ suffix-removal twin, "
+            "per-doc md5 of clean_text\nhash-equal — not the fixed-k "
+            "approximation.)\n"
+            "\nPhase decomposition (first spans run):\n\n"
+            "| phase | seconds |\n"
             "| --- | --- |\n"
         )
         for lbl, sec in phases:
             f.write(f"| {lbl} | {sec:.2f} |\n")
-        f.write(f"\nloadavg at start {os.getloadavg()}; driver heap "
+        f.write(
+            "\nPhase decomposition (first removal run — shares _sa_pairs; "
+            "the extra cost is the\nrun segmentation, per-run windows and "
+            "reassembly):\n\n| phase | seconds |\n| --- | --- |\n"
+        )
+        for lbl, sec in phases_rm:
+            f.write(f"| {lbl} | {sec:.2f} |\n")
+        f.write(f"\nloadavg at start {la0}; driver heap "
             f"{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')}\n")
     print("appended tail-stress section to BENCH_SCALE.md")
 

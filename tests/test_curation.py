@@ -710,3 +710,52 @@ def test_bm25_compact_preserves_probe(spark, tmp_path):
     )
     grown = C.bm25_search_indexed(spark, path, terms, k=10).collect()
     assert {r.doc_id for r in grown} >= {r[0] for r in before}
+
+
+def test_bm25_refresh_auto_compacts_at_threshold(spark, tmp_path):
+    """refresh_bm25_index(auto_compact_at=N) turns the measured
+    compaction policy into a mechanism: below the threshold refresh
+    appends segments untouched; the refresh that brings the count to
+    >= N compacts in-line back to one segment, the probe answers
+    identically across the trigger, and later refreshes keep
+    appending from __seg=1."""
+    import os
+
+    def one(i):
+        return spark.createDataFrame(
+            [(i, f"spark window merge doc{i}")], "doc_id long, text string"
+        )
+
+    path = str(tmp_path / "bm25ac")
+    C.build_bm25_index(one(0), path, n_buckets=8)
+    C.refresh_bm25_index(one(1), path, auto_compact_at=4)
+
+    def segs():
+        return sorted(
+            e for e in os.listdir(path) if e.startswith("__seg=")
+        )
+
+    assert segs() == ["__seg=0", "__seg=1"]  # 2 < 4: untouched
+    C.refresh_bm25_index(one(2), path, auto_compact_at=4)
+    assert segs() == ["__seg=0", "__seg=1", "__seg=2"]
+    terms = ["spark", "window", "merge"]
+    stats = C.refresh_bm25_index(one(3), path, auto_compact_at=4)
+    assert stats["n_docs"] == 1  # returns the APPENDED segment's stats
+    assert segs() == ["__seg=0"]  # 4 >= 4: compacted in-line
+    got = sorted(
+        map(tuple, C.bm25_search_indexed(spark, path, terms, k=10).collect())
+    )
+    # identical answers to a never-compacted twin with the same content
+    twin = str(tmp_path / "bm25ac_twin")
+    C.build_bm25_index(one(0), twin, n_buckets=8)
+    for i in (1, 2, 3):
+        C.refresh_bm25_index(one(i), twin)
+    want = sorted(
+        map(tuple, C.bm25_search_indexed(spark, twin, terms, k=10).collect())
+    )
+    assert got == want
+    # refresh keeps working after the in-line compaction
+    C.refresh_bm25_index(one(4), path, auto_compact_at=4)
+    assert segs() == ["__seg=0", "__seg=1"]
+    grown = C.bm25_search_indexed(spark, path, terms, k=10).collect()
+    assert {r.doc_id for r in grown} == {0, 1, 2, 3, 4}

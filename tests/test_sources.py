@@ -336,6 +336,60 @@ def test_versioned_table_time_travel_and_atomic_commit(spark, tmp_path):
     assert {(r.k, r.s) for r in read_version(spark, t).collect()} == {(7, "q")}
 
 
+def test_versioned_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    """Two interleaved committers: writer B publishes while writer A is
+    between its data write and its pointer swap. A must raise
+    VersionConflictError CLEANLY (before writing its manifest — a
+    write-first would clobber B's manifest for the same version
+    number), B's commit stays intact and readable, and a retry of A
+    from the fresh current version succeeds."""
+    import pytest
+
+    from dwh_with_dask_spark import versioned as V
+
+    t = str(tmp_path / "vt_race")
+    V.versioned_commit(
+        spark.createDataFrame([(1, "a")], "k long, s string"), t
+    )
+
+    real_publish = V._publish
+    state = {"fired": False}
+
+    def interleave(table, version, manifest, prev):
+        if not state["fired"]:
+            state["fired"] = True
+            # writer B slips in a full commit between A's data write
+            # and A's publish (B's nested publish takes this same
+            # seam, so recurse with the flag set -> real publish)
+            V.versioned_commit(
+                spark.createDataFrame([(2, "b")], "k long, s string"),
+                table,
+                mode="append",
+            )
+        return real_publish(table, version, manifest, prev)
+
+    monkeypatch.setattr(V, "_publish", interleave)
+    with pytest.raises(V.VersionConflictError):
+        V.versioned_commit(
+            spark.createDataFrame([(3, "c")], "k long, s string"),
+            t,
+            mode="append",
+        )
+    monkeypatch.undo()
+    # B won version 2; its content is intact (A wrote no manifest and
+    # never moved the pointer)
+    assert V.current_version(t) == 2
+    assert {r.k for r in V.read_version(spark, t).collect()} == {1, 2}
+    # A's retry from the fresh version number succeeds
+    v3 = V.versioned_commit(
+        spark.createDataFrame([(3, "c")], "k long, s string"),
+        t,
+        mode="append",
+    )
+    assert v3 == 3
+    assert {r.k for r in V.read_version(spark, t).collect()} == {1, 2, 3}
+
+
 def test_versioned_commit_sink_and_vacuum(spark, tmp_path):
     """Streaming leg of the versioned table: each micro-batch commits a
     version atomically; vacuum removes crash orphans but never a
