@@ -39,8 +39,15 @@ def sequential_id(
     scope: CacheScope | None = None,
     checkpoint: bool = False,
     with_count: bool = False,
+    keep: list[str] | None = None,
+    checkpoint_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """Gap-free IDs ``start, start+1, ...`` in ``order_by`` order.
+
+    ``keep`` (optional) projects to those columns right after the sort,
+    before anything is persisted — for callers whose sort key is wide
+    (e.g. the suffix module's 256-byte packed-prefix arrays) and not
+    needed downstream: the sort sees it, the stored bytes don't.
 
     ``with_count=True`` returns ``(frame, n_rows)`` instead — the total
     comes free from the per-partition stats this function already
@@ -85,10 +92,12 @@ def sequential_id(
        action recomputes ``__mid`` under possibly different partitioning
        and the stale offsets would yield wrong or non-contiguous IDs.
        Pass ``checkpoint=True`` if you need to act on the result after
-       release — it eagerly materializes the assigned IDs via
-       ``localCheckpoint`` and TRUNCATES the lineage, so nothing can ever
-       recompute the stamp; the internal persist is released before
-       returning and later actions replay the checkpointed blocks. (The
+       release — it eagerly materializes the STAMPED frame via
+       ``localCheckpoint`` and TRUNCATES the lineage, so nothing can
+       ever recompute the stamp; the returned frame is the pinned
+       stamp plus a deterministic broadcast join of ~#partitions
+       offset rows (replayed per action — storing the joined result
+       again would double the frame's block storage for nothing). (The
        checkpoint blocks themselves are Spark-managed and reclaimed by
        the ContextCleaner when the result is garbage collected; for a
        result that must survive executor loss, write it to a table
@@ -96,12 +105,31 @@ def sequential_id(
     """
     if order_by:
         df = df.orderBy(*order_by)
+    if keep is not None:
+        # post-sort projection: drop columns (e.g. a wide sort key) the
+        # caller no longer needs BEFORE the stamp is persisted and the
+        # result checkpointed — the sort itself still sees them, the
+        # stored bytes don't. Projection preserves ordering/partitioning.
+        df = df.select(*keep)
 
     stamped = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
-    scope, created = scoped(scope)
-    stamped = scope.persist(stamped)
+    if checkpoint:
+        # checkpoint the STAMPED frame (not the assigned result): the
+        # checkpoint both pins the nondeterministic stamp across jobs
+        # (the role the persist plays on the scope path) and truncates
+        # the lineage — the offsets join below is a deterministic
+        # broadcast over ~#partitions rows, cheap to replay per action,
+        # so materializing the joined result again would store the
+        # whole frame twice for nothing.
+        stamped = stamped.localCheckpoint(
+            eager=True, storageLevel=checkpoint_level
+        )
+        scope, created = None, False
+    else:
+        scope, created = scoped(scope)
+        stamped = scope.persist(stamped)
 
     part_stats = (
         stamped.groupBy("__pid")
@@ -129,9 +157,6 @@ def sequential_id(
         .drop("__pid", "__mid", "__off", "__minmid")
     )
     if checkpoint:
-        out = out.localCheckpoint(eager=True)
-        if created:
-            scope.release()  # stamp cache no longer needed post-truncation
         return (out, running) if with_count else out
     out = attach(out, scope, created)
     return (out, running) if with_count else out

@@ -1,5 +1,5 @@
 """Variable-length ExactSubstr: a DISTRIBUTED suffix array,
-DataFrame-native — packed-prefix sort with a prefix-doubling tail.
+DataFrame-native — packed-prefix sort with a block-rank tail.
 
 Closes the one documented approximation in the ExactSubstr family
 (``dedup.duplicate_spans`` hashes FIXED-k windows — finds all repeats of
@@ -24,45 +24,63 @@ ops and specialized to the token-corpus case:
    suffix order for every document shorter than ``base`` — a 31-token
    vocabulary packs 12 ranks/long, so ``L = 16`` covers 192-token
    documents with zero rank-refinement rounds.
-2. **Prefix-doubling tail** (only when max_dl > base — Manber & Myers
-   1993): dense-rank ``xs`` (distinct keys → range-sort →
-   ``ids.sequential_id`` — NO single-partition window anywhere in this
-   module), then alternate the measured-cheapest pair rounds: composite
-   ``rank·(m+1) + (lead+1)`` (one window) / distributed dense rank,
-   doubling the covered length each round, with the fixpoint stop
-   (an unchanged densify count means the partition is stable, i.e. IS
-   the suffix-equality partition).
-3. **Suffix-array adjacency**: order positions by the top-level key
-   (ties — equal complete suffixes — break on (id, pos)) via
+2. **Block-rank tail** (only when max_dl > base): rank the packed
+   prefix — ``s2`` = the row number of each distinct ``xs``'s FIRST
+   row in sorted order (one range sort via ``ids.sequential_id``, NO
+   single-partition window and no window at all on the wide frame;
+   the 256-byte array is dropped right after the sort and group
+   identity rides a two-seed 128-bit xxhash64 surrogate, the same
+   exactness bar as the fixed-k family's 64-bit md5-prefix windows).
+   ``s2`` is order- and equality-preserving for the first ``base``
+   tokens, so ONE more per-doc window pass assembles ``atop`` = the
+   array ``[s2(p), s2(p+base), s2(p+2·base), …]`` (−1 past the
+   document end): lexicographic ``atop`` order IS the full suffix
+   order (Manber & Myers' rank-pair argument, widened to
+   ``_BLK_CAP``-ary in one round), and the number of leading equal
+   elements of two ``atop`` arrays certifies their LCP in multiples
+   of ``base`` as a pure expression. Documents longer than
+   ``base·_BLK_CAP`` recurse: rank ``atop`` the same way (a NARROW
+   sort — ≤ _BLK_CAP longs) and build a coarser array over the new
+   rank, multiplying coverage by ``_BLK_CAP`` per round —
+   O(log_BLK_CAP(max_len/base)) global sorts, each narrower than the
+   first.
+3. **Suffix-array adjacency**: order positions by ``atop`` (ties —
+   equal complete suffixes — break on (id, pos)) via
    ``sequential_id``; adjacent pairs come from ``lead()`` INSIDE the
    checkpoint-pinned sort partitions (both sides' carried columns for
    free — no self-join), with the <= #partitions boundary pairs
    stitched by a broadcast join on successor arithmetic. In tail mode
-   the carried columns stay NARROW: ``s2`` (the dense rank of ``xs`` —
-   equality-equivalent at 8 bytes) is the ladder's base rung and
-   ``x0`` (the first ``_X0_LONGS`` packed longs) resolves short
-   sub-base LCPs; the 256-byte ``xs`` never rides a pair row.
+   a pair row carries only ``x0`` (the first ``_X0_LONGS`` packed
+   longs, resolving short sub-base LCPs) and ``atop``; the 256-byte
+   ``xs`` never rides a pair row.
 4. **LCP of adjacent suffixes**: for documents within ``base`` this is
    a PURE EXPRESSION on the pair row — component run over the two
    carried ``xs`` arrays, then the first differing base-(m+1) digit of
    the mismatching component (integer DIV/compare chain; no join, no
    walk). Equal whole arrays ⟹ equal complete suffixes ⟹ lcp = full
    remaining length (tier 1; ADVICE r10's undercount class). With a
-   doubling tail, pairs that match a tail level at offset 0 walk the
-   levels below it at moving cursors (count-guarded BROADCAST probes —
-   the rank table streams, never shuffles, against the tiny lcp>=base
-   probe set) and finish with one ``xs`` fetch for the sub-base
-   residual. A final ``least(lcp, remaining)`` clamp repairs the one
-   overcount the shared end-of-document sentinel allows.
+   tail: equal ``atop`` arrays are tier 1; otherwise the leading-run
+   over the carried arrays certifies ``run·base`` tokens, the pair
+   descends the (usually empty) list of finer block arrays at the
+   moving cursor ``pos + lcp`` — each scale is ONE count-guarded
+   BROADCAST fetch per side plus a leading-run expression, aligned by
+   construction with the block that failed above it — and finishes
+   with one ``xs`` fetch for the sub-base residual (skipped entirely
+   when the suffixes already differ inside the carried ``x0`` mini
+   prefix, the common case). A final ``least(lcp, remaining)`` clamp
+   repairs the one overcount the shared end-of-document sentinel
+   allows.
 5. **Longest repeat per position** = max(LCP with SA-predecessor, LCP
    with SA-successor) — the textbook neighbor property.
 
-Scale notes: every shuffle moves fixed-width rows (the widest carries
-the <=256-byte ``xs``), O(N) each; the common case is tokenize → one
-window pass → one range sort → one self-join — the same pass count as
-the fixed-k scheme plus the sort, which is the honest cost of EXACT
-variable-length semantics. The doubling tail adds O(log(max_len/base))
-rounds only when documents exceed ``base`` tokens.
+Scale notes: the wide ``xs`` array is materialized once and sorted
+once; every other shuffle moves fixed-width NARROW rows, O(N) each.
+The common case is tokenize → one window pass → one range sort → one
+pair pass — the same pass count as the fixed-k scheme plus the sort,
+which is the honest cost of EXACT variable-length semantics. The tail
+adds one narrow sort + one window pass per factor-of-``_BLK_CAP`` of
+document length beyond ``base`` (one round covers 4096 tokens at the
+default caps; two cover 131k).
 ``dedup.duplicate_spans`` (one shuffle, fixed k) remains the
 data-proportional default and this module the exact-semantics option —
 the same default/exact split as approx_distinct vs count_distinct. The
@@ -93,11 +111,14 @@ SURVEY.md §2B north-star surface (the training-data-pipeline layer).
 
 from __future__ import annotations
 
+import math
 import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
 from dwh_with_dask_spark.operators.dedup import text_tokens
@@ -115,6 +136,14 @@ from dwh_with_dask_spark.operators.partitioning import barrier, widen
 # leave it None (the default), where it costs nothing.
 TIMINGS: list[tuple[str, float]] | None = None
 
+# storage level for the corpus-sized checkpointed frames: SERIALIZED +
+# lz4 (spark.rdd.compress, set by session.get_spark) — rank/array rows
+# compress 2-4x, which keeps a 10M-position build memory-resident on
+# an 8g heap where deserialized blocks thrashed the block manager
+# (measured: the pair pass alone swung 4x with eviction churn).
+# Tiny frames (filtered pairs, walk) keep the default level.
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK  # serialized (DESER is the default)
+
 
 def _mark(label: str, t0: float) -> float:
     now = time.perf_counter()
@@ -130,7 +159,7 @@ _KEYS_BROADCAST_MAX = 2_000_000
 # ~56 bytes/row); above it the walk falls back to a shuffle join
 _PROBE_BROADCAST_MAX = 400_000
 # max packed longs per position: caps the xs column at 256 bytes/row;
-# documents longer than R0 * _XS_CAP tokens take the doubling tail
+# documents longer than R0 * L tokens take the block-rank tail
 _XS_CAP = 32
 # max token ranks packed per long (16 already needs a <16-value
 # vocabulary); the data-driven bound B^R0 < 2^63 is the real limiter —
@@ -146,6 +175,25 @@ _R0_CAP = 16
 # frames at ~80 B/row where carrying the full 256-byte ``xs`` made
 # the round-11 stress leg's pairing cost 54.6 s of 128 s.
 _X0_LONGS = 2
+# max elements per block-rank array in the tail: each tail round
+# multiplies the covered length by this factor (one round covers
+# base·32 = 4096 tokens at the default caps), at 8 bytes/element on
+# the SA sort and pair rows. 32 matches _XS_CAP's 256-byte ceiling.
+_BLK_CAP = 32
+
+
+@dataclass
+class _Tail:
+    """Tail metadata ``suffix_ranks`` hands ``_sa_pairs``: the carried
+    top-level block array ``atop`` has ``nb`` elements, each an
+    order/equality-preserving rank of ``unit`` tokens; ``descent``
+    lists the intermediate rounds' arrays coarse → fine as (column,
+    tokens per ELEMENT, frame holding (id, pos, column)) — empty for
+    documents within ``unit·_BLK_CAP`` tokens (the common case)."""
+
+    unit: int
+    nb: int
+    descent: list[tuple[str, int, DataFrame]] = field(default_factory=list)
 
 
 def _dense_rank_distributed(
@@ -172,66 +220,20 @@ def _dense_rank_distributed(
     return df.join(keys, key_cols), n
 
 
-def _dense_rank_by_sort(
-    df: DataFrame, key_cols: list[str], out: str
-) -> tuple[DataFrame, int]:
-    """Sort-based distributed dense rank — the WIDE-key strategy
-    (e.g. the 256-byte packed-prefix array, where the distinct+join
-    strategy's hash aggregate and wide-key join back are the measured
-    memory/shuffle hazards): range-partition by the keys (equal keys
-    colocate by the partitioner's contract, so no key ever splits
-    across partitions), stamp partition ids and checkpoint (pinning
-    the nondeterministic range sampling across jobs — the
-    sequential_id contract), collect per-partition DISTINCT counts
-    (one row per partition), prefix-sum them on the driver, and add
-    the broadcast offsets to a partition-local dense_rank window.
-    Sorting spills gracefully where a 10M-row wide-key hash table
-    OOMs. Skew caveat: all copies of one key land in one partition —
-    fine for rank keys (prefix groups), pathological only for a
-    corpus that is mostly ONE duplicated document (dedup upstream).
-    Returns (ranked frame, number of distinct keys)."""
-    spark = df.sparkSession
-    np_ = max(spark.sparkContext.defaultParallelism, 2)
-    stamped = (
-        df.repartitionByRange(np_, *key_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    totals = (
-        stamped.groupBy("__pid")
-        .agg(F.countDistinct(*key_cols).alias("__n"))
-        .collect()
-    )
-    running, offs = 0, []
-    for r in sorted(totals, key=lambda r: r["__pid"]):
-        offs.append((r["__pid"], running))
-        running += r["__n"]
-    offsets = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(
-        *[F.col(c).asc() for c in key_cols]
-    )
-    ranked = (
-        stamped.join(F.broadcast(offsets), "__pid", "left")
-        .withColumn(
-            out,
-            (F.dense_rank().over(w) - 1 + F.coalesce("__off", F.lit(0)))
-            .cast("long"),
-        )
-        .drop("__pid", "__off")
-    )
-    return ranked, running
-
-
 def suffix_ranks(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, list[tuple[str, int]], int, int, DataFrame]:
-    """(positions, levels, R0, B, xs_src): ``positions`` = one row per
-    token position, eagerly checkpointed — without a tail it carries
-    (id, pos, dl, xs); in tail mode it runs NARROW as (id, pos, dl,
-    x0, s2, <tail level columns>) where ``s2`` is xs's dense rank
-    (equality-equivalent to xs at 8 bytes) and ``x0`` the first
+) -> tuple[DataFrame, _Tail | None, int, int, int, DataFrame]:
+    """(positions, tail, R0, B, L, xs_src): ``positions`` = one row per
+    token position, eagerly checkpointed — without a tail
+    (``tail is None``) it carries (id, pos, dl, xs); in tail mode it
+    runs NARROW as (id, pos, dl, x0, atop) where ``atop`` is the
+    top-level BLOCK-RANK array (``tail.nb`` elements, each an order-
+    and equality-preserving rank of ``tail.unit`` tokens, −1 past the
+    document end — lexicographic ``atop`` order IS the full suffix
+    order and a leading-run over two arrays certifies LCP in
+    multiples of ``tail.unit``) and ``x0`` the first
     ``min(_X0_LONGS, L)`` packed longs (the pair mini prefix).
     ``xs_src`` is the (id, pos, xs) packed-prefix frame the walk's
     residual probes read; without a tail it is just a projection of
@@ -239,14 +241,10 @@ def suffix_ranks(
     element i encoding the R0 shifted token ranks at
     ``[pos + i·R0, pos + (i+1)·R0)`` in base ``B = m+1`` (sentinel 0
     past the document end), so array comparison == suffix order out to
-    ``base = R0·L`` tokens. ``levels`` is the rank LADDER, ascending
-    ``(column, covered_length)``: ``[("xs", base)]`` without a tail,
-    else ``[("s2", base)]`` plus prefix-doubling tail levels (two
-    positions share a tail level's value iff their suffixes agree
-    on its covered length, padded, or are equal complete suffixes).
-    L adapts to the corpus: ``ceil(max_dl / R0)`` capped at
-    ``_XS_CAP``. Suffixes are per-document (repeats never span
-    documents); zero-token documents contribute no positions."""
+    ``base = R0·L`` tokens. L adapts to the corpus:
+    ``ceil(max_dl / R0)`` capped at ``_XS_CAP``. Suffixes are
+    per-document (repeats never span documents); zero-token documents
+    contribute no positions."""
     t = time.perf_counter()
     src = widen(df.select(id_col, text_col), id_col)
     base_df = barrier(
@@ -262,7 +260,7 @@ def suffix_ranks(
     # materialize the exploded positions ONCE: the vocabulary distinct,
     # the max_dl aggregate and the packing window all re-scan this
     # frame — without the checkpoint each re-runs tokenize+explode
-    ex = ex.localCheckpoint(eager=True)
+    ex = ex.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     ranked, m = _dense_rank_distributed(ex, ["__tok"], "__r0")
     max_dl = ex.agg(F.max("dl")).first()[0] or 1
 
@@ -273,7 +271,17 @@ def suffix_ranks(
     R0 = 1
     while R0 < _R0_CAP and B ** (R0 + 1) < 2 ** 63:
         R0 += 1
-    L = min(max(-(-max_dl // R0), 1), _XS_CAP)
+    Lfull = max(-(-max_dl // R0), 1)
+    if Lfull <= _XS_CAP:
+        L = Lfull  # the packed prefix covers every document: no tail
+    else:
+        # tail mode: balance the packed-prefix width (L longs, ridden
+        # by the one wide sort and the xs_src residual scans) against
+        # the atop width (ceil(max_dl / (R0·L)) block-rank elements,
+        # ridden by the SA sort and EVERY pair row): L ≈ sqrt(Lfull)
+        # equalizes the two, instead of maxing the prefix out at
+        # _XS_CAP and paying 256-byte sort keys for a 7-element atop.
+        L = min(_XS_CAP, max(_X0_LONGS, math.isqrt(Lfull - 1) + 1))
     base = R0 * L
     t = _mark(f"tokenize+vocab (m={m}, R0={R0}, L={L})", t)
 
@@ -303,81 +311,124 @@ def suffix_ranks(
     pos = (
         packed.withColumn("xs", xs)
         .select("id", "pos", "dl", "xs")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     t = _mark(f"packed prefix xs (base={base})", t)
-    levels: list[tuple[str, int]] = [("xs", base)]
     if max_dl <= base:
-        return pos, levels, R0, B, pos.select("id", "pos", "xs")
+        return pos, None, R0, B, L, pos.select("id", "pos", "xs")
 
-    # prefix-doubling TAIL for documents longer than the packed prefix.
-    # The tail rounds run on a NARROW (id, pos, dl, <levels>) frame —
-    # dragging the 256-byte xs through every round's shuffle/checkpoint
-    # was 2x the tail's bytes for nothing; xs rejoins once at the end
-    # (int keys) for the pair tiers and walk fetches. Densifies are
-    # SORT-based: at realistic vocabulary the level-key tables are
-    # position-sized, and the distinct+join strategy's wide-key hash
-    # structures were the measured bottleneck (stress leg in
-    # BENCH_SCALE: the xs densify alone was 109 s of 175).
+    # BLOCK-RANK TAIL for documents longer than the packed prefix.
+    # Each round: rank the current key with a MIN-ROW-NUMBER rank (the
+    # row number of the key group's first row in sorted order — order-
+    # and equality-preserving like a dense rank, but computable with
+    # ONE sort and no window on the key-width frame), then assemble an
+    # array of that rank at block offsets 0, cov, 2·cov, … in ONE
+    # per-doc window pass. Lexicographic order of the array == suffix
+    # order out to its coverage; leading-run equality of two arrays
+    # certifies LCP in multiples of cov as a pure expression. The
+    # first round's key is the wide ``xs`` (the ONLY time the 256-byte
+    # arrays are sorted or shuffled: sequential_id drops them right
+    # after the sort via ``keep`` and group identity rides a two-seed
+    # 128-bit xxhash64 surrogate — the same exactness bar as the
+    # fixed-k family's 64-bit md5-prefix windows; expected false-equal
+    # pairs at 10M groups ~1e14/2^128 ≈ 3e-25); later rounds (needed
+    # only past base·_BLK_CAP = 4096 tokens) sort ≤ _BLK_CAP-long
+    # arrays. Intermediate rounds' arrays are kept (as projections of
+    # the round's own checkpoint — no extra storage) for the pair
+    # walk's descent fetches.
     base_frame = pos
-    ranked, n_dense = _dense_rank_by_sort(pos, ["xs"], "s2")
-    # s2 REPLACES xs as the base ladder level: it is xs's dense rank,
-    # so s2 equality ⟺ xs equality (base-length prefix equality) at
-    # 8 bytes instead of 256. The tail frame also carries the x0 MINI
-    # prefix (first _X0_LONGS packed longs) so adjacent pairs can
-    # resolve short sub-base LCPs without ever touching the wide frame.
     x0w = min(_X0_LONGS, L)
-    pos = ranked.select(
-        "id", "pos", "dl", F.slice("xs", 1, x0w).alias("x0"), "s2"
-    ).localCheckpoint(eager=True)
-    levels = [("s2", base)]
-    t = _mark(f"tail densify xs k={base}", t)
-    k, cur, densified, i = base, "s2", True, 2
-    while k < max_dl:
-        i += 1
-        nxt = f"s{i}"
-        lead2 = F.coalesce(F.lead(cur, k).over(w_doc), F.lit(-1))
-        if densified and (int(n_dense) + 1) ** 2 < 2 ** 63:
-            # COMPOSITE round (measured ~4x cheaper than a densify):
-            # rank·(m+1) + (lead+1) is a single LONG ordering exactly
-            # like the (rank, lead-or-−1) pair; values reach ~m², so
-            # the next round must densify before composing again.
-            pos = pos.withColumn(
-                nxt,
-                F.col(cur).cast("long") * F.lit(int(n_dense) + 1)
-                + (lead2.cast("long") + F.lit(1)),
-            ).localCheckpoint(eager=True)
-            levels.append((nxt, k * 2))
-            t = _mark(f"tail level {nxt} k={k * 2} composite", t)
-            densified, cur, k = False, nxt, k * 2
-            continue
-        # DENSIFY round: dense rank of the (value, shifted value) pair
-        # — restores [0, n) values for the next composite round.
-        # (Truncate lineage every round, or the plan grows per round
-        # and re-actions replay nondeterministic partition stamps.)
-        paired = pos.withColumn("__r2", lead2)
-        pos, n_new = _dense_rank_by_sort(paired, [cur, "__r2"], nxt)
-        pos = pos.drop("__r2").localCheckpoint(eager=True)
-        levels.append((nxt, k * 2))
-        t = _mark(f"tail level {nxt} k={k * 2} densify", t)
-        # Fixpoint stop: refinement only ever SPLITS groups, so
-        # consecutive densify counts equal (the composite between, if
-        # any, only refines) ⟹ the partition never split across a
-        # >=2x refinement window ⟹ it is stable — i.e. IS the
-        # suffix-equality partition (equal top rank ⟺ equal complete
-        # suffixes, the tier-1 short-circuit in _sa_pairs), and
-        # unequal-top pairs then have lcp < the top length (two
-        # distinct suffixes sharing a top-length prefix would have
-        # split in the next round), so the walk still covers them.
-        stable = n_new == n_dense
-        densified, cur, k, n_dense = True, nxt, k * 2, n_new
-        if stable:
+    pos = pos.withColumn("x0", F.slice("xs", 1, x0w))
+    descent: list[tuple[str, int, DataFrame]] = []
+    # current KEY column (sorted this round; its rank covers kcov
+    # tokens): starts as the wide xs (coverage base), becomes an array
+    # of the previous round's rank for every later round
+    keyc, kcov, si = "xs", base, 0
+    while True:
+        si += 1
+        uname = f"u{si}"
+        seq, _n = sequential_id(
+            pos.withColumn("__h1", F.xxhash64(keyc)).withColumn(
+                "__h2", F.xxhash64(F.lit(1), keyc)
+            ),
+            order_by=[F.col(keyc).asc()],
+            name="__rn",
+            start=0,
+            checkpoint=True,
+            with_count=True,
+            checkpoint_level=_CKPT_LEVEL,
+            # the wide xs is dropped right after its one sort; an
+            # intermediate round's array column rides the round's own
+            # checkpoint (the walk's descent fetches read it)
+            keep=(
+                ["id", "pos", "dl", "x0", "__h1", "__h2"]
+                if si == 1
+                else ["id", "pos", "dl", "x0", keyc, "__h1", "__h2"]
+            ),
+        )
+        if si > 1:
+            # descent metadata, coarse -> fine: (array column, tokens
+            # covered by each ELEMENT, frame to fetch it from)
+            descent.insert(
+                0,
+                (keyc, kcov // _BLK_CAP, seq.select("id", "pos", keyc)),
+            )
+        rank_c = F.min("__rn").over(Window.partitionBy("__h1", "__h2"))
+        if si == 1:
+            n_pos = int(_n)
+        if n_pos < 2 ** 31:
+            # min-rn values are row numbers < n_pos: INT when it fits
+            # halves every block-rank array's bytes on the SA sort and
+            # the pair rows (−1 sentinel coerces with the elements)
+            rank_c = rank_c.cast("int")
+        ranked = seq.withColumn(uname, rank_c)
+        nb_total = -(-max_dl // kcov)
+        if nb_total <= _BLK_CAP:
+            # top round: fuse the rank with the atop assembly — one
+            # checkpoint, two window stages (hash-min, then per-doc
+            # leads) in a single job; the rank column itself never
+            # materializes on its own
+            nb = nb_total
+            atop = F.array(
+                F.col(uname),
+                *[
+                    F.coalesce(
+                        F.lead(uname, i * kcov).over(w_doc), F.lit(-1)
+                    )
+                    for i in range(1, nb)
+                ],
+            )
+            pos = (
+                ranked.withColumn("atop", atop)
+                .select("id", "pos", "dl", "x0", "atop")
+                .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+            )
+            unit = kcov
+            t = _mark(f"tail block rank + atop nb={nb} unit={kcov}", t)
             break
-    # the packed prefix stays on its own checkpointed frame: the tail
-    # rounds, the SA sort and the pair rows all stay NARROW (s2 + x0
-    # stand in for xs); only the walk's count-guarded broadcast-probe
-    # residual ever reads the wide frame again
-    return pos, levels, R0, B, base_frame.select("id", "pos", "xs")
+        # intermediate round: a full-width array of the new rank is the
+        # next round's key (coverage multiplies by _BLK_CAP)
+        arr = F.array(
+            F.col(uname),
+            *[
+                F.coalesce(F.lead(uname, i * kcov).over(w_doc), F.lit(-1))
+                for i in range(1, _BLK_CAP)
+            ],
+        )
+        keyc = f"a{si}"
+        pos = (
+            ranked.withColumn(keyc, arr)
+            .select("id", "pos", "dl", "x0", keyc)
+            .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+        )
+        t = _mark(f"tail block rank {uname} unit={kcov}", t)
+        kcov *= _BLK_CAP
+    tail = _Tail(unit=unit, nb=nb, descent=descent)
+    # the packed prefix stays on its own checkpointed frame: the SA
+    # sort and the pair rows stay NARROW (atop + x0 stand in for xs);
+    # only the walk's count-guarded broadcast-probe residual ever
+    # reads the wide frame again
+    return pos, tail, R0, B, L, base_frame.select("id", "pos", "xs")
 
 
 def longest_repeats(
@@ -385,14 +436,22 @@ def longest_repeats(
     text_col: str = "text",
     id_col: str = "doc_id",
     scope: CacheScope | None = None,
+    min_rep: int | None = None,
 ) -> DataFrame:
     """(id, pos, dl, rep): for every token position, the EXACT length of
     the longest substring starting there that occurs at least once more
     anywhere in the corpus (0 when the suffix shares no prefix with any
     other). The suffix-array semantics the fixed-k family approximates.
+
+    ``min_rep`` (optional) pushes a consumer threshold into the pair
+    pass: positions whose rep would be < min_rep are OMITTED from the
+    result entirely (instead of reported with their small rep), and
+    the exploded max-aggregate below runs on the duplicate-sized
+    surviving pair set instead of the corpus-sized full one. Exact for
+    any consumer that filters rep >= min_rep (both span operators do).
     """
     scope, created = scoped(scope)
-    sa, pairs = _sa_pairs(df, text_col, id_col, scope)
+    sa, pairs = _sa_pairs(df, text_col, id_col, scope, min_rep=min_rep)
     # rep = max(LCP with predecessor, LCP with successor). Each pair
     # contributes its lcp to BOTH members, and the pair row already
     # carries both members' (id, pos, dl) — so explode to two
@@ -419,6 +478,10 @@ def longest_repeats(
         .groupBy("m.id", "m.pos", "m.dl")
         .agg(F.max("lcp").alias("rep"))
     )
+    if min_rep is not None:
+        # walk stragglers may finalize below the pushed threshold —
+        # enforce the OMITTED contract here (cheap: post-aggregate)
+        rep = rep.filter(F.col("rep") >= min_rep)
     if getattr(sa, "_sa_count", None) == 1:
         rep = sa.select(
             "id", "pos", "dl", F.lit(0).cast("long").alias("rep")
@@ -446,7 +509,9 @@ def suffix_duplicate_spans(
     length path ADDS is ``longest_repeats``' exact per-position rep —
     the quantity the fixed-k scheme cannot report — at
     O(log max_len)-shuffle cost instead of one."""
-    rep = longest_repeats(df, text_col=text_col, id_col=id_col, scope=scope)
+    rep = longest_repeats(
+        df, text_col=text_col, id_col=id_col, scope=scope, min_rep=min_len
+    )
     spans = rep.filter(F.col("rep") >= min_len)
     prev = (
         Window.partitionBy("id")
@@ -503,6 +568,25 @@ def _xs_run(xa: Column, xb: Column, L: int, R0: int, B: int) -> Column:
     return F.when(xa.isNotNull() & xb.isNotNull(), out)
 
 
+def _blk_run(aa: Column, ab: Column) -> Column:
+    """Leading equal-element count of two equal-length block-rank
+    arrays — the pair's LCP in BLOCKS as one expression. Shared −1
+    past-end sentinels compare equal, so a run through shared padding
+    can only overcount past a document end — repaired exactly by the
+    caller's ``least(lcp, remaining)`` clamp (and full-array equality
+    is tier-1'd to equal complete suffixes before the run is used).
+    NULL in (cursor row absent) ⟹ NULL out. (A when-chain of flat
+    element compares was tried for codegen's sake and measured 2x
+    WORSE on the pair pass — the 14-branch chain duplicated per
+    reference dwarfed the higher-order-function overhead; the caller
+    instead guarantees single evaluation by deriving every dependent
+    flag from ONE aliased run column.)"""
+    z = F.zip_with(aa, ab, lambda x, y: x == y)
+    fpos = F.array_position(z, False)
+    n = F.when(fpos > 0, fpos - 1).otherwise(F.size(aa))
+    return F.when(aa.isNotNull() & ab.isNotNull(), n.cast("long"))
+
+
 def _cursor_lookup(
     act: DataFrame,
     tbl: DataFrame,
@@ -552,11 +636,64 @@ def _cursor_lookup(
     )
 
 
+def _cursor_lookup_both(
+    act: DataFrame,
+    tbl: DataFrame,
+    val_col: str,
+    out_a: str,
+    out_b: str,
+    n_act: int,
+) -> DataFrame:
+    """Fetch ``tbl``'s ``val_col`` at BOTH sides' walk cursors with ONE
+    scan of ``tbl``: the two probe sets union into a single broadcast
+    (side-tagged), the inner join streams the table once, and a tiny
+    group-by pivots the hits back into per-pair (out_a, out_b) columns.
+    Past the broadcast guard it falls back to the two expression-keyed
+    shuffle joins of ``_cursor_lookup``."""
+    if n_act > _PROBE_BROADCAST_MAX:
+        act = _cursor_lookup(act, tbl, val_col, out_a, "a", n_act)
+        return _cursor_lookup(act, tbl, val_col, out_b, "b", n_act)
+    probes = act.select(
+        "idb", "posb",
+        F.col("ida").alias("__pid"),
+        (F.col("posa") + F.col("lcp")).alias("__ppos"),
+        F.lit(0).alias("__side"),
+    ).unionByName(
+        act.select(
+            "idb", "posb",
+            F.col("idb").alias("__pid"),
+            (F.col("posb") + F.col("lcp")).alias("__ppos"),
+            F.lit(1).alias("__side"),
+        )
+    )
+    hits = (
+        tbl.join(
+            F.broadcast(probes),
+            (F.col("id") == F.col("__pid"))
+            & (F.col("pos") == F.col("__ppos")),
+            "inner",
+        )
+        .groupBy("idb", "posb")
+        .agg(
+            F.first(
+                F.when(F.col("__side") == 0, F.col(val_col)),
+                ignorenulls=True,
+            ).alias(out_a),
+            F.first(
+                F.when(F.col("__side") == 1, F.col(val_col)),
+                ignorenulls=True,
+            ).alias(out_b),
+        )
+    )
+    return act.join(F.broadcast(hits), ["idb", "posb"], "left")
+
+
 def _sa_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     scope: CacheScope,
+    min_rep: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(sa, pairs): ``sa`` = every position with its suffix-array index
     ``__sa`` (order: top-level key, ties — equal complete suffixes —
@@ -564,6 +701,18 @@ def _sa_pairs(
     (ida, posa, dla, idb, posb, dlb, __i, lcp) where ``__i`` is the
     successor's sa index and ``lcp`` the pair's exact LCP. The shared
     core of ``longest_repeats`` and ``suffix_span_removal``.
+
+    ``min_rep`` (optional) is the consumers' threshold pushdown: pairs
+    resolved by the carried tiers with lcp < min_rep are dropped
+    BEFORE the pair frame is materialized (a pair below the threshold
+    can only produce reps below it, and a missing predecessor pair
+    reads as lcp_prev NULL — the same run-boundary decision as
+    lcp_prev < min_len in the removal). Walk pairs are kept regardless
+    (their lcp finalizes later; stragglers that finalize below the
+    threshold are harmless — every consumer thresholds again). At
+    realistic duplication rates this shrinks the materialized pair
+    frame and the downstream exploded aggregate from corpus-sized to
+    duplicate-sized.
 
     Common case (every document within ``base = R0·L`` tokens): the
     adjacent pair's LCP is ``_xs_run`` over the two CARRIED packed
@@ -574,31 +723,27 @@ def _sa_pairs(
     the end clamp only lowers — exact duplicate documents were
     undercounted before this tier existed (ADVICE r10, high).
 
-    With a prefix-doubling tail (documents longer than base), three
-    tiers, cheapest first:
+    With a block-rank tail (documents longer than base), three tiers,
+    cheapest first:
 
-    1. equal TOP level ⟹ equal complete suffixes ⟹ lcp = remaining.
-       True on both tail exit paths: at the natural exit the top
-       length >= max_dl (padded-prefix equality is whole-suffix
-       equality); at the fixpoint break the partition is stable, and a
-       stable prefix-doubling partition IS the suffix-equality
-       partition.
-    2. offset-0, carried: ladder levels are hierarchical (longer level
-       equal ⟹ every shorter equal), so one CASE over the carried INT
-       ranks (base rung: ``s2``, xs's dense rank) finds the highest
-       matching level h; no match ⟹ lcp < base, and when the suffixes
-       first differ inside the carried ``x0`` mini prefix the LCP is
-       read off it exactly. Nearly every pair resolves here — on
-       random text the expected adjacent LCP is ~log_m N tokens,
-       well inside ``x0``.
-    3. join walk: ladder levels below h, descending, at moving cursors
-       ``pos + lcp`` (count-guarded broadcast probes), then one
-       xs fetch for the sub-base residual — shared by x0-deep pairs
-       (no ladder match but x0 fully equal), which enter at lcp = 0
-       and read their whole sub-base run from the fetch. Coverage is
-       exact and tight: a miss at level len bounds the residual < len,
-       and Σ(lower levels) + (base−1) = top − 1; unequal-top pairs
-       under the fixpoint break have lcp < top by stability.
+    1. fully equal ``atop`` arrays ⟹ equal complete suffixes ⟹ lcp =
+       remaining (the arrays cover >= max_dl tokens and encode the
+       end-of-document alignment through the packed sentinel and the
+       −1 past-end blocks).
+    2. offset-0, carried: the leading-run over the two carried
+       ``atop`` arrays certifies ``run·unit`` tokens as one
+       expression; run == 0 pairs whose suffixes first differ inside
+       the carried ``x0`` mini prefix read their LCP off it exactly.
+       Nearly every pair resolves here — on random text the expected
+       adjacent LCP is ~log_m N tokens, well inside ``x0``.
+    3. join walk: descend the (usually empty) list of finer block
+       arrays at the moving cursor ``pos + lcp`` — each scale is one
+       count-guarded broadcast fetch per side plus a leading-run
+       expression, and the cursor stays aligned with the block that
+       failed one scale above by construction — then one ``xs`` fetch
+       for the sub-base residual. Coverage is exact and tight: a
+       failed block at any scale bounds that scale's residual below
+       one block, and the runs telescope down to the packed prefix.
 
     Driver syncs are metadata-sized: per-partition (min, max) __sa
     bounds for the boundary stitch (one row per partition, both
@@ -609,43 +754,24 @@ def _sa_pairs(
     The final ``least(lcp, remaining)`` clamp repairs the one
     overcount the shared end-of-document sentinel allows (padded
     matches past a document end)."""
-    pos, levels, R0, B, xs_src = suffix_ranks(
+    pos, tail, R0, B, L, xs_src = suffix_ranks(
         df, text_col=text_col, id_col=id_col
     )
     t = time.perf_counter()
-    top, _top_len = levels[-1]
-    base = levels[0][1]
-    L = base // R0
-    has_tail = len(levels) > 1
+    has_tail = tail is not None
     x0w = min(_X0_LONGS, L)
     mini = x0w * R0
-    # in tail mode the rank frame is NARROW: the 256-byte xs never
-    # leaves its checkpointed frame (xs_src) — the ladder's base rung
-    # is s2 (xs's dense rank, equality-equivalent at 8 bytes) and the
-    # pair's sub-base LCP resolves from the carried x0 MINI prefix
-    # when the suffixes first differ within 2·R0 tokens (the common
-    # case); only the rare deeper pairs fetch full xs through the
-    # walk's broadcast-probe residual. (Round 11 instead attached both
-    # full arrays to all ~10M pair rows with two hash joins — 54.6 s
-    # of the 128 s long-doc stress leg, and those hash tables were the
-    # 24 GiB driver-heap cliff. The walk still re-reads the rank table
-    # for mid-level probes — the packed-prefix-only path would persist
-    # it for nothing.)
-    carry_cols = [n for n, _ in levels] if has_tail else []
-    pair_carry = ["x0", *carry_cols] if has_tail else ["xs"]
-    ranks = scope.persist(pos) if has_tail else pos
-    sort_src = (
-        ranks.select("id", "pos", "dl", "x0", *carry_cols)
-        if has_tail
-        else pos
-    )
+    base = R0 * L
+    top = "atop" if has_tail else "xs"
+    pair_carry = ["x0", "atop"] if has_tail else ["xs"]
     sa, n_sa = sequential_id(
-        sort_src,
+        pos,
         order_by=[F.col(top).asc(), F.col("id").asc(), F.col("pos").asc()],
         name="__sa",
         start=0,
         checkpoint=True,
         with_count=True,
+        checkpoint_level=_CKPT_LEVEL,
     )
     # ride the (free) position count along for longest_repeats'
     # one-position-corpus guard — same rides-on-the-frame convention
@@ -703,100 +829,114 @@ def _sa_pairs(
     keep = ["ida", "posa", "dla", "idb", "posb", "dlb", "__i"]
 
     if not has_tail:
-        # packed-prefix-only: the LCP is one expression on the pair row
+        # packed-prefix-only: the LCP is one expression on the pair
+        # row. The interpreted higher-order run is aliased ONCE and
+        # the full-equality branch derives from the column (the
+        # optimizer declines to collapse projections that would
+        # duplicate a non-cheap expression, so this is a real 2x on
+        # the per-pair cost, the no-tail hot path).
         run0 = _xs_run(F.col("__a_xs"), F.col("__b_xs"), L, R0, B)
         pairs = (
-            pj.select(
+            pj.select(*keep, run0.alias("__r0p"))
+            .select(
                 *keep,
-                F.when(run0 >= base, rem).otherwise(run0).alias("lcp"),
+                F.when(F.col("__r0p") >= base, rem)
+                .otherwise(F.col("__r0p"))
+                .alias("lcp"),
             )
         )
+        if min_rep is not None:
+            pairs = pairs.filter(F.col("lcp") >= min_rep)
     else:
-
-        def eq(c: str):
-            return F.col(f"__a_{c}") == F.col(f"__b_{c}")
-
-        chain = levels[:-1]  # s2 (base rung) + mid tail levels, asc
-        h = F.when(eq(chain[-1][0]), F.lit(chain[-1][1]).cast("long"))
-        for n_, ln_ in reversed(chain[:-1]):
-            h = h.when(eq(n_), F.lit(ln_).cast("long"))
-        h = h.otherwise(F.lit(None).cast("long"))
-        # mini-prefix run: exact sub-base LCP whenever the suffixes
-        # first differ inside the carried x0 window (< mini tokens);
-        # a full run (== mini) says only "they agree through x0" —
-        # those pairs fetch full xs in the walk's residual (lcp
-        # starts at 0 and the fetch at cursor pos+0 reads the whole
-        # sub-base run exactly; s2 inequality bounds it < base).
+        # tier 2: leading-run over the two carried atop arrays — the
+        # LCP in multiples of tail.unit as one expression; fully equal
+        # arrays (run == nb) are tier 1 (equal complete suffixes ⟹
+        # lcp = remaining: a bounded descent cannot reach it and the
+        # end clamp only lowers — ADVICE r10's undercount class).
+        # Sub-base pairs (run == 0): the x0 mini-prefix run gives the
+        # LCP exactly whenever the suffixes first differ inside it
+        # (< mini tokens, the common case); a full x0 run says only
+        # "equal through x0" — those pairs join the walk at lcp = 0
+        # and read their whole sub-base run from the residual fetch.
+        # runt (the interpreted higher-order run) is aliased ONCE as
+        # __cert and every dependent flag derives from the column —
+        # full equality iff the certified length reaches the arrays'
+        # whole coverage (run == nb ⟺ cert == nb·unit), so the run is
+        # evaluated exactly once per pair row.
+        runt = _blk_run(F.col("__a_atop"), F.col("__b_atop"))
         run01 = _xs_run(F.col("__a_x0"), F.col("__b_x0"), x0w, R0, B)
         pairs = (
             pj.select(
                 *keep,
-                eq(top).alias("__eqf"), h.alias("__h"),
+                (runt * F.lit(tail.unit)).alias("__cert"),
                 run01.alias("__r01"),
+            )
+            .withColumn(
+                "__eqf", F.col("__cert") == F.lit(tail.nb * tail.unit)
             )
             .withColumn(
                 "lcp",
                 F.when(F.col("__eqf"), rem)
-                .when(F.col("__h").isNotNull(), F.col("__h"))
-                .when(F.col("__r01") < mini, F.least(F.col("__r01"), rem))
-                .otherwise(F.lit(0))
+                .when(
+                    (F.col("__cert") == 0) & (F.col("__r01") < mini),
+                    F.least(F.col("__r01"), rem),
+                )
+                .otherwise(F.col("__cert"))
                 .cast("long"),
             )
             .withColumn(
                 "__w",
                 (~F.col("__eqf"))
-                & (F.col("__h").isNotNull() | (F.col("__r01") >= mini)),
+                & ((F.col("__cert") > 0) | (F.col("__r01") >= mini)),
             )
-            .drop("__r01")
+            .drop("__r01", "__cert")
         )
-        # materialize the tier frame ONCE (narrow: x0 and the level
-        # ranks are already collapsed into lcp/__h/__w): both the walk
-        # and the done branch read it, and without the checkpoint the
-        # done branch would re-run the adjacency window
+        # threshold pushdown: tier-resolved pairs below min_rep can
+        # never produce a rep >= min_rep — drop them BEFORE the
+        # materialization (walk pairs stay: their lcp finalizes below)
+        if min_rep is not None:
+            pairs = pairs.filter(
+                F.col("__w") | (F.col("lcp") >= min_rep)
+            )
+        # materialize the tier frame ONCE (narrow: x0 and atop are
+        # already collapsed into lcp/__w): both the walk and the done
+        # branch read it, and without the checkpoint the done branch
+        # would re-run the adjacency window
         pairs = pairs.localCheckpoint(eager=True)
         # pairs fully resolved by the carried tiers never enter the walk
-        done = pairs.filter(~F.col("__w")).drop("__eqf", "__h", "__w")
+        done = pairs.filter(~F.col("__w")).drop("__eqf", "__w")
         walk = pairs.filter(F.col("__w")).drop("__eqf", "__w")
         walk = walk.localCheckpoint(eager=True)
         t = _mark("pair tiers (carried)", t)
         n_walk = walk.count()
-        for name, ln in reversed(chain[:-1]):
-            # NULL __h (x0-deep pairs headed straight for the residual
-            # fetch) must sort into idle, not vanish: a bare __h > ln
-            # is NULL for them and both filter branches would drop them
-            active = F.col("__h").isNotNull() & (F.col("__h") > ln)
-            idle = walk.filter(~active)
-            act = walk.filter(active)
-            lv = (
-                xs_src if name == "xs"
-                else ranks.select("id", "pos", name)
-            )
-            act = _cursor_lookup(act, lv, name, "__ra", "a", n_walk)
-            act = _cursor_lookup(act, lv, name, "__rb", "b", n_walk)
-            hit = (
-                F.col("__ra").isNotNull()
-                & F.col("__rb").isNotNull()
-                & (F.col("__ra") == F.col("__rb"))
-            )
-            act = act.withColumn(
+        # descent: one fetch pair + leading-run per finer scale, at the
+        # moving cursor pos + lcp — which stays aligned with the block
+        # that failed one scale above by construction, so each scale's
+        # run is exact and the residuals telescope down to the packed
+        # prefix. Empty for corpora within unit·_BLK_CAP tokens.
+        for name, ucov, frm in tail.descent:
+            walk = _cursor_lookup_both(walk, frm, name, "__ba", "__bb", n_walk)
+            walk = walk.withColumn(
                 "lcp",
-                F.when(hit, F.col("lcp") + F.lit(ln)).otherwise(F.col("lcp")),
-            ).drop("__ra", "__rb")
-            walk = act.unionByName(idle).localCheckpoint(eager=True)
-            t = _mark(f"lcp walk level {name} len={ln}", t)
+                F.col("lcp")
+                + F.coalesce(
+                    _blk_run(F.col("__ba"), F.col("__bb")), F.lit(0)
+                )
+                * F.lit(ucov),
+            ).drop("__ba", "__bb")
+            walk = walk.localCheckpoint(eager=True)
+            t = _mark(f"lcp descent {name} unit={ucov}", t)
         # final sub-base residual: one xs fetch at the walk's end cursor
         # (a full-run fetch means both cursors sit in shared past-end
         # padding or an end-reaching match — the clamp finishes it)
-        gw = xs_src
-        walk = _cursor_lookup(walk, gw, "xs", "__xca", "a", n_walk)
-        walk = _cursor_lookup(walk, gw, "xs", "__xcb", "b", n_walk)
+        walk = _cursor_lookup_both(walk, xs_src, "xs", "__xca", "__xcb", n_walk)
         walk = walk.withColumn(
             "lcp",
             F.col("lcp")
             + F.coalesce(
                 _xs_run(F.col("__xca"), F.col("__xcb"), L, R0, B), F.lit(0)
             ),
-        ).drop("__xca", "__xcb", "__h")
+        ).drop("__xca", "__xcb")
         t = _mark("lcp residual xs fetch", t)
         pairs = done.unionByName(walk)
 
@@ -892,11 +1032,11 @@ def suffix_span_removal(
     dedup_suffix_removal — run == equal-min_len-prefix group, cut ==
     pairwise LCP to the canonical by the RMQ identity); the
     brute-force twin + hand fixtures in tests/test_dedup_similarity.py
-    cover non-default min_len and the doubling-tail path."""
+    cover non-default min_len and the block-rank tail path."""
     from dwh_with_dask_spark.operators.dedup import _reassemble_after_cuts
 
     scope, created = scoped(scope)
-    sa, pairs = _sa_pairs(df, text_col, id_col, scope)
+    sa, pairs = _sa_pairs(df, text_col, id_col, scope, min_rep=min_len)
     # Per-row (rep, lcp_prev) from ONE exploded aggregate — no sa
     # self-joins: each adjacent pair carries both members' identities,
     # contributes its lcp to both members' rep, and IS the successor

@@ -1240,11 +1240,16 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LCP of two token-array suffixes as DuckDB list ops: zip (NULL-padded
 # to the longer), positional equality with NULL->FALSE (stops at the
 # shorter suffix's end), first FALSE position; no FALSE at all means
-# the suffixes are equal through the shorter's full length.
+# the suffixes are equal through the shorter's full length. DuckDB
+# 1.0's list_position returns 0 (not NULL) when the needle is absent —
+# NULLIF is what routes the no-mismatch case (equal suffixes of EQUAL
+# length, i.e. exact-duplicate documents: NULL-padding inserts a FALSE
+# whenever the lengths differ) to the LEAST(len) fallback; without it
+# the expression read 0 - 1 = -1 and exact-dup members were never cut.
 def _suffix_lcp_sql(sa: str, sb: str) -> str:
     return (
-        f"COALESCE(list_position(list_transform(list_zip({sa}, {sb}),"
-        f" x -> COALESCE(x[1] = x[2], FALSE)), FALSE) - 1,"
+        f"COALESCE(NULLIF(list_position(list_transform(list_zip({sa}, {sb}),"
+        f" x -> COALESCE(x[1] = x[2], FALSE)), FALSE), 0) - 1,"
         f" LEAST(len({sa}), len({sb})))"
     )
 

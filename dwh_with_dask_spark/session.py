@@ -54,6 +54,19 @@ def get_spark(
         # Deterministic timestamp semantics across engines (DuckDB oracle
         # reads the same parquet with naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
+        # localCheckpoint blocks are freed by the ContextCleaner only
+        # after a JVM GC collects the RDD reference; long multi-query
+        # sessions (bench loops, notebook use) otherwise accumulate
+        # dead checkpoint storage until eviction churn sets in. The
+        # default periodic-GC interval is 30min — far past any local
+        # run; 45s keeps dead blocks bounded at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        # lz4 for SERIALIZED persisted blocks (only blocks stored at a
+        # *_SER level opt in — the suffix module's big rank/array
+        # frames): rank arrays compress 2-4x, which is what lets a
+        # 10M-position suffix build stay memory-resident on an 8g
+        # heap instead of thrashing the block manager.
+        .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
     )
     if master.startswith("local"):

@@ -1,27 +1,31 @@
 """Suffix-array TAIL stress (rounds 11-12): on a REALISTIC corpus
 shape — large vocabulary (R0 small) and documents far longer than the
-packed prefix — the prefix-doubling tail is the COMMON path, not the
-edge. This leg builds such a corpus deterministically, runs BOTH
+packed prefix — the block-rank tail is the COMMON path, not the edge.
+This leg builds such a corpus deterministically, runs BOTH
 suffix_duplicate_spans and suffix_span_removal end-to-end (tail
-active: densify+composite rounds + broadcast-probe walks), checks
-spans against the fixed-k8 DuckDB twin (coverage equivalence — exact
-VALUES, not just timing) and removal against the FULL suffix-removal
-DuckDB oracle (plans/llm._SUFFIX_REMOVAL_CTES — run/RMQ identities,
-per-doc md5 of the cleaned text), and appends the measured rows + the
-tail's phase decomposition to BENCH_SCALE.md.
+active: the wide packed-prefix sort, the atop block-rank assembly and
+the broadcast-probe residual fetches), checks spans against the
+fixed-k8 DuckDB twin (coverage equivalence — exact VALUES, not just
+timing) and removal against the FULL suffix-removal DuckDB oracle
+(plans/llm._SUFFIX_REMOVAL_CTES — run/RMQ identities, per-doc md5 of
+the cleaned text), and appends the measured rows + the tail's phase
+decomposition to BENCH_SCALE.md.
 
 Corpus: 20k docs, length 200..800 tokens, vocabulary 50k words, with a
 1% exact-duplicate tail and planted shared passages (so spans is
-non-trivial). R0 = floor(63/log2(50001)) = 4, base = 4*32 = 128 -> all
-documents beyond ~1 packed prefix take the tail.
+non-trivial). R0 = floor(63/log2(50001)) = 4; the balanced tail picks
+L = ceil(sqrt(ceil(800/4))) = 15 (base = 60, atop = 14 block ranks).
 
 Usage: python scripts/exp_suffix_longdocs.py (idle machine). Runs at
-the DEFAULT 8g driver heap since round 12: the SA sort and pair rows
-carry s2+x0 (~80 B/row) instead of the 256-byte packed arrays, so the
-peak is pinned localCheckpoint storage (~7-9 GiB across the xs frame,
-the densify stamps and the narrow tail frames — MEMORY_AND_DISK, so
-past-heap overflow spills instead of OOMing the old pair-join hash
-tables)."""
+the DEFAULT 8g driver heap: every frame spills gracefully
+(MEMORY_AND_DISK) — no OOM at any heap. Memory-sizing rule (measured,
+BENCH_SCALE round 12): the pipeline keeps ~0.6 KB of localCheckpoint
+storage per corpus token-position live across its four big frames;
+size executor storage above that (16g heap here) for fully-resident
+runs, or accept the measured spill penalty at 8g. Between runs the
+script forces a JVM GC so the ContextCleaner frees the previous
+run's checkpoint blocks (otherwise runs degrade as dead storage
+accumulates — the blocks are freed on RDD GC, not on query end)."""
 
 from __future__ import annotations
 
@@ -112,6 +116,17 @@ def gen_corpus(spark) -> None:
     docs.unionByName(dups).coalesce(8).write.mode("overwrite").parquet(CORPUS)
 
 
+def _gc_hygiene(spark) -> None:
+    """Free the previous run's dead checkpoint blocks: drop Python
+    refs, force a JVM GC (ContextCleaner unpersists on RDD collect),
+    and give the async cleaner a beat."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
+
+
 def main() -> None:
     # refuse to time on a busy box (BASELINE.md protocol): wait for the
     # 1-minute load to drain below 1.5 before starting
@@ -135,6 +150,7 @@ def main() -> None:
     suffix.TIMINGS = None
     ts = []
     for _ in range(2):
+        _gc_hygiene(spark)
         t0 = time.perf_counter()
         suffix.suffix_duplicate_spans(docs, min_len=8).count()
         ts.append(time.perf_counter() - t0)
@@ -154,6 +170,7 @@ def main() -> None:
 
     # ---- removal leg (round 12): exact VALUES against the full
     # suffix-removal oracle, per-doc md5 of the cleaned text ----
+    _gc_hygiene(spark)
     from pyspark.sql import functions as F
 
     from dwh_with_dask_spark.operators.suffix import suffix_span_removal
@@ -171,6 +188,7 @@ def main() -> None:
     suffix.TIMINGS = None
     ts_rm = []
     for _ in range(2):
+        _gc_hygiene(spark)
         t0 = time.perf_counter()
         suffix_span_removal(docs, min_len=8).select(F.md5("clean_text")).count()
         ts_rm.append(time.perf_counter() - t0)
@@ -202,16 +220,17 @@ def main() -> None:
 
     with open(os.path.join(REPO, "BENCH_SCALE.md"), "a") as f:
         f.write(
-            "\n## Suffix doubling-tail stress — long docs, large vocab "
+            "\n## Suffix block-rank tail stress — long docs, large vocab "
             "(appended by exp_suffix_longdocs)\n\n"
             f"{N_DOCS + N_DOCS // 100} docs x 200-800 tokens, vocabulary "
-            f"{VOCAB} (R0=4, base=128 ->\nthe prefix-doubling tail is the "
-            "COMMON path: every doc beyond 128 tokens\nwalks it), planted "
-            "64-token shared passages + 1% exact duplicates.\n"
-            "Values hash-equal the fixed-k8 DuckDB twin (coverage "
-            "equivalence) —\nthis row exercises densify/composite tail "
-            "rounds AND the broadcast-probe\nwalk at realistic vocabulary, "
-            "which the small-vocab sf corpora cannot.\n\n"
+            f"{VOCAB} (R0=4, balanced L=15, base=60 ->\nthe block-rank "
+            "tail is the COMMON path: every doc beyond 60 tokens\ntakes "
+            "it), planted 64-token shared passages + 1% exact "
+            "duplicates.\nValues hash-equal the fixed-k8 DuckDB twin "
+            "(coverage equivalence) —\nthis row exercises the wide "
+            "packed-prefix sort, the atop assembly AND the\n"
+            "broadcast-probe residual at realistic vocabulary, which the "
+            "small-vocab\nsf corpora cannot.\n\n"
             "| query | spark s (med of 3) | duckdb s | ratio |\n"
             "| --- | --- | --- | --- |\n"
             f"| suffix spans, long-doc corpus | {spark_med:.2f} | "

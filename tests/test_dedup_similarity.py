@@ -1299,6 +1299,52 @@ def test_suffix_span_removal_matches_bruteforce(spark):
     assert 5 not in got  # below min_len tokens
 
 
+def test_suffix_removal_oracle_exact_dup_docs(spark, duck):
+    """Round-12 regression for the DuckDB REMOVAL oracle itself:
+    _suffix_lcp_sql relied on list_position(..., FALSE) returning NULL
+    when no mismatch exists, but DuckDB 1.0 returns 0 — so the
+    no-mismatch class (equal suffixes of EQUAL length, i.e. exact
+    duplicate documents at the same position; NULL-padding inserts a
+    FALSE whenever lengths differ) computed e = pos - 1 and the oracle
+    silently removed NOTHING from exact-dup members. The sf corpora
+    have no exact-dup docs, so only the long-doc stress leg caught it.
+    Pin spark == brute force == oracle on a corpus WITH exact dups."""
+    from dwh_with_dask_spark.operators.suffix import suffix_span_removal
+    from dwh_with_dask_spark.plans.llm import _SUFFIX_REMOVAL_CTES
+
+    boiler = "this exact passage repeats across documents verbatim today"
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(12))),
+        (2, " ".join(f"a{i}" for i in range(12))),  # exact dup of 1
+        (3, f"head words {boiler} tail"),
+        (4, f"{boiler} other ending"),
+        (5, "nothing shared in this one at all whatsoever really"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in suffix_span_removal(d, min_len=8).collect()
+    }
+    assert got == _brute_suffix_removal(docs, 8)
+    # the canonical copy survives intact, the dup is fully cut
+    assert got[1][1] == 0 and got[2] == (12, 12, "")
+
+    con = duck.cursor()
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"WITH {_SUFFIX_REMOVAL_CTES} "
+            "SELECT doc_id, n_tokens, n_removed, clean_text FROM clean"
+        ).fetchall()
+    }
+    assert got == want
+    con.execute("DROP TABLE documents")
+
+
 def test_suffix_identical_docs_full_length_repeats(spark):
     """ADVICE r10 (high) regression: EXACT duplicate documents must
     report full-length repeats. Two confirmed triggers of the old
@@ -1337,13 +1383,15 @@ def test_suffix_identical_docs_full_length_repeats(spark):
 
 
 def test_suffix_doubling_tail_and_probe_fallback(spark, monkeypatch):
-    """The prefix-doubling TAIL (documents longer than the packed
-    prefix base = R0·L) and the walk's shuffle-join fallback are
-    exercised against the quadratic reference by forcing _XS_CAP=1
-    (base = R0 — every doc longer than one packed long takes the tail)
-    and _PROBE_BROADCAST_MAX=0 (every cursor lookup takes the
-    expression-keyed shuffle join). Includes an exact duplicate doc
-    (equal complete suffixes through the tail's tier-1) and the
+    """The block-rank TAIL (documents longer than the packed prefix
+    base = R0·L) and the walk's shuffle-join fallback are exercised
+    against the quadratic reference by forcing _XS_CAP=1 (base = R0 —
+    every doc longer than one packed long takes the tail),
+    _BLK_CAP=2 (multi-SCALE recursion: intermediate block arrays +
+    the descent fetches, which a 32-wide top array would never need
+    on small docs) and _PROBE_BROADCAST_MAX=0 (every cursor lookup
+    takes the expression-keyed shuffle join). Includes an exact
+    duplicate doc (equal complete suffixes through tier-1) and the
     removal operator end-to-end."""
     import random
 
@@ -1364,6 +1412,7 @@ def test_suffix_doubling_tail_and_probe_fallback(spark, monkeypatch):
     want = _brute_longest_repeats(docs)
 
     monkeypatch.setattr(suffix, "_XS_CAP", 1)
+    monkeypatch.setattr(suffix, "_BLK_CAP", 2)
     got = {
         (r.id, r.pos): r.rep for r in suffix.longest_repeats(d).collect()
     }
