@@ -1132,6 +1132,24 @@ def build_span_index(
     return _span_windows(df, text_col, id_col, k).select("h").distinct()
 
 
+def build_span_doc_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Distinct (window hash, doc id) pairs of a corpus — the
+    id-carrying variant of ``build_span_index``, the stored side of
+    the suffix family's incremental composition
+    (``suffix.suffix_spans_incremental``): probing a batch's window
+    hashes against it names exactly the corpus documents any batch
+    document can share a >= k-token repeat with. 24 bytes per distinct
+    (window, doc) pair; bounded by the corpus's distinct windows times
+    their document frequency, not by repetition within a document."""
+    return (
+        _span_windows(df, text_col, id_col, k)
+        .select(F.col("id").alias(id_col), "h")
+        .distinct()
+    )
+
+
 def incremental_duplicate_spans(
     batch: DataFrame,
     index: DataFrame,

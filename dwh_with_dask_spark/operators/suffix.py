@@ -98,12 +98,16 @@ that makes rebuild-only acceptable: the full variable-length pass
 costs ~2x the fixed-k oracle at sf1/sf10 (BENCH_SCALE), i.e. a
 per-refresh rebuild is ~5x the cost of one fixed-k full pass — fine
 for daily/weekly corpus refreshes, wrong for per-batch calls. The
-supported incremental COMPOSITION for streaming ingestion: probe each
-batch against the fixed-k stored index first (O(batch),
-``dedup.span_probe_sink``), and run this module's exact pass only on
-the colliding documents at the next scheduled rebuild — collisions at
-``k = min_len`` are exactly the documents whose variable-length spans
-can have changed (a new >= min_len repeat implies a shared k-window).
+supported incremental COMPOSITION for per-batch calls is IMPLEMENTED
+as ``suffix_spans_incremental``/``suffix_removal_incremental``
+(round 12): probe the batch's min_len-windows against the fixed-k
+stored ``dedup.build_span_doc_index`` (O(batch)), pull only the
+COLLIDING corpus documents, and run the exact pass on that closure —
+EXACT for the batch rows, because collisions at ``k = min_len`` name
+every document a reportable (>= min_len) repeat can involve (a
+shared >= min_len repeat implies a shared k-window), so the closure
+contains the batch positions' entire suffix-array runs. Per-batch
+cost tracks |batch| + actual duplication, never |corpus|.
 
 Reference for parity: the reference repo has no dedup at all; this is
 SURVEY.md §2B north-star surface (the training-data-pipeline layer).
@@ -1138,3 +1142,94 @@ def suffix_span_removal(
     )
     out = _reassemble_after_cuts(df, ivals, text_col, id_col, min_len)
     return attach(out, scope, created)
+
+
+def _colliding_closure(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int,
+) -> DataFrame:
+    """batch ∪ {corpus docs sharing a >= min_len-token window with the
+    batch}, by probing the batch's window hashes against the stored
+    ``dedup.build_span_doc_index`` (id-carrying). The probe is
+    O(batch windows); the corpus enters only through the index join
+    and one left-semi filter (predicate-pushdown friendly)."""
+    from dwh_with_dask_spark.operators.dedup import _span_windows
+
+    bw = _span_windows(batch, text_col, id_col, min_len)
+    hit_ids = (
+        index.join(bw.select("h").distinct(), "h")
+        .select(id_col)
+        .distinct()
+    )
+    subset = corpus.select(id_col, text_col).join(
+        hit_ids, id_col, "left_semi"
+    )
+    return subset.unionByName(batch.select(id_col, text_col))
+
+
+def suffix_spans_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """``suffix_duplicate_spans`` of (corpus ∪ batch), restricted to
+    batch documents, WITHOUT running the suffix pass over the corpus —
+    the incremental composition the module docstring scopes: probe the
+    batch against the fixed-k stored index (``index`` =
+    ``dedup.build_span_doc_index(corpus, k=min_len)``), pull only the
+    COLLIDING corpus documents, and run the exact pass on that closure.
+
+    EXACT, by the collision-closure theorem: any pair of positions
+    sharing >= min_len tokens shares a min_len-token window, so every
+    document that can contribute a reportable repeat to a batch
+    document collides with it at k = min_len — the closure contains
+    the batch documents' entire suffix-array runs, and the min_rep
+    pushdown discards exactly the sub-threshold reps whose partners
+    the closure may lack. Per-batch cost tracks |batch| + |colliding
+    subset| (the actual duplication), never |corpus|. Equality with
+    the full-corpus pass is pinned by tests and the driver query's
+    full-corpus SQL oracle (plans/llm.py: dedup_suffix_incremental).
+
+    ``batch`` and ``corpus`` must be id-disjoint (the same contract as
+    ``dedup.incremental_duplicate_spans``); ``index`` must be built at
+    k = min_len."""
+    full = _colliding_closure(batch, corpus, index, text_col, id_col, min_len)
+    out = suffix_duplicate_spans(
+        full, text_col=text_col, id_col=id_col, min_len=min_len
+    )
+    return out.join(
+        F.broadcast(batch.select(id_col)), id_col, "left_semi"
+    )
+
+
+def suffix_removal_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """``suffix_span_removal`` of (corpus ∪ batch) restricted to batch
+    documents, via the same collision closure as
+    ``suffix_spans_incremental`` — exact for the batch rows because a
+    batch position's ENTIRE suffix-array run (all members pairwise
+    share >= min_len tokens, hence a min_len window with the batch
+    member) is inside the closure, so run segmentation, the
+    corpus-wide-first canonical and every LCP-to-canonical cut extent
+    are identical to the full pass. Batch docs with no collisions come
+    back uncut (they are in the closure by construction)."""
+    full = _colliding_closure(batch, corpus, index, text_col, id_col, min_len)
+    out = suffix_span_removal(
+        full, text_col=text_col, id_col=id_col, min_len=min_len
+    )
+    return out.join(
+        F.broadcast(batch.select(id_col)), id_col, "left_semi"
+    )

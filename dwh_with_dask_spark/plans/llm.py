@@ -1358,6 +1358,43 @@ def dedup_suffix_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_suffix_incremental",
+    f"""
+    WITH {_SUFFIX_REMOVAL_CTES}
+    SELECT doc_id, n_tokens, n_removed, clean_text FROM clean
+    WHERE doc_id % 2 = 1
+    """,
+)
+def dedup_suffix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental variable-length ExactSubstr removal (round 12,
+    VERDICT r11 ask #5's measured-hybrid leg): an arriving batch (odd
+    doc_ids) is cut against the corpus (even doc_ids) WITHOUT running
+    the suffix pass over the corpus — probe the batch's 8-token window
+    hashes against the stored id-carrying fixed-k index
+    (operators/dedup.py:build_span_doc_index), pull only the COLLIDING
+    corpus documents, and run the exact suffix pass on that closure
+    (operators/suffix.py:suffix_removal_incremental).
+
+    The oracle is the FULL-corpus suffix-removal chain restricted to
+    batch docs — a hash-match pins the collision-closure theorem
+    end-to-end: every member of a batch position's suffix-array run
+    shares a >= 8-token window with it, so the closure reproduces run
+    segmentation, the corpus-wide-first canonical, and every exact cut
+    extent of the full pass."""
+    from dwh_with_dask_spark.operators.caching import CacheScope, attach
+    from dwh_with_dask_spark.operators.suffix import (
+        suffix_removal_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    scope = CacheScope()
+    # stored-table stand-in (same convention as dedup_incremental_spans)
+    index = scope.persist(D.build_span_doc_index(corpus))
+    out = suffix_removal_incremental(batch, corpus, index)
+    return attach(out, scope, True)
 
 
 @query(

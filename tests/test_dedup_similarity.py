@@ -1299,6 +1299,74 @@ def test_suffix_span_removal_matches_bruteforce(spark):
     assert 5 not in got  # below min_len tokens
 
 
+def test_suffix_incremental_equals_full_pass(spark):
+    """Collision-closure theorem (round 12): the incremental suffix
+    operators — probe the batch's min_len-windows against the stored
+    id-carrying fixed-k index, exact pass on batch ∪ colliding corpus
+    docs only — equal the FULL-corpus pass restricted to batch docs.
+    Covers: cross-batch/corpus repeats (partner pulled via the index),
+    batch-internal repeats (no corpus partner), an exact duplicate of
+    a corpus doc (whole-doc run, canonical in the corpus), and a
+    no-collision batch doc (comes back uncut)."""
+    from dwh_with_dask_spark.operators.dedup import build_span_doc_index
+    from dwh_with_dask_spark.operators.suffix import (
+        suffix_removal_incremental,
+        suffix_span_removal,
+        suffix_spans_incremental,
+        suffix_duplicate_spans,
+    )
+
+    boiler = "click here to accept all cookies and continue to the site"
+    corpus_docs = [
+        (0, f"corpus head {boiler} corpus tail words"),
+        (2, "an entirely unrelated corpus document about gardening tips"),
+        (4, " ".join(f"c{i}" for i in range(14))),
+    ]
+    batch_docs = [
+        (1, f"batch intro {boiler} batch outro"),          # cross repeat
+        (3, f"first half {boiler} and then {boiler} again"),  # + internal
+        (5, " ".join(f"c{i}" for i in range(14))),         # exact dup of 4
+        (7, "totally fresh text sharing nothing with anyone at all ok"),
+    ]
+    corpus = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_docs, "doc_id long, text string")
+    full = spark.createDataFrame(
+        corpus_docs + batch_docs, "doc_id long, text string"
+    )
+    index = build_span_doc_index(corpus, k=8).cache()
+    index.count()
+    batch_ids = {i for i, _ in batch_docs}
+
+    inc_rm = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in suffix_removal_incremental(
+            batch, corpus, index, min_len=8
+        ).collect()
+    }
+    full_rm = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in suffix_span_removal(full, min_len=8).collect()
+        if r.doc_id in batch_ids
+    }
+    assert inc_rm == full_rm
+    assert inc_rm[5] == (14, 14, "")  # exact dup: canonical is corpus 4
+    assert inc_rm[7][1] == 0  # no collisions: uncut
+
+    inc_sp = {
+        tuple(r)
+        for r in suffix_spans_incremental(
+            batch, corpus, index, min_len=8
+        ).collect()
+    }
+    full_sp = {
+        tuple(r)
+        for r in suffix_duplicate_spans(full, min_len=8).collect()
+        if r.doc_id in batch_ids
+    }
+    assert inc_sp == full_sp and inc_sp
+    index.unpersist()
+
+
 def test_suffix_removal_oracle_exact_dup_docs(spark, duck):
     """Round-12 regression for the DuckDB REMOVAL oracle itself:
     _suffix_lcp_sql relied on list_position(..., FALSE) returning NULL
