@@ -7,7 +7,13 @@ length >= k, but reports k-resolution coverage): this module computes,
 for every token position in the corpus, the TRUE length of the longest
 substring starting there that also occurs anywhere else (Lee et al.
 2022's suffix-array semantics), with no Python in the per-row path and
-no text ever riding a shuffle after tokenization.
+no text ever riding a shuffle after tokenization. Exactness
+qualification: documents within ``base`` tokens (the no-tail path) are
+exact unconditionally; the block-rank TAIL carries prefix-group
+identity on a two-seed 128-bit xxhash64 surrogate after the wide sort
+key is dropped (step 2 below), so tail-mode results are exact up to
+128-bit hash collisions — the same bar as the fixed-k family's 64-bit
+md5-prefix windows, expected false-equal pairs ~3e-25 at 10M groups.
 
 Method — standard published building blocks, re-expressed as DataFrame
 ops and specialized to the token-corpus case:
@@ -446,6 +452,10 @@ def longest_repeats(
     the longest substring starting there that occurs at least once more
     anywhere in the corpus (0 when the suffix shares no prefix with any
     other). The suffix-array semantics the fixed-k family approximates.
+    Exact unconditionally on the no-tail path (every document within
+    ``base`` tokens); exact up to a two-seed 128-bit xxhash64
+    group-identity surrogate in tail mode (see the module docstring —
+    the same qualification bar as the fixed-k family's 64-bit windows).
 
     ``min_rep`` (optional) pushes a consumer threshold into the pair
     pass: positions whose rep would be < min_rep are OMITTED from the
@@ -482,14 +492,17 @@ def longest_repeats(
         .groupBy("m.id", "m.pos", "m.dl")
         .agg(F.max("lcp").alias("rep"))
     )
-    if min_rep is not None:
-        # walk stragglers may finalize below the pushed threshold —
-        # enforce the OMITTED contract here (cheap: post-aggregate)
-        rep = rep.filter(F.col("rep") >= min_rep)
     if getattr(sa, "_sa_count", None) == 1:
         rep = sa.select(
             "id", "pos", "dl", F.lit(0).cast("long").alias("rep")
         )
+    if min_rep is not None:
+        # walk stragglers may finalize below the pushed threshold —
+        # enforce the OMITTED contract here (cheap: post-aggregate).
+        # Applied AFTER the one-position-corpus override so the
+        # override's rep=0 row honors the omitted-below-threshold
+        # contract too (ADVICE r12).
+        rep = rep.filter(F.col("rep") >= min_rep)
     return attach(rep, scope, created)
 
 
@@ -591,6 +604,42 @@ def _blk_run(aa: Column, ab: Column) -> Column:
     return F.when(aa.isNotNull() & ab.isNotNull(), n.cast("long"))
 
 
+def _lead_eq(
+    xa: Column, xb: Column, tokens: int, R0: int, B: int, L: int
+) -> Column:
+    """``pre-clamp run(xa, xb) >= tokens`` as FLAT long arithmetic —
+    the codegen-able threshold GATE the min_rep pushdown evaluates on
+    every adjacent pair BEFORE the interpreted ``_xs_run`` expression
+    runs (round 13: at sf1 only ~11k of 2.7M pairs survive the
+    threshold, so gating first removes ~99.6% of the pair pass's
+    higher-order-function cost). Exactly equivalent to the run
+    comparison it guards: the run counts leading equal base-B DIGITS
+    (sentinel padding compares equal, same as ``_xs_run``'s pre-clamp
+    semantics), and run >= t ⟺ the first t digits are equal ⟺ the
+    first ``t div R0`` packed longs are equal AND the leading
+    ``t mod R0`` digits of the next long are equal — component
+    equality plus ONE truncated-digit compare, no higher-order
+    functions, no branches. The callers keep their exact
+    ``lcp >= min_rep`` filter after the full run computation, so the
+    gate is a pure necessary-condition prefilter (it admits the
+    padded-overcount pairs the pre-clamp filter also admits)."""
+    t = min(tokens, L * R0)
+    conds: list[Column] = []
+    q, r = divmod(t, R0)
+    for i in range(q):
+        conds.append(F.get(xa, i) == F.get(xb, i))
+    if r:
+        p = F.lit(B ** (R0 - r))
+        da, db = F.get(xa, q), F.get(xb, q)
+        conds.append((da - F.pmod(da, p)) == (db - F.pmod(db, p)))
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def _cursor_lookup(
     act: DataFrame,
     tbl: DataFrame,
@@ -654,7 +703,10 @@ def _cursor_lookup_both(
     group-by pivots the hits back into per-pair (out_a, out_b) columns.
     Past the broadcast guard it falls back to the two expression-keyed
     shuffle joins of ``_cursor_lookup``."""
-    if n_act > _PROBE_BROADCAST_MAX:
+    # the unioned probe set is 2 rows per pair — guard on 2·n_act so
+    # the broadcast never exceeds the size _PROBE_BROADCAST_MAX's
+    # comment budgets (ADVICE r12)
+    if 2 * n_act > _PROBE_BROADCAST_MAX:
         act = _cursor_lookup(act, tbl, val_col, out_a, "a", n_act)
         return _cursor_lookup(act, tbl, val_col, out_b, "b", n_act)
     probes = act.select(
@@ -840,6 +892,18 @@ def _sa_pairs(
         # duplicate a non-cheap expression, so this is a real 2x on
         # the per-pair cost, the no-tail hot path).
         run0 = _xs_run(F.col("__a_xs"), F.col("__b_xs"), L, R0, B)
+        if min_rep is not None and min_rep > 0:
+            # threshold GATE before the interpreted run: drop pairs
+            # whose pre-clamp run cannot reach min_rep with flat long
+            # compares (codegen), so _xs_run below evaluates on the
+            # duplicate-sized survivor set only. Exact: gate pass ⟺
+            # pre-clamp run >= min_rep, and the post-run filter below
+            # re-applies the same threshold on the final lcp.
+            pj = pj.filter(
+                _lead_eq(
+                    F.col("__a_xs"), F.col("__b_xs"), min_rep, R0, B, L
+                )
+            )
         pairs = (
             pj.select(*keep, run0.alias("__r0p"))
             .select(
@@ -869,6 +933,26 @@ def _sa_pairs(
         # evaluated exactly once per pair row.
         runt = _blk_run(F.col("__a_atop"), F.col("__b_atop"))
         run01 = _xs_run(F.col("__a_x0"), F.col("__b_x0"), x0w, R0, B)
+        if min_rep is not None and min_rep > 0:
+            # threshold GATE (flat compares, codegen) before the
+            # interpreted tier expressions. A pair is DROPPED by the
+            # __w | lcp >= min_rep filter below iff cert == 0 AND
+            # r01 < mini AND min(r01, rem) < min_rep; cert == 0 ⟺ the
+            # atop first elements differ, and (r01 >= mini OR
+            # r01 >= min_rep) ⟺ the x0 leading min(min_rep, mini)
+            # digits are equal (_lead_eq clamps internally). So
+            # KEEP ⟺ atop[0] equality OR the x0 digit gate — a pure
+            # necessary-and-sufficient prefilter for the exact filter
+            # below, which stays.
+            pj = pj.filter(
+                (
+                    F.get(F.col("__a_atop"), 0)
+                    == F.get(F.col("__b_atop"), 0)
+                )
+                | _lead_eq(
+                    F.col("__a_x0"), F.col("__b_x0"), min_rep, R0, B, x0w
+                )
+            )
         pairs = (
             pj.select(
                 *keep,

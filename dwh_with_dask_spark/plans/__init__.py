@@ -17,6 +17,8 @@ from dwh_with_dask_spark.plans.warehouse import ORACLES as _WH_ORACLES
 from dwh_with_dask_spark.plans.warehouse import QUERIES as _WH_QUERIES
 from dwh_with_dask_spark.plans.analytics import ORACLES as _AN_ORACLES
 from dwh_with_dask_spark.plans.analytics import QUERIES as _AN_QUERIES
+from dwh_with_dask_spark.plans.etl_driver import ORACLES as _ETL_ORACLES
+from dwh_with_dask_spark.plans.etl_driver import QUERIES as _ETL_QUERIES
 
 QUERIES = {
     **_REL_QUERIES,
@@ -25,6 +27,7 @@ QUERIES = {
     **_TPCH_QUERIES,
     **_WH_QUERIES,
     **_AN_QUERIES,
+    **_ETL_QUERIES,
 }
 ORACLES = {
     **_REL_ORACLES,
@@ -33,6 +36,7 @@ ORACLES = {
     **_TPCH_ORACLES,
     **_WH_ORACLES,
     **_AN_ORACLES,
+    **_ETL_ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES"]
