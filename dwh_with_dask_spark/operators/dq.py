@@ -100,7 +100,9 @@ def dq_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
                     for r in uniques
                 ],
             )
-            base = base.crossJoin(dis)
+            # single-row aggregate: hint the broadcast explicitly, same
+            # convention as every scalar crossJoin in the repo (ADVICE r12)
+            base = base.crossJoin(F.broadcast(dis))
         rows = []
         for r in rowlocal:
             rows.append(
@@ -139,7 +141,7 @@ def dq_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
         n = df.agg(F.count(F.lit(1)).alias("n_rows"))
         parts.append(
-            orphans.crossJoin(n).select(
+            orphans.crossJoin(F.broadcast(n)).select(
                 F.lit(r.rule_name).alias("rule"),
                 F.lit(r.column).alias("column"),
                 "violations",

@@ -283,16 +283,62 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_components(docs, pairs)
 
 
-@query("dedup_minhash_lsh")  # sketch-based: no SQL oracle; see tests/test_dedup.py
+# DuckDB twin of dedup._minhash_cols' md5 family + the banded LSH:
+# identical 32-bit slice values, identical per-permutation mins,
+# identical md5 band buckets — so candidate generation AND scoring
+# rebuild bit-for-bit (the corpus_cms_counts trick, VERDICT r12 ask #4).
+_MINHASH_MD5_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id AS id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+2], ' ')))
+               AS shingle
+      FROM t),
+    sh AS (SELECT DISTINCT id, shingle FROM raw),
+    perms AS (SELECT unnest(range(0, 64)) AS i),
+    hashes AS (
+      SELECT id, i,
+             CAST(('0x' || substring(
+                     md5(shingle || '|mh' || CAST(i // 4 AS VARCHAR)),
+                     1 + 8 * CAST(i % 4 AS INT), 8)) AS BIGINT) AS h
+      FROM sh CROSS JOIN perms),
+    sig AS (SELECT id, i, MIN(h) AS h FROM hashes GROUP BY id, i),
+    buckets AS (
+      SELECT id, CAST(i // 4 AS INT) AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY id, i // 4),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+    agree AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i AND sb.h = sa.h
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / 64.0 AS est_jaccard
+    FROM agree
+    WHERE CAST(n_agree AS DOUBLE) / 64.0 >= 0.30
+    """
+
+
+@query("dedup_minhash_lsh", _MINHASH_MD5_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 hashes) + LSH(16 bands) candidate pairs with estimated
-    Jaccard >= 0.30. Property-tested against the exact Jaccard query."""
+    Jaccard >= 0.30, on the md5-derived hash family — the whole sketch
+    (slice values, per-permutation mins, band buckets) rebuilds
+    bit-for-bit in DuckDB, so this is a hash-match oracle row, not
+    rows-only. The S-curve/recall properties are additionally
+    property-tested against the exact Jaccard query in tests/."""
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         n=3,
         num_hashes=64,
         bands=16,
         threshold=0.30,
+        hash_family="md5",
     )
 
 
@@ -327,17 +373,63 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-@query("dedup_simhash")  # xxhash64-based fingerprint: engine-specific, rows-only
+# DuckDB twin of dedup.simhash's md5 family: identical 60-bit token
+# hashes, identical per-bit majority votes, identical fingerprint longs.
+_SIMHASH_FP_CTES = f"""
+    WITH tk AS (SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok
+                FROM documents),
+    h AS (SELECT id,
+                 CAST(('0x' || substring(md5(tok || '|sh'), 1, 15))
+                      AS BIGINT) AS h
+          FROM tk),
+    n AS (SELECT id, COUNT(*) AS n_tok FROM h GROUP BY id),
+    bits AS (SELECT CAST(unnest(range(0, 60)) AS INT) AS i),
+    cnt AS (SELECT id, i, SUM((h >> i) & 1) AS c
+            FROM h CROSS JOIN bits GROUP BY id, i),
+    fp AS (SELECT cnt.id,
+                  CAST(SUM(CASE WHEN 2 * c > n_tok
+                           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                       AS BIGINT) AS simhash
+           FROM cnt JOIN n ON n.id = cnt.id GROUP BY cnt.id)
+    """
+
+
+@query(
+    "dedup_simhash",
+    _SIMHASH_FP_CTES + "SELECT id, simhash FROM fp",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document (operators.dedup.simhash)."""
-    return D.simhash(load_table(spark, sf_dir, "documents"))
+    """60-bit SimHash fingerprints per document on the md5 hash family
+    (operators.dedup.simhash) — the fingerprint longs rebuild
+    bit-for-bit in DuckDB (hash-match oracle; VERDICT r12 ask #4)."""
+    return D.simhash(
+        load_table(spark, sf_dir, "documents"), bits=60, hash_family="md5"
+    )
 
 
-@query("dedup_simhash_pairs")  # rows-only (same reason as above)
+@query(
+    "dedup_simhash_pairs",
+    _SIMHASH_FP_CTES
+    + """
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates within Hamming distance 3 via 4-band
-    pigeonhole join."""
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3, bands=4)
+    pigeonhole join, md5 family. Pigeonhole completeness makes the
+    banded output EQUAL the oracle's brute-force all-pairs Hamming
+    filter — the banding is pruning, not semantics (same contract as
+    the prefix-filtered Jaccard twin)."""
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bits=60,
+        max_hamming=3,
+        bands=4,
+        hash_family="md5",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -68,6 +68,64 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark, near_dup_docs):
     assert (1, 4) not in got
 
 
+def test_minhash_md5_family_matches_hashlib_twin(spark, near_dup_docs):
+    """The md5 hash family (the driver oracle's bit-exact path) produces
+    the same signature longs as a local hashlib twin: four big-endian
+    32-bit slices of md5(shingle || '|mh' || m), min per permutation."""
+    import hashlib
+
+    sigs = {
+        r["id"]: r["sig"]
+        for r in D.minhash_signatures(
+            near_dup_docs, num_hashes=8, hash_family="md5"
+        ).collect()
+    }
+
+    def shingles(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def h(shingle, i):
+        digest = hashlib.md5(
+            f"{shingle}|mh{i // 4}".encode()
+        ).hexdigest()
+        return int(digest[8 * (i % 4) : 8 * (i % 4) + 4 * 2], 16)
+
+    rows = near_dup_docs.collect()
+    for r in rows:
+        sh = shingles(r["text"])
+        if not sh:
+            assert r["doc_id"] not in sigs
+            continue
+        expect = [min(h(s, i) for s in sh) for i in range(8)]
+        assert sigs[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_simhash_md5_family_matches_hashlib_twin(spark, near_dup_docs):
+    """md5-family SimHash (60-bit) fingerprints equal a local twin:
+    per-bit majority over 60-bit token hashes with multiplicity."""
+    import hashlib
+
+    fps = {
+        r["id"]: r["simhash"]
+        for r in D.simhash(near_dup_docs, bits=60, hash_family="md5").collect()
+    }
+    for r in near_dup_docs.collect():
+        toks = " ".join(r["text"].lower().split()).split(" ")
+        hs = [
+            int(hashlib.md5(f"{t}|sh".encode()).hexdigest()[:15], 16)
+            for t in toks
+        ]
+        fp = 0
+        for i in range(60):
+            ones = sum((x >> i) & 1 for x in hs)
+            if 2 * ones > len(hs):
+                fp |= 1 << i
+        assert fps[r["doc_id"]] == fp, r["doc_id"]
+
+
 def test_minhash_vs_exact_on_documents_table(spark):
     """On the real documents table: every exact pair with J>=0.5 must be
     recovered by LSH at threshold 0.3 (estimator noise tolerated), and

@@ -314,26 +314,49 @@ def test_versioned_table_time_travel_and_atomic_commit(spark, tmp_path):
     }
     assert diff == {(2, "delete"), (3, "update")}
 
-    # crash before the pointer swap: data + manifest exist for v4 but
-    # _current still says 3 — readers see v3, list_versions hides v4
+    # crash AFTER the manifest link (the commit point) but BEFORE the
+    # pointer refresh: version 4 IS committed — current_version probes
+    # past the stale pointer, readers see v4, nothing is lost and
+    # nobody livelocks on the claimed version number (round 13:
+    # claim-as-commit, the Delta log-entry-is-the-commit design)
     extra = spark.createDataFrame([(9, "z", 1.0)], "k long, s string, x double")
-    extra.write.parquet(os.path.join(t, "data", "v4"))
+    extra.write.parquet(os.path.join(t, "data", "v4"), mode="append")
     with open(os.path.join(t, "_manifests", "v4.json"), "w") as f:
         f.write('{"version": 4, "mode": "overwrite", "dirs": ["data/v4"]}')
-    assert current_version(t) == 3
-    assert {r.k for r in read_version(spark, t).collect()} == {1, 3}
-    assert [m["version"] for m in list_versions(t)] == [1, 2, 3]
+    assert current_version(t) == 4
+    assert {r.k for r in read_version(spark, t).collect()} == {9}
+    assert [m["version"] for m in list_versions(t)] == [1, 2, 3, 4]
 
-    # restart after that crash (ADVICE r7): the next commit recomputes
-    # the SAME version number 4 and must replace the orphan data dir
-    # rather than dying on path-already-exists — no manual vacuum needed
-    v4 = versioned_commit(
+    # the next commit bases on the probed version, becomes 5, and its
+    # pointer refresh heals the stale cache
+    v5 = versioned_commit(
         spark.createDataFrame([(7, "q", 7.0)], "k long, s string, x double"),
         t,
         mode="overwrite",
     )
-    assert v4 == 4 and current_version(t) == 4
+    assert v5 == 5 and current_version(t) == 5
     assert {(r.k, r.s) for r in read_version(spark, t).collect()} == {(7, "q")}
+    with open(os.path.join(t, "_current")) as f:
+        assert f.read().strip() == "5"  # cache healed
+
+    # crash BEFORE the manifest link: a staged data dir with no
+    # manifest is invisible; the next commit cannot rmtree it (it
+    # could be an in-flight winner's bytes) — it stages under a
+    # writer-unique name and commits fine; vacuum reclaims the orphan
+    os.makedirs(os.path.join(t, "data", "v6"))
+    extra.write.parquet(os.path.join(t, "data", "v6"), mode="append")
+    v6 = versioned_commit(
+        spark.createDataFrame([(8, "r", 8.0)], "k long, s string, x double"),
+        t,
+        mode="overwrite",
+    )
+    assert v6 == 6 and current_version(t) == 6
+    assert {(r.k, r.s) for r in read_version(spark, t).collect()} == {(8, "r")}
+    from dwh_with_dask_spark.versioned import vacuum
+
+    removed = vacuum(t)
+    assert removed["removed_dirs"] >= 1  # the orphan data/v6 staging
+    assert {(r.k, r.s) for r in read_version(spark, t).collect()} == {(8, "r")}
 
 
 def test_versioned_concurrent_commit_detected(spark, tmp_path, monkeypatch):
@@ -388,6 +411,63 @@ def test_versioned_concurrent_commit_detected(spark, tmp_path, monkeypatch):
     )
     assert v3 == 3
     assert {r.k for r in V.read_version(spark, t).collect()} == {1, 2, 3}
+
+
+def test_versioned_true_concurrent_race(spark, tmp_path):
+    """REAL concurrency (VERDICT r12 ask #5): N threads race append
+    commits against one table with no injected seams — a barrier
+    maximizes overlap. Invariants the manifest-link claim guarantees:
+    every version number has exactly one winner, losers raise
+    VersionConflictError and retry, no committed row is ever lost or
+    duplicated (each thread's row appears exactly once), and the
+    version chain is contiguous with one manifest per version."""
+    import threading as th
+
+    from dwh_with_dask_spark import versioned as V
+
+    t = str(tmp_path / "vt_true_race")
+    V.versioned_commit(
+        spark.createDataFrame([(0, "seed")], "k long, s string"), t
+    )
+
+    n_threads = 6
+    barrier = th.Barrier(n_threads)
+    conflicts = []
+    errors = []
+
+    def writer(i: int) -> None:
+        df = spark.createDataFrame([(100 + i, f"w{i}")], "k long, s string")
+        barrier.wait()
+        for _ in range(40):  # retry loop: conflicts are expected
+            try:
+                V.versioned_commit(df, t, mode="append")
+                return
+            except V.VersionConflictError:
+                conflicts.append(i)
+        errors.append(f"writer {i} never committed")
+
+    threads = [th.Thread(target=writer, args=(i,)) for i in range(n_threads)]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join(timeout=300)
+    assert not errors, errors
+
+    # every thread's row exactly once, plus the seed
+    rows = V.read_version(spark, t).collect()
+    got = sorted(r.k for r in rows)
+    assert got == [0] + [100 + i for i in range(n_threads)], got
+    # contiguous version chain, one (complete) manifest per version
+    cur = V.current_version(t)
+    assert cur == 1 + n_threads
+    versions = [m["version"] for m in V.list_versions(t)]
+    assert versions == list(range(1, cur + 1))
+    # losers' staged bytes are invisible: every manifest dir union ==
+    # readable content, and vacuum reclaims the rest without changing
+    # what readers see
+    V.vacuum(t)
+    got2 = sorted(r.k for r in V.read_version(spark, t).collect())
+    assert got2 == got
 
 
 def test_versioned_commit_sink_and_vacuum(spark, tmp_path):
