@@ -30,9 +30,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query.
 
-    Sketch-based operators (MinHash-LSH, SimHash, SRP-ANN) and the HLL
-    approx-distinct have no cross-engine oracle — the driver records the
-    weaker rows-only check; their correctness is property-tested against
-    exact counterparts in tests/.
+    Sketch-based operators on engine-specific randomness (SRP-ANN's
+    gaussian projections, the HLL approx-distinct) have no cross-engine
+    oracle — the driver records the weaker rows-only check; their
+    correctness is property-tested against exact counterparts in
+    tests/. MinHash-LSH and SimHash ride md5-derived hash families
+    (round 13) and are full hash-match rows here.
     """
     return dict(ORACLES)

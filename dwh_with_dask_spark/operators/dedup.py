@@ -536,6 +536,18 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _band_bucket(band: int, r: int, hash_family: str) -> Column:
+    """One band's bucket key from the ``sig`` array column.
+    ``xxhash64``: engine-fast. ``md5`` over the comma-joined values:
+    engine-neutral — a DuckDB oracle rebuilds the identical bucket
+    keys, so the CANDIDATE SET (not just the scored output) is the
+    same in both engines."""
+    vals = [F.col("sig")[band * r + j] for j in range(r)]
+    if hash_family == "md5":
+        return F.md5(F.concat_ws(",", *[v.cast("string") for v in vals]))
+    return F.xxhash64(*vals).cast("string")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -577,16 +589,6 @@ def minhash_lsh_pairs(
         minhash_signatures(df, id_col, text_col, n, num_hashes, hash_family)
     )
 
-    def _bucket(band: int):
-        vals = [F.col("sig")[band * r + j] for j in range(r)]
-        if hash_family == "md5":
-            # engine-neutral bucket: md5 over the comma-joined values —
-            # a DuckDB oracle rebuilds the identical bucket keys, so
-            # the candidate set (not just the scored output) is the
-            # same in both engines
-            return F.md5(F.concat_ws(",", *[v.cast("string") for v in vals]))
-        return F.xxhash64(*vals).cast("string")
-
     banded = sigs.select(
         "id",
         F.explode(
@@ -594,7 +596,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        _bucket(band).alias("bucket"),
+                        _band_bucket(band, r, hash_family).alias("bucket"),
                     )
                     for band in range(bands)
                 ]
@@ -899,6 +901,7 @@ def corpus_index(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, text_hash, sig) — the stored dedup index for a corpus.
 
@@ -907,7 +910,7 @@ def corpus_index(
     At 100 TB the index is num_hashes longs + one 64-char hash per doc
     (~0.5 KB/doc independent of document size) — the thing you keep hot
     while the corpus itself stays cold."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_family)
     hashes = df.select(
         F.col(id_col).alias("id"),
         F.sha2(normalize_text(text_col), 256).alias("text_hash"),
@@ -921,7 +924,11 @@ def corpus_index(
 
 
 def _band_buckets(
-    sigs: DataFrame, num_hashes: int, bands: int, carry_sig: bool = False
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    carry_sig: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket[, sig]) from a stored signature column — pure
     column arithmetic, no re-shingling.
@@ -942,9 +949,7 @@ def _band_buckets(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[band * r + j] for j in range(r)]
-                        ).alias("bucket"),
+                        _band_bucket(band, r, hash_family).alias("bucket"),
                     )
                     for band in range(bands)
                 ]
@@ -963,6 +968,7 @@ def incremental_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     scope: CacheScope | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Dedup a NEW batch against a stored ``corpus_index`` — the
     production shape: the corpus is never reprocessed, only the batch is
@@ -1008,9 +1014,9 @@ def incremental_dedup(
     )
 
     batch_sigs = scope.persist(
-        minhash_signatures(new_df, id_col, text_col, n, num_hashes)
+        minhash_signatures(new_df, id_col, text_col, n, num_hashes, hash_family)
     )
-    nb = _band_buckets(batch_sigs, num_hashes, bands).select(
+    nb = _band_buckets(batch_sigs, num_hashes, bands, hash_family=hash_family).select(
         F.col("id").alias("new_id"), "band", "bucket"
     )
     cb = _band_buckets(
@@ -1021,6 +1027,7 @@ def incremental_dedup(
         index.select("id", "sig").where(F.col("sig").isNotNull()),
         num_hashes,
         bands,
+        hash_family=hash_family,
     ).select(F.col("id").alias("corpus_id"), "band", "bucket")
     cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
 

@@ -3,9 +3,11 @@
 Dedup / similarity / text-analysis over the ``documents`` and
 ``embeddings`` tables. Oracle-able queries carry DuckDB SQL that
 reproduces the semantics exactly (same md5/sha256 hex, same integer
-arithmetic, same regex classes); sketch-based operators (MinHash-LSH,
-SimHash, SRP-ANN) have no cross-engine oracle — those are covered by
-property tests against their exact counterparts in tests/.
+arithmetic, same regex classes). Round 13: MinHash-LSH and SimHash
+moved onto md5-derived hash families and gained bit-exact oracles —
+the remaining rows-only sketches (SRP-ANN over gaussian projections,
+HLL approx-distinct) are engine-RNG-bound by nature and stay covered
+by property tests against their exact counterparts in tests/.
 """
 
 from __future__ import annotations
@@ -342,7 +344,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_incremental_batch")  # MinHash-index based: no SQL oracle; rows-only
+# DuckDB twin of corpus_index + incremental_dedup on the md5 family:
+# identical sha256 exact-dup keys, identical signature mins, identical
+# md5 band buckets — so the candidate set, the agreement fractions and
+# the final flags rebuild bit-for-bit (VERDICT r12 ask #4 applied to
+# the stored-index family).
+_INCREMENTAL_MD5_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm
+               FROM documents),
+    raw AS (
+      SELECT doc_id AS id, doc_id % 2 AS side,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+2], ' ')))
+               AS shingle
+      FROM t),
+    sh AS (SELECT DISTINCT id, side, shingle FROM raw),
+    perms AS (SELECT unnest(range(0, 64)) AS i),
+    hashes AS (
+      SELECT id, side, i,
+             CAST(('0x' || substring(
+                     md5(shingle || '|mh' || CAST(i // 4 AS VARCHAR)),
+                     1 + 8 * CAST(i % 4 AS INT), 8)) AS BIGINT) AS h
+      FROM sh CROSS JOIN perms),
+    sig AS (SELECT id, side, i, MIN(h) AS h FROM hashes GROUP BY id, side, i),
+    buckets AS (
+      SELECT id, side, CAST(i // 4 AS INT) AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY id, side, i // 4),
+    cand AS (
+      SELECT DISTINCT b.id AS new_id, c.id AS corpus_id
+      FROM buckets b JOIN buckets c
+        ON b.side = 1 AND c.side = 0
+       AND b.band = c.band AND b.bucket = c.bucket),
+    near AS (
+      SELECT cd.new_id AS id, MIN(cd.corpus_id) AS near_dup_of
+      FROM cand cd
+      JOIN sig sb ON sb.id = cd.new_id
+      JOIN sig sc ON sc.id = cd.corpus_id AND sc.i = sb.i AND sc.h = sb.h
+      GROUP BY cd.new_id
+      HAVING CAST(COUNT(*) AS DOUBLE) / 64.0 >= 0.5),
+    exact AS (
+      SELECT b.doc_id AS id, MIN(c.doc_id) AS exact_dup_of
+      FROM t b JOIN t c
+        ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+       AND sha256(b.norm) = sha256(c.norm)
+      GROUP BY b.doc_id)
+    SELECT t.doc_id, e.exact_dup_of, n.near_dup_of,
+           (e.exact_dup_of IS NULL AND n.near_dup_of IS NULL) AS is_new
+    FROM t
+    LEFT JOIN exact e ON e.id = t.doc_id
+    LEFT JOIN near n ON n.id = t.doc_id
+    WHERE t.doc_id % 2 = 1
+    """
+
+
+@query("dedup_incremental_batch", _INCREMENTAL_MD5_ORACLE)
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of a new batch against a stored corpus index
     (operators.dedup.corpus_index + incremental_dedup): even doc_ids act
@@ -350,7 +406,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the batch is shingled/hashed; the corpus enters solely through
     its ~0.5 KB/doc (sha256, MinHash) index — the production shape where
     the corpus is 100 TB cold storage and the index is what stays hot.
-    Flag semantics (exact/near/novel) are parquet-round-trip tested in
+    Round 13: on the md5 hash family the whole path — index signatures,
+    band buckets, candidate set, agreement verify, flags — rebuilds
+    bit-for-bit in DuckDB (full hash-match oracle; previously
+    rows-only). Flag semantics also parquet-round-trip tested in
     tests/test_dedup_similarity.py."""
     from dwh_with_dask_spark.operators.caching import CacheScope
 
@@ -363,8 +422,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # incremental_dedup's three index consumers (exact-hash join,
     # band buckets, signature verify) re-run the corpus MinHash
     # pipeline three times (measured 27 s -> single-digit at sf1).
-    index = scope.persist(D.corpus_index(corpus))
-    out = D.incremental_dedup(batch, index, threshold=0.5, scope=scope)
+    index = scope.persist(D.corpus_index(corpus, hash_family="md5"))
+    out = D.incremental_dedup(
+        batch, index, threshold=0.5, scope=scope, hash_family="md5"
+    )
     res = out.select("doc_id", "exact_dup_of", "near_dup_of", "is_new")
     # select() returns a NEW DataFrame without the scope attribute —
     # re-attach so release_caches(result) frees the persisted index and
