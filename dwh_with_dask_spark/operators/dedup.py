@@ -485,30 +485,31 @@ def ngram_jaccard_pairs_prefix(
 def _minhash_cols(num_hashes: int, hash_family: str) -> list:
     """Per-permutation hash expressions over the ``shingle`` column.
 
-    ``xxhash64`` (default): seed-i xxhash64 — fastest, JVM-native, but
-    engine-specific (rows-only at the driver oracle). ``md5``: four
-    32-bit big-endian slices per ``md5(shingle || '|mh' || m)`` digest —
-    num_hashes/4 digests per shingle, each value rebuilt bit-for-bit by
-    any engine with md5 (the ``corpus_cms_counts`` trick, VERDICT r12
-    ask #4), which is what gives ``dedup_minhash_lsh`` a hash-match
-    DuckDB oracle instead of a rows-only check."""
+    ``xxhash64`` (default for stored indexes written before round 13):
+    seed-i xxhash64 — JVM-native but engine-specific (rows-only at the
+    driver oracle). ``md5``: ONE digest per shingle, then the classic
+    2-universal family ``h_i = (a + (i+1)·b) mod 2^32`` over its two
+    32-bit big-endian halves — standard minwise-hashing practice
+    (Broder et al.; approximate min-wise independence from a universal
+    family), CHEAPER than 64 xxhash64 calls (one hash + 64 codegen'd
+    long multiply-adds, no overflow: a + 64·b < 2^38), and every value
+    rebuilt bit-for-bit by any engine with md5 (the
+    ``corpus_cms_counts`` trick, VERDICT r12 ask #4) — which is what
+    gives the MinHash family hash-match DuckDB oracles instead of
+    rows-only checks."""
     if hash_family == "xxhash64":
         return [
             F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)
         ]
     if hash_family != "md5":
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    cols = []
-    for m in range(-(-num_hashes // 4)):
-        digest = F.md5(F.concat(F.col("shingle"), F.lit(f"|mh{m}")))
-        for j in range(4):
-            i = m * 4 + j
-            if i >= num_hashes:
-                break
-            cols.append(
-                F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long")
-            )
-    return cols
+    digest = F.md5(F.concat(F.col("shingle"), F.lit("|mh")))
+    a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    return [
+        F.pmod(a + F.lit(i + 1) * b, F.lit(2 ** 32))
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures(

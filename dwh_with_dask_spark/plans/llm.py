@@ -286,7 +286,7 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin of dedup._minhash_cols' md5 family + the banded LSH:
-# identical 32-bit slice values, identical per-permutation mins,
+# identical (a + (i+1)*b) mod 2^32 values from one md5 digest,
 # identical md5 band buckets — so candidate generation AND scoring
 # rebuild bit-for-bit (the corpus_cms_counts trick, VERDICT r12 ask #4).
 _MINHASH_MD5_ORACLE = f"""
@@ -299,12 +299,16 @@ _MINHASH_MD5_ORACLE = f"""
       FROM t),
     sh AS (SELECT DISTINCT id, shingle FROM raw),
     perms AS (SELECT unnest(range(0, 64)) AS i),
+    dig AS (
+      SELECT id, shingle,
+             CAST(('0x' || substring(md5(shingle || '|mh'), 1, 8))
+                  AS BIGINT) AS a,
+             CAST(('0x' || substring(md5(shingle || '|mh'), 9, 8))
+                  AS BIGINT) AS b
+      FROM sh),
     hashes AS (
-      SELECT id, i,
-             CAST(('0x' || substring(
-                     md5(shingle || '|mh' || CAST(i // 4 AS VARCHAR)),
-                     1 + 8 * CAST(i % 4 AS INT), 8)) AS BIGINT) AS h
-      FROM sh CROSS JOIN perms),
+      SELECT id, i, (a + (i + 1) * b) % 4294967296 AS h
+      FROM dig CROSS JOIN perms),
     sig AS (SELECT id, i, MIN(h) AS h FROM hashes GROUP BY id, i),
     buckets AS (
       SELECT id, CAST(i // 4 AS INT) AS band,
@@ -360,12 +364,16 @@ _INCREMENTAL_MD5_ORACLE = f"""
       FROM t),
     sh AS (SELECT DISTINCT id, side, shingle FROM raw),
     perms AS (SELECT unnest(range(0, 64)) AS i),
+    dig AS (
+      SELECT id, side, shingle,
+             CAST(('0x' || substring(md5(shingle || '|mh'), 1, 8))
+                  AS BIGINT) AS a,
+             CAST(('0x' || substring(md5(shingle || '|mh'), 9, 8))
+                  AS BIGINT) AS b
+      FROM sh),
     hashes AS (
-      SELECT id, side, i,
-             CAST(('0x' || substring(
-                     md5(shingle || '|mh' || CAST(i // 4 AS VARCHAR)),
-                     1 + 8 * CAST(i % 4 AS INT), 8)) AS BIGINT) AS h
-      FROM sh CROSS JOIN perms),
+      SELECT id, side, i, (a + (i + 1) * b) % 4294967296 AS h
+      FROM dig CROSS JOIN perms),
     sig AS (SELECT id, side, i, MIN(h) AS h FROM hashes GROUP BY id, side, i),
     buckets AS (
       SELECT id, side, CAST(i // 4 AS INT) AS band,

@@ -70,8 +70,9 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark, near_dup_docs):
 
 def test_minhash_md5_family_matches_hashlib_twin(spark, near_dup_docs):
     """The md5 hash family (the driver oracle's bit-exact path) produces
-    the same signature longs as a local hashlib twin: four big-endian
-    32-bit slices of md5(shingle || '|mh' || m), min per permutation."""
+    the same signature longs as a local hashlib twin: ONE md5 digest per
+    shingle, h_i = (a + (i+1)*b) mod 2^32 over its 32-bit halves (the
+    2-universal minwise family), min per permutation."""
     import hashlib
 
     sigs = {
@@ -88,10 +89,9 @@ def test_minhash_md5_family_matches_hashlib_twin(spark, near_dup_docs):
         }
 
     def h(shingle, i):
-        digest = hashlib.md5(
-            f"{shingle}|mh{i // 4}".encode()
-        ).hexdigest()
-        return int(digest[8 * (i % 4) : 8 * (i % 4) + 4 * 2], 16)
+        digest = hashlib.md5(f"{shingle}|mh".encode()).hexdigest()
+        a, b = int(digest[:8], 16), int(digest[8:16], 16)
+        return (a + (i + 1) * b) % 2 ** 32
 
     rows = near_dup_docs.collect()
     for r in rows:
