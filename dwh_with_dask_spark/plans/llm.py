@@ -1210,6 +1210,55 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_duplicate_spans(d, min_len=8)
 
 
+@query(
+    "suffix_longest_repeats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, len(toks) AS dl,
+                 unnest(range(0, len(toks))) AS pos, toks
+          FROM t WHERE len(toks) >= 1),
+    s AS (SELECT doc_id, pos, toks[pos+1:] AS suf FROM p),
+    o AS (SELECT doc_id, pos, suf,
+                 lead(suf) OVER w AS nsuf,
+                 lag(suf)  OVER w AS psuf
+          FROM s
+          WINDOW w AS (ORDER BY array_to_string(suf, ' '), doc_id, pos)),
+    l AS (SELECT doc_id, pos,
+            CASE WHEN nsuf IS NULL THEN 0 ELSE COALESCE(
+              NULLIF(list_position(list_transform(
+                range(1, least(len(suf), len(nsuf)) + 1),
+                i -> suf[i] = nsuf[i]), false), 0) - 1,
+              least(len(suf), len(nsuf))) END AS lcp_n,
+            CASE WHEN psuf IS NULL THEN 0 ELSE COALESCE(
+              NULLIF(list_position(list_transform(
+                range(1, least(len(suf), len(psuf)) + 1),
+                i -> suf[i] = psuf[i]), false), 0) - 1,
+              least(len(suf), len(psuf))) END AS lcp_p
+          FROM o)
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           CAST(GREATEST(lcp_n, lcp_p) AS BIGINT) AS rep
+    FROM l WHERE GREATEST(lcp_n, lcp_p) >= 4
+    """,
+)
+def suffix_longest_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position EXACT longest-repeat lengths (rep >= 4) — the
+    suffix-array family's distinctive per-position output, previously
+    proven only through the coverage/removal aggregates. The oracle is
+    an INDEPENDENT SQL suffix array: order suffixes by their
+    space-joined token string (space sorts below every token char, so
+    string order == token-wise lexicographic order), take adjacent
+    LCPs via first-mismatch list scans, rep = max(LCP with
+    predecessor, LCP with successor) — the textbook neighbor property,
+    rebuilt from scratch in DuckDB. The min_rep=4 threshold also puts
+    the round-13 leading-digit GATE (suffix._lead_eq) itself under the
+    driver's hash-match check."""
+    from dwh_with_dask_spark.operators.suffix import longest_repeats
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = longest_repeats(d, min_rep=4)
+    return rep.select(F.col("id").alias("doc_id"), "pos", "rep")
+
+
 @query("embedding_logreg_probe")
 def embedding_logreg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed binary logistic-regression probe (is-cluster-0 vs

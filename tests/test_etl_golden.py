@@ -302,3 +302,23 @@ def test_detail_notes_from_real_pdf_bytes(spark, tmp_path):
         ("1.a.", "Anak perusahaan", "Memiliki 3 anak perusahaan."),
         ("2.", "Kebijakan akuntansi", "Disusun berdasarkan SAK."),
     ]
+
+
+def test_etl_driver_fixtures_regenerate_byte_identical(tmp_path):
+    """The committed driver fixtures (fixtures/etl/) and a fresh
+    regeneration from the constants in plans/etl_driver.py are
+    byte-identical — the property that makes the committed binaries
+    reviewable (regenerate and diff) and the VALUES-based oracles
+    trustworthy (the SQL restates the same constants the binaries
+    serialize)."""
+    from dwh_with_dask_spark.plans import etl_driver as ED
+
+    ED.ensure_fixtures()  # no-op when the committed files are present
+    wb2 = str(tmp_path / "wb.xlsx")
+    pdf2 = str(tmp_path / "notes.pdf")
+    ED.write_fixture_workbook(wb2)
+    ED.write_fixture_pdf(pdf2)
+    with open(ED.WORKBOOK_PATH, "rb") as f1, open(wb2, "rb") as f2:
+        assert f1.read() == f2.read()
+    with open(ED.NOTES_PDF_PATH, "rb") as f1, open(pdf2, "rb") as f2:
+        assert f1.read() == f2.read()
