@@ -807,6 +807,50 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(d, merges, "doc_id", "text")
 
 
+@query("tok_unigram_vocab")
+def tok_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer induction (Kudo 2018 / SentencePiece, the
+    OTHER tokenizer family next to BPE; rows-only: iterative float EM,
+    same class as PCA/BPE): seed substring candidates over the
+    vocab-sized word-frequency table, exact forward-backward expected
+    counts per EM step (Arrow-batched, corpus never rescanned), prune
+    to the target size keeping the single-char closure. Equality to a
+    single-machine reference implementation is pinned in
+    tests/test_unigram.py."""
+    from dwh_with_dask_spark.operators.unigram import unigram_learn
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab, _lls = unigram_learn(
+        d, "text", vocab_size=128, max_piece_len=6, seed_size=512,
+        n_iter=4, prune_every=2,
+    )
+    return vocab
+
+
+@query("tok_unigram_encode")
+def tok_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-encode every document under a corpus-learned unigram-LM
+    vocabulary (rows-only): exact argmax segmentation, deterministic
+    tie-breaks, per-batch word memo. Returns per-doc piece counts + a
+    bounded piece prefix (the bpe_encode_tokens shape)."""
+    from dwh_with_dask_spark.operators.unigram import (
+        unigram_encode,
+        unigram_learn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab, _lls = unigram_learn(
+        d, "text", vocab_size=128, max_piece_len=6, seed_size=512,
+        n_iter=2, prune_every=2,
+    )
+    enc = unigram_encode(d, vocab, "text", "doc_id", max_piece_len=6)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_pieces",
+        F.slice("pieces", 1, 12).alias("piece_prefix"),
+    )
+
+
 @query(
     "corpus_sample_temperature",
     """
