@@ -1069,10 +1069,19 @@ def minhash_signatures_rowlocal(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig) — identical output to ``minhash_signatures``, computed
-    entirely per-row: ``sig[i] = min(xxhash64(shingle, i))`` over the
-    document's own distinct-shingle ARRAY, no explode and no groupBy.
+    """(id, sig) — identical output to ``minhash_signatures`` (same
+    ``hash_family`` contract), computed entirely per-row:
+    ``sig[i] = min(h_i(shingle))`` over the document's own
+    distinct-shingle ARRAY, no explode and no groupBy.
+
+    ``hash_family`` MUST match the family the probed ``corpus_index``
+    was built with — a family mismatch silently produces zero
+    signature matches (the same keyed-store contract as BM25's stored
+    postings). Round 13: the md5 family is supported here so streaming
+    probes work against md5-built (oracle-able) indexes; pinned equal
+    to the exploded form per family in tests.
 
     This is the STREAMING-SAFE form: Structured Streaming forbids
     unwatermarked aggregations in append mode, and a signature is a
@@ -1092,12 +1101,27 @@ def minhash_signatures_rowlocal(
         # Same projection barrier as _doc_shingles: without it Catalyst
         # inlines the gram expression into every one of the 64 lambdas.
         grams = barrier(grams)
-    def hash_with_seed(i: int):
-        # NOTE: a `lambda s, i=i:` default-arg closure would be WRONG
-        # here — F.transform dispatches on lambda arity, so a 2-arg
-        # lambda gets (element, array_index) and the seed default is
-        # silently shadowed by the index. A factory keeps arity 1.
-        return lambda s: F.xxhash64(s, F.lit(i))
+
+    if hash_family == "md5":
+        # one digest per shingle element, then the 2-universal family —
+        # same values as _minhash_cols' md5 branch
+        def hash_with_seed(i: int):
+            def h(s):
+                digest = F.md5(F.concat(s, F.lit("|mh")))
+                a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+                b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+                return F.pmod(a + F.lit(i + 1) * b, F.lit(2 ** 32))
+
+            return h
+    elif hash_family == "xxhash64":
+        def hash_with_seed(i: int):
+            # NOTE: a `lambda s, i=i:` default-arg closure would be WRONG
+            # here — F.transform dispatches on lambda arity, so a 2-arg
+            # lambda gets (element, array_index) and the seed default is
+            # silently shadowed by the index. A factory keeps arity 1.
+            return lambda s: F.xxhash64(s, F.lit(i))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
 
     return grams.filter(F.size("__g") > 0).select(
         "id",

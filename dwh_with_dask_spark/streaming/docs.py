@@ -52,6 +52,7 @@ def flag_against_index(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Match events (doc_id, corpus_id, kind, agree_frac) for documents
     that duplicate the indexed corpus — ``kind`` is 'exact' (identical
@@ -83,12 +84,19 @@ def flag_against_index(
         )
     )
 
-    sigs = minhash_signatures_rowlocal(docs, id_col, text_col, n, num_hashes)
+    # hash_family MUST match the family `index` was built with
+    # (corpus_index(hash_family=...)) — a mismatch silently produces
+    # zero near-dup matches; same keyed-store contract as BM25.
+    sigs = minhash_signatures_rowlocal(
+        docs, id_col, text_col, n, num_hashes, hash_family
+    )
     # carry_sig=True keeps the (row-local) signature on every bucket row,
     # so the ONLY joins below are against the static index — no
     # stream-stream self-join back to the signature frame, hence no
     # unbounded join state in a continuous query.
-    nb = _band_buckets(sigs, num_hashes, bands, carry_sig=True).select(
+    nb = _band_buckets(
+        sigs, num_hashes, bands, carry_sig=True, hash_family=hash_family
+    ).select(
         F.col("id").alias("doc_id"), "band", "bucket", "sig"
     )
     cb = _band_buckets(
@@ -99,6 +107,7 @@ def flag_against_index(
         index.select("id", "sig").where(F.col("sig").isNotNull()),
         num_hashes,
         bands,
+        hash_family=hash_family,
     ).select(F.col("id").alias("corpus_id"), "band", "bucket")
     agree = F.size(
         F.filter(F.zip_with("sig", "sig_c", lambda x, y: x == y), lambda m: m)

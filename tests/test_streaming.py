@@ -598,6 +598,64 @@ def test_rowlocal_signatures_equal_exploded(spark):
     a = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
     b = {r["id"]: list(r["sig"]) for r in minhash_signatures_rowlocal(docs).collect()}
     assert a == b and a
+    # ... and per hash family: the md5 (oracle-able) family's rowlocal
+    # form must match its exploded form too, so a streaming probe
+    # against an md5-built corpus_index sees the same signatures
+    am = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signatures(docs, hash_family="md5").collect()
+    }
+    bm = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signatures_rowlocal(
+            docs, hash_family="md5"
+        ).collect()
+    }
+    assert am == bm and am
+    assert am != a  # the two families genuinely differ
+
+
+def test_flag_against_md5_index_batch(spark):
+    # family-matched probe: an md5-built corpus_index probed with
+    # hash_family='md5' finds the exact+near matches (the contract the
+    # round-13 hash_family threading exists to keep honest)
+    from dwh_with_dask_spark.operators.dedup import (
+        corpus_index,
+        incremental_dedup,
+    )
+    from dwh_with_dask_spark.streaming.docs import flag_against_index
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm mat near the old wooden door"
+    )
+    near = base.replace("lazy", "sleepy")
+    rows = [
+        (2, base), (4, "totally different corpus content here entirely"),
+        (1, base),                      # exact dup of corpus doc 2
+        (3, near),                      # near dup of corpus doc 2
+        (5, "novel text about spark engines and parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = corpus_index(corpus, hash_family="md5").persist()
+    index.count()
+    flags = flag_against_index(
+        batch, index, hash_family="md5"
+    ).collect()
+    kinds = {(r["doc_id"], r["corpus_id"], r["kind"]) for r in flags}
+    # cross-check against the batch-side incremental path (same family)
+    inc = incremental_dedup(batch, index, hash_family="md5").collect()
+    exact_want = {
+        (r["doc_id"], r["exact_dup_of"]) for r in inc if r["exact_dup_of"] is not None
+    }
+    exact_got = {(d, c) for d, c, k in kinds if k == "exact"}
+    assert exact_want <= exact_got and exact_want
+    near_docs_want = {r["doc_id"] for r in inc if r["near_dup_of"] is not None}
+    near_docs_got = {d for d, _c, k in kinds if k == "near"}
+    assert near_docs_want <= near_docs_got and 3 in near_docs_got
+    index.unpersist()
 
 
 def test_streaming_incremental_dedup_equals_batch(spark, tmpdir_spark):
