@@ -235,11 +235,13 @@ def write_fixture_workbook(path: str) -> None:
         for i, (_, grid) in enumerate(sheets)
     ]
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED, compresslevel=9) as z:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED, compresslevel=9) as z:
         for name, data in members:
             zi = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
             zi.compress_type = zipfile.ZIP_DEFLATED
             z.writestr(zi, data.encode("utf-8"), compresslevel=9)
+    os.replace(tmp, path)  # atomic: concurrent readers never see a torn file
 
 
 def write_fixture_pdf(path: str) -> None:
@@ -292,8 +294,10 @@ def write_fixture_pdf(path: str) -> None:
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
         f.write(bytes(out))
+    os.replace(tmp, path)  # atomic publish, same reason as the workbook
 
 
 def ensure_fixtures() -> None:
