@@ -545,8 +545,19 @@ def _band_bucket(band: int, r: int, hash_family: str) -> Column:
     same in both engines."""
     vals = [F.col("sig")[band * r + j] for j in range(r)]
     if hash_family == "md5":
-        return F.md5(F.concat_ws(",", *[v.cast("string") for v in vals]))
-    return F.xxhash64(*vals).cast("string")
+        # 60-bit LONG bucket (first 15 hex of the digest): join keys
+        # stay fixed-width longs — a 32-char string key measurably
+        # inflated the candidate join's shuffle (round 13)
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(",", *[v.cast("string") for v in vals])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    return F.xxhash64(*vals)
 
 
 def minhash_lsh_pairs(

@@ -312,7 +312,9 @@ _MINHASH_MD5_ORACLE = f"""
     sig AS (SELECT id, i, MIN(h) AS h FROM hashes GROUP BY id, i),
     buckets AS (
       SELECT id, CAST(i // 4 AS INT) AS band,
-             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+             CAST(('0x' || substring(
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)),
+               1, 15)) AS BIGINT) AS bucket
       FROM sig GROUP BY id, i // 4),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -377,7 +379,9 @@ _INCREMENTAL_MD5_ORACLE = f"""
     sig AS (SELECT id, side, i, MIN(h) AS h FROM hashes GROUP BY id, side, i),
     buckets AS (
       SELECT id, side, CAST(i // 4 AS INT) AS band,
-             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+             CAST(('0x' || substring(
+               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)),
+               1, 15)) AS BIGINT) AS bucket
       FROM sig GROUP BY id, side, i // 4),
     cand AS (
       SELECT DISTINCT b.id AS new_id, c.id AS corpus_id
