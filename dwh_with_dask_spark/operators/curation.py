@@ -1262,3 +1262,99 @@ def compact_bm25_index(spark, path: str) -> dict:
     os.rename(staging, path)
     shutil.rmtree(retired, ignore_errors=True)
     return stats
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al.
+    2023, public — the DSIR recipe): per document, the mean hashed-
+    n-gram log importance ratio ``log p_target(b) − log p_raw(b)``
+    over the document's unigram+bigram feature stream, where both
+    distributions are add-``smoothing`` estimates over ``buckets``
+    hashed feature buckets (p_raw from the WHOLE corpus, p_target from
+    the rows where ``target`` holds). Documents whose feature profile
+    resembles the target domain score high; resample/filter on the
+    weight to steer a raw crawl toward a curated domain.
+
+    Output: (id_col, n_feats, dsir_logw) for every document with at
+    least one token; ``dsir_logw`` is rounded to 6 decimals — the
+    repo's established idiom for log-derived oracle columns (bigram
+    LM, PSI): it washes out last-ulp libm differences between engines
+    while leaving the selection signal untouched.
+
+    Scale shape: ONE tokenize+explode of the corpus into (id, bucket)
+    feature rows (bucket = md5-derived, engine-neutral); the
+    distribution estimate is a map-side-combined aggregate onto at
+    most ``buckets`` rows, which then BROADCAST back onto the feature
+    stream (never a corpus-sized shuffle for the stats side); one
+    groupBy(id) mean. The hashing trick is what makes the estimator
+    100 TB-shaped: vocabulary size never appears, state is O(buckets).
+    """
+    from dwh_with_dask_spark.operators.dedup import text_tokens
+    from dwh_with_dask_spark.operators.partitioning import widen
+
+    toks_df = widen(
+        df.select(
+            F.col(id_col).alias("id"),
+            target.cast("int").alias("__t"),
+            text_tokens(text_col).alias("__toks"),
+        ),
+        "id",
+    )
+    tk = F.col("__toks")
+    grams = F.concat(
+        tk,
+        F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    feats = toks_df.select(
+        "id",
+        "__t",
+        F.explode(grams).alias("feat"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("feat"), F.lit("|ds"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(buckets),
+        ),
+    )
+    stats = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum("__t").alias("tc"),
+    )
+    totals = stats.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
+    ).first()
+    rt, tt = float(totals["rt"] or 0), float(totals["tt"] or 0)
+    s = float(smoothing)
+    ratio = (
+        F.log((F.col("tc") + F.lit(s)) / F.lit(tt + s * buckets))
+        - F.log((F.col("rc") + F.lit(s)) / F.lit(rt + s * buckets))
+    ).alias("__lr")
+    bucket_lr = stats.select("bucket", ratio)
+    return (
+        feats.join(F.broadcast(bucket_lr), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("__lr"), 6).alias("dsir_logw"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

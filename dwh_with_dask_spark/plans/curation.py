@@ -985,3 +985,54 @@ def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "n_lines_kept", "has_lorem_ipsum",
         "has_brace", "n_sentences", "c4_keep",
     )
+
+
+@query(
+    "curation_dsir_weights",
+    f"""
+    WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks
+               FROM documents),
+    feats AS (
+      SELECT doc_id, tgt, feat FROM (
+        SELECT doc_id, tgt,
+               unnest(list_concat(
+                 toks,
+                 CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END)) AS feat
+        FROM t)),
+    fb AS (
+      SELECT doc_id, tgt,
+             CAST(('0x' || substring(md5(feat || '|ds'), 1, 8)) AS BIGINT)
+               % 4096 AS bucket
+      FROM feats),
+    stats AS (
+      SELECT bucket, COUNT(*) AS rc,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc
+      FROM fb GROUP BY bucket),
+    tot AS (SELECT SUM(rc) AS rt, SUM(tc) AS tt FROM stats),
+    lr AS (
+      SELECT bucket,
+             ln((tc + 1.0) / (tt + 1.0 * 4096))
+               - ln((rc + 1.0) / (rt + 1.0 * 4096)) AS lrv
+      FROM stats, tot)
+    SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           round(avg(lr.lrv), 6) AS dsir_logw
+    FROM fb JOIN lr USING (bucket)
+    GROUP BY fb.doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    importance ratio of the 'en' target domain vs the raw corpus —
+    high-weight documents read like the target's feature profile. The
+    md5-derived buckets make the whole estimator rebuild bit-for-bit in
+    DuckDB (full hash-match oracle); the log-mean is rounded to 6
+    decimals per the repo's log-column idiom (bigram LM, PSI). State is
+    O(buckets)=4096 regardless of corpus size — the hashing trick is
+    the 100 TB shape."""
+    from dwh_with_dask_spark.operators.curation import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance(d, F.col("lang") == "en")

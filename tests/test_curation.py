@@ -759,3 +759,32 @@ def test_bm25_refresh_auto_compacts_at_threshold(spark, tmp_path):
     assert segs() == ["__seg=0", "__seg=1"]
     grown = C.bm25_search_indexed(spark, path, terms, k=10).collect()
     assert {r.doc_id for r in grown} == {0, 1, 2, 3, 4}
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): docs sharing the target domain's feature
+    profile must score higher than off-domain docs. Planted corpus:
+    target = lang 'en' docs about one topic; a non-target doc written
+    in the same style must outrank a non-target doc in a foreign
+    style."""
+    from dwh_with_dask_spark.operators.curation import dsir_importance
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "en", "spark engines process big data tables with fast joins"),
+        (2, "en", "data tables and joins make spark engines process fast"),
+        (3, "en", "big data joins process tables in spark engines"),
+        (4, "xx", "spark engines process data tables with joins quickly"),
+        (5, "xx", "le chat dort sur le tapis pres de la porte rouge"),
+        (6, "xx", "der hund schlaeft unter dem tisch neben der tuer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance(df, F.col("lang") == "en").collect()
+    }
+    assert set(w) == {1, 2, 3, 4, 5, 6}
+    # on-domain non-target doc outranks both off-domain docs
+    assert w[4] > w[5] and w[4] > w[6]
+    # target docs themselves score at least as high as the off-domain ones
+    assert min(w[1], w[2], w[3]) > max(w[5], w[6])
