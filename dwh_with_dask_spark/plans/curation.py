@@ -1036,3 +1036,66 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_importance(d, F.col("lang") == "en")
+
+
+@query(
+    "corpus_source_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             len({_TOKS_SQL}) AS n_tokens,
+             sha256({_NORM_SQL}) AS h
+      FROM documents),
+    d AS (SELECT h FROM t GROUP BY h HAVING COUNT(*) > 1)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN t.h IN (SELECT h FROM d) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6)
+             AS mean_tokens,
+           round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_en
+    FROM t GROUP BY source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus intake report — the first query a curation run
+    issues against a new crawl: volume, exact-duplicate exposure
+    (docs whose normalized text recurs ANYWHERE in the corpus, the
+    cross-source boilerplate signal), token mass, language mix. One
+    tokenize pass + one 64-hex-key duplicate aggregate + one
+    source-keyed aggregate; the duplicated-hash set is duplicate-sized
+    and broadcasts back (never a second corpus shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    from dwh_with_dask_spark.operators.dedup import normalize_text
+
+    t = widen(d, "doc_id").select(
+        "doc_id", "source", "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.sha2(normalize_text("text"), 256).alias("h"),
+    )
+    dup = (
+        t.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = t.join(
+        F.broadcast(dup.withColumn("__dup", F.lit(1))), "h", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("__dup").isNotNull(), 1).otherwise(0)
+        ).alias("n_exact_dup_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("frac_en"),
+    )
