@@ -1271,6 +1271,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     buckets: int = 4096,
     smoothing: float = 1.0,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling weights (Xie et al.
     2023, public — the DSIR recipe): per document, the mean hashed-
@@ -1289,12 +1290,18 @@ def dsir_importance(
     while leaving the selection signal untouched.
 
     Scale shape: ONE tokenize+explode of the corpus into (id, bucket)
-    feature rows (bucket = md5-derived, engine-neutral); the
+    feature rows (bucket = md5-derived, engine-neutral), PERSISTED via
+    the repo's CacheScope idiom because the plan consumes it twice
+    (the bucket-stats side and the per-document join probe); the
     distribution estimate is a map-side-combined aggregate onto at
-    most ``buckets`` rows, which then BROADCAST back onto the feature
-    stream (never a corpus-sized shuffle for the stats side); one
-    groupBy(id) mean. The hashing trick is what makes the estimator
-    100 TB-shaped: vocabulary size never appears, state is O(buckets).
+    most ``buckets`` rows, whose grand totals come from a window over
+    that tiny frame (no separate driver action, so nothing triggers an
+    extra corpus scan), and which then BROADCASTs back onto the
+    feature stream (never a corpus-sized shuffle for the stats side);
+    one groupBy(id) mean. The hashing trick is what makes the
+    estimator 100 TB-shaped: vocabulary size never appears, state is
+    O(buckets). When ``scope`` is None a private scope is attached to
+    the result as ``.cache_scope`` (see operators/caching.py).
     """
     from dwh_with_dask_spark.operators.dedup import text_tokens
     from dwh_with_dask_spark.operators.partitioning import widen
@@ -1318,7 +1325,8 @@ def dsir_importance(
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    feats = toks_df.select(
+    scope, created = scoped(scope)
+    feats = scope.persist(toks_df.select(
         "id",
         "__t",
         F.explode(grams).alias("feat"),
@@ -1334,22 +1342,28 @@ def dsir_importance(
             ).cast("long"),
             F.lit(buckets),
         ),
-    )
+    ))
     stats = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum("__t").alias("tc"),
     )
-    totals = stats.agg(
-        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
-    ).first()
-    rt, tt = float(totals["rt"] or 0), float(totals["tt"] or 0)
+    # Grand totals as an unpartitioned window over the <=buckets-row
+    # stats frame (one partition of at most `buckets` rows) — keeps the
+    # whole operator a single lazy plan with no driver action.
+    w = Window.partitionBy()
     s = float(smoothing)
     ratio = (
-        F.log((F.col("tc") + F.lit(s)) / F.lit(tt + s * buckets))
-        - F.log((F.col("rc") + F.lit(s)) / F.lit(rt + s * buckets))
+        F.log(
+            (F.col("tc") + F.lit(s))
+            / (F.sum("tc").over(w) + F.lit(s * buckets))
+        )
+        - F.log(
+            (F.col("rc") + F.lit(s))
+            / (F.sum("rc").over(w) + F.lit(s * buckets))
+        )
     ).alias("__lr")
     bucket_lr = stats.select("bucket", ratio)
-    return (
+    out = (
         feats.join(F.broadcast(bucket_lr), "bucket")
         .groupBy("id")
         .agg(
@@ -1358,3 +1372,4 @@ def dsir_importance(
         )
         .withColumnRenamed("id", id_col)
     )
+    return attach(out, scope, created)

@@ -527,8 +527,29 @@ def minhash_signatures(
     permutation approximates the permutation min. One explode + one
     groupBy; signature size is num_hashes longs per doc regardless of
     doc length.
+
+    Plan shape (round 14): the shingle stream is NOT deduplicated —
+    min() is multiset-invariant, so the set and multiset signatures
+    are bit-identical (pinned by test), and the per-partition
+    distinct() hash-aggregate over (id, shingle) STRINGS that the
+    Jaccard operators genuinely need is pure overhead here (measured
+    ~25% of the signature build at sf0.1). Note for the curious: the
+    inline conv(substring(md5)) pair in the 64 min() expressions is
+    already evaluated once per row by codegen subexpression
+    elimination — an explicit a/b projection behind a barrier was
+    MEASURED SLOWER (1.06 -> 1.58 s, round-14 A/B), so don't "fix" it.
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    toks_df = widen(
+        df.select(
+            F.col(id_col).alias("id"),
+            text_tokens(text_col).alias("__toks"),
+        ),
+        "id",
+    )
+    sh = toks_df.select(
+        "id",
+        F.explode(_grams_from_tokens(F.col("__toks"), n)).alias("shingle"),
+    )
     minhashes = [
         F.min(c).alias(f"h{i}")
         for i, c in enumerate(_minhash_cols(num_hashes, hash_family))

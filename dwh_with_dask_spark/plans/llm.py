@@ -388,13 +388,21 @@ _INCREMENTAL_MD5_ORACLE = f"""
       FROM buckets b JOIN buckets c
         ON b.side = 1 AND c.side = 0
        AND b.band = c.band AND b.bucket = c.bucket),
-    near AS (
-      SELECT cd.new_id AS id, MIN(cd.corpus_id) AS near_dup_of
+    pair AS (
+      -- Aggregate agreements PER (new, corpus) PAIR before thresholding:
+      -- grouping by new_id alone would pool slot agreements across all
+      -- candidate partners (two partners at 20/64 each pooling to 40/64
+      -- and flagging a false near-dup) and could return a non-passing
+      -- partner from MIN. Spark's incremental_dedup verifies per pair.
+      SELECT cd.new_id, cd.corpus_id, COUNT(*) AS n_agree
       FROM cand cd
       JOIN sig sb ON sb.id = cd.new_id
       JOIN sig sc ON sc.id = cd.corpus_id AND sc.i = sb.i AND sc.h = sb.h
-      GROUP BY cd.new_id
+      GROUP BY cd.new_id, cd.corpus_id
       HAVING CAST(COUNT(*) AS DOUBLE) / 64.0 >= 0.5),
+    near AS (
+      SELECT new_id AS id, MIN(corpus_id) AS near_dup_of
+      FROM pair GROUP BY new_id),
     exact AS (
       SELECT b.doc_id AS id, MIN(c.doc_id) AS exact_dup_of
       FROM t b JOIN t c

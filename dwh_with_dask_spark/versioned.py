@@ -21,7 +21,11 @@ style storage where directory renames are NOT atomic but single-file
   nothing and blocks nobody (the next commit heals the pointer). A
   crash BEFORE the link leaves the table at the previous version with
   no cleanup needed: a staged data dir referenced by no manifest is
-  invisible to readers, and ``vacuum`` reclaims it;
+  invisible to readers, and ``vacuum`` reclaims it. Tables written by
+  the pre-round-13 pointer-is-commit protocol: see the upgrade note
+  on ``current_version`` — its forward probe ADOPTS that protocol's
+  crash-orphan manifests as committed versions (their data is always
+  complete; remove stray manifests first to keep the old semantics);
 - readers resolve version -> manifest -> file list, so time travel is
   ``read_version(spark, path, n)`` and CDC between versions is
   ``snapshot_diff(read_version(n1), read_version(n2))``
@@ -76,7 +80,19 @@ def current_version(table: str) -> int:
     probe forward from it: manifests are linked atomically and only
     ever for ``prev + 1``, so the chain above the pointer is
     contiguous and every linked manifest is complete. The probe is one
-    failed ``stat`` in the common (pointer-fresh) case."""
+    failed ``stat`` in the common (pointer-fresh) case.
+
+    UPGRADE SEMANTICS (pre-round-13 tables): the earlier protocol's
+    commit point was the POINTER replace, so a manifest past the
+    pointer was a crash orphan — "never happened", swept by vacuum.
+    Under this protocol the same manifest reads as COMMITTED on first
+    access. This is deliberate and safe (never corrupting): in both
+    protocols the manifest is written only AFTER its data files are
+    fully on disk, so any adopted orphan references complete data —
+    the writer's crash simply moved from "lost the commit" to "the
+    commit landed". Callers who relied on the old lost-commit
+    behavior must vacuum/remove stray ``_manifests/v*.json`` past the
+    pointer BEFORE reading a legacy table with this version."""
     try:
         with open(os.path.join(table, "_current")) as f:
             v = int(f.read().strip())

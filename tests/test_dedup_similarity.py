@@ -463,6 +463,147 @@ def test_incremental_dedup_short_corpus_doc_exact_match(spark, tmp_path):
     assert out[101] == (None, True)
 
 
+def test_minhash_signatures_multiset_invariant(spark):
+    """minhash_signatures skips the shingle distinct() (round 14):
+    min() over the multiset equals min() over the set, so signatures
+    must be bit-identical to the deduplicated form — including on a
+    doc with heavy internal repetition."""
+    rows = [
+        (1, "a b c a b c a b c a b c d e f"),   # repeated shingles
+        (2, "one two three four five six"),
+        (3, "xx"),                                # too short: no sig row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("xxhash64", "md5"):
+        got = {
+            r["id"]: tuple(r["sig"])
+            for r in D.minhash_signatures(docs, hash_family=fam).collect()
+        }
+        dedup_sh = D._doc_shingles(docs, "doc_id", "text", 3)
+        mh = [
+            F.min(c).alias(f"h{i}")
+            for i, c in enumerate(D._minhash_cols(64, fam))
+        ]
+        agg = dedup_sh.groupBy("id").agg(*mh)
+        want = {
+            r["id"]: tuple(r["sig"])
+            for r in agg.select(
+                "id", F.array(*[f"h{i}" for i in range(64)]).alias("sig")
+            ).collect()
+        }
+        assert got == want, f"family {fam}: multiset != set signatures"
+        assert 3 not in got, "shingle-less doc must produce no sig row"
+
+
+# Multi-candidate counterexample (ADVICE r14 high): two corpus partners
+# each agreeing on <50% of signature slots with the batch doc, both LSH
+# candidates (share a full band), whose POOLED slot agreements exceed
+# 50%. A per-new-id-pooled verify (the pre-round-14 oracle shape) flags
+# a false near-dup here; the correct per-pair verify does not. Found by
+# scripts/search_multicand.py (md5 family, deterministic).
+_MC_T = (
+    "w25 w91 w127 w106 w94 w122 w10 w162 w150 w40 w83 w31 w11 w0 w5 w139 "
+    "w170 w76 w135 w36 w190 w42 w162 w182 w156 w31 w64 w4 w150 w21 w8 "
+    "w173 w106 w77 w4 w47 w23 w76 w6 w34"
+)
+_MC_A = (
+    "w71 w65 w127 w106 w94 w122 w10 w162 w150 w89 w148 w173 w11 w0 w5 "
+    "w38 w170 w76 w135 w36 w190 w42 w162 w153 w176 w31 w64 w21 w184 "
+    "w133 w8 w173 w99 w77 w141 w47 w23 w34 w6 w50"
+)
+_MC_B = (
+    "w25 w91 w108 w106 w94 w122 w10 w162 w150 w40 w68 w128 w191 w0 w134 "
+    "w139 w150 w76 w41 w48 w162 w42 w162 w118 w48 w31 w64 w4 w4 w21 w8 "
+    "w173 w106 w77 w4 w47 w23 w121 w98 w26"
+)
+
+
+def _py_md5_sig(text, num_hashes=64, n=3):
+    """Pure-Python replica of the md5 minhash family (dedup._minhash_cols)."""
+    import hashlib
+
+    t = [w for w in text.lower().split() if w]
+    sh = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+    sig = [None] * num_hashes
+    for s in sh:
+        d = hashlib.md5((s + "|mh").encode()).hexdigest()
+        a, b = int(d[:8], 16), int(d[8:16], 16)
+        for i in range(num_hashes):
+            h = (a + (i + 1) * b) % (2 ** 32)
+            if sig[i] is None or h < sig[i]:
+                sig[i] = h
+    return sig
+
+
+def test_incremental_dedup_multicandidate_no_pooling(spark, tmp_path):
+    """Two sub-threshold candidate partners must NOT pool their slot
+    agreements into a false near-dup — neither in Spark's
+    incremental_dedup nor in the driver's _INCREMENTAL_MD5_ORACLE
+    (whose pre-round-14 `near` CTE grouped by new_id only and did
+    exactly that pooling)."""
+    import duckdb
+
+    from dwh_with_dask_spark.plans.llm import _INCREMENTAL_MD5_ORACLE
+
+    # Precondition guard: the planted texts still have the shape the
+    # test depends on (fails loudly if the hash family ever changes).
+    st, sa, sb = _py_md5_sig(_MC_T), _py_md5_sig(_MC_A), _py_md5_sig(_MC_B)
+    n_a = sum(x == y for x, y in zip(st, sa))
+    n_b = sum(x == y for x, y in zip(st, sb))
+    assert n_a < 32 and n_b < 32, "each pair must be below threshold 0.5"
+    assert n_a + n_b >= 32, "pooled agreements must cross the threshold"
+    for s in (sa, sb):
+        assert any(
+            all(st[band * 4 + j] == s[band * 4 + j] for j in range(4))
+            for band in range(16)
+        ), "each partner must be an LSH candidate (shared band)"
+
+    # doc_id parity drives the oracle's corpus/batch split: even=corpus.
+    rows = [(0, _MC_A), (1, _MC_T), (2, _MC_B)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = D.corpus_index(corpus, hash_family="md5")
+    idx.cache()
+    out = {
+        r["doc_id"]: (r["exact_dup_of"], r["near_dup_of"], r["is_new"])
+        for r in D.incremental_dedup(
+            batch, idx, threshold=0.5, hash_family="md5"
+        ).collect()
+    }
+    idx.unpersist()
+    assert out[1] == (None, None, True), (
+        "sub-threshold partners pooled into a false near-dup"
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = con.sql(_INCREMENTAL_MD5_ORACLE).fetchall()
+    assert oracle == [(1, None, None, True)], (
+        "oracle must apply the threshold per pair, not pooled per new_id"
+    )
+
+    # The pooled shape (pre-fix) DOES flag it — proves the test has teeth.
+    pooled_sql = _INCREMENTAL_MD5_ORACLE.replace(
+        "GROUP BY cd.new_id, cd.corpus_id", "GROUP BY cd.new_id"
+    ).replace(
+        "SELECT cd.new_id, cd.corpus_id, COUNT(*) AS n_agree",
+        "SELECT cd.new_id, MIN(cd.corpus_id) AS corpus_id, "
+        "COUNT(*) AS n_agree",
+    )
+    pooled = con.sql(pooled_sql).fetchall()
+    con.close()
+    assert pooled == [(1, None, 0, False)], (
+        "expected the pooled variant to produce the false near-dup this "
+        "test plants; if it stops doing so the fixture needs re-deriving"
+    )
+
+
 # --------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (cell-scoped greedy cosine pruning)
 # --------------------------------------------------------------------------
