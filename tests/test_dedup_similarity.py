@@ -1706,6 +1706,67 @@ def test_suffix_doubling_tail_and_probe_fallback(spark, monkeypatch):
     assert got_rm == _brute_suffix_removal(docs, 4)
 
 
+def test_suffix_one_position_corpus_honors_min_rep(spark):
+    """Regression (ADVICE r13 suffix.py:489): the one-position-corpus
+    branch substitutes a rep=0 row for the pairless frame; with
+    ``min_rep`` set, that row must still honor the documented
+    omitted-below-threshold contract (the min_rep filter applies AFTER
+    the override)."""
+    from dwh_with_dask_spark.operators.suffix import longest_repeats
+
+    one = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
+    # without min_rep: the single position reports rep=0
+    got = [(r.id, r.pos, r.rep) for r in longest_repeats(one).collect()]
+    assert got == [(7, 0, 0)]
+    # with min_rep: rep=0 < 1 must be OMITTED, not reported
+    assert longest_repeats(one, min_rep=1).collect() == []
+
+
+def test_cursor_lookup_both_guard_halves_at_union_size(spark, monkeypatch):
+    """Regression (ADVICE r13 suffix.py:657): _cursor_lookup_both
+    unions BOTH sides' probes (2 rows per pair), so its broadcast
+    guard must trip at 2*n_act > _PROBE_BROADCAST_MAX — and the
+    fallback (two expression-keyed shuffle joins) must return the
+    identical frame the broadcast path does."""
+    from dwh_with_dask_spark.operators import suffix
+
+    # act: 3 walk pairs with cursors into tbl; one cursor (pair 3, side
+    # b) runs past the doc end -> NULL
+    act = spark.createDataFrame(
+        [
+            (1, 0, 2, 1, 1),
+            (1, 1, 2, 2, 2),
+            (2, 0, 3, 0, 3),
+        ],
+        "ida long, posa long, idb long, posb long, lcp long",
+    )
+    tbl = spark.createDataFrame(
+        [(1, 1, 10), (1, 3, 11), (2, 2, 12), (2, 4, 13), (3, 3, 14)],
+        "id long, pos long, v long",
+    )
+
+    def run():
+        return sorted(
+            (r["idb"], r["posb"], r["va"], r["vb"])
+            for r in suffix._cursor_lookup_both(
+                act, tbl, "v", "va", "vb", n_act=3
+            ).collect()
+        )
+
+    monkeypatch.setattr(suffix, "_PROBE_BROADCAST_MAX", 6)  # 2*3 <= 6
+    broadcast_path = run()
+    monkeypatch.setattr(suffix, "_PROBE_BROADCAST_MAX", 5)  # 2*3 > 5
+    fallback_path = run()
+    assert broadcast_path == fallback_path
+    # the values themselves: va from (ida, posa+lcp), vb from
+    # (idb, posb+lcp); the (2,3) cursor has no rank row -> NULL
+    assert broadcast_path == [
+        (2, 1, 10, 12),
+        (2, 2, 11, 13),
+        (3, 0, None, 14),
+    ]
+
+
 def test_suffix_longest_repeats_randomized_property(spark):
     """Randomized (fixed-seed, deterministic) corpora vs the quadratic
     reference: small alphabets force heavy sharing, within-doc repeats,
