@@ -227,6 +227,73 @@ def weighted_sample(
     )
 
 
+def log_weighted_sample(
+    df: DataFrame,
+    k: int,
+    log_weight: Column | str,
+    key: Column | str,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """``weighted_sample`` for weights carried in LOG space: the same
+    sequential-Poisson order sampling (keep the k smallest priorities),
+    with priority computed as ``ln(u) − log_w`` instead of ``u / w`` —
+    order-identical because ln is monotone and u, w > 0, but never
+    materializes ``exp(log_w)`` (which under- or overflows for the
+    log-ratio weights DSIR emits and would reintroduce a libm call per
+    engine). The priority is rounded to 9 dp — the repo's established
+    idiom (temperature_sample's rates) so a last-ulp ln() difference
+    between engines cannot reorder the k-th boundary; ties break on
+    ``key``. Rows with NULL log-weight are excluded (no weight row ==
+    zero inclusion probability).
+
+    Same physical shape as ``weighted_sample``: one TakeOrderedAndProject
+    (per-partition heaps), no full sort, no shuffle of the data."""
+    u = F.conv(md5_prefix(key, 8, salt), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    lw = _col(log_weight).cast("double")
+    return (
+        df.filter(lw.isNotNull())
+        .withColumn("__prio", F.round(F.log(u) - lw, 9))
+        .orderBy(F.col("__prio").asc(), _col(key).asc())
+        .limit(k)
+        .drop("__prio")
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """The RESAMPLE half of DSIR (Xie et al. 2023): select ``k``
+    documents with probability proportional to the importance weight
+    ``exp(dsir_logw)`` — i.e. steer a raw crawl toward the ``target``
+    domain's feature profile. Composition of the two existing pieces:
+    ``dsir_importance`` supplies the per-document log weight,
+    ``log_weighted_sample`` draws the PPS sample deterministically
+    (md5-draw priorities, no RNG). Documents with no weight row (zero
+    tokens) have zero inclusion probability, per the inner join.
+
+    Scale shape: the weight pass is dsir_importance's single
+    tokenize+explode (state O(buckets)); the resample adds one
+    broadcast-or-shuffle join batch-keyed on ``id_col`` and a top-k —
+    nothing corpus-ordered, nothing driver-side."""
+    scope, created = scoped(scope)
+    wts = dsir_importance(
+        df, target, text_col, id_col, buckets, smoothing, scope=scope
+    )
+    joined = df.join(wts.select(id_col, "dsir_logw"), id_col)
+    out = log_weighted_sample(joined, k, "dsir_logw", id_col, salt=salt)
+    return attach(out, scope, created)
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col: Column | str,

@@ -559,25 +559,23 @@ def minhash_signatures(
 
 
 def _band_bucket(band: int, r: int, hash_family: str) -> Column:
-    """One band's bucket key from the ``sig`` array column.
-    ``xxhash64``: engine-fast. ``md5`` over the comma-joined values:
-    engine-neutral — a DuckDB oracle rebuilds the identical bucket
-    keys, so the CANDIDATE SET (not just the scored output) is the
-    same in both engines."""
+    """One band's bucket key from the ``sig`` array column — always
+    ``xxhash64`` over the band's r slot values (round 14; the
+    ``hash_family`` parameter is kept for signature symmetry but no
+    longer selects the bucket function).
+
+    Why the md5 family doesn't need md5 BUCKETS: the bucket is internal
+    grouping plumbing — it never appears in any output, and ANY
+    function injective up to hash collisions produces the SAME
+    candidate set as grouping on the band's raw slot values. The
+    DuckDB oracle twins therefore join candidates on the raw
+    comma-joined slot key (exactly reproducible by construction),
+    while Spark shuffles an 8-byte xxhash64 key. The round-13 60-bit
+    md5 bucket paid one commons-codec digest per exploded band element
+    (interpreted, a MessageDigest per call): the banded stage measured
+    0.57 s md5 vs 0.33 s xxhash64 at sf0.1, and the candidate
+    self-join pays it twice."""
     vals = [F.col("sig")[band * r + j] for j in range(r)]
-    if hash_family == "md5":
-        # 60-bit LONG bucket (first 15 hex of the digest): join keys
-        # stay fixed-width longs — a 32-char string key measurably
-        # inflated the candidate join's shuffle (round 13)
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws(",", *[v.cast("string") for v in vals])),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
     return F.xxhash64(*vals)
 
 

@@ -987,10 +987,11 @@ def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curation_dsir_weights",
-    f"""
-    WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks
+# DSIR CTE chain (md5-bucketed unigram+bigram importance ratio) —
+# shared by the weights query and the resample query so the resample
+# oracle restates the SAME estimator it samples from.
+_DSIR_CTES = f"""
+    t AS (SELECT doc_id, (lang = 'en') AS tgt, {_TOKS_SQL} AS toks
                FROM documents),
     feats AS (
       SELECT doc_id, tgt, feat FROM (
@@ -1016,11 +1017,20 @@ def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bucket,
              ln((tc + 1.0) / (tt + 1.0 * 4096))
                - ln((rc + 1.0) / (rt + 1.0 * 4096)) AS lrv
-      FROM stats, tot)
-    SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-           round(avg(lr.lrv), 6) AS dsir_logw
-    FROM fb JOIN lr USING (bucket)
-    GROUP BY fb.doc_id
+      FROM stats, tot),
+    wts AS (
+      SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             round(avg(lr.lrv), 6) AS dsir_logw
+      FROM fb JOIN lr USING (bucket)
+      GROUP BY fb.doc_id)
+    """
+
+
+@query(
+    "curation_dsir_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_feats, dsir_logw FROM wts
     """,
 )
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,6 +1046,40 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_importance(d, F.col("lang") == "en")
+
+
+@query(
+    "curation_dsir_resample",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, lang, dsir_logw FROM (
+      SELECT d.doc_id, d.lang, w.dsir_logw,
+             round(ln(CAST(('0x' || substring(
+                        md5(CAST(d.doc_id AS VARCHAR) || 'dsir'), 1, 8))
+                      AS BIGINT)::DOUBLE / 4294967296.0)
+                   - w.dsir_logw, 9) AS prio
+      FROM documents d JOIN wts w USING (doc_id))
+    ORDER BY prio ASC, doc_id ASC
+    LIMIT 120
+    """,
+)
+def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (VERDICT r13 ask #7): the log weights
+    wired into the repo's deterministic PPS sampler — select 120 docs
+    with probability proportional to exp(dsir_logw), i.e. steer the
+    sample toward the 'en' feature profile. Priorities live in log
+    space (ln(u) − logw, rounded to 9 dp so a last-ulp ln() difference
+    cannot reorder the k-th boundary) and the whole chain — estimator
+    buckets, weights, draws, priorities — rebuilds bit-for-bit in
+    DuckDB. The steering property itself (en share rises vs the
+    corpus) is asserted in tests/test_curation.py."""
+    from dwh_with_dask_spark.operators.curation import dsir_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dsir_resample(d, F.col("lang") == "en", k=120)
+    res = out.select("doc_id", "lang", "dsir_logw")
+    res.cache_scope = getattr(out, "cache_scope", None)
+    return res
 
 
 @query(

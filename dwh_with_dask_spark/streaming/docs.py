@@ -208,12 +208,24 @@ def span_probe_sink(index_path: str, out_path: str, k: int = 8):
 
     The new-hash frame is persisted and counted BEFORE the append so
     its write never re-reads ``index_path`` mid-append; state lives
-    entirely in the two parquet tables — the restart/recovery story is
-    the checkpoint plus idempotent re-append per batch_id (standard
-    foreachBatch contract). A fresh pipeline needs no manual seeding:
-    the first micro-batch finding no table at ``index_path`` writes an
-    empty one (ADVICE r6 — previously the first batch threw
-    path-not-found and killed the stream)."""
+    entirely in the two parquet tables. Restart/recovery (round 14 —
+    the EXACTLY-ONCE story, tested by the kill-and-restart leg in
+    tests/test_streaming.py): foreachBatch may REPLAY a batch_id after
+    a crash, so both writes are idempotent per batch_id —
+
+    - coverage goes to ``out_path/batch_id=<N>/`` with mode
+      ``overwrite`` (a replay rewrites its own partition; a blind
+      append would duplicate the crashed attempt's rows). Readers
+      still just ``spark.read.parquet(out_path)`` — batch_id comes
+      back as a partition column;
+    - the index append is naturally idempotent: new hashes are
+      anti-joined against the CURRENT index, so a replay whose first
+      attempt already appended sees nothing novel and appends nothing.
+
+    A fresh pipeline needs no manual seeding: the first micro-batch
+    finding no table at ``index_path`` writes an empty one (ADVICE r6
+    — previously the first batch threw path-not-found and killed the
+    stream)."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -227,10 +239,10 @@ def span_probe_sink(index_path: str, out_path: str, k: int = 8):
         if not os.path.exists(index_path):
             spark.createDataFrame([], "h string").write.parquet(index_path)
         index = spark.read.parquet(index_path)
-        cov = incremental_duplicate_spans(batch_df, index, k=k).withColumn(
-            "batch_id", F.lit(batch_id)
+        cov = incremental_duplicate_spans(batch_df, index, k=k)
+        cov.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
         )
-        cov.write.mode("append").parquet(out_path)
         new_h = (
             build_span_index(batch_df, k=k)
             .join(index, "h", "left_anti")

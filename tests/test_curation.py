@@ -788,3 +788,50 @@ def test_dsir_importance_ranks_target_like_docs(spark):
     assert w[4] > w[5] and w[4] > w[6]
     # target docs themselves score at least as high as the off-domain ones
     assert min(w[1], w[2], w[3]) > max(w[5], w[6])
+
+
+def test_dsir_resample_steers_toward_target(spark):
+    """dsir_resample (round 14): a PPS draw on exp(dsir_logw) must
+    raise the target-profile share above its corpus share, and must
+    equal the explicit dsir_importance -> log_weighted_sample
+    composition bit-for-bit. Corpus: 30 'style A' docs (10 of them the
+    en target) + 30 'style B' docs."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.operators.curation import (
+        dsir_importance,
+        dsir_resample,
+        log_weighted_sample,
+    )
+
+    a_words = ["spark", "data", "join", "table", "engine", "query"]
+    b_words = ["chat", "chien", "porte", "table2", "rouge", "nuit"]
+    rows = []
+    for i in range(30):
+        perm = list(itertools.islice(itertools.cycle(a_words), i % 6, i % 6 + 6))
+        rows.append((i, "en" if i < 10 else "xx", " ".join(perm * 2)))
+    for i in range(30, 60):
+        perm = list(itertools.islice(itertools.cycle(b_words), i % 6, i % 6 + 6))
+        rows.append((i, "xx", " ".join(perm * 2)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    out = dsir_resample(df, F.col("lang") == "en", k=20)
+    got = [(r["doc_id"], r["dsir_logw"]) for r in out.collect()]
+    assert len(got) == 20
+    # steering: style-A docs (ids < 30) carry the target profile; their
+    # share in the sample must exceed their 50% corpus share
+    a_share = sum(1 for i, _ in got if i < 30) / 20
+    assert a_share > 0.5, f"resample did not steer: A share {a_share}"
+
+    # equals the explicit composition
+    wts = dsir_importance(df, F.col("lang") == "en")
+    joined = df.join(wts.select("doc_id", "dsir_logw"), "doc_id")
+    want = [
+        (r["doc_id"], r["dsir_logw"])
+        for r in log_weighted_sample(
+            joined, 20, "dsir_logw", "doc_id", salt="dsir"
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)

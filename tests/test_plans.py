@@ -206,6 +206,50 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.set(k, v)
 
 
+def test_q3_bucketed_fact_join_no_exchange(spark):
+    """The 100 TB answer to Q3's data-proportional shuffle (VERDICT r13
+    ask #4): with lineitem and orders stored bucketed on orderkey, the
+    executed q3_shape plan must contain NO Exchange on the fact side —
+    the fact join AND the l_orderkey aggregate both inherit the bucket
+    partitioning; the only exchange left is the broadcast of the
+    filtered customer dimension."""
+    from dwh_with_dask_spark.plans.relational import q3_shape
+    from dwh_with_dask_spark.sinks import write_bucketed_table
+    from tests.conftest import SF_SMOKE
+
+    try:
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        write_bucketed_table(li, "q3b_lineitem", ["l_orderkey"], num_buckets=8)
+        write_bucketed_table(o, "q3b_orders", ["o_orderkey"], num_buckets=8)
+        # Disable size-based broadcast so the fact join must pick SMJ —
+        # the regime a 100 TB fact table is always in; the dimension is
+        # broadcast EXPLICITLY, as q3 would at scale.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = q3_shape(
+                spark.table("q3b_lineitem"),
+                spark.table("q3b_orders"),
+                F.broadcast(c),
+            )
+            rows = df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            # no shuffle anywhere on the fact side: not for the
+            # li-orders join, not for the groupBy(l_orderkey, ...)
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "BroadcastExchange" in plan  # the dim, and only it
+            # same answer as the plain-scan query
+            want = QUERIES["q3_shipping_priority"](spark, SF_SMOKE).collect()
+            assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q3b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS q3b_orders")
+
+
 def test_bucketed_join_skips_shuffle(spark):
     """Two tables bucketed on the join key must sort-merge join with NO
     Exchange on either side — the co-location contract that makes big-big

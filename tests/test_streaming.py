@@ -1202,6 +1202,103 @@ def test_span_probe_sink_fresh_pipeline_self_seeds(spark, tmpdir_spark):
     assert stored == {r.h for r in build_span_index(fa).collect()}
 
 
+def test_span_probe_sink_kill_and_restart_exactly_once(
+    spark, tmpdir_spark, monkeypatch
+):
+    """Kill-and-restart-from-checkpoint leg (VERDICT r13 ask #6): the
+    stream CRASHES mid-batch — after the batch's coverage write, before
+    its index append — then restarts from the checkpoint, which REPLAYS
+    that batch_id. The restarted pipeline's stored index AND coverage
+    must equal a never-killed control run bit-for-bit: coverage is
+    idempotent because each batch overwrites its own batch_id
+    partition (round 14 — a blind append duplicated the crashed
+    attempt's rows), the index because novel hashes are anti-joined
+    against the current index."""
+    import dwh_with_dask_spark.operators.dedup as DD
+    from dwh_with_dask_spark.streaming.docs import (
+        read_documents_stream,
+        span_probe_sink,
+    )
+
+    vocab = [f"v{i}" for i in range(20)]
+    boiler = [f"s{i}" for i in range(10)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = spark.createDataFrame(
+        _span_fixture_rows(6, 0, 40, boiler, vocab), schema
+    )
+    fa = spark.createDataFrame(
+        _span_fixture_rows(7, 1000, 20, boiler, vocab, every=2), schema
+    )
+    fb = spark.createDataFrame(
+        _span_fixture_rows(8, 2000, 20, boiler, vocab, every=2), schema
+    )
+    # one file per wave -> deterministic batch boundaries in every run
+    src = f"{tmpdir_spark}/docs_kill"
+    fa.coalesce(1).write.parquet(src)
+    fb.coalesce(1).write.mode("append").parquet(src)
+
+    def run(tag, sink_crashes=False):
+        index_path = f"{tmpdir_spark}/idx_{tag}"
+        out_path = f"{tmpdir_spark}/cov_{tag}"
+        ckpt = f"{tmpdir_spark}/ckpt_{tag}"
+        DD.build_span_index(corpus).write.parquet(index_path)
+
+        if sink_crashes:
+            # crash INSIDE the sink's second batch, after its coverage
+            # write (build_span_index is the sink's next step)
+            real = DD.build_span_index
+            state = {"calls": 0}
+
+            def flaky(df, k=8):
+                state["calls"] += 1
+                if state["calls"] == 2:
+                    raise RuntimeError("injected crash before index append")
+                return real(df, k)
+
+            monkeypatch.setattr(DD, "build_span_index", flaky)
+        try:
+            q = (
+                read_documents_stream(spark, src, max_files_per_trigger=1)
+                .writeStream.foreachBatch(span_probe_sink(index_path, out_path))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(180)
+                crashed = False
+            except Exception:
+                crashed = True
+        finally:
+            if sink_crashes:
+                monkeypatch.setattr(DD, "build_span_index", real)
+        if sink_crashes:
+            assert crashed, "the injected crash must kill the query"
+            # RESTART from the same checkpoint: batch 1 replays
+            q2 = (
+                read_documents_stream(spark, src, max_files_per_trigger=1)
+                .writeStream.foreachBatch(span_probe_sink(index_path, out_path))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination(180)
+        idx = sorted(r.h for r in spark.read.parquet(index_path).collect())
+        cov = sorted(
+            (r.batch_id, r.doc_id, r.n_dup_windows, r.dup_tokens)
+            for r in spark.read.parquet(out_path).collect()
+        )
+        return idx, cov
+
+    idx_ctl, cov_ctl = run("ctl")
+    idx_kill, cov_kill = run("kill", sink_crashes=True)
+    assert idx_kill == idx_ctl, "restarted index diverged from control"
+    assert cov_kill == cov_ctl, (
+        "replayed batch duplicated or lost coverage rows"
+    )
+    assert cov_ctl and idx_ctl  # fixture exercises the path
+
+
 def test_scd2_merge_sink_applies_stream_batches(spark, tmpdir_spark):
     """Micro-batched dimension updates through scd2_merge_sink: keys
     touched by the stream gain a closed + a new current version; keys
