@@ -290,9 +290,10 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate join groups on the RAW band slot key (equivalent to
 # Spark's xxhash64 bucket up to hash collisions, round 14) — so
 # candidate generation AND scoring rebuild bit-for-bit (the
-# corpus_cms_counts trick, VERDICT r12 ask #4).
-_MINHASH_MD5_ORACLE = f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+# corpus_cms_counts trick, VERDICT r12 ask #4). The CTE chain is
+# shared with corpus_prepare_pipeline_v4's composed oracle.
+_MINHASH_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     raw AS (
       SELECT doc_id AS id,
              unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -330,6 +331,10 @@ _MINHASH_MD5_ORACLE = f"""
       JOIN sig sa ON sa.id = c.id_a
       JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i AND sb.h = sa.h
       GROUP BY 1, 2)
+    """
+
+_MINHASH_MD5_ORACLE = f"""
+    WITH {_MINHASH_CTES}
     SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / 64.0 AS est_jaccard
     FROM agree
     WHERE CAST(n_agree AS DOUBLE) / 64.0 >= 0.30
@@ -1746,6 +1751,99 @@ def corpus_prepare_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             C.hash_split("doc_id", 0.90, 0.05).alias("split"),
         )
     )
+
+
+@query(
+    "corpus_prepare_pipeline_v4",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM agree
+      WHERE CAST(n_agree AS DOUBLE) / 64.0 >= 0.5),
+    bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN bidir e ON e.a = r.node),
+    keepers AS (
+      SELECT node AS doc_id FROM reach
+      GROUP BY node HAVING node = MIN(lab)),
+    ktoks AS (
+      SELECT t.doc_id, toks FROM t JOIN keepers USING (doc_id)),
+    uni AS (SELECT doc_id, unnest(toks) AS g FROM ktoks),
+    uc AS (SELECT doc_id, g, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+    ustat AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dratio
+      FROM uc GROUP BY doc_id),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM ktoks WHERE len(toks) >= 2),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    bstat AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS topb
+      FROM bc GROUP BY doc_id)
+    SELECT k.doc_id, len(t.toks) AS n_tokens,
+           CASE
+             WHEN substring(md5(CAST(k.doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < 'e666' THEN 'train'
+             WHEN substring(md5(CAST(k.doc_id AS VARCHAR) || 'split'), 1, 4)
+                  < 'f333' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM keepers k
+    JOIN t USING (doc_id)
+    JOIN ustat u USING (doc_id)
+    LEFT JOIN bstat b USING (doc_id)
+    WHERE (b.topb IS NULL OR b.topb <= 0.18) AND u.dratio >= 0.20
+    """,
+)
+def corpus_prepare_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dedup composition (round 14): MinHash-LSH pairs (md5
+    family, est Jaccard >= 0.5) -> transitive connected components ->
+    keeper = min id per cluster -> Gopher repetition gate (top-bigram
+    fraction <= 0.18, type/token ratio >= 0.20; Rae et al. 2021) ->
+    stable 90/5/5 hash split. v2/v3 compose the EXACT-substring
+    removal flagship; this composes the sketch flagship — the pipeline
+    shape public corpora actually ship (near-dedup clusters, not just
+    byte-identical dups, before quality filtering). One oracle covers
+    sketch -> fixpoint -> gate -> split: the signature CTEs are shared
+    verbatim with dedup_minhash_lsh's, the recursive-CTE components
+    with dedup_connected_groups', the gate restates
+    textstats.repetition_filter's IEEE-exact ratios, so the output —
+    integer and string columns only — hash-matches end to end.
+
+    Scale shape: every stage is the already-audited operator (banded
+    candidate join, label-propagation components over the
+    duplicate-sized pair set, one-scan repetition profile, stateless
+    md5 split) — no new shuffles beyond what the parts pay."""
+    from dwh_with_dask_spark.operators import curation as C
+    from dwh_with_dask_spark.operators.caching import CacheScope, attach
+
+    docs = load_table(spark, sf_dir, "documents")
+    scope = CacheScope()
+    pairs = D.minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5,
+        hash_family="md5", scope=scope,
+    ).select("id_a", "id_b")
+    comp = D.dedup_components(docs, pairs)
+    keepers = docs.join(
+        comp.filter(F.col("is_keeper")).select("doc_id"), "doc_id", "left_semi"
+    )
+    gated = TS.repetition_filter(
+        keepers, max_top_bigram_frac=0.18, min_distinct_ratio=0.20
+    )
+    out = gated.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        C.hash_split("doc_id", 0.90, 0.05).alias("split"),
+    )
+    return attach(out, scope, True)
 
 
 @query(
