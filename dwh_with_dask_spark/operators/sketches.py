@@ -292,3 +292,113 @@ def kmv_distinct(
             .alias("kmv_distinct"),
         )
     )
+
+
+def _bloom_positions(key: Column, k: int, m_bits: int, salt: str) -> Column:
+    """Array of the k bit positions for ``key`` — md5-derived (the
+    engine-neutral determinism contract shared by every sketch here)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(key, F.lit(f"{salt}{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str | Column,
+    m_bits: int = 4096,
+    k: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom filter of the key set as a SPARSE packed bitset:
+    (word_idx, word) rows, 63 bits per BIGINT word — the persisted
+    "seen-set" membership structure a 100 TB ingest keeps hot (have I
+    crawled this URL / indexed this document before) when even the
+    compact per-key index is too big to join against.
+
+    63 (not 64) bits per word: bit 63 is the sign bit, and a
+    ``1 << 63`` is an overflow error in DuckDB — capping at shift 62
+    keeps every word value identical in both engines, which is what
+    makes the filter ORACLE-REBUILDABLE bit-for-bit (md5 positions,
+    same packing).
+
+    Plan: k positions per key (row-local array), explode → distinct
+    (position space is at most ``m_bits`` rows after dedup, and the
+    distinct's map-side partial keeps the shuffle position-bounded) →
+    one groupBy(word_idx) bit_or. Output is at most ``m_bits/63`` rows
+    regardless of corpus size — broadcastable at any scale. Size m_bits
+    for the expected distinct-key count n: false-positive rate
+    ~ (1 - e^(-k*n/m))^k, the textbook bound (Bloom 1970).
+    """
+    key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast(
+        "string"
+    )
+    pos = (
+        df.select(F.explode(_bloom_positions(key, k, m_bits, salt)).alias("p"))
+        .distinct()
+    )
+    return (
+        pos.select(
+            F.expr("CAST(p DIV 63 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str | Column,
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k: int = 4,
+    salt: str = "bf",
+    out_col: str = "maybe_in_set",
+) -> DataFrame:
+    """Membership probe against a built ``bloom_build`` table:
+    (id_col, out_col) with the classic Bloom contract — False is
+    DEFINITE (the key was never inserted), True means "maybe" (false
+    positives at the build's sizing rate, never false negatives).
+    ``m_bits``/``k``/``salt`` MUST match the build (the same keyed-
+    store contract as the BM25/ANN stored indexes — a mismatch
+    silently probes the wrong bits).
+
+    Plan: k probe positions per row, one broadcast join of the (at
+    most m_bits/63)-row filter onto the position stream, bitwise-AND
+    per position, min-fold per id. Probe cost is O(batch * k) rows —
+    corpus size never appears.
+    """
+    key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast(
+        "string"
+    )
+    pr = (
+        df.select(F.col(id_col), F.explode(
+            _bloom_positions(key, k, m_bits, salt)).alias("p"))
+        .select(
+            id_col,
+            F.expr("CAST(p DIV 63 AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias(
+                "__m"
+            ),
+        )
+    )
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__m"))
+        == F.col("__m")
+    ).cast("int")
+    return (
+        pr.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(id_col)
+        .agg((F.min(hit) == 1).alias(out_col))
+    )

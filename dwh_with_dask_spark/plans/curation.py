@@ -472,6 +472,70 @@ def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_bloom_membership",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    ks AS (SELECT unnest(range(0, 4)) AS i),
+    cpos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(
+               md5(norm || 'bf' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 4096 AS p
+      FROM t CROSS JOIN ks WHERE doc_id % 2 = 0),
+    words AS (
+      SELECT p // 63 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+      FROM cpos GROUP BY 1),
+    ppos AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(
+               md5(norm || 'bf' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 4096 AS p
+      FROM t CROSS JOIN ks),
+    hits AS (
+      SELECT doc_id,
+             CASE WHEN (COALESCE(w.word, 0)
+                        & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT)))
+                  = (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))
+                  THEN 1 ELSE 0 END AS hit
+      FROM ppos LEFT JOIN words w ON w.word_idx = p // 63)
+    SELECT doc_id, MIN(hit) = 1 AS maybe_in_corpus
+    FROM hits GROUP BY doc_id
+    """,
+)
+def corpus_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set (round 14): build the sparse packed-bitset
+    filter (sketches.bloom_build, 4096 bits / 4 md5 hashes / 63 bits
+    per word — see the operator docstring for why not 64) over the
+    even-doc_id corpus' normalized text, probe EVERY document.
+    Even docs must read True (no false negatives, the Bloom contract);
+    odd docs read False except md5-determined false positives — which
+    the DuckDB oracle reproduces bit-for-bit, since the whole filter
+    (positions, packing, probe) is md5/bit arithmetic. The production
+    shape: the filter is at most m/63 rows regardless of corpus size,
+    broadcast onto an O(batch) probe stream — the have-I-seen-this-key
+    gate an ingest pipeline runs before expensive dedup."""
+    from dwh_with_dask_spark.operators.dedup import normalize_text
+    from dwh_with_dask_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(corpus, normalize_text("text"), m_bits=4096, k=4)
+    return bloom_probe(
+        bloom,
+        d,
+        normalize_text("text"),
+        id_col="doc_id",
+        m_bits=4096,
+        k=4,
+        out_col="maybe_in_corpus",
+    )
+
+
+@query(
     "corpus_oov_rate",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -201,3 +201,64 @@ def test_kmv_distinct_matches_python_twin_and_is_accurate(spark):
         a, b = sorted(hs)[::2], sorted(hs)[1::2]
         merged = sorted(set(sorted(a)[:64]) | set(sorted(b)[:64]))[:64]
         assert merged == kept
+
+
+def test_bloom_filter_membership_contract(spark):
+    """Bloom seen-set (round 14): no false negatives ever, false
+    positives at the sized rate, probe equal to a pure-Python replica
+    of the md5 positions + 63-bit packing."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = [f"url-{i}" for i in range(200)]
+    fresh = [f"new-{i}" for i in range(500)]
+    m_bits, k = 4096, 4
+
+    dfm = spark.createDataFrame([(x,) for x in members], "key string")
+    dfp = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(members + fresh)],
+        "pid long, key string",
+    )
+    bloom = bloom_build(dfm, "key", m_bits=m_bits, k=k)
+    got = {
+        r["pid"]: r["maybe"]
+        for r in bloom_probe(
+            bloom, dfp, "key", id_col="pid", m_bits=m_bits, k=k,
+            out_col="maybe",
+        ).collect()
+    }
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{key}bf{i}".encode()).hexdigest()[:8], 16)
+            % m_bits
+            for i in range(k)
+        ]
+
+    bits = set()
+    for x in members:
+        bits.update(positions(x))
+    # the stored words equal the replica's packing
+    words = {r["word_idx"]: r["word"] for r in bloom.collect()}
+    want_words: dict[int, int] = {}
+    for p in bits:
+        want_words[p // 63] = want_words.get(p // 63, 0) | (1 << (p % 63))
+    assert words == want_words
+
+    expect = {
+        i: all(p in bits for p in positions(key))
+        for i, (key) in enumerate(members + fresh)
+    }
+    assert got == expect
+    # Bloom contract: every member reads True...
+    assert all(got[i] for i in range(len(members)))
+    # ...and the false-positive rate on fresh keys is near the sized
+    # bound (~ (1-e^(-k n/m))^k ~ 0.0035 here; allow generous slack)
+    fp = sum(1 for i in range(len(members), len(members) + len(fresh)) if got[i])
+    assert fp <= 10, f"false-positive rate implausibly high: {fp}/500"
