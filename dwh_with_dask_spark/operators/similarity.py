@@ -75,6 +75,62 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-anchor HARD NEGATIVES: the ``k`` corpus vectors most cosine-
+    similar to each anchor whose ``label_col`` DIFFERS from the
+    anchor's — the contrastive-training mining op (near misses make
+    informative negatives; an easy random negative teaches nothing).
+    Output: (anchor_id, neg_id, cosine_sim, rank), rank 1 = hardest.
+
+    Scale shape: the anchor set (a training mini-batch, not the
+    corpus) is BROADCAST and the corpus scanned ONCE — a broadcast
+    nested-loop multiply of the scan by |anchors|, all pure-Column
+    arithmetic (the ``cosine`` fold), then a per-anchor top-k window
+    over anchor-count-many partitions. Corpus size enters only through
+    the single scan; for anchor sets beyond broadcast size, chunk the
+    anchors and union — each chunk is this same plan."""
+    from pyspark.sql.window import Window
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__av"),
+            F.col(label_col).alias("__al"),
+        )
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(vec_col).alias("__v"),
+            F.col(label_col).alias("__l"),
+        )
+        .crossJoin(a)
+        .filter(
+            (F.col("__l") != F.col("__al"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            cosine(F.col("__v"), F.col("__av")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _projection_matrix(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (public SRP-LSH construction)."""
     rng = np.random.RandomState(seed)

@@ -558,6 +558,47 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_hard_negatives",
+    """
+    WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+               FROM embeddings WHERE vec_id < 5)
+    SELECT anchor_id, neg_id, cosine_sim, rank FROM (
+      SELECT a.anchor_id, e.vec_id AS neg_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(a.av AS DOUBLE[])), 6)
+               AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(a.av AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rank
+      FROM embeddings e
+      JOIN a ON e.label <> a.al AND e.vec_id <> a.anchor_id)
+    WHERE rank <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (round 14): for each of 5
+    anchor vectors, the 5 most cosine-similar vectors with a DIFFERENT
+    label (operators.similarity.hard_negatives — broadcast anchors,
+    ONE corpus scan, per-anchor top-k window). Near misses make
+    informative negatives; this is the mining pass a contrastive
+    training pipeline runs per batch. 6 dp rounding for cross-engine
+    float stability; ordering uses the unrounded value, ties break on
+    neg_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    out = S.hard_negatives(emb, anchors, k=5)
+    return out.select(
+        "anchor_id",
+        "neg_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
     "embedding_near_dup_cosine",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -608,6 +608,44 @@ def test_incremental_dedup_multicandidate_no_pooling(spark, tmp_path):
 # SemDeDup-style semantic dedup (cell-scoped greedy cosine pruning)
 # --------------------------------------------------------------------------
 
+def test_hard_negatives_matches_bruteforce(spark):
+    """hard_negatives == per-anchor brute-force top-k over different-
+    label vectors (numpy twin); same-label and self rows never appear."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n, dim = 40, 8
+    mat = rng.normal(size=(n, dim))
+    labels = [i % 3 for i in range(n)]
+    rows = [(i, [float(x) for x in mat[i]], labels[i]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = df.filter(F.col("vec_id") < 4)
+    got = [
+        (r.anchor_id, r.neg_id, r.rank)
+        for r in S.hard_negatives(df, anchors, k=3).collect()
+    ]
+
+    def cos(a, b):
+        return float(mat[a] @ mat[b]) / (
+            float(np.linalg.norm(mat[a])) * float(np.linalg.norm(mat[b]))
+        )
+
+    want = []
+    for a in range(4):
+        cands = [
+            (i, cos(a, i)) for i in range(n)
+            if labels[i] != labels[a] and i != a
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        want += [(a, i, r + 1) for r, (i, _) in enumerate(cands[:3])]
+    assert sorted(got) == sorted(want)
+    # never a same-label or self negative
+    for a, i, _ in got:
+        assert labels[i] != labels[a] and i != a
+
+
 def test_semantic_dedup_single_cell_exact(spark):
     """nlist=1 puts everything in one cell: the greedy min-id semantics
     are fully determined and checkable by hand."""
