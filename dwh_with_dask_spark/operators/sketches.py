@@ -402,3 +402,62 @@ def bloom_probe(
         .groupBy(id_col)
         .agg((F.min(hit) == 1).alias(out_col))
     )
+
+
+def bloom_probe_rowlocal(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str | Column,
+    m_bits: int = 4096,
+    k: int = 4,
+    salt: str = "bf",
+    out_col: str = "maybe_in_set",
+) -> DataFrame:
+    """STREAMING-SAFE ``bloom_probe``: identical membership answer
+    (pinned equal by test), computed with NO aggregation — k
+    stream-static LEFT joins of the probe row against the
+    (at most m_bits/63)-row filter, folded into one boolean
+    conjunction. ``bloom_probe``'s per-id min-fold is an unwatermarked
+    aggregation, illegal in append-mode streams; each of these joins
+    is stream-static (append-legal), and with the filter broadcast the
+    whole probe adds zero shuffles to the stream. Same rowlocal-twin
+    pattern as ``dedup.minhash_signatures_rowlocal``. Keeps every
+    input column and appends ``out_col``."""
+    key = (F.col(key_col) if isinstance(key_col, str) else key_col).cast(
+        "string"
+    )
+    out = df
+    conds = []
+    for i in range(k):
+        p = (
+            F.conv(
+                F.substring(F.md5(F.concat(key, F.lit(f"{salt}{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        out = out.withColumn(f"__p{i}", p)
+        side = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"__wi{i}"),
+                F.col("word").alias(f"__word{i}"),
+            )
+        )
+        out = out.join(
+            side,
+            F.expr(f"CAST(__p{i} DIV 63 AS BIGINT)") == F.col(f"__wi{i}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 63 AS INT))"
+        )
+        conds.append(
+            F.coalesce(F.col(f"__word{i}"), F.lit(0)).bitwiseAND(mask) == mask
+        )
+    maybe = conds[0]
+    for c in conds[1:]:
+        maybe = maybe & c
+    drop = [f"__p{i}" for i in range(k)]
+    drop += [f"__wi{i}" for i in range(k)] + [f"__word{i}" for i in range(k)]
+    return out.withColumn(out_col, maybe).drop(*drop)
