@@ -482,6 +482,92 @@ def ngram_jaccard_pairs_prefix(
     return attach(out, scope, created)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Exact ORDERED containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    >= ``threshold``, emitted as (id_a = the CONTAINED doc, id_b = the
+    container). The asymmetric companion to ``ngram_jaccard_pairs``: a
+    short document quoted wholesale inside a much longer one has
+    containment ~1.0 but Jaccard ~|A|/|B| — arbitrarily small — so
+    symmetric-threshold dedup never sees it. Quote/subset detection is
+    the standard reason curation pipelines run containment alongside
+    Jaccard (the contained doc is the one to drop).
+
+    Same inverted-index plan and cost shape as Jaccard: the expensive
+    symmetric common-shingle count is computed ONCE per unordered pair
+    (id_lo < id_hi), then both directions are emitted from that row by
+    a codegen'd 2-element explode — no second self-join, no union
+    re-running the join subtree. Near-identical docs legitimately pass
+    in both directions (two output rows). All integer arithmetic until
+    the final division, so the result is bit-deterministic.
+
+    ``max_shingle_freq``: same boilerplate guard as
+    ``ngram_jaccard_pairs`` (broadcast anti-join of the hot set);
+    None = exact semantics.
+    """
+    scope, created = scoped(scope)
+    sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    joinable = sh
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a = joinable.select(F.col("id").alias("id_lo"), "shingle")
+    b = joinable.select(F.col("id").alias("id_hi"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .groupBy("id_lo", "id_hi")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    slo = sizes.select(F.col("id").alias("id_lo"), F.col("n_sh").alias("n_lo"))
+    shi = sizes.select(F.col("id").alias("id_hi"), F.col("n_sh").alias("n_hi"))
+    sized = common.join(slo, "id_lo").join(shi, "id_hi")
+    dirs = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("id_a"),
+                    F.col("id_hi").alias("id_b"),
+                    F.col("n_common"),
+                    F.col("n_lo").alias("n_a"),
+                    F.col("n_hi").alias("n_b"),
+                ),
+                F.struct(
+                    F.col("id_hi").alias("id_a"),
+                    F.col("id_lo").alias("id_b"),
+                    F.col("n_common"),
+                    F.col("n_hi").alias("n_a"),
+                    F.col("n_lo").alias("n_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    out = (
+        dirs.withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_a").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    )
+    return attach(out, scope, created)
+
+
 def _minhash_cols(num_hashes: int, hash_family: str) -> list:
     """Per-permutation hash expressions over the ``shingle`` column.
 

@@ -294,6 +294,100 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise distinct-set UNION and INTERSECTION estimates between
+    groups, from merged KMV sketches — the operation sketches exist
+    for: bottom-k sets are mergeable (``bottomk(A ∪ B) =
+    bottomk(bottomk(A) ∪ bottomk(B))``), so the cross-group estimates
+    below never rescan data; they fold two k-sized arrays. At 100 TB
+    this is "distinct-user overlap between any two segments" computed
+    from per-segment sketches a prior job stored, not from a
+    distinct-join over the raw corpus.
+
+    Estimators (Beyer et al. 2007, on the same deterministic md5
+    priority as ``kmv_distinct`` — every value rebuilds bit-for-bit in
+    any engine with md5):
+
+    - ``M`` = bottom-k of the merged sketches; if the merged distinct
+      union has < k values both sketches were exact, so union/intersect
+      are EXACT counts.
+    - else ``union_est = (k-1) / u_k`` with ``u_k = M[k] / 16^13``
+      (exact IEEE: power-of-two divisor), and
+      ``intersect_est = (|M ∩ S_a ∩ S_b| / k) · union_est``.
+
+    Output: (g_a, g_b, n_a_sketch, n_b_sketch, union_est,
+    intersect_est) for every ordered pair g_a < g_b. The pair join is
+    sketch-sized (|groups| rows of k longs) and broadcast.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(value_col).cast("string"), F.lit(salt))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = df.select(F.col(group_col).alias("g"), h.alias("__h")).distinct()
+    w = Window.partitionBy("g").orderBy("__h")
+    kept = d.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    sk = kept.groupBy("g").agg(
+        F.sort_array(F.collect_list("__h")).alias("hs"),
+        F.count(F.lit(1)).alias("n_sk"),
+    )
+    a = sk.select(
+        F.col("g").alias("g_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sk").alias("n_a_sketch"),
+    )
+    b = sk.select(
+        F.col("g").alias("g_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sk").alias("n_b_sketch"),
+    )
+    merged = F.array_sort(F.array_union("hs_a", "hs_b"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+        .withColumn("__merged", merged)
+        .withColumn("__n_merged", F.size("__merged"))
+        .withColumn("__mk", F.slice("__merged", 1, k))
+        .withColumn("__shared", F.array_intersect("hs_a", "hs_b"))
+        .withColumn(
+            "__k_shared", F.size(F.array_intersect("__mk", "__shared"))
+        )
+    )
+    # F.get is 0-based and null-safe: the estimate branch only runs when
+    # the merged sketch has >= k entries, but ANSI mode must never see
+    # an out-of-bounds element_at even in a dead branch.
+    u_k = F.get(F.col("__mk"), k - 1).cast("double") / F.lit(float(16**13))
+    union_est = F.when(
+        F.col("__n_merged") < k, F.col("__n_merged").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u_k)
+    pairs = pairs.withColumn("union_est", union_est)
+    intersect_est = F.when(
+        F.col("__n_merged") < k, F.size("__shared").cast("double")
+    ).otherwise(
+        (F.col("__k_shared").cast("double") / F.lit(float(k)))
+        * F.col("union_est")
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "n_a_sketch",
+        "n_b_sketch",
+        "union_est",
+        intersect_est.alias("intersect_est"),
+    )
+
+
 def _bloom_positions(key: Column, k: int, m_bits: int, salt: str) -> Column:
     """Array of the k bit positions for ``key`` — md5-derived (the
     engine-neutral determinism contract shared by every sketch here)."""

@@ -1060,6 +1060,54 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_setops_parts",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT l_returnflag AS g, {_KMV_H_SQL} AS h FROM lineitem),
+    r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM d),
+    kept AS (SELECT g, h FROM r WHERE rn <= 64),
+    sk AS (SELECT g, list(h ORDER BY h) AS hs, COUNT(*) AS n_sk
+           FROM kept GROUP BY g),
+    pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b, a.hs AS hs_a, b.hs AS hs_b,
+             a.n_sk AS n_a_sketch, b.n_sk AS n_b_sketch
+      FROM sk a JOIN sk b ON a.g < b.g),
+    m AS (
+      SELECT *, list_sort(list_distinct(list_concat(hs_a, hs_b))) AS merged,
+             list_intersect(hs_a, hs_b) AS shared
+      FROM pairs),
+    c AS (SELECT *, len(merged) AS n_merged, merged[1:64] AS mk FROM m),
+    c2 AS (
+      SELECT *, len(list_intersect(mk, shared)) AS k_shared,
+             CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+                  ELSE 63.0 / (CAST(mk[64] AS DOUBLE) / {float(16 ** 13)})
+             END AS union_est
+      FROM c)
+    SELECT g_a, g_b, n_a_sketch, n_b_sketch, union_est,
+           CASE WHEN n_merged < 64 THEN CAST(len(shared) AS DOUBLE)
+                ELSE (CAST(k_shared AS DOUBLE) / 64.0) * union_est
+           END AS intersect_est
+    FROM c2
+    """,
+)
+def kmv_setops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-set union/intersection estimates between
+    l_returnflag segments from MERGED KMV sketches
+    (operators/sketches.py:kmv_set_ops, k=64) — the mergeability
+    payoff: cross-segment overlap computed by folding two k-sized
+    sorted arrays, never by a distinct-join over the raw rows. Same
+    deterministic md5 priority as kmv_distinct_parts, so the DuckDB
+    oracle rebuilds every estimate bit-for-bit (both engines evaluate
+    the identical two-operation IEEE expression trees)."""
+    from dwh_with_dask_spark.operators.sketches import kmv_set_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_set_ops(li, "l_returnflag", "l_partkey", k=64)
+
+
+@query(
     "entity_resolution_parts",
     """
     WITH RECURSIVE recs AS (

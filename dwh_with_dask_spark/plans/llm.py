@@ -190,6 +190,56 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id AS id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      FROM t
+    ),
+    sh AS (SELECT DISTINCT id, shingle FROM raw),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_lo, b.id AS id_hi, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT id_lo, id_hi, n_common, sa.n_sh AS n_lo, sb.n_sh AS n_hi
+      FROM common
+        JOIN sizes sa ON sa.id = id_lo
+        JOIN sizes sb ON sb.id = id_hi
+    ),
+    dirs AS (
+      SELECT id_lo AS id_a, id_hi AS id_b, n_common,
+             n_lo AS n_a, n_hi AS n_b FROM sized
+      UNION ALL
+      SELECT id_hi AS id_a, id_lo AS id_b, n_common,
+             n_hi AS n_a, n_lo AS n_b FROM sized
+    )
+    SELECT id_a, id_b, n_common, n_a, n_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+    FROM dirs
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.80
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators.dedup.containment_pairs):
+    ordered pairs where >= 80% of the contained doc's 3-gram shingles
+    appear in the container. Catches quote/subset duplication that
+    symmetric Jaccard structurally misses (a short doc inside a long
+    one has J ~ |A|/|B| -> 0 but containment ~1). One symmetric
+    common-count join, both directions from a 2-element explode;
+    integer arithmetic to one final division — full hash-match
+    oracle."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.80
+    )
+
+
+@query(
     "dedup_ngram_jaccard_capped",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -1838,3 +1838,62 @@ def test_suffix_longest_repeats_randomized_property(spark):
         }
         want = _brute_longest_repeats(docs)
         assert got == want, f"trial {trial} ({alpha},{ndocs},{maxlen})"
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    (A in B) = 1.0 while Jaccard ~ |A|/|B| falls below any dedup
+    threshold — the case the asymmetric operator exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(60))
+    long_doc = f"{filler} {short} " + " ".join(f"tail{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated text here now")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert rows == {(1, 2): 1.0}  # contained direction only, exactly 1.0
+    # symmetric Jaccard at the same threshold sees nothing
+    assert D.ngram_jaccard_pairs(df, n=3, threshold=0.8).count() == 0
+
+
+def test_containment_matches_bruteforce_twin(spark):
+    """Operator output equals an exact Python twin on a random-ish
+    corpus (deterministic seed), including both-direction rows for
+    near-identical docs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(24):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40)))))
+    # one exact duplicate pair -> containment 1.0 both ways
+    docs.append((100, docs[0][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(text, n=3):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in docs}
+    want = {}
+    ids = sorted(sh)
+    for a in ids:
+        for b in ids:
+            if a == b or not sh[a]:
+                continue
+            c = len(sh[a] & sh[b]) / len(sh[a])
+            if c >= 0.5:
+                want[(a, b)] = (len(sh[a] & sh[b]), len(sh[a]), len(sh[b]), c)
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.containment)
+        for r in D.containment_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert got == want
+    assert (100, 0) in got and (0, 100) in got  # exact dup passes both ways

@@ -262,3 +262,45 @@ def test_bloom_filter_membership_contract(spark):
     # bound (~ (1-e^(-k n/m))^k ~ 0.0035 here; allow generous slack)
     fp = sum(1 for i in range(len(members), len(members) + len(fresh)) if got[i])
     assert fp <= 10, f"false-positive rate implausibly high: {fp}/500"
+
+
+def test_kmv_set_ops_exact_branch_and_hashlib_twin(spark):
+    """kmv_set_ops: (1) when the merged distinct union is < k both
+    estimates are EXACT counts; (2) on the estimator branch every
+    double is a pure function of the data — a hashlib twin evaluating
+    the identical IEEE expression tree reproduces it bit-for-bit."""
+    import hashlib
+
+    from dwh_with_dask_spark.operators.sketches import kmv_set_ops
+
+    # exact branch: 10 + 15 values, overlap 5 -> union 20 < k
+    rows = [("x", v) for v in range(10)] + [("y", v) for v in range(5, 20)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = kmv_set_ops(df, "g", "v", k=64).collect()
+    assert len(r) == 1
+    assert (r[0].g_a, r[0].g_b) == ("x", "y")
+    assert r[0].union_est == 20.0 and r[0].intersect_est == 5.0
+    assert (r[0].n_a_sketch, r[0].n_b_sketch) == (10, 15)
+
+    # estimator branch: 3000/3000 distinct with 1500 shared
+    big = [("x", v) for v in range(3000)] + [("y", v) for v in range(1500, 4500)]
+    bdf = spark.createDataFrame(big, "g string, v int")
+    k = 64
+    got = kmv_set_ops(bdf, "g", "v", k=k).collect()[0]
+
+    def h(v):
+        return int(hashlib.md5(f"{v}kmv".encode()).hexdigest()[:13], 16)
+
+    sx = sorted({h(v) for v in range(3000)})[:k]
+    sy = sorted({h(v) for v in range(1500, 4500)})[:k]
+    merged = sorted(set(sx) | set(sy))
+    mk = merged[:k]
+    shared = set(sx) & set(sy)
+    union_est = float(k - 1) / (float(mk[k - 1]) / float(16**13))
+    k_shared = len(set(mk) & shared)
+    intersect_est = (float(k_shared) / float(k)) * union_est
+    assert got.union_est == union_est
+    assert got.intersect_est == intersect_est
+    # and the estimates are in the ballpark of the truth (k=64 ~ 12.7% rse)
+    assert abs(got.union_est - 4500) / 4500 < 0.5
+    assert abs(got.intersect_est - 1500) / 1500 < 0.8
