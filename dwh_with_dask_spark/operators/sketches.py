@@ -232,6 +232,39 @@ def quantile_sketch(
     return wide.select(F.inline(rows))
 
 
+def _bottomk_per_group(
+    d: DataFrame, group_cols: list[str], k: int, n_buckets: int = 64
+) -> DataFrame:
+    """The k smallest ``__h`` rows per group, in TWO window phases.
+
+    A single ``Window.partitionBy(group)`` row_number sends EVERY
+    distinct value of a group through one task — the straggler shape
+    at 100 TB, where one segment can hold billions of distinct keys.
+    Bottom-k is mergeable (``bottomk(A ∪ B) = bottomk(bottomk(A) ∪
+    bottomk(B))``), so phase 1 prunes within ``(group, __h mod
+    n_buckets)`` — n_buckets-way parallel, each bucket keeping its own
+    bottom-k, a guaranteed superset of the group bottom-k — and phase
+    2 runs the per-group window over at most ``k * n_buckets`` rows
+    per group. Bit-identical to the one-phase plan (pinned by the
+    hashlib-twin and DuckDB-oracle tests), never a single-task sort
+    over a group's full distinct set.
+
+    ``d`` must be distinct over (group, __h) so ``__h`` is a unique,
+    deterministic order key within each group."""
+    w1 = Window.partitionBy(*group_cols, "__b").orderBy("__h")
+    w2 = Window.partitionBy(*group_cols).orderBy("__h")
+    pruned = (
+        d.withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+    )
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(*group_cols, "__h")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -256,8 +289,10 @@ def kmv_distinct(
     Relative std error ~ 1/sqrt(k-2) (~12.7% at k=64).
 
     Scale shape: one distinct over (group, 8-byte h) — the value text
-    never shuffles twice — then a per-group window over
-    distinct-cardinality rows keeping k. The bottom-k set is
+    never shuffles twice — then the two-phase per-group bottom-k of
+    ``_bottomk_per_group`` (bucket-parallel prune, then a window over
+    <= k * n_buckets rows per group; never a single-task sort over a
+    group's full distinct set). The bottom-k set is
     mergeable (bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)),
     property-tested), so per-partition/per-day sketches can be stored
     and folded later — the same lifecycle as the MinHash corpus index.
@@ -272,10 +307,7 @@ def kmv_distinct(
         10,
     ).cast("bigint")
     d = df.select(*group_cols, h.alias("__h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    kept = d.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    kept = _bottomk_per_group(d, group_cols, k)
     return (
         kept.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("__h").alias("__hk"))
@@ -335,10 +367,7 @@ def kmv_set_ops(
         10,
     ).cast("bigint")
     d = df.select(F.col(group_col).alias("g"), h.alias("__h")).distinct()
-    w = Window.partitionBy("g").orderBy("__h")
-    kept = d.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    kept = _bottomk_per_group(d, ["g"], k)
     sk = kept.groupBy("g").agg(
         F.sort_array(F.collect_list("__h")).alias("hs"),
         F.count(F.lit(1)).alias("n_sk"),

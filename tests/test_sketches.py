@@ -304,3 +304,32 @@ def test_kmv_set_ops_exact_branch_and_hashlib_twin(spark):
     # and the estimates are in the ballpark of the truth (k=64 ~ 12.7% rse)
     assert abs(got.union_est - 4500) / 4500 < 0.5
     assert abs(got.intersect_est - 1500) / 1500 < 0.8
+
+
+def test_bottomk_two_phase_bit_identical(spark):
+    """_bottomk_per_group (bucket-parallel prune + final window) equals
+    the exact per-group bottom-k, including a skewed group, a group
+    with < k values, and k-boundary ties across buckets."""
+    import hashlib
+
+    from dwh_with_dask_spark.operators.sketches import kmv_distinct
+
+    rows = (
+        [("big", v) for v in range(5000)]       # skewed group
+        + [("small", v) for v in range(7)]      # < k values
+        + [("edge", v) for v in range(64)]      # exactly k
+    )
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        r.g: (r.n_sketch, r.kmv_distinct)
+        for r in kmv_distinct(df, ["g"], "v", k=64).collect()
+    }
+
+    def h(v):
+        return int(hashlib.md5(f"{v}kmv".encode()).hexdigest()[:13], 16)
+
+    for g, vals in (("big", range(5000)), ("small", range(7)), ("edge", range(64))):
+        hs = sorted({h(v) for v in vals})[:64]
+        n = len(hs)
+        est = float(n) if n < 64 else 63.0 / (float(hs[63]) / float(16**13))
+        assert got[g] == (n, est), g
