@@ -477,6 +477,64 @@ def contamination_pairs(
 # --- Bloom-filter decontamination ---------------------------------------
 
 
+def ngram_decontaminate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    train: float = 0.90,
+    val: float = 0.05,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """N-GRAM-level train→eval decontamination (the GPT-3 appendix-C
+    protocol): for every TRAIN document, count its distinct word
+    ``n``-grams that also occur anywhere in the eval (val+test) splits;
+    emit only documents with at least one shared n-gram — the
+    removal/cleaning candidates. Finer than the whole-document
+    fingerprint of ``contamination_pairs``: a train doc that QUOTES an
+    eval answer shares n-grams without sharing a fingerprint.
+
+    Plan: one shingle explode of the corpus (``dedup._doc_shingles`` —
+    the same widen-once inverted-index block as the Jaccard family);
+    the split tag is a pure function of the id, so it attaches to the
+    exploded rows without a join. The eval n-gram set semi-joins the
+    train side on the shingle; n-gram strings shuffle once each side.
+    In production the eval side is a handful of benchmarks — tiny
+    against the corpus, broadcastable; here it is a split of the same
+    table, so the join is left unhinted and AQE picks the strategy.
+
+    Output: (id, n_shared, n_grams, share_frac) — distinct shared
+    n-grams, the doc's distinct n-gram count, and their ratio.
+    """
+    from dwh_with_dask_spark.operators.dedup import _doc_shingles
+
+    scope, created = scoped(scope)
+    sh = scope.persist(
+        _doc_shingles(df, id_col, text_col, n).withColumn(
+            "split", hash_split(F.col("id"), train, val)
+        )
+    )
+    eval_grams = (
+        sh.filter(F.col("split") != "train").select("shingle").distinct()
+    )
+    train_sh = sh.filter(F.col("split") == "train")
+    sizes = train_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train_sh.join(eval_grams, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = hits.join(sizes, "id").select(
+        "id",
+        "n_shared",
+        "n_grams",
+        (
+            F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+        ).alias("share_frac"),
+    )
+    return attach(out, scope, created)
+
+
 def bloom_positions(
     fp: Column, k: int = 3, m: int = 4096, salt: str = "bloom"
 ) -> Column:

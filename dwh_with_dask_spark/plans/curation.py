@@ -221,6 +221,47 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_ngram_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id AS id,
+             unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                                   i -> array_to_string(toks[i:i+4], ' ')))
+               AS shingle
+      FROM t),
+    sh AS (SELECT DISTINCT id, shingle FROM raw),
+    tagged AS (
+      SELECT id, shingle,
+             substring(md5(CAST(id AS VARCHAR) || 'split'), 1, 4)
+               < '{_SPLIT_T}' AS is_train
+      FROM sh),
+    ev AS (SELECT DISTINCT shingle FROM tagged WHERE NOT is_train),
+    tr AS (SELECT id, shingle FROM tagged WHERE is_train),
+    sizes AS (SELECT id, COUNT(*) AS n_grams FROM tr GROUP BY id),
+    hits AS (
+      SELECT id, COUNT(*) AS n_shared
+      FROM tr SEMI JOIN ev USING (shingle)
+      GROUP BY id)
+    SELECT h.id AS doc_id, n_shared, n_grams,
+           CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS share_frac
+    FROM hits h JOIN sizes s ON s.id = h.id
+    """,
+)
+def corpus_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level decontamination (the GPT-3 appendix-C protocol,
+    operators.curation.ngram_decontaminate): every train-split doc
+    sharing at least one word-5-gram with the eval splits, with its
+    shared-gram count and fraction. Finer than the fingerprint probe
+    (corpus_contamination_check): quoting an eval answer shares n-grams
+    without sharing a min-hash fingerprint. One shingle explode, split
+    tag computed from the id (no join), semi-join on the n-gram."""
+    d = load_table(spark, sf_dir, "documents")
+    out = C.ngram_decontaminate(d, n=5)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+@query(
     "pii_scrub_docs",
     f"""
     SELECT doc_id,

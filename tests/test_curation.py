@@ -835,3 +835,59 @@ def test_dsir_resample_steers_toward_target(spark):
         ).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_ngram_decontaminate_matches_python_twin(spark):
+    """ngram_decontaminate equals an exact hashlib twin on a corpus with
+    planted eval->train quotation: shared n-grams are counted per train
+    doc, docs with zero overlap are absent, share_frac is exact."""
+    import hashlib
+    import random
+
+    from dwh_with_dask_spark.operators.curation import ngram_decontaminate
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {}
+    for i in range(60):
+        docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+    # plant quotations: doc i copies a 8-token run from doc i+1 (splits
+    # are md5-assigned, so some of these straddle train/eval)
+    for i in range(0, 50, 5):
+        toks = docs[i + 1].split()
+        if len(toks) >= 8:
+            docs[i] = docs[i] + " " + " ".join(toks[:8])
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.id: (r.n_shared, r.n_grams, r.share_frac)
+        for r in ngram_decontaminate(df, n=5).collect()
+    }
+
+    def split(i):
+        return (
+            "train"
+            if hashlib.md5(f"{i}split".encode()).hexdigest()[:4]
+            < format(int(0.90 * 65536), "04x")
+            else "eval"
+        )
+
+    def grams(text, n=5):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        }
+
+    ev = set()
+    for i, t in docs.items():
+        if split(i) != "train":
+            ev |= grams(t)
+    want = {}
+    for i, t in docs.items():
+        if split(i) != "train":
+            continue
+        g = grams(t)
+        shared = len(g & ev)
+        if shared:
+            want[i] = (shared, len(g), shared / len(g))
+    assert got == want
+    assert want, "fixture must actually plant cross-split overlap"
