@@ -659,3 +659,38 @@ def test_pq_probe_plan_is_python_free(spark):
         S.ivfpq_topk_indexed(stored2, cents, books2, q, k=5, nprobe=2)
     )
     assert "EvalPython" not in plan2 and "ArrowEval" not in plan2
+
+
+def test_containment_plan_single_join_pass(spark):
+    """dedup_containment emits BOTH directions from one symmetric
+    common-count row (2-element explode): the executed plan must hold
+    exactly ONE shingle-keyed self-join and two size joins — a naive
+    union-of-directions would duplicate the whole join subtree (6
+    joins). Also inherits the Jaccard family's shuffle invariant: the
+    exploded shingle rows never reshuffle on (id, shingle)."""
+    import re
+
+    df = QUERIES["dedup_containment"](spark, SF_CORRECT)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    joins = [l for l in phys.splitlines() if re.search(r"HashJoin|SortMergeJoin", l)]
+    assert len(joins) == 3, f"expected 3 joins (1 shingle + 2 sizes), got:\n" + "\n".join(joins)
+    shingle_joins = [l for l in joins if "shingle#" in l]
+    assert len(shingle_joins) == 1, shingle_joins
+    for line in phys.splitlines():
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", line)
+        if m and "id#" in m.group(1):
+            assert "shingle#" not in m.group(1), line.strip()
+
+
+def test_ngram_decontaminate_plan_split_is_joinless(spark):
+    """The split tag is a pure function of the id, so the executed plan
+    must contain exactly TWO joins — the eval-gram LeftSemi and the
+    final hits-to-sizes join. A split computed on the documents table
+    and joined back would add a third."""
+    import re
+
+    df = QUERIES["corpus_ngram_decontaminate"](spark, SF_CORRECT)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    joins = [l for l in phys.splitlines() if re.search(r"HashJoin|SortMergeJoin", l)]
+    assert len(joins) == 2, "\n".join(joins)
+    assert sum("LeftSemi" in l for l in joins) == 1, "\n".join(joins)
