@@ -605,6 +605,89 @@ def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_schema_evolution_orders",
+    """
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 1 THEN
+             (CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'low' END)
+           END AS o_band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def versioned_schema_evolution_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution end-to-end (versioned.versioned_commit
+    merge_schema, the Delta contract): v1 = even orderkeys WITHOUT the
+    o_band column, v2 appends odd orderkeys WITH it under
+    merge_schema=True — the read binds the manifest-recorded evolved
+    schema, so v1's dir (whose parquet footers lack o_band) reads back
+    NULL there, never dropping the column and never failing. The build
+    asserts the divergent append is REJECTED without merge_schema
+    first, so this query cannot return while enforcement is broken.
+    Aggregate over the evolved snapshot hash-matches the same aggregate
+    restated on the raw table (band NULL for even keys). Sums are
+    exact DECIMAL partials (the q1 idiom)."""
+    from dwh_with_dask_spark.versioned import read_version
+
+    snap = read_version(spark, _versioned_evolved_orders(spark, sf_dir))
+    return snap.groupBy("o_orderstatus", "o_band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(23,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def _versioned_evolved_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the schema-evolved versioned orders
+    table: v1 = even orderkeys (no o_band), v2 = odd orderkeys with
+    o_band appended under merge_schema=True, after proving the
+    non-merge append raises SchemaEvolutionError."""
+    import os
+
+    from dwh_with_dask_spark.fsutil import staged_publish
+    from dwh_with_dask_spark.plans.artifacts import artifact_path
+    from dwh_with_dask_spark.versioned import (
+        SchemaEvolutionError,
+        versioned_commit,
+    )
+
+    path = artifact_path(
+        "vorders_evolved", sf_dir, "orders", {"band_at": 100000}
+    )
+    if not os.path.exists(path):
+
+        def build(staging: str) -> None:
+            o = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            even = o.filter(F.col("o_orderkey") % 2 == 0)
+            odd = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+                "o_band",
+                F.when(
+                    F.col("o_totalprice") >= 100000, F.lit("high")
+                ).otherwise(F.lit("low")),
+            )
+            versioned_commit(even, staging)
+            try:
+                versioned_commit(odd, staging, mode="append")
+            except SchemaEvolutionError:
+                pass
+            else:  # pragma: no cover - enforcement regression trip-wire
+                raise AssertionError(
+                    "divergent append must be rejected without merge_schema"
+                )
+            versioned_commit(odd, staging, mode="append", merge_schema=True)
+
+        staged_publish(path, build)
+    return path
+
+
+@query(
     "versioned_check_orders",
     """
     SELECT o_orderstatus,

@@ -123,6 +123,7 @@ def versioned_commit(
     stats_cols: list[str] | None = None,
     member_cols: list[str] | None = None,
     expect: dict[str, str | None] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as the table's next version; returns the new
     version number. ``mode='overwrite'`` replaces the logical content;
@@ -173,11 +174,80 @@ def versioned_commit(
     rejected bytes). Constraints guard the WRITE path; time-travel
     reads of old versions are never re-checked (their manifests
     recorded the constraints they were written under).
+
+    ``merge_schema`` controls SCHEMA EVOLUTION on append (the
+    Delta-Lake contract): by default an append whose columns diverge
+    from the table's manifest-recorded schema is rejected before
+    anything is staged; with ``merge_schema=True`` ADDED columns evolve
+    the table schema (prior dirs read back as NULL there) and ABSENT
+    columns are admitted (the new dir reads back as NULL there). A
+    column TYPE change is never admitted — cast the batch. Overwrite
+    commits record their own schema; time travel reads every version
+    under the schema recorded at that version.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite or append")
     os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
     prev = current_version(table)
+
+    # --- Schema enforcement / evolution (the Delta contract): the
+    # manifest records the table schema; an APPEND whose schema
+    # diverges is rejected BEFORE anything is staged unless
+    # ``merge_schema=True``, which admits ADDED columns (old dirs read
+    # back as NULL under the recorded schema) and ABSENT columns (the
+    # new dir reads back as NULL) but never a type change — a dir
+    # written as INT under a manifest claiming LONG would corrupt every
+    # read. ``overwrite`` replaces the logical content, so its schema
+    # is recorded as-is (old versions keep their own recorded schema —
+    # time travel reads every version under the schema it was written
+    # with). Tables written before this field exist: no recorded
+    # schema, no enforcement, recording starts with this commit.
+    batch_schema = json.loads(df.schema.json())
+    table_schema = None
+    if prev > 0 and mode == "append":
+        with open(_manifest_path(table, prev)) as f:
+            table_schema = json.load(f).get("schema")
+    if table_schema is not None:
+        prev_fields = {f["name"]: f for f in table_schema["fields"]}
+        new_fields = {f["name"]: f for f in batch_schema["fields"]}
+        changed = sorted(
+            n
+            for n in prev_fields.keys() & new_fields.keys()
+            if prev_fields[n]["type"] != new_fields[n]["type"]
+        )
+        added = [
+            f for f in batch_schema["fields"] if f["name"] not in prev_fields
+        ]
+        absent = sorted(prev_fields.keys() - new_fields.keys())
+        if changed:
+            raise SchemaEvolutionError(
+                f"versioned_commit: column type change(s) on {table!r}: "
+                + ", ".join(
+                    f"{n}: {prev_fields[n]['type']} -> {new_fields[n]['type']}"
+                    for n in changed
+                )
+                + " — type evolution is never allowed; cast the batch."
+            )
+        if (added or absent) and not merge_schema:
+            raise SchemaEvolutionError(
+                f"versioned_commit: batch schema diverges from {table!r} "
+                f"(added: {[f['name'] for f in added]}, absent: {absent}) "
+                "— pass merge_schema=True to evolve (added columns read "
+                "as NULL in prior dirs; absent ones as NULL in this dir)."
+            )
+        if added:
+            # merged schema: table fields in their recorded order (and
+            # recorded nullability), new fields appended nullable —
+            # prior dirs lack them, so NULL must be admissible
+            merged = [dict(f) for f in table_schema["fields"]]
+            for f in added:
+                nf = dict(f)
+                nf["nullable"] = True
+                merged.append(nf)
+            batch_schema = dict(table_schema)
+            batch_schema["fields"] = merged
+        else:
+            batch_schema = table_schema
 
     # --- CHECK constraints: inherit from the previous manifest, apply
     # the caller's adds/replacements/drops. Validation happens BELOW,
@@ -317,7 +387,12 @@ def versioned_commit(
         if pm.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
             for d, m in pm.get("members", {}).items():
                 members.setdefault(d, m)
-    manifest = {"version": version, "mode": mode, "dirs": dirs}
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "dirs": dirs,
+        "schema": batch_schema,
+    }
     if stats:
         manifest["stats"] = stats
     if members:
@@ -327,6 +402,13 @@ def versioned_commit(
         manifest["constraints"] = constraints
     _publish(table, version, manifest, prev)
     return version
+
+
+class SchemaEvolutionError(ValueError):
+    """An append's schema diverges from the table's recorded schema in
+    a way the commit cannot admit: any column TYPE change, or
+    added/absent columns without ``merge_schema=True``. Raised before
+    anything is staged — the table is untouched."""
 
 
 class VersionConflictError(RuntimeError):
@@ -576,16 +658,32 @@ def read_version(
     caller still applies its own row filter; pruning only shrinks the
     scan. An empty post-prune dir list would be an empty table, but
     Spark needs a schema — read the first dir with an always-false
-    filter in that case."""
+    filter in that case.
+
+    When the manifest records a schema (every commit since schema
+    evolution landed), the read binds THAT schema explicitly: dirs
+    written before a ``merge_schema`` append lack the added columns
+    and read back as NULL there — without the recorded schema, Spark
+    would take a sample footer's schema and silently drop the added
+    columns. Time travel binds the schema recorded AT that version."""
+    v = version if version is not None else current_version(table)
+    reader = spark.read
+    if v > 0:
+        with open(_manifest_path(table, v)) as f:
+            rec = json.load(f).get("schema")
+        if rec is not None:
+            from pyspark.sql.types import StructType
+
+            reader = spark.read.schema(StructType.fromJson(rec))
     dirs = manifest_dirs(table, version, prune, prune_eq)
     if not dirs:
         all_dirs = manifest_dirs(table, version)
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(
+        return reader.parquet(
             os.path.join(table, all_dirs[0])
         ).filter(F.lit(False))
-    return spark.read.parquet(*[os.path.join(table, d) for d in dirs])
+    return reader.parquet(*[os.path.join(table, d) for d in dirs])
 
 
 def vacuum(table: str) -> dict:

@@ -1134,3 +1134,81 @@ def test_versioned_check_constraints(spark, tmp_path):
             nd, t2, expect={"amount_nonneg": "amount >= 0"}
         )
     assert not os.path.exists(os.path.join(t2, "data", "v1"))
+
+
+def test_schema_evolution_contract(spark, tmp_path):
+    """Delta-style schema evolution on versioned tables: enforcement by
+    default, widening under merge_schema=True, NULL-fill both ways,
+    per-version schema on time travel, type changes never admitted."""
+    import pytest as _pytest
+
+    from dwh_with_dask_spark.versioned import (
+        SchemaEvolutionError,
+        read_version,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "evo")
+    v1_rows = [(1, 10.0), (2, 20.0)]
+    versioned_commit(
+        spark.createDataFrame(v1_rows, "k int, price double"), t
+    )
+
+    added = spark.createDataFrame(
+        [(3, 30.0, "x")], "k int, price double, note string"
+    )
+    # divergent append rejected before staging...
+    with _pytest.raises(SchemaEvolutionError, match="merge_schema"):
+        versioned_commit(added, t, mode="append")
+    assert read_version(spark, t).count() == 2  # table untouched
+    # ...admitted under merge_schema: old rows NULL in the new column
+    versioned_commit(added, t, mode="append", merge_schema=True)
+    cur = read_version(spark, t)
+    assert cur.columns == ["k", "price", "note"]
+    got = {r.k: (r.price, r.note) for r in cur.collect()}
+    assert got == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "x")}
+    # time travel reads v1 under ITS schema
+    assert read_version(spark, t, version=1).columns == ["k", "price"]
+
+    # absent column admitted only under merge_schema; new dir reads NULL
+    absent = spark.createDataFrame([(4,)], "k int")
+    with _pytest.raises(SchemaEvolutionError, match="absent"):
+        versioned_commit(absent, t, mode="append")
+    versioned_commit(absent, t, mode="append", merge_schema=True)
+    got = {r.k: (r.price, r.note) for r in read_version(spark, t).collect()}
+    assert got[4] == (None, None) and len(got) == 4
+
+    # a type change is never admitted, merge_schema or not
+    retyped = spark.createDataFrame(
+        [(5, "not-a-double")], "k int, price string"
+    )
+    for ms in (False, True):
+        with _pytest.raises(SchemaEvolutionError, match="type change"):
+            versioned_commit(retyped, t, mode="append", merge_schema=ms)
+
+    # overwrite records its own schema freely
+    versioned_commit(
+        spark.createDataFrame([(9, "s")], "k int, label string"), t
+    )
+    assert read_version(spark, t).columns == ["k", "label"]
+    # and the evolved version's schema is still what IT recorded
+    assert read_version(spark, t, version=3).columns == ["k", "price", "note"]
+
+
+def test_schema_evolution_legacy_manifest_reads(spark, tmp_path):
+    """Manifests written before the schema field existed (no 'schema'
+    key) keep the old sample-footer read path."""
+    import json
+    import os
+
+    from dwh_with_dask_spark.versioned import read_version, versioned_commit
+
+    t = str(tmp_path / "legacy")
+    versioned_commit(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    mp = os.path.join(t, "_manifests", "v1.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m.pop("schema")
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert {r.k for r in read_version(spark, t).collect()} == {1}
