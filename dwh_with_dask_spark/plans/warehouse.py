@@ -605,6 +605,95 @@ def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_delete_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def versioned_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE with directory-granular copy-on-write
+    (versioned.versioned_delete): orders land in three priority-group
+    dirs with membership indexes; the delete targets '5-LOW' rows with
+    orderkey % 3 = 0, probing ONLY the dirs the membership index says
+    can hold '5-LOW' (prune_eq) and rewriting exactly one dir — the
+    build asserts dirs_rewritten == 1, so this query cannot return if
+    the delete ever degrades to a full-table rewrite. The post-delete
+    aggregate hash-matches the oracle restating the deletion as a
+    WHERE NOT on the raw table; time travel to the pre-delete version
+    stays intact (asserted in the build). Sums are exact DECIMAL
+    partials (the q1 idiom)."""
+    from dwh_with_dask_spark.versioned import read_version
+
+    snap = read_version(spark, _versioned_deleted_orders(spark, sf_dir))
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(23,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def _versioned_deleted_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the deleted-from versioned orders table:
+    three priority-group append commits (membership-indexed), then one
+    membership-pruned dir-granular delete. Asserts exactly one dir was
+    rewritten and the pre-delete version still reads complete."""
+    import os
+
+    from dwh_with_dask_spark.fsutil import staged_publish
+    from dwh_with_dask_spark.plans.artifacts import artifact_path
+    from dwh_with_dask_spark.versioned import (
+        read_version,
+        versioned_commit,
+        versioned_delete,
+    )
+
+    groups = [
+        ("1-URGENT", "3-MEDIUM"),
+        ("2-HIGH", "4-NOT SPECIFIED"),
+        ("5-LOW",),
+    ]
+    path = artifact_path(
+        "vorders_deleted", sf_dir, "orders",
+        {"groups": groups, "del": "5-LOW%3"},
+    )
+    if not os.path.exists(path):
+
+        def build(staging: str) -> None:
+            o = load_table(spark, sf_dir, "orders")
+            for i, g in enumerate(groups):
+                versioned_commit(
+                    o.filter(F.col("o_orderpriority").isin(list(g))),
+                    staging,
+                    mode="append" if i else "overwrite",
+                    member_cols=["o_orderpriority"],
+                )
+            n_before = read_version(spark, staging).count()
+            rep = versioned_delete(
+                spark,
+                staging,
+                "o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0",
+                prune_eq={"o_orderpriority": "5-LOW"},
+            )
+            if rep["dirs_rewritten"] != 1:  # pragma: no cover
+                raise AssertionError(
+                    f"expected exactly 1 rewritten dir, got {rep}"
+                )
+            if read_version(spark, staging, version=3).count() != n_before:
+                raise AssertionError(  # pragma: no cover
+                    "pre-delete version no longer reads complete"
+                )
+
+        staged_publish(path, build)
+    return path
+
+
+@query(
     "versioned_schema_evolution_orders",
     """
     SELECT o_orderstatus,

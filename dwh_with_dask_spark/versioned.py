@@ -678,12 +678,241 @@ def read_version(
     dirs = manifest_dirs(table, version, prune, prune_eq)
     if not dirs:
         all_dirs = manifest_dirs(table, version)
+        if not all_dirs:
+            # a version whose every row was deleted (versioned_delete
+            # rewrote everything away): the recorded schema IS the table
+            if rec is not None:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType.fromJson(rec))
+            raise ValueError(
+                f"read_version: version {v} of {table!r} holds no data "
+                "dirs and records no schema (pre-schema-field manifest) "
+                "— nothing to infer a schema from."
+            )
         from pyspark.sql import functions as F
 
         return reader.parquet(
             os.path.join(table, all_dirs[0])
         ).filter(F.lit(False))
     return reader.parquet(*[os.path.join(table, d) for d in dirs])
+
+
+def _claim_staging(table: str, version: int) -> tuple[str, str]:
+    """Claim an exclusive staging data dir for ``version`` (atomic
+    mkdir, writer-unique fallback) — the same disjoint-staging contract
+    as ``versioned_commit``. Returns (rel_dir, abs_dir)."""
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    rel_dir = os.path.join("data", f"v{version}")
+    data_dir = os.path.join(table, rel_dir)
+    try:
+        os.mkdir(data_dir)
+    except FileExistsError:
+        rel_dir = os.path.join(
+            "data", f"v{version}-{os.getpid()}-{threading.get_ident()}"
+        )
+        data_dir = os.path.join(table, rel_dir)
+        if os.path.exists(data_dir):
+            import shutil
+
+            shutil.rmtree(data_dir)
+        os.mkdir(data_dir)
+    return rel_dir, data_dir
+
+
+def versioned_delete(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    prune: dict[str, tuple] | None = None,
+    prune_eq: dict[str, object] | None = None,
+) -> dict:
+    """Row-level DELETE with DIRECTORY-granular copy-on-write: commit a
+    new version where rows matching ``predicate`` (a SQL boolean
+    expression) are gone — rewriting ONLY the directories that contain
+    matching rows. Untouched directories are carried forward by
+    REFERENCE (the new manifest lists the same dirs; not a byte moves),
+    so the write cost is proportional to the affected data, never the
+    table — the property a GDPR erasure at 100 TB stands or falls on.
+    Time travel still reads every pre-delete version (old manifests
+    keep referencing the old dirs; ``vacuum`` never touches reachable
+    dirs).
+
+    ``prune``/``prune_eq`` (optional): the caller asserts, in manifest-
+    stats terms, which dirs can POSSIBLY match the predicate — dirs the
+    stats provably exclude skip even the probe scan. The probe itself
+    is one cheap LIMIT-1 existence check per candidate dir; only dirs
+    that actually contain matching rows are read fully and rewritten.
+
+    Per-dir stats/membership indexes are recomputed for the rewritten
+    dir (over the same columns the affected dirs carried) and carried
+    forward untouched for kept dirs. Constraints and the recorded
+    schema carry forward unchanged — a delete never changes either.
+
+    Returns ``{"version", "dirs_kept", "dirs_rewritten",
+    "rows_deleted"}``. Raises ``VersionConflictError`` on a concurrent
+    commit, having written nothing visible.
+    """
+    return _rewrite_version(spark, table, predicate, None, prune, prune_eq)
+
+
+def versioned_update(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assign: dict[str, str],
+    prune: dict[str, tuple] | None = None,
+    prune_eq: dict[str, object] | None = None,
+) -> dict:
+    """Row-level UPDATE with directory-granular copy-on-write: rows
+    matching ``predicate`` get each ``assign`` column reassigned to its
+    SQL expression (evaluated per row); all other rows — and all
+    untouched directories — are carried forward as-is (dirs by
+    reference, see ``versioned_delete``). An assignment that would
+    change a column's TYPE is rejected before anything is staged (the
+    recorded schema is immutable under update; cast the expression).
+    Returns ``{"version", "dirs_kept", "dirs_rewritten",
+    "rows_updated"}``."""
+    if not assign:
+        raise ValueError("versioned_update: empty assign map")
+    return _rewrite_version(spark, table, predicate, assign, prune, prune_eq)
+
+
+def _rewrite_version(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assign: dict[str, str] | None,
+    prune: dict[str, tuple] | None,
+    prune_eq: dict[str, object] | None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    prev = current_version(table)
+    if prev == 0:
+        raise FileNotFoundError(f"no committed version at {table}")
+    with open(_manifest_path(table, prev)) as f:
+        m = json.load(f)
+    all_dirs = list(m["dirs"])
+    rec_schema = m.get("schema")
+    reader = spark.read
+    if rec_schema is not None:
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(StructType.fromJson(rec_schema))
+
+    # candidate dirs: stats-pruned when the caller passed bounds; a
+    # pruned-out dir provably holds no matching row and skips the probe
+    candidates = set(manifest_dirs(table, prev, prune, prune_eq))
+    pred = F.expr(predicate)
+    affected = []
+    for d in all_dirs:
+        if d not in candidates:
+            continue
+        hit = (
+            reader.parquet(os.path.join(table, d))
+            .filter(pred)
+            .limit(1)
+            .count()
+        )
+        if hit:
+            affected.append(d)
+    kept = [d for d in all_dirs if d not in set(affected)]
+
+    label = "update" if assign is not None else "delete"
+    if not affected:
+        return {
+            "version": prev,
+            "dirs_kept": len(kept),
+            "dirs_rewritten": 0,
+            f"rows_{label}d": 0,
+        }
+
+    src = reader.parquet(*[os.path.join(table, d) for d in affected])
+    if assign is None:
+        out = src.filter(~F.coalesce(pred, F.lit(False)))
+        n_changed = src.filter(pred).count()
+    else:
+        out = src
+        for col, expr in assign.items():
+            if col not in src.columns:
+                raise ValueError(f"versioned_update: no column {col!r}")
+            new_t = src.withColumn(col, F.expr(expr)).schema[col].dataType
+            old_t = src.schema[col].dataType
+            if new_t != old_t:
+                raise SchemaEvolutionError(
+                    f"versioned_update: assign[{col!r}] changes the "
+                    f"column type {old_t.simpleString()} -> "
+                    f"{new_t.simpleString()} — the recorded schema is "
+                    "immutable under update; cast the expression."
+                )
+            out = out.withColumn(col, F.when(pred, F.expr(expr)).otherwise(F.col(col)))
+        n_changed = src.filter(pred).count()
+
+    version = prev + 1
+    rel_dir, data_dir = _claim_staging(table, version)
+    out.write.mode("append").parquet(data_dir)
+
+    dirs = kept + [rel_dir]
+    stats = {d: s for d, s in m.get("stats", {}).items() if d in set(kept)}
+    members = {}
+    if m.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
+        members = {
+            d: mm for d, mm in m.get("members", {}).items() if d in set(kept)
+        }
+    # recompute the rewritten dir's indexes over the columns the
+    # affected dirs carried (union), from the written bytes
+    stat_cols = sorted(
+        {c for d in affected for c in m.get("stats", {}).get(d, {})}
+    )
+    member_cols = sorted(
+        {c for d in affected for c in m.get("members", {}).get(d, {})}
+    )
+    has_rows = bool(
+        reader.parquet(data_dir).limit(1).count()
+    )
+    if not has_rows:
+        dirs = kept  # a delete that emptied every affected dir
+    else:
+        batch = reader.parquet(data_dir)
+        if stat_cols:
+            row = batch.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in stat_cols],
+                *[F.max(c).alias(f"hi_{c}") for c in stat_cols],
+            ).first()
+            stats[rel_dir] = {
+                c: [_json_stat(row[f"lo_{c}"]), _json_stat(row[f"hi_{c}"])]
+                for c in stat_cols
+            }
+        if member_cols and m.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
+            mem: dict = {}
+            for c in member_cols:
+                pos = batch.select(
+                    F.pmod(
+                        F.crc32(F.encode(F.col(c).cast("string"), "UTF-8")),
+                        F.lit(MEMBER_BITS),
+                    ).alias("p")
+                ).distinct().collect()
+                mem[c] = sorted(int(r.p) for r in pos if r.p is not None)
+            members[rel_dir] = mem
+
+    manifest = {"version": version, "mode": label, "dirs": dirs}
+    if rec_schema is not None:
+        manifest["schema"] = rec_schema
+    if stats:
+        manifest["stats"] = stats
+    if members:
+        manifest["members"] = members
+        manifest["member_bits"] = MEMBER_BITS
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
+    _publish(table, version, manifest, prev)
+    return {
+        "version": version,
+        "dirs_kept": len(kept),
+        "dirs_rewritten": len(affected),
+        f"rows_{label}d": int(n_changed),
+    }
 
 
 def vacuum(table: str) -> dict:

@@ -1212,3 +1212,85 @@ def test_schema_evolution_legacy_manifest_reads(spark, tmp_path):
     with open(mp, "w") as f:
         json.dump(m, f)
     assert {r.k for r in read_version(spark, t).collect()} == {1}
+
+
+def test_versioned_delete_dir_granular_cow(spark, tmp_path):
+    """DELETE rewrites only directories containing matching rows; the
+    rest carry forward BY REFERENCE (same dir names in the new
+    manifest), time travel still reads the pre-delete version, and the
+    rewritten dir's stats/membership indexes are recomputed."""
+    import json
+    import os
+
+    from dwh_with_dask_spark.versioned import (
+        read_version,
+        versioned_commit,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "del")
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(3, "c"), (4, "d")],
+                              [(5, "e"), (6, "f")]]):
+        versioned_commit(
+            spark.createDataFrame(rows, "k int, v string"), t,
+            mode="append" if i else "overwrite",
+            stats_cols=["k"], member_cols=["v"],
+        )
+
+    r = versioned_delete(spark, t, "k = 3")
+    assert r == {"version": 4, "dirs_kept": 2, "dirs_rewritten": 1,
+                 "rows_deleted": 1}
+    got = sorted((x.k, x.v) for x in read_version(spark, t).collect())
+    assert got == [(1, "a"), (2, "b"), (4, "d"), (5, "e"), (6, "f")]
+    # pre-delete version intact (time travel)
+    assert sorted(
+        x.k for x in read_version(spark, t, version=3).collect()
+    ) == [1, 2, 3, 4, 5, 6]
+    # untouched dirs carried by reference; rewritten dir re-indexed
+    with open(os.path.join(t, "_manifests", "v4.json")) as f:
+        m = json.load(f)
+    assert m["dirs"][:2] == ["data/v1", "data/v3"]
+    assert m["stats"]["data/v4"]["k"] == [4, 4]
+    assert "data/v2" not in m["stats"] and "data/v2" not in m["members"]
+    # stats pruning still sound after the rewrite
+    pruned = read_version(spark, t, prune={"k": (5, None)})
+    assert sorted(x.k for x in pruned.collect()) == [5, 6]
+
+    # no-match delete publishes nothing
+    r = versioned_delete(spark, t, "k = 999")
+    assert r["dirs_rewritten"] == 0 and r["version"] == 4
+
+
+def test_versioned_update_and_delete_all(spark, tmp_path):
+    """UPDATE reassigns only predicate rows (dir-granular like delete),
+    rejects type-changing assignments; a delete that empties the table
+    still reads back as an empty frame under the recorded schema."""
+    import pytest as _pytest
+
+    from dwh_with_dask_spark.versioned import (
+        SchemaEvolutionError,
+        read_version,
+        versioned_commit,
+        versioned_delete,
+        versioned_update,
+    )
+
+    t = str(tmp_path / "upd")
+    versioned_commit(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    versioned_commit(
+        spark.createDataFrame([(5, "e"), (6, "f")], "k int, v string"),
+        t, mode="append",
+    )
+    r = versioned_update(spark, t, "k >= 5", {"v": "upper(v)"})
+    assert r["dirs_rewritten"] == 1 and r["rows_updated"] == 2
+    got = sorted((x.k, x.v) for x in read_version(spark, t).collect())
+    assert got == [(1, "a"), (2, "b"), (5, "E"), (6, "F")]
+    with _pytest.raises(SchemaEvolutionError, match="type"):
+        versioned_update(spark, t, "k = 1", {"v": "length(v)"})
+
+    r = versioned_delete(spark, t, "true")
+    assert r["rows_deleted"] == 4
+    empty = read_version(spark, t)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # and history is still all there
+    assert read_version(spark, t, version=2).count() == 4
