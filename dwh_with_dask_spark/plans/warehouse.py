@@ -605,6 +605,110 @@ def dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "versioned_merge_orders",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0
+                  THEN o_totalprice + 1000.0 ELSE o_totalprice
+             END AS o_totalprice
+      FROM orders),
+    ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+             o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+      FROM orders
+      WHERE o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0),
+    merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def versioned_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level MERGE INTO (versioned.versioned_merge, row
+    semantics from operators.scd.merge_into): orders land in three
+    priority-group dirs; the source batch UPDATES the '5-LOW' %3 rows
+    (price +1000) and INSERTS the same rows cloned to fresh keys —
+    only the one dir containing the matched keys rewrites (asserted in
+    the build: dirs_rewritten == 1 under a membership prune), inserts
+    land in the rewritten dir, the other two dirs carry by reference.
+    Post-merge aggregate hash-matches the oracle restating update +
+    insert over the raw table. Sums are exact DECIMAL partials."""
+    from dwh_with_dask_spark.versioned import read_version
+
+    snap = read_version(spark, _versioned_merged_orders(spark, sf_dir))
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(23,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def _versioned_merged_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the merged-into versioned orders table:
+    three priority-group append commits, then one membership-pruned
+    dir-granular merge (updates + key-shifted inserts)."""
+    import os
+
+    from dwh_with_dask_spark.fsutil import staged_publish
+    from dwh_with_dask_spark.plans.artifacts import artifact_path
+    from dwh_with_dask_spark.versioned import (
+        versioned_commit,
+        versioned_merge,
+    )
+
+    groups = [
+        ("1-URGENT", "3-MEDIUM"),
+        ("2-HIGH", "4-NOT SPECIFIED"),
+        ("5-LOW",),
+    ]
+    path = artifact_path(
+        "vorders_merged", sf_dir, "orders",
+        {"groups": groups, "merge": "5-LOW%3+1000"},
+    )
+    if not os.path.exists(path):
+
+        def build(staging: str) -> None:
+            o = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice",
+            )
+            for i, g in enumerate(groups):
+                versioned_commit(
+                    o.filter(F.col("o_orderpriority").isin(list(g))),
+                    staging,
+                    mode="append" if i else "overwrite",
+                    member_cols=["o_orderpriority"],
+                )
+            hit = o.filter(
+                (F.col("o_orderpriority") == "5-LOW")
+                & (F.col("o_orderkey") % 3 == 0)
+            ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+            source = hit.unionByName(
+                hit.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 100000000
+                )
+            )
+            rep = versioned_merge(
+                spark,
+                staging,
+                source,
+                ["o_orderkey"],
+                prune_eq={"o_orderpriority": "5-LOW"},
+            )
+            if rep["dirs_rewritten"] != 1:  # pragma: no cover
+                raise AssertionError(
+                    f"expected exactly 1 rewritten dir, got {rep}"
+                )
+
+        staged_publish(path, build)
+    return path
+
+
+@query(
     "versioned_delete_orders",
     """
     SELECT o_orderstatus,

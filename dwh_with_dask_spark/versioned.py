@@ -853,13 +853,6 @@ def _rewrite_version(
     rel_dir, data_dir = _claim_staging(table, version)
     out.write.mode("append").parquet(data_dir)
 
-    dirs = kept + [rel_dir]
-    stats = {d: s for d, s in m.get("stats", {}).items() if d in set(kept)}
-    members = {}
-    if m.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
-        members = {
-            d: mm for d, mm in m.get("members", {}).items() if d in set(kept)
-        }
     # recompute the rewritten dir's indexes over the columns the
     # affected dirs carried (union), from the written bytes
     stat_cols = sorted(
@@ -868,11 +861,37 @@ def _rewrite_version(
     member_cols = sorted(
         {c for d in affected for c in m.get("members", {}).get(d, {})}
     )
-    has_rows = bool(
-        reader.parquet(data_dir).limit(1).count()
+    _finalize_rewrite(
+        spark, table, m, prev, version, kept, rel_dir, data_dir,
+        label, reader, rec_schema, stat_cols, member_cols,
     )
+    return {
+        "version": version,
+        "dirs_kept": len(kept),
+        "dirs_rewritten": len(affected),
+        f"rows_{label}d": int(n_changed),
+    }
+
+
+def _finalize_rewrite(
+    spark, table, m, prev, version, kept, rel_dir, data_dir,
+    label, reader, rec_schema, stat_cols, member_cols,
+) -> None:
+    """Shared tail of the copy-on-write commits (delete/update/merge):
+    carry kept dirs' indexes forward, recompute the rewritten dir's
+    from its written bytes, publish the manifest via the CAS claim."""
+    from pyspark.sql import functions as F
+
+    dirs = kept + [rel_dir]
+    stats = {d: s for d, s in m.get("stats", {}).items() if d in set(kept)}
+    members = {}
+    if m.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
+        members = {
+            d: mm for d, mm in m.get("members", {}).items() if d in set(kept)
+        }
+    has_rows = bool(reader.parquet(data_dir).limit(1).count())
     if not has_rows:
-        dirs = kept  # a delete that emptied every affected dir
+        dirs = kept  # a rewrite that emptied every affected dir
     else:
         batch = reader.parquet(data_dir)
         if stat_cols:
@@ -907,11 +926,147 @@ def _rewrite_version(
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
     _publish(table, version, manifest, prev)
+
+
+def versioned_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert: bool = True,
+    prune: dict[str, tuple] | None = None,
+    prune_eq: dict[str, object] | None = None,
+) -> dict:
+    """MERGE INTO a versioned table with directory-granular
+    copy-on-write — the storage-level counterpart of
+    ``operators.scd.merge_into`` (which supplies the row semantics:
+    null-safe key match, cardinality rule, insert alignment). Only
+    directories CONTAINING source keys rewrite; every other dir carries
+    forward by reference, and unmatched source rows insert into the one
+    rewritten dir — so a batch upsert costs the affected directories
+    plus the batch, never the table. ``prune``/``prune_eq`` pre-narrow
+    the probe like ``versioned_delete``.
+
+    The merged output must keep the recorded schema (MERGE never
+    evolves; commit the batch with ``merge_schema`` first if it must).
+    Returns ``{"version", "dirs_kept", "dirs_rewritten",
+    "rows_written"}``.
+    """
+    from pyspark.sql import functions as F
+
+    from dwh_with_dask_spark.operators.scd import merge_into
+
+    prev = current_version(table)
+    if prev == 0:
+        raise FileNotFoundError(f"no committed version at {table}")
+    with open(_manifest_path(table, prev)) as f:
+        m = json.load(f)
+    all_dirs = list(m["dirs"])
+    rec_schema = m.get("schema")
+    reader = spark.read
+    if rec_schema is not None:
+        from pyspark.sql.types import StructType
+
+        reader = spark.read.schema(StructType.fromJson(rec_schema))
+
+    if rec_schema is not None:
+        # type-check the source's overlapping columns UP FRONT: inside
+        # merge_into, Spark would silently coerce the CASE branches
+        # (string source against a double target plans as double) and
+        # fail only at write time with a cast error on the first bad
+        # row — after the probe scans. Keys and updated/inserted
+        # columns must match the recorded types exactly.
+        rec_fields = {f["name"]: f["type"] for f in rec_schema["fields"]}
+        src_fields = {
+            f["name"]: f["type"]
+            for f in json.loads(source.schema.json())["fields"]
+        }
+        mismatched = sorted(
+            n
+            for n in src_fields.keys() & rec_fields.keys()
+            if src_fields[n] != rec_fields[n]
+        )
+        if mismatched:
+            raise SchemaEvolutionError(
+                f"versioned_merge: source column type(s) diverge from "
+                f"{table!r}'s recorded schema: "
+                + ", ".join(
+                    f"{n}: {rec_fields[n]} -> {src_fields[n]}"
+                    for n in mismatched
+                )
+                + " — MERGE never evolves; cast the source or commit the "
+                "batch with merge_schema=True first."
+            )
+
+    src_keys = source.select(*keys).distinct()
+    candidates = set(manifest_dirs(table, prev, prune, prune_eq))
+    affected = []
+    for d in all_dirs:
+        if d not in candidates:
+            continue
+        tgt = reader.parquet(os.path.join(table, d)).alias("t")
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            cond = c if cond is None else (cond & c)
+        hit = (
+            tgt.join(src_keys.alias("s"), cond, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if hit:
+            affected.append(d)
+    kept = [d for d in all_dirs if d not in set(affected)]
+
+    if affected:
+        target = reader.parquet(*[os.path.join(table, d) for d in affected])
+    else:
+        if rec_schema is None:
+            target = reader.parquet(
+                os.path.join(table, all_dirs[0])
+            ).filter(F.lit(False))
+        else:
+            from pyspark.sql.types import StructType
+
+            target = spark.createDataFrame([], StructType.fromJson(rec_schema))
+    out = merge_into(
+        target, source, keys, update_cols=update_cols, insert=insert
+    )
+    if rec_schema is not None:
+        rec_fields = {f["name"]: f["type"] for f in rec_schema["fields"]}
+        out_fields = {
+            f["name"]: f["type"]
+            for f in json.loads(out.schema.json())["fields"]
+        }
+        if out_fields != rec_fields:
+            raise SchemaEvolutionError(
+                f"versioned_merge: merged schema diverges from {table!r}'s "
+                "recorded schema — MERGE never evolves; commit the batch "
+                "with merge_schema=True first."
+            )
+
+    version = prev + 1
+    rel_dir, data_dir = _claim_staging(table, version)
+    out.write.mode("append").parquet(data_dir)
+    # the rewritten dir absorbs updates AND inserts: index it over every
+    # column the TABLE carries indexes for, not just the affected dirs'
+    stat_cols = sorted(
+        {c for d in all_dirs for c in m.get("stats", {}).get(d, {})}
+    )
+    member_cols = sorted(
+        {c for d in all_dirs for c in m.get("members", {}).get(d, {})}
+    )
+    _finalize_rewrite(
+        spark, table, m, prev, version, kept, rel_dir, data_dir,
+        "merge", reader, rec_schema, stat_cols, member_cols,
+    )
+    n_written = reader.parquet(data_dir).count()
     return {
         "version": version,
         "dirs_kept": len(kept),
         "dirs_rewritten": len(affected),
-        f"rows_{label}d": int(n_changed),
+        "rows_written": int(n_written),
     }
 
 

@@ -1294,3 +1294,57 @@ def test_versioned_update_and_delete_all(spark, tmp_path):
     assert empty.count() == 0 and empty.columns == ["k", "v"]
     # and history is still all there
     assert read_version(spark, t, version=2).count() == 4
+
+
+def test_versioned_merge_dir_granular(spark, tmp_path):
+    """MERGE rewrites only dirs containing source keys; updates land in
+    place, unmatched source rows insert into the rewritten dir, kept
+    dirs carry by reference, stats recompute over updates+inserts, and
+    a schema-diverging source is rejected."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from dwh_with_dask_spark.versioned import (
+        SchemaEvolutionError,
+        read_version,
+        versioned_commit,
+        versioned_merge,
+    )
+
+    t = str(tmp_path / "mrg")
+    versioned_commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k int, v string, p double"
+        ),
+        t, stats_cols=["k"],
+    )
+    versioned_commit(
+        spark.createDataFrame(
+            [(5, "e", 50.0), (6, "f", 60.0)], "k int, v string, p double"
+        ),
+        t, mode="append", stats_cols=["k"],
+    )
+    src = spark.createDataFrame(
+        [(5, "E2", 55.0), (9, "i", 90.0)], "k int, v string, p double"
+    )
+    rep = versioned_merge(spark, t, src, ["k"], prune={"k": (5, 9)})
+    assert rep == {"version": 3, "dirs_kept": 1, "dirs_rewritten": 1,
+                   "rows_written": 3}
+    got = sorted((x.k, x.v, x.p) for x in read_version(spark, t).collect())
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (5, "E2", 55.0),
+                   (6, "f", 60.0), (9, "i", 90.0)]
+    with open(os.path.join(t, "_manifests", "v3.json")) as f:
+        m = json.load(f)
+    assert m["dirs"] == ["data/v1", "data/v3"]
+    assert m["stats"]["data/v3"]["k"] == [5, 9]
+    # pre-merge version intact
+    assert sorted(
+        x.k for x in read_version(spark, t, version=2).collect()
+    ) == [1, 2, 5, 6]
+    # a type-changing source is rejected (extra source columns are
+    # simply ignored by merge_into's target alignment — by design)
+    bad = spark.createDataFrame([(5, "x", "oops")], "k int, v string, p string")
+    with _pytest.raises(SchemaEvolutionError, match="merge_schema"):
+        versioned_merge(spark, t, bad, ["k"])
