@@ -1218,3 +1218,77 @@ def versioned_commit_sink(
         versioned_commit(batch_df, table, mode=mode, stats_cols=stats_cols)
 
     return fn
+
+
+def versioned_merge_sink(table: str, keys: list[str]):
+    """foreachBatch sink UPSERTING each micro-batch into the versioned
+    table via ``versioned_merge`` — the streaming-CDC leg. Unlike the
+    append sink (where a replayed batch after a crash commits duplicate
+    ROWS and the caller dedups downstream), an upsert replay is
+    NATURALLY idempotent at the row level: re-merging the same batch
+    matches every key it just wrote and reassigns the same values — the
+    table content is bit-identical, only a (content-equal) extra
+    version appears in history. That makes this the exactly-once-shaped
+    sink for keyed streams. The first batch against an empty table
+    falls back to a plain commit (merge needs a recorded base)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        if current_version(table) == 0:
+            versioned_commit(batch_df, table)
+        else:
+            versioned_merge(spark, table, batch_df, keys)
+
+    return fn
+
+
+def expire_versions(table: str, keep_last: int) -> dict:
+    """Retention: drop the manifests of all but the newest
+    ``keep_last`` versions, then reclaim every data directory no KEPT
+    manifest references (Delta's VACUUM-with-retention). Time travel
+    to the kept window keeps working untouched; reads of expired
+    versions raise FileNotFoundError (their manifests are gone). The
+    current version can never expire (``keep_last >= 1``). Returns
+    counts of removed manifests and data dirs.
+
+    Ordering is crash-safe: manifests are removed OLDEST-FIRST before
+    any data dir, so an interrupted expiry leaves either an intact
+    shorter history or some unreferenced dirs for the next
+    ``vacuum``/expiry — never a manifest referencing deleted bytes.
+    Same maintenance-window contract as ``vacuum``: an unreferenced
+    dir can also be a CONCURRENT writer's staging claim, so run expiry
+    when no commit is in flight.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = current_version(table)
+    if cur == 0:
+        return {"manifests_removed": 0, "dirs_removed": 0}
+    floor = max(1, cur - keep_last + 1)
+    removed_m = 0
+    for v in range(1, floor):
+        p = _manifest_path(table, v)
+        if os.path.exists(p):
+            os.remove(p)
+            removed_m += 1
+
+    reachable: set[str] = set()
+    mdir = os.path.join(table, "_manifests")
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            reachable.update(json.load(f)["dirs"])
+    removed_d = 0
+    data_root = os.path.join(table, "data")
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            rel = os.path.join("data", d)
+            if rel not in reachable:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed_d += 1
+    return {"manifests_removed": removed_m, "dirs_removed": removed_d}
