@@ -75,6 +75,81 @@ def cosine_topk(
     )
 
 
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+    k: int = 32,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985) — the
+    diversity-first data-pruning operator: pick the point farthest from
+    every center chosen so far, k times. The selected set 2-approximates
+    the optimal k-center cover, which is why coreset papers use it to
+    pick maximally-diverse training subsets (the complement of
+    SemDeDup's remove-the-redundant).
+
+    Fully deterministic: the seed is the smallest id, distances are
+    squared L2 computed float32-elementwise with a sequential float64
+    fold (Spark's ``aggregate`` — bit-reproducible by any engine that
+    folds in order), argmax ties break on the smaller id.
+
+    Scale shape: the driver holds only the k chosen vectors (the
+    algorithm's irreducible state). Each round is ONE scan of the
+    corpus — the running min-distance column is updated against the
+    newest center only (``least(mind, d²(vec, newest))``) and
+    re-persisted, so round i never recomputes distances to the i-1
+    older centers; the top-1 fetch is a TakeOrdered, never a sort.
+    Total cost: k scans, k persists of (id, vec, double) — O(k·n),
+    not the O(k²·n) a lineage-replaying loop would pay.
+
+    Returns (rank, id, dist2_at_selection): selection order, the chosen
+    id, and its min-squared-distance when chosen (rank 0 = seed,
+    dist2 NULL).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seed = base.orderBy(F.asc("id")).first()
+    if seed is None:
+        raise ValueError("kcenter_coreset: empty input")
+    spark = df.sparkSession
+
+    def d2(vec: Column, center: list) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in center]).cast("array<float>")
+        return F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    chosen = [(0, seed.id, None)]
+    cur = base.withColumn("__mind", d2(F.col("vec"), list(seed.vec))).persist()
+    prev = None
+    for rank in range(1, k):
+        top = (
+            cur.orderBy(F.desc("__mind"), F.asc("id"))
+            .select("id", "vec", "__mind")
+            .first()
+        )
+        if top is None or top["__mind"] <= 0.0:
+            break  # fewer than k distinct points
+        chosen.append((rank, top.id, float(top["__mind"])))
+        if rank == k - 1:
+            break  # the last center needs no distance refresh
+        nxt = cur.withColumn(
+            "__mind", F.least(F.col("__mind"), d2(F.col("vec"), list(top.vec)))
+        ).persist()
+        nxt.count()  # materialize before releasing the parent
+        if prev is not None:
+            prev.unpersist()
+        prev, cur = cur, nxt
+    for c in (prev, cur):
+        if c is not None:
+            c.unpersist()
+    id_type = dict(base.dtypes)["id"]
+    return spark.createDataFrame(
+        chosen, f"rank int, id {id_type}, dist2 double"
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     anchors: DataFrame,

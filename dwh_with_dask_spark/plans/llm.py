@@ -664,6 +664,20 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query("embedding_kcenter_coreset")
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (similarity.kcenter_coreset, k=16):
+    the diversity-first data-pruning selection — farthest-point
+    traversal over the embeddings table, deterministic (min-id seed,
+    float32 distances with a sequential double fold, min-id
+    tie-break). Iterative argmax state is not SQL-expressible, so this
+    is a rows-only driver row; the selection sequence is pinned
+    bit-for-bit against a numpy twin in tests (same fold order), and
+    the 2-approximation cover property is property-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kcenter_coreset(emb, id_col="vec_id", vec_col="embedding", k=16)
+
+
 @query(
     "embedding_hard_negatives",
     """

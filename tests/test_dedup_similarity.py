@@ -1897,3 +1897,52 @@ def test_containment_matches_bruteforce_twin(spark):
     }
     assert got == want
     assert (100, 0) in got and (0, 100) in got  # exact dup passes both ways
+
+
+def test_kcenter_coreset_matches_numpy_twin_and_covers(spark):
+    """kcenter_coreset: the selection SEQUENCE equals a numpy twin that
+    replicates the exact arithmetic (float32 elementwise (x-y)^2,
+    sequential float64 fold, min-id seed, min-id argmax tie-break), and
+    the greedy set satisfies the 2-approximation cover property: the
+    max point-to-nearest-center distance never exceeds the last
+    selection distance."""
+    import numpy as np
+
+    from dwh_with_dask_spark.catalog import load_table
+    from dwh_with_dask_spark.operators.similarity import kcenter_coreset
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k = 8
+    got = [
+        (r.rank, r.id, r.dist2)
+        for r in kcenter_coreset(
+            emb, id_col="vec_id", vec_col="embedding", k=k
+        ).orderBy("rank").collect()
+    ]
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float32) for r in rows}
+
+    def d2(a, b):
+        diff2 = (a - b) * (a - b)  # float32, elementwise
+        acc = 0.0
+        for v in diff2:
+            acc += float(v)  # sequential float64 fold
+        return acc
+
+    ids = sorted(vecs)
+    seed = ids[0]
+    centers = [seed]
+    mind = {i: d2(vecs[i], vecs[seed]) for i in ids}
+    want = [(0, seed, None)]
+    for rank in range(1, k):
+        nxt = max(ids, key=lambda i: (mind[i], -i))
+        want.append((rank, nxt, mind[nxt]))
+        for i in ids:
+            mind[i] = min(mind[i], d2(vecs[i], vecs[nxt]))
+    assert got == want
+
+    # cover property: after selecting k centers, every point's distance
+    # to its nearest center is <= the k-th selection distance
+    assert max(mind.values()) <= want[-1][2]
