@@ -104,13 +104,17 @@ def current_version(table: str) -> int:
 
 
 def list_versions(table: str) -> list[dict]:
-    """All committed manifests, oldest first. Every linked manifest is
-    committed (the link IS the commit point), so this is simply the
-    contiguous chain ``current_version`` resolves."""
+    """All RETAINED committed manifests, oldest first. Every linked
+    manifest is committed (the link IS the commit point); manifests
+    below an ``expire_versions`` retention floor are gone and simply
+    absent from the listing."""
     cur = current_version(table)
     out = []
     for v in range(1, cur + 1):
-        with open(_manifest_path(table, v)) as f:
+        p = _manifest_path(table, v)
+        if not os.path.exists(p):
+            continue  # expired by retention
+        with open(p) as f:
             out.append(json.load(f))
     return out
 

@@ -2241,3 +2241,11 @@ def test_expire_versions_retention(spark, tmpdir_spark):
     assert expire_versions(t, keep_last=1) == {
         "manifests_removed": 0, "dirs_removed": 0,
     }
+    # vacuum and list_versions survive the retention gap (regression:
+    # list_versions used to open every manifest 1..cur and crashed on
+    # an expired table, taking vacuum down with it)
+    from dwh_with_dask_spark.versioned import list_versions, vacuum
+
+    assert [m["version"] for m in list_versions(t)] == [3]
+    assert vacuum(t)["removed_dirs"] == 0
+    assert [r.k for r in read_version(spark, t).collect()] == [2]
