@@ -1248,6 +1248,37 @@ def versioned_merge_sink(table: str, keys: list[str]):
     return fn
 
 
+def restore_version(table: str, version: int) -> int:
+    """Delta-style RESTORE: roll the table back to ``version`` by
+    committing a NEW version that references the old version's data
+    directories — zero bytes copied, history preserved (the rollback
+    is itself a committed, time-travelable version, and the rolled-past
+    versions remain readable until retention expires them). The
+    restored manifest carries the old version's schema, stats, and
+    membership indexes verbatim; constraints carry forward from the
+    CURRENT version (rolling back data does not silently drop rules
+    added since — drop them explicitly via ``expect={name: None}`` on
+    a later commit if intended). Returns the new version number."""
+    cur = current_version(table)
+    if cur == 0:
+        raise FileNotFoundError(f"no committed version at {table}")
+    if not 1 <= version <= cur:
+        raise ValueError(f"version {version} out of range 1..{cur}")
+    with open(_manifest_path(table, version)) as f:
+        old = json.load(f)
+    with open(_manifest_path(table, cur)) as f:
+        curm = json.load(f)
+    new_v = cur + 1
+    manifest = {"version": new_v, "mode": "restore", "dirs": old["dirs"]}
+    for key in ("schema", "stats", "members", "member_bits"):
+        if key in old:
+            manifest[key] = old[key]
+    if curm.get("constraints"):
+        manifest["constraints"] = curm["constraints"]
+    _publish(table, new_v, manifest, cur)
+    return new_v
+
+
 def expire_versions(table: str, keep_last: int) -> dict:
     """Retention: drop the manifests of all but the newest
     ``keep_last`` versions, then reclaim every data directory no KEPT

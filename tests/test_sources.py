@@ -1348,3 +1348,42 @@ def test_versioned_merge_dir_granular(spark, tmp_path):
     bad = spark.createDataFrame([(5, "x", "oops")], "k int, v string, p string")
     with _pytest.raises(SchemaEvolutionError, match="merge_schema"):
         versioned_merge(spark, t, bad, ["k"])
+
+
+def test_restore_version_zero_copy_rollback(spark, tmp_path):
+    """RESTORE commits a new version referencing the old version's dirs
+    verbatim (no bytes copied), keeps the rolled-past history readable,
+    and composes with later commits and retention."""
+    import json
+    import os
+
+    from dwh_with_dask_spark.versioned import (
+        expire_versions,
+        read_version,
+        restore_version,
+        versioned_commit,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "rst")
+    versioned_commit(spark.createDataFrame([(1,), (2,)], "k int"), t)
+    versioned_commit(
+        spark.createDataFrame([(3,)], "k int"), t, mode="append"
+    )
+    versioned_delete(spark, t, "k = 2")  # v3
+    assert sorted(r.k for r in read_version(spark, t).collect()) == [1, 3]
+
+    v = restore_version(t, 1)
+    assert v == 4
+    assert sorted(r.k for r in read_version(spark, t).collect()) == [1, 2]
+    with open(os.path.join(t, "_manifests", "v4.json")) as f:
+        m4 = json.load(f)
+    with open(os.path.join(t, "_manifests", "v1.json")) as f:
+        m1 = json.load(f)
+    assert m4["dirs"] == m1["dirs"] and m4["mode"] == "restore"
+    # rolled-past version still time-travelable
+    assert sorted(r.k for r in read_version(spark, t, version=3).collect()) == [1, 3]
+    # later work stacks on the restore, retention keeps the restored dirs
+    versioned_commit(spark.createDataFrame([(9,)], "k int"), t, mode="append")
+    expire_versions(t, keep_last=2)
+    assert sorted(r.k for r in read_version(spark, t).collect()) == [1, 2, 9]
