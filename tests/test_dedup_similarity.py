@@ -1946,3 +1946,34 @@ def test_kcenter_coreset_matches_numpy_twin_and_covers(spark):
     # cover property: after selecting k centers, every point's distance
     # to its nearest center is <= the k-th selection distance
     assert max(mind.values()) <= want[-1][2]
+
+
+def test_containment_superset_of_jaccard_property(spark):
+    """Mathematical invariant linking the two operators (hypothesis-
+    style random corpora, fixed seeds): C(A→B) = c/|A| >= c/(|A|+|B|-c)
+    = J always, so every unordered pair Jaccard reports at threshold t
+    must appear (in at least one direction) in containment's output at
+    the same t — on any corpus."""
+    import random
+
+    for seed in (3, 41, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(8, 40))]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 35))))
+            for i in range(rng.randint(10, 25))
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        t = rng.choice([0.2, 0.4, 0.6])
+        jac = {
+            frozenset((r.id_a, r.id_b))
+            for r in D.ngram_jaccard_pairs(df, n=3, threshold=t).collect()
+        }
+        con = {
+            frozenset((r.id_a, r.id_b))
+            for r in D.containment_pairs(df, n=3, threshold=t).collect()
+        }
+        assert jac <= con, (
+            f"seed {seed}, t={t}: jaccard pairs missing from containment: "
+            f"{jac - con}"
+        )
