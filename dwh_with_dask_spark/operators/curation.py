@@ -477,6 +477,105 @@ def contamination_pairs(
 # --- Bloom-filter decontamination ---------------------------------------
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: dict[str, int] | int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "tbudget",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Fill-to-token-budget mixture sampling — the "take N tokens from
+    web, M from code" recipe step of a training-data pipeline: per
+    source, documents are taken in deterministic md5-draw order until
+    the source's token budget is reached (a doc is kept iff its
+    RUNNING token total, itself included, stays within budget).
+    ``budget`` is per-source (dict — sources absent from the recipe are
+    EXCLUDED) or one int applied to every source. Same md5 draw idiom
+    as the samplers: stateless, engine-reproducible, re-salt for an
+    independent draw.
+
+    Scale shape — this is a per-source running SUM, and the naive
+    ``Window.partitionBy(source)`` puts each source's entire corpus in
+    one task. Instead the ``sequential_id`` broadcast-offset idiom
+    (operators/ids.py) is applied to sums: range-sort on (source,
+    draw, id) ONCE, stamp partition ids, aggregate one (pid, source)
+    token partial per slice, prefix-sum those on the driver
+    (#partitions × #sources tiny rows), broadcast the offsets back,
+    and finish with a window over (pid, source) — partition-LOCAL
+    slices, bounded by partition size, parallel across the cluster.
+    The carried-offsets frame must be consumed within the operator's
+    ``CacheScope`` (same ``sequential_id`` contract: the pid/mid stamp
+    is pinned by the persist).
+
+    Output: (id, source, n_tokens, cum_tokens) for every kept doc.
+    """
+    from dwh_with_dask_spark.operators.dedup import text_tokens
+
+    scope, created = scoped(scope)
+    tok = (
+        F.col(token_col)
+        if token_col is not None
+        else F.size(text_tokens(text_col))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        tok.cast("long").alias("n_tokens"),
+        md5_prefix(id_col, 8, salt).alias("__draw"),
+    )
+    if isinstance(budget, dict):
+        srcs = [(s, int(b)) for s, b in sorted(budget.items())]
+        bmap = F.create_map(
+            *[x for s, b in srcs for x in (F.lit(s), F.lit(b))]
+        )
+        base = base.filter(F.col("source").isin([s for s, _ in srcs]))
+        budget_col = bmap[F.col("source")]
+    else:
+        budget_col = F.lit(int(budget))
+
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    srt = base.repartitionByRange(
+        n_part, "source", "__draw", "id"
+    ).sortWithinPartitions("source", "__draw", "id")
+    stamped = scope.persist(
+        srt.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
+    )
+    partials = (
+        stamped.groupBy("__pid", "source")
+        .agg(F.sum("n_tokens").alias("__part_sum"))
+        .collect()
+    )
+    # range partitions are ordered by pid, so the per-source offset of a
+    # slice is the sum of the same source's partials in smaller pids
+    by_src: dict = {}
+    offsets = []
+    for r in sorted(partials, key=lambda r: (r.source, r["__pid"])):
+        offsets.append((r["__pid"], r.source, by_src.get(r.source, 0)))
+        by_src[r.source] = by_src.get(r.source, 0) + int(r["__part_sum"])
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__pid int, source string, __off long"
+    )
+    w = (
+        Window.partitionBy("__pid", "source")
+        .orderBy("__mid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        stamped.join(F.broadcast(off_df), ["__pid", "source"])
+        .withColumn(
+            "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget_col)
+        .select("id", "source", "n_tokens", "cum_tokens")
+    )
+    return attach(out, scope, created)
+
+
 def ngram_decontaminate(
     df: DataFrame,
     id_col: str = "doc_id",

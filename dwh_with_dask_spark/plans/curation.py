@@ -221,6 +221,39 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_token_budget_mixture",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens,
+             substring(md5(CAST(doc_id AS VARCHAR) || 'tbudget'), 1, 8)
+               AS draw
+      FROM documents),
+    c AS (
+      SELECT doc_id AS id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY draw, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def corpus_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-to-token-budget mixture sampling
+    (operators.curation.token_budget_sample): per source, docs are
+    taken in md5-draw order until 800 tokens are reached — the "take N
+    tokens per domain" recipe step. The Spark plan replaces the
+    single-task-per-source running-sum window with the sequential_id
+    broadcast-offset idiom (range-sort once, per-slice partials,
+    driver prefix sums, partition-local windows); the oracle restates
+    it as the plain per-source window — values hash-match because the
+    running sums are integer arithmetic in draw order on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.token_budget_sample(d, budget=800)
+
+
+@query(
     "corpus_ngram_decontaminate",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

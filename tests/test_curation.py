@@ -891,3 +891,42 @@ def test_ngram_decontaminate_matches_python_twin(spark):
             want[i] = (shared, len(g), shared / len(g))
     assert got == want
     assert want, "fixture must actually plant cross-split overlap"
+
+
+def test_token_budget_sample_dict_budgets_and_twin(spark):
+    """token_budget_sample: per-source dict budgets (absent sources
+    excluded), docs taken in md5-draw order, kept iff the running
+    total INCLUDING the doc stays within budget — equals a hashlib
+    twin exactly."""
+    import hashlib
+
+    from dwh_with_dask_spark.operators.curation import token_budget_sample
+
+    rows = []
+    for i in range(40):
+        src = ["web", "code", "books"][i % 3]
+        rows.append((i, src, " ".join(f"t{j}" for j in range(2 + i % 7))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"web": 25, "code": 12}
+    got = {
+        r.id: (r.source, r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(df, budgets).collect()
+    }
+
+    def draw(i):
+        return hashlib.md5(f"{i}tbudget".encode()).hexdigest()[:8]
+
+    want = {}
+    for src, cap in budgets.items():
+        docs = sorted(
+            ((draw(i), i, len(t.split())) for i, s, t in rows if s == src),
+        )
+        cum = 0
+        for d, i, n in docs:
+            cum += n
+            if cum <= cap:
+                want[i] = (src, n, cum)
+    assert got == want
+    assert not any(s == "books" for s, _, _ in got.values())
+    # every budget is actually binding (fixture sanity)
+    assert {s for s, _, _ in got.values()} == {"web", "code"}
