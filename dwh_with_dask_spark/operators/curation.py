@@ -526,6 +526,12 @@ def token_budget_sample(
         tok.cast("long").alias("n_tokens"),
         md5_prefix(id_col, 8, salt).alias("__draw"),
     )
+    # Persisted BEFORE the range repartition: the range partitioner
+    # SAMPLES its input to pick boundaries, which would evaluate the
+    # tokenize (the expensive part of n_tokens) a second time over the
+    # whole corpus — measured 7.0x growth per 10x at sf10 without this,
+    # vs the narrow 4-column cache both passes share.
+    base = scope.persist(base)
     if isinstance(budget, dict):
         srcs = [(s, int(b)) for s, b in sorted(budget.items())]
         bmap = F.create_map(
