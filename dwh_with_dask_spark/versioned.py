@@ -809,18 +809,12 @@ def _rewrite_version(
     # pruned-out dir provably holds no matching row and skips the probe
     candidates = set(manifest_dirs(table, prev, prune, prune_eq))
     pred = F.expr(predicate)
-    affected = []
-    for d in all_dirs:
-        if d not in candidates:
-            continue
-        hit = (
-            reader.parquet(os.path.join(table, d))
-            .filter(pred)
-            .limit(1)
-            .count()
-        )
-        if hit:
-            affected.append(d)
+    probe_dirs = [d for d in all_dirs if d in candidates]
+    affected = _probe_affected_dirs(
+        table, probe_dirs, reader.parquet(
+            *[os.path.join(table, d) for d in probe_dirs]
+        ).withColumn("__file", F.input_file_name()).filter(pred),
+    ) if probe_dirs else []
     kept = [d for d in all_dirs if d not in set(affected)]
 
     label = "update" if assign is not None else "delete"
@@ -875,6 +869,35 @@ def _rewrite_version(
         "dirs_rewritten": len(affected),
         f"rows_{label}d": int(n_changed),
     }
+
+
+def _probe_affected_dirs(table, probe_dirs, matching_rows) -> list:
+    """Which of ``probe_dirs`` contain at least one row of
+    ``matching_rows`` — in ONE Spark job: the matching rows' distinct
+    ``__file`` values (bounded by the file count, never data-sized)
+    map back to their dirs by path containment. The per-dir limit-1
+    loop this replaces cost one driver-round-trip job per candidate
+    directory — thousands of sequential jobs on a 100 TB table.
+
+    ``matching_rows`` must carry a ``__file`` column stamped with
+    ``input_file_name()`` AT THE SCAN: the expression reads a
+    scan-stage thread local and returns '' when evaluated on the
+    output of a join (observed on the semi-join probe), so the caller
+    captures it before any join."""
+    from urllib.parse import unquote
+
+    files = [
+        unquote(r["__file"])
+        for r in matching_rows.select("__file").distinct().collect()
+    ]
+    hit = set()
+    for d in probe_dirs:
+        marker = "/" + d + "/"  # input_file_name yields a /-separated URI
+        for f in files:
+            if marker in f:
+                hit.add(d)
+                break
+    return [d for d in probe_dirs if d in hit]
 
 
 def _finalize_rewrite(
@@ -1005,22 +1028,23 @@ def versioned_merge(
 
     src_keys = source.select(*keys).distinct()
     candidates = set(manifest_dirs(table, prev, prune, prune_eq))
-    affected = []
-    for d in all_dirs:
-        if d not in candidates:
-            continue
-        tgt = reader.parquet(os.path.join(table, d)).alias("t")
+    probe_dirs = [d for d in all_dirs if d in candidates]
+    if probe_dirs:
+        tgt = (
+            reader.parquet(*[os.path.join(table, d) for d in probe_dirs])
+            .withColumn("__file", F.input_file_name())
+            .alias("t")
+        )
         cond = None
         for k in keys:
             c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
             cond = c if cond is None else (cond & c)
-        hit = (
-            tgt.join(src_keys.alias("s"), cond, "left_semi")
-            .limit(1)
-            .count()
+        affected = _probe_affected_dirs(
+            table, probe_dirs,
+            tgt.join(src_keys.alias("s"), cond, "left_semi"),
         )
-        if hit:
-            affected.append(d)
+    else:
+        affected = []
     kept = [d for d in all_dirs if d not in set(affected)]
 
     if affected:
