@@ -694,3 +694,23 @@ def test_ngram_decontaminate_plan_split_is_joinless(spark):
     joins = [l for l in phys.splitlines() if re.search(r"HashJoin|SortMergeJoin", l)]
     assert len(joins) == 2, "\n".join(joins)
     assert sum("LeftSemi" in l for l in joins) == 1, "\n".join(joins)
+
+
+def test_token_budget_plan_no_per_source_window(spark):
+    """The token-budget running sum must never run as a per-source
+    window (one task per source at corpus scale): every Window in the
+    executed plan partitions by the physical slice id (__pid) alongside
+    source — bounded by partition size — and no exchange
+    hash-partitions on source alone."""
+    import re
+
+    df = QUERIES["corpus_token_budget_mixture"](spark, SF_CORRECT)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    windows = [l for l in phys.splitlines() if "windowspecdefinition" in l]
+    assert windows, "expected a window in the plan"
+    for l in windows:
+        assert "__pid" in l, f"per-source-only window: {l.strip()[:140]}"
+    for l in phys.splitlines():
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", l)
+        if m and "source#" in m.group(1):
+            assert "__pid" in m.group(1), l.strip()[:140]
