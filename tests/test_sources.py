@@ -1387,3 +1387,90 @@ def test_restore_version_zero_copy_rollback(spark, tmp_path):
     versioned_commit(spark.createDataFrame([(9,)], "k int"), t, mode="append")
     expire_versions(t, keep_last=2)
     assert sorted(r.k for r in read_version(spark, t).collect()) == [1, 2, 9]
+
+
+def test_versioned_cow_model_based_random_sequences(spark, tmp_path):
+    """Model-based randomized check of the copy-on-write surface: a
+    random sequence of append/delete/update/merge/restore ops applied
+    to BOTH the versioned table and a plain in-memory dict model; after
+    every op the table equals the model, and at the end every recorded
+    version still time-travels to its snapshot."""
+    import random
+
+    from dwh_with_dask_spark.versioned import (
+        read_version,
+        restore_version,
+        versioned_commit,
+        versioned_delete,
+        versioned_merge,
+        versioned_update,
+    )
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"mb{seed}")
+        model: dict[int, int] = {}
+        history: list[dict[int, int]] = []  # snapshot per version, 1-based
+
+        def commit_batch(mode):
+            rows = {rng.randrange(50): rng.randrange(1000) for _ in range(rng.randint(1, 8))}
+            df = spark.createDataFrame(sorted(rows.items()), "k int, val int")
+            versioned_commit(df, t, mode=mode)
+            if mode == "overwrite":
+                model.clear()
+            # append of duplicate keys creates duplicate rows in the
+            # table; keep the fixture key-unique instead
+            model.update(rows)
+
+        commit_batch("overwrite")
+        history.append(dict(model))
+        for _ in range(10):
+            op = rng.choice(["append", "delete", "update", "merge", "restore"])
+            if op == "append":
+                new = {k: rng.randrange(1000) for k in range(50) if k not in model and rng.random() < 0.1}
+                if not new:
+                    continue
+                versioned_commit(
+                    spark.createDataFrame(sorted(new.items()), "k int, val int"),
+                    t, mode="append",
+                )
+                model.update(new)
+            elif op == "delete":
+                lo = rng.randrange(50)
+                rep = versioned_delete(spark, t, f"k >= {lo} AND k < {lo + 10}")
+                doomed = [k for k in model if lo <= k < lo + 10]
+                assert rep[f"rows_deleted"] == len(doomed)
+                for k in doomed:
+                    del model[k]
+                if rep["dirs_rewritten"] == 0:
+                    continue  # no new version published
+            elif op == "update":
+                m = rng.randrange(2, 5)
+                rep = versioned_update(spark, t, f"k % {m} = 0", {"val": "val + 10000"})
+                touched = [k for k in model if k % m == 0]
+                assert rep["rows_updated"] == len(touched)
+                for k in touched:
+                    model[k] += 10000
+                if rep["dirs_rewritten"] == 0:
+                    continue
+            elif op == "merge":
+                src = {rng.randrange(50): rng.randrange(1000) for _ in range(rng.randint(1, 6))}
+                versioned_merge(
+                    spark, t,
+                    spark.createDataFrame(sorted(src.items()), "k int, val int"),
+                    ["k"],
+                )
+                model.update(src)
+            else:  # restore
+                v = rng.randrange(1, len(history) + 1)
+                restore_version(t, v)
+                model.clear()
+                model.update(history[v - 1])
+            history.append(dict(model))
+            got = {r.k: r.val for r in read_version(spark, t).collect()}
+            assert got == model, f"seed {seed}, op {op}: {got} != {model}"
+
+        # every version still time-travels to its recorded snapshot
+        for v, snap in enumerate(history, start=1):
+            got = {r.k: r.val for r in read_version(spark, t, version=v).collect()}
+            assert got == snap, f"seed {seed}, version {v}"
