@@ -568,6 +568,90 @@ def containment_pairs(
     return attach(out, scope, created)
 
 
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """EXACT containment pairs >= ``threshold`` via prefix filtering —
+    same output as ``containment_pairs(max_shingle_freq=None)`` at a
+    fraction of the join volume on boilerplate-skewed corpora, with NO
+    semantic concession (unlike the frequency cap).
+
+    The asymmetric prefix theorem: if C(A→B) >= t then A shares at
+    least ``ceil(t·|A|)`` shingles with B, so B must contain one of
+    A's first ``|A| - ceil(t·|A|) + 1`` shingles under ANY total
+    order — the same prefix length as the Jaccard filter, applied to
+    the CONTAINED side only. Index each doc's prefix (rarest-first
+    order); join it against the FULL shingle table as the container
+    side. Hot boilerplate shingles land in every doc's suffix and
+    never enter the prefix index, so the ``df(s)²`` blowup term
+    becomes ``prefixdf(s)·df(s)`` with ``prefixdf(hot) = 0`` — the
+    quadratic term vanishes exactly where the uncapped plan exhausts
+    the heap. Candidates are verified EXACTLY against the full
+    shingle table. Same regime boundary as the Jaccard prefix filter:
+    on near-uniform synthetic shingle distributions verification
+    volume can exceed naive collision counting (see
+    ``ngram_jaccard_pairs_prefix``).
+    """
+    from pyspark.sql.window import Window
+
+    scope, created = scoped(scope)
+    sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+        + F.lit(1)
+    )
+    pa = (
+        ranked.filter(F.col("__rk") <= prefix_len)
+        .select(F.col("id").alias("id_a"), "shingle")
+    )
+    pb = sh.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_a").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    )
+    return attach(out, scope, created)
+
+
 def _minhash_cols(num_hashes: int, hash_family: str) -> list:
     """Per-permutation hash expressions over the ``shingle`` column.
 

@@ -189,9 +189,10 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_containment",
-    f"""
+# Shared by dedup_containment and dedup_containment_prefix: prefix
+# filtering is a pruning strategy, not a semantic change (same contract
+# as the Jaccard pair), so both Spark plans hash-match the SAME oracle.
+_CONTAINMENT_ORACLE = f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     raw AS (
       SELECT doc_id AS id,
@@ -223,8 +224,10 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
     FROM dirs
     WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.80
-    """,
-)
+    """
+
+
+@query("dedup_containment", _CONTAINMENT_ORACLE)
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (operators.dedup.containment_pairs):
     ordered pairs where >= 80% of the contained doc's 3-gram shingles
@@ -235,6 +238,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic to one final division — full hash-match
     oracle."""
     return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.80
+    )
+
+
+@query("dedup_containment_prefix", _CONTAINMENT_ORACLE)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT prefix-filtered containment
+    (operators.dedup.containment_pairs_prefix): only each doc's
+    |A| - ceil(t|A|) + 1 rarest shingles enter the index as contained-
+    side candidates (the asymmetric prefix theorem), the container side
+    stays full, candidates verify exactly — bit-identical to
+    dedup_containment, same oracle, no frequency-cap concession. Hot
+    boilerplate shingles never enter the prefix, so the df² blowup
+    that exhausts the uncapped plan's heap at sf10 becomes
+    prefixdf·df with prefixdf(hot) = 0."""
+    return D.containment_pairs_prefix(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.80
     )
 

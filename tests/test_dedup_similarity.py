@@ -1977,3 +1977,32 @@ def test_containment_superset_of_jaccard_property(spark):
             f"seed {seed}, t={t}: jaccard pairs missing from containment: "
             f"{jac - con}"
         )
+
+
+def test_containment_prefix_equals_naive(spark):
+    """containment_pairs_prefix is a pruning strategy, not a semantic
+    change: identical output to the naive plan on a corpus with planted
+    subsets and near-duplicates, across thresholds."""
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30))))
+        for i in range(20)
+    ]
+    docs.append((50, docs[0][1]))  # exact dup
+    toks = docs[1][1].split()
+    docs.append((51, " ".join(toks[: max(4, len(toks) // 2)])))  # subset-ish
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        naive = {
+            (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.containment)
+            for r in D.containment_pairs(df, n=3, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.containment)
+            for r in D.containment_pairs_prefix(df, n=3, threshold=t).collect()
+        }
+        assert pref == naive, f"t={t}"
+        assert naive, f"t={t}: fixture produced no pairs"
