@@ -595,7 +595,13 @@ def containment_pairs_prefix(
     shingle table. Same regime boundary as the Jaccard prefix filter:
     on near-uniform synthetic shingle distributions verification
     volume can exceed naive collision counting (see
-    ``ngram_jaccard_pairs_prefix``).
+    ``ngram_jaccard_pairs_prefix``). MEASURED on the driver-derived
+    corpora (iid-Zipf words, small vocab — pathologically anti-prefix:
+    even "rare" shingles collide broadly, so candidates are not
+    scarce): 50k-doc boilerplate-skew corpus, t=0.8 — naive 48.5 s,
+    prefix 317.7 s. Use this operator on natural heavy-tailed corpora
+    where content shingles are near-unique; on near-uniform
+    distributions use the naive or capped plan.
     """
     from pyspark.sql.window import Window
 
