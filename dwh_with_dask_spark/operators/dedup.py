@@ -599,9 +599,12 @@ def containment_pairs_prefix(
     corpora (iid-Zipf words, small vocab — pathologically anti-prefix:
     even "rare" shingles collide broadly, so candidates are not
     scarce): 50k-doc boilerplate-skew corpus, t=0.8 — naive 48.5 s,
-    prefix 317.7 s. Use this operator on natural heavy-tailed corpora
-    where content shingles are near-unique; on near-uniform
-    distributions use the naive or capped plan.
+    prefix 317.7 s. And on the NATURAL heavy-tailed df shape
+    (.localdata/skewnl: Zipf(1.1) 50k-word vocab, 50% sharing a
+    boilerplate header, t=0.8) the ranking flips decisively: prefix
+    6.0 s vs naive 315.7 s — 52x, identical pairs. Use this operator
+    on natural corpora where content shingles are near-unique; on
+    near-uniform distributions use the naive or capped plan.
     """
     from pyspark.sql.window import Window
 
