@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -455,6 +456,12 @@ def _publish(table: str, version: int, manifest: dict, prev: int) -> None:
         )
     mpath = _manifest_path(table, version)
     tmp = f"{mpath}.{os.getpid()}.{threading.get_ident()}.tmp"
+    # Wall-clock commit time, stamped at the publish (Delta's
+    # commitInfo timestamp): powers TIMESTAMP AS OF resolution and
+    # age-based retention. Clock skew between writers can make stamps
+    # non-monotonic across machines; resolution tolerates that by
+    # scanning every retained manifest rather than binary-searching.
+    manifest.setdefault("committed_at", time.time())
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
@@ -649,12 +656,36 @@ def manifest_dirs(
     return [d for d in dirs if keep(d)]
 
 
+def version_as_of(table: str, timestamp: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest retained version whose
+    ``committed_at`` stamp is <= ``timestamp`` (seconds since epoch).
+    Scans every retained manifest (tolerates non-monotonic stamps from
+    writer clock skew; retention keeps the list short). Raises when no
+    retained version is old enough — including when the candidates
+    predate the retention floor (their manifests are gone, so their
+    snapshots are unreadable anyway). Manifests written before the
+    stamp existed are skipped."""
+    best = 0
+    for m in list_versions(table):
+        ts = m.get("committed_at")
+        if ts is not None and ts <= timestamp and m["version"] > best:
+            best = m["version"]
+    if best == 0:
+        raise ValueError(
+            f"version_as_of: no retained version of {table!r} committed "
+            f"at or before {timestamp} (expired, unstamped, or the table "
+            "is younger than the requested time)"
+        )
+    return best
+
+
 def read_version(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
     prune_eq: dict[str, object] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot read: the table as of ``version`` (default: current).
     Time travel is just picking an older manifest. ``prune`` applies
@@ -669,7 +700,14 @@ def read_version(
     written before a ``merge_schema`` append lack the added columns
     and read back as NULL there — without the recorded schema, Spark
     would take a sample footer's schema and silently drop the added
-    columns. Time travel binds the schema recorded AT that version."""
+    columns. Time travel binds the schema recorded AT that version.
+
+    ``timestamp`` (TIMESTAMP AS OF, mutually exclusive with
+    ``version``): resolve the version via ``version_as_of`` first."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_as_of(table, timestamp)
     v = version if version is not None else current_version(table)
     reader = spark.read
     if v > 0:
@@ -1303,14 +1341,21 @@ def restore_version(table: str, version: int) -> int:
     return new_v
 
 
-def expire_versions(table: str, keep_last: int) -> dict:
-    """Retention: drop the manifests of all but the newest
-    ``keep_last`` versions, then reclaim every data directory no KEPT
-    manifest references (Delta's VACUUM-with-retention). Time travel
-    to the kept window keeps working untouched; reads of expired
-    versions raise FileNotFoundError (their manifests are gone). The
-    current version can never expire (``keep_last >= 1``). Returns
-    counts of removed manifests and data dirs.
+def expire_versions(
+    table: str,
+    keep_last: int | None = None,
+    older_than_s: float | None = None,
+) -> dict:
+    """Retention: drop the manifests of versions outside the retention
+    window, then reclaim every data directory no KEPT manifest
+    references (Delta's VACUUM-with-retention). The window is
+    ``keep_last`` newest versions, versions committed within
+    ``older_than_s`` seconds of now (age-based, via the manifests'
+    ``committed_at`` stamps), or — when both are given — whatever
+    either rule retains. Time travel to the kept window keeps working
+    untouched; reads of expired versions raise FileNotFoundError
+    (their manifests are gone). The current version can never expire.
+    Returns counts of removed manifests and data dirs.
 
     Ordering is crash-safe: manifests are removed OLDEST-FIRST before
     any data dir, so an interrupted expiry leaves either an intact
@@ -1322,12 +1367,31 @@ def expire_versions(table: str, keep_last: int) -> dict:
     """
     import shutil
 
-    if keep_last < 1:
+    if keep_last is None and older_than_s is None:
+        raise ValueError("pass keep_last and/or older_than_s")
+    if keep_last is not None and keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     cur = current_version(table)
     if cur == 0:
         return {"manifests_removed": 0, "dirs_removed": 0}
-    floor = max(1, cur - keep_last + 1)
+    floors = []
+    if keep_last is not None:
+        floors.append(max(1, cur - keep_last + 1))
+    if older_than_s is not None:
+        cutoff = time.time() - older_than_s
+        # smallest retained version still inside the age window;
+        # unstamped (pre-feature) manifests count as expirable. Floor
+        # is conservative under clock skew (a newer version with an
+        # older stamp survives — removal is strictly below the floor).
+        young = [
+            m["version"]
+            for m in list_versions(table)
+            if m.get("committed_at") is not None
+            and m["committed_at"] >= cutoff
+        ]
+        floors.append(min(young) if young else cur)
+    # "whatever either rule retains": the floor is the LOWEST demanded
+    floor = max(1, min(floors))
     removed_m = 0
     for v in range(1, floor):
         p = _manifest_path(table, v)

@@ -1474,3 +1474,67 @@ def test_versioned_cow_model_based_random_sequences(spark, tmp_path):
         for v, snap in enumerate(history, start=1):
             got = {r.k: r.val for r in read_version(spark, t, version=v).collect()}
             assert got == snap, f"seed {seed}, version {v}"
+
+
+def test_timestamp_as_of_and_age_retention(spark, tmp_path):
+    """TIMESTAMP AS OF resolves through the manifests' committed_at
+    stamps; age-based retention expires by stamp age while keep_last
+    can widen the window (either rule retains)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from dwh_with_dask_spark.versioned import (
+        expire_versions,
+        read_version,
+        version_as_of,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "tsaof")
+    for i in range(3):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t, mode="overwrite"
+        )
+
+    def stamp(v, ts):
+        p = os.path.join(t, "_manifests", f"v{v}.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["committed_at"] = ts
+        with open(p, "w") as f:
+            json.dump(m, f)
+
+    stamp(1, 1000.0)
+    stamp(2, 2000.0)
+    stamp(3, 3000.0)
+    assert version_as_of(t, 2500.0) == 2
+    assert version_as_of(t, 3000.0) == 3
+    assert [r.k for r in read_version(spark, t, timestamp=1500.0).collect()] == [0]
+    with _pytest.raises(ValueError, match="at or before"):
+        version_as_of(t, 500.0)
+    with _pytest.raises(ValueError, match="not both"):
+        read_version(spark, t, version=1, timestamp=1500.0)
+
+    # age retention: everything is ancient -> only current survives...
+    rep = expire_versions(t, older_than_s=10.0)
+    assert rep["manifests_removed"] == 2
+    assert [r.k for r in read_version(spark, t).collect()] == [2]
+    # ...and keep_last can hold versions age would expire (either rule)
+    t2 = str(tmp_path / "tsaof2")
+    for i in range(3):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t2, mode="overwrite"
+        )
+        pass
+    for v, ts in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        p = os.path.join(t2, "_manifests", f"v{v}.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["committed_at"] = ts
+        with open(p, "w") as f:
+            json.dump(m, f)
+    rep = expire_versions(t2, keep_last=2, older_than_s=10.0)
+    assert rep["manifests_removed"] == 1  # v1 only; keep_last holds v2
+    assert [r.k for r in read_version(spark, t2, version=2).collect()] == [1]
