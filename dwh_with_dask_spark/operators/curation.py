@@ -562,9 +562,22 @@ def token_budget_sample(
     offsets = []
     for r in sorted(partials, key=lambda r: (r.source, r["__pid"])):
         offsets.append((r["__pid"], r.source, by_src.get(r.source, 0)))
-        by_src[r.source] = by_src.get(r.source, 0) + int(r["__part_sum"])
+        # a slice whose docs all have NULL text sums to NULL — zero
+        # tokens contributed, not a driver crash
+        by_src[r.source] = by_src.get(r.source, 0) + int(r["__part_sum"] or 0)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # the source column keeps ITS OWN type (nothing requires string)
+    src_type = base.schema["source"].dataType
     off_df = df.sparkSession.createDataFrame(
-        offsets, "__pid int, source string, __off long"
+        offsets,
+        StructType(
+            [
+                StructField("__pid", IntegerType()),
+                StructField("source", src_type),
+                StructField("__off", LongType()),
+            ]
+        ),
     )
     w = (
         Window.partitionBy("__pid", "source")

@@ -205,13 +205,19 @@ def versioned_commit(
     # read. ``overwrite`` replaces the logical content, so its schema
     # is recorded as-is (old versions keep their own recorded schema —
     # time travel reads every version under the schema it was written
-    # with). Tables written before this field exist: no recorded
-    # schema, no enforcement, recording starts with this commit.
+    # with). Tables written before this field exist: an APPEND records
+    # NO schema either — stamping the batch's schema onto a table
+    # whose old dirs hold columns the batch lacks would make those
+    # columns silently invisible under the bound read; the legacy
+    # footer-inferred path stays until the next OVERWRITE restarts
+    # recording.
     batch_schema = json.loads(df.schema.json())
     table_schema = None
     if prev > 0 and mode == "append":
         with open(_manifest_path(table, prev)) as f:
             table_schema = json.load(f).get("schema")
+        if table_schema is None:
+            batch_schema = None  # legacy table: stay footer-inferred
     if table_schema is not None:
         prev_fields = {f["name"]: f for f in table_schema["fields"]}
         new_fields = {f["name"]: f for f in batch_schema["fields"]}
@@ -268,64 +274,37 @@ def versioned_commit(
             constraints[name] = expr
 
     version = prev + 1
-    # Staging-dir CLAIM (round 13): take data/v<N> with an atomic
-    # ``os.mkdir``; when that name is already held — a crashed writer's
-    # orphan (reclaimed by vacuum, never rmtree'd here: under
-    # concurrency it could be an in-flight winner's bytes) or a
-    # concurrent committer staging the same version — fall back to a
+    # Staging-dir CLAIM (round 13, via _claim_staging): take data/v<N>
+    # with an atomic ``os.mkdir``; a held name falls back to a
     # writer-unique suffix. Disjoint staging is what makes the race
     # SAFE: no committer can ever touch bytes another committer's
-    # manifest might reference (the round-12 heal-by-rmtree could).
-    # The manifest records the actual dir, so readers never care about
-    # the name. mode('append') into the exclusively-owned empty dir is
-    # a fresh write; exclusivity is the mkdir claim, not the write mode.
-    os.makedirs(os.path.join(table, "data"), exist_ok=True)
-    rel_dir = os.path.join("data", f"v{version}")
-    data_dir = os.path.join(table, rel_dir)
-    try:
-        os.mkdir(data_dir)
-    except FileExistsError:
-        rel_dir = os.path.join(
-            "data", f"v{version}-{os.getpid()}-{threading.get_ident()}"
-        )
-        data_dir = os.path.join(table, rel_dir)
-        if os.path.exists(data_dir):
-            import shutil
-
-            # same writer identity re-staging (a retried commit in this
-            # very thread): safe to clear — nobody else writes this name
-            shutil.rmtree(data_dir)
-        os.mkdir(data_dir)
+    # manifest might reference. The manifest records the actual dir,
+    # so readers never care about the name. mode('append') into the
+    # exclusively-owned empty dir is a fresh write; exclusivity is the
+    # mkdir claim, not the write mode.
+    rel_dir, data_dir = _claim_staging(table, version)
     df.write.mode("append").parquet(data_dir)
 
     if constraints:
-        from pyspark.sql import functions as F
+        # Validate the WRITTEN bytes (the dir is still staging, so a
+        # violation deletes it and the table stays at its prior
+        # version — rows checked are exactly what a reader would see,
+        # even when df's plan is nondeterministic; ADVICE r10). The
+        # read binds the schema this commit will RECORD, so a
+        # merge_schema append that legitimately omits a column a
+        # constraint references resolves it as NULL (CHECK passes)
+        # instead of dying in analysis on the footer-inferred schema.
+        from pyspark.sql.types import StructType
 
-        # validate the WRITTEN bytes: the data dir is still staging
-        # (the pointer hasn't moved), so a violation deletes it and
-        # the table stays at its prior version — and the rows checked
-        # are exactly the rows a reader would see, even when df's plan
-        # is nondeterministic (ADVICE r10)
-        batch = df.sparkSession.read.parquet(data_dir)
-        checks = [
-            F.sum(
-                (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
-            ).alias(name)
-            for name, e in constraints.items()
-        ]
-        row = batch.agg(*checks).first()
-        bad = {n: int(row[n]) for n in constraints if row[n]}
-        if bad:
-            import shutil
-
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise ValueError(
-                f"versioned_commit: CHECK constraint violation(s) on "
-                f"{table!r}: "
-                + ", ".join(f"{n}: {c} row(s)" for n, c in sorted(bad.items()))
-                + " — nothing was committed (table stays at version "
-                f"{prev})."
-            )
+        reader = (
+            df.sparkSession.read.schema(StructType.fromJson(batch_schema))
+            if batch_schema is not None
+            else df.sparkSession.read
+        )
+        _validate_constraints(
+            df.sparkSession, data_dir, constraints, reader,
+            "versioned_commit", table, prev,
+        )
 
     stats: dict = {}
     if stats_cols:
@@ -392,12 +371,9 @@ def versioned_commit(
         if pm.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
             for d, m in pm.get("members", {}).items():
                 members.setdefault(d, m)
-    manifest = {
-        "version": version,
-        "mode": mode,
-        "dirs": dirs,
-        "schema": batch_schema,
-    }
+    manifest = {"version": version, "mode": mode, "dirs": dirs}
+    if batch_schema is not None:
+        manifest["schema"] = batch_schema
     if stats:
         manifest["stats"] = stats
     if members:
@@ -740,6 +716,38 @@ def read_version(
     return reader.parquet(*[os.path.join(table, d) for d in dirs])
 
 
+def _validate_constraints(
+    spark, data_dir: str, constraints: dict, reader, op: str,
+    table: str, prev: int,
+) -> None:
+    """Validate WRITTEN bytes against the table's CHECK constraints —
+    the same read-back contract as ``versioned_commit`` (a row violates
+    when its expression is FALSE; NULL passes). On violation the
+    staged dir is deleted and the commit raises, leaving the table at
+    its prior version. ``reader`` must bind the table's recorded
+    schema so constraints referencing columns absent from the staged
+    bytes resolve as NULL instead of failing analysis."""
+    from pyspark.sql import functions as F
+
+    batch = reader.parquet(data_dir)
+    checks = [
+        F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long")).alias(name)
+        for name, e in constraints.items()
+    ]
+    row = batch.agg(*checks).first()
+    bad = {n: int(row[n]) for n in constraints if row[n]}
+    if bad:
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ValueError(
+            f"{op}: CHECK constraint violation(s) on {table!r}: "
+            + ", ".join(f"{n}: {c} row(s)" for n, c in sorted(bad.items()))
+            + " — nothing was committed (table stays at version "
+            f"{prev})."
+        )
+
+
 def _claim_staging(table: str, version: int) -> tuple[str, str]:
     """Claim an exclusive staging data dir for ``version`` (atomic
     mkdir, writer-unique fallback) — the same disjoint-staging contract
@@ -782,9 +790,11 @@ def versioned_delete(
 
     ``prune``/``prune_eq`` (optional): the caller asserts, in manifest-
     stats terms, which dirs can POSSIBLY match the predicate — dirs the
-    stats provably exclude skip even the probe scan. The probe itself
-    is one cheap LIMIT-1 existence check per candidate dir; only dirs
-    that actually contain matching rows are read fully and rewritten.
+    stats provably exclude skip even the probe scan. The probe is ONE
+    Spark job over all candidate dirs (matching rows map back to their
+    dirs via scan-stamped ``input_file_name`` — see
+    ``_probe_affected_dirs``); only dirs that actually contain matching
+    rows are read fully and rewritten.
 
     Per-dir stats/membership indexes are recomputed for the rewritten
     dir (over the same columns the affected dirs carried) and carried
@@ -869,7 +879,6 @@ def _rewrite_version(
         out = src.filter(~F.coalesce(pred, F.lit(False)))
         n_changed = src.filter(pred).count()
     else:
-        out = src
         for col, expr in assign.items():
             if col not in src.columns:
                 raise ValueError(f"versioned_update: no column {col!r}")
@@ -882,12 +891,35 @@ def _rewrite_version(
                     f"{new_t.simpleString()} — the recorded schema is "
                     "immutable under update; cast the expression."
                 )
-            out = out.withColumn(col, F.when(pred, F.expr(expr)).otherwise(F.col(col)))
+        # ONE projection over the ORIGINAL row: SQL UPDATE semantics —
+        # the predicate and every RHS evaluate against pre-update
+        # values. Sequential withColumn would re-resolve both against
+        # the partially-updated frame (an assign touching a column the
+        # predicate or another RHS reads would corrupt the result, and
+        # the outcome would depend on dict order).
+        out = src.select(
+            *[
+                F.when(pred, F.expr(assign[c])).otherwise(F.col(c)).alias(c)
+                if c in assign
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
         n_changed = src.filter(pred).count()
 
     version = prev + 1
     rel_dir, data_dir = _claim_staging(table, version)
     out.write.mode("append").parquet(data_dir)
+
+    # UPDATE re-validates the rewritten bytes against the table's CHECK
+    # constraints (an assignment can introduce a violation); DELETE
+    # does not — removal of rows cannot create one, and pre-existing
+    # violations in carried-forward rows must never block an erasure.
+    if assign is not None and m.get("constraints"):
+        _validate_constraints(
+            spark, data_dir, m["constraints"], reader,
+            "versioned_update", table, prev,
+        )
 
     # recompute the rewritten dir's indexes over the columns the
     # affected dirs carried (union), from the written bytes
@@ -928,23 +960,37 @@ def _probe_affected_dirs(table, probe_dirs, matching_rows) -> list:
         unquote(r["__file"])
         for r in matching_rows.select("__file").distinct().collect()
     ]
+    # Anchor at the TABLE's absolute path: a bare "/data/vN/" substring
+    # test would false-positive when the table itself lives under a
+    # path containing such a segment (and os.sep-built rel dirs would
+    # never match the /-separated URI on Windows). Fall back to the
+    # substring rule only when a URI doesn't contain the table path.
+    table_abs = os.path.abspath(table).replace(os.sep, "/")
+    norm_dirs = [(d, d.replace(os.sep, "/")) for d in probe_dirs]
     hit = set()
-    for d in probe_dirs:
-        marker = "/" + d + "/"  # input_file_name yields a /-separated URI
-        for f in files:
-            if marker in f:
+    for f in files:
+        i = f.find(table_abs + "/")
+        rest = f[i + len(table_abs) + 1:] if i >= 0 else None
+        for d, dd in norm_dirs:
+            if rest is not None:
+                if rest.startswith(dd + "/"):
+                    hit.add(d)
+            elif "/" + dd + "/" in f:
                 hit.add(d)
-                break
     return [d for d in probe_dirs if d in hit]
 
 
 def _finalize_rewrite(
     spark, table, m, prev, version, kept, rel_dir, data_dir,
     label, reader, rec_schema, stat_cols, member_cols,
-) -> None:
+    want_count: bool = False,
+) -> int | None:
     """Shared tail of the copy-on-write commits (delete/update/merge):
     carry kept dirs' indexes forward, recompute the rewritten dir's
-    from its written bytes, publish the manifest via the CAS claim."""
+    from its written bytes, publish the manifest via the CAS claim.
+    ``want_count=True`` returns the rewritten dir's row count from the
+    same read-back (parquet footer metadata — saves the caller a
+    separate job)."""
     from pyspark.sql import functions as F
 
     dirs = kept + [rel_dir]
@@ -954,7 +1000,12 @@ def _finalize_rewrite(
         members = {
             d: mm for d, mm in m.get("members", {}).items() if d in set(kept)
         }
-    has_rows = bool(reader.parquet(data_dir).limit(1).count())
+    n_rows = None
+    if want_count:
+        n_rows = reader.parquet(data_dir).count()
+        has_rows = n_rows > 0
+    else:
+        has_rows = bool(reader.parquet(data_dir).limit(1).count())
     if not has_rows:
         dirs = kept  # a rewrite that emptied every affected dir
     else:
@@ -991,6 +1042,7 @@ def _finalize_rewrite(
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
     _publish(table, version, manifest, prev)
+    return n_rows
 
 
 def versioned_merge(
@@ -1115,6 +1167,15 @@ def versioned_merge(
     version = prev + 1
     rel_dir, data_dir = _claim_staging(table, version)
     out.write.mode("append").parquet(data_dir)
+    # MERGE re-validates the rewritten bytes (updates + inserts) against
+    # the table's CHECK constraints — same read-back contract as
+    # versioned_commit; a violating source batch must not slip past the
+    # manifest that claims the constraints hold.
+    if m.get("constraints"):
+        _validate_constraints(
+            spark, data_dir, m["constraints"], reader,
+            "versioned_merge", table, prev,
+        )
     # the rewritten dir absorbs updates AND inserts: index it over every
     # column the TABLE carries indexes for, not just the affected dirs'
     stat_cols = sorted(
@@ -1123,11 +1184,11 @@ def versioned_merge(
     member_cols = sorted(
         {c for d in all_dirs for c in m.get("members", {}).get(d, {})}
     )
-    _finalize_rewrite(
+    n_written = _finalize_rewrite(
         spark, table, m, prev, version, kept, rel_dir, data_dir,
         "merge", reader, rec_schema, stat_cols, member_cols,
+        want_count=True,
     )
-    n_written = reader.parquet(data_dir).count()
     return {
         "version": version,
         "dirs_kept": len(kept),

@@ -1538,3 +1538,98 @@ def test_timestamp_as_of_and_age_retention(spark, tmp_path):
     rep = expire_versions(t2, keep_last=2, older_than_s=10.0)
     assert rep["manifests_removed"] == 1  # v1 only; keep_last holds v2
     assert [r.k for r in read_version(spark, t2, version=2).collect()] == [1]
+
+
+def test_review_findings_versioned_regressions(spark, tmp_path):
+    """Round-14 review regressions, pinned:
+    1. UPDATE evaluates predicate + every RHS on the ORIGINAL row (an
+       assignment touching a predicate column must not starve later
+       assignments);
+    2. UPDATE and MERGE re-validate CHECK constraints on the rewritten
+       bytes;
+    3. an append to a legacy (pre-schema-field) table records NO
+       schema (stamping the batch's would hide legacy-only columns);
+    4. a merge_schema append omitting a column a constraint references
+       commits cleanly (constraint reads bind the recorded schema)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from dwh_with_dask_spark.versioned import (
+        read_version,
+        versioned_commit,
+        versioned_merge,
+        versioned_update,
+    )
+
+    # 1: SQL UPDATE semantics
+    t1 = str(tmp_path / "updsem")
+    versioned_commit(
+        spark.createDataFrame([(1, 1, 5), (2, 0, 5)], "k int, flag int, val int"),
+        t1,
+    )
+    versioned_update(spark, t1, "flag = 1", {"flag": "0", "val": "val + 10"})
+    got = {r.k: (r.flag, r.val) for r in read_version(spark, t1).collect()}
+    assert got == {1: (0, 15), 2: (0, 5)}  # val updated despite flag reset
+
+    # 2: constraints guard the rewrite paths
+    t2 = str(tmp_path / "updchk")
+    versioned_commit(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, price double"),
+        t2, expect={"price_pos": "price >= 0"},
+    )
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        versioned_update(spark, t2, "k = 1", {"price": "price * -1"})
+    assert {r.k: r.price for r in read_version(spark, t2).collect()} == {
+        1: 10.0, 2: 20.0,
+    }
+    with _pytest.raises(ValueError, match="CHECK constraint"):
+        versioned_merge(
+            spark, t2,
+            spark.createDataFrame([(2, -1.0)], "k int, price double"), ["k"],
+        )
+    assert {r.k: r.price for r in read_version(spark, t2).collect()} == {
+        1: 10.0, 2: 20.0,
+    }
+
+    # 3: legacy append stays schema-free
+    t3 = str(tmp_path / "legacyapp")
+    versioned_commit(spark.createDataFrame([(1, "a")], "k int, v string"), t3)
+    mp = os.path.join(t3, "_manifests", "v1.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m.pop("schema")
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    versioned_commit(
+        spark.createDataFrame([(2, "b")], "k int, v string"), t3, mode="append"
+    )
+    with open(os.path.join(t3, "_manifests", "v2.json")) as f:
+        assert "schema" not in json.load(f)
+    assert sorted(r.k for r in read_version(spark, t3).collect()) == [1, 2]
+
+    # 4: constraint referencing a column absent from the batch
+    t4 = str(tmp_path / "absentchk")
+    versioned_commit(
+        spark.createDataFrame([(1, 5.0)], "k int, price double"),
+        t4, expect={"price_pos": "price >= 0"},
+    )
+    versioned_commit(
+        spark.createDataFrame([(2,)], "k int"), t4,
+        mode="append", merge_schema=True,
+    )
+    got = {r.k: r.price for r in read_version(spark, t4).collect()}
+    assert got == {1: 5.0, 2: None}
+
+
+def test_token_budget_non_string_source(spark):
+    """token_budget_sample accepts non-string source columns (the
+    offsets frame takes the input column's own type)."""
+    from dwh_with_dask_spark.operators.curation import token_budget_sample
+
+    rows = [(i, i % 2, "a b c d e") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source int, text string")
+    out = token_budget_sample(df, budget=12).collect()
+    assert out and {r.source for r in out} == {0, 1}
+    assert all(r.cum_tokens <= 12 for r in out)
