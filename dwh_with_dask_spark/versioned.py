@@ -1197,6 +1197,112 @@ def versioned_merge(
     }
 
 
+def fsck(table: str) -> dict:
+    """Offline integrity check of a versioned table — the ops tool run
+    before trusting a restored backup or after a partial sync. Pure
+    filesystem/JSON inspection, no Spark session. Verifies:
+
+    - the retained manifest chain is CONTIGUOUS up to the current
+      version (a gap below the floor is legal retention; a gap in the
+      middle is corruption);
+    - every retained manifest parses, claims its own version number,
+      and every data dir it references EXISTS and contains at least
+      one parquet file;
+    - per-dir stats/members keys reference only dirs in that
+      manifest's dir list;
+    - the pointer file (when present) does not point ABOVE the chain
+      head (a lagging pointer is normal — the forward probe heals it).
+
+    Returns ``{"ok": bool, "current": int, "retained": [...],
+    "errors": [...], "warnings": [...]}`` — never raises on a broken
+    table; the report is the point."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    mdir = os.path.join(table, "_manifests")
+    versions: dict[int, dict] = {}
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(mdir, name)
+            try:
+                with open(path) as f:
+                    man = json.load(f)
+            except (OSError, ValueError) as exc:
+                errors.append(f"{name}: unreadable manifest ({exc})")
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                warnings.append(f"{name}: unrecognized manifest name")
+                continue
+            if man.get("version") != v:
+                errors.append(
+                    f"{name}: claims version {man.get('version')}"
+                )
+            versions[v] = man
+    if not versions:
+        return {
+            "ok": not errors,
+            "current": 0,
+            "retained": [],
+            "errors": errors,
+            "warnings": warnings,
+        }
+
+    retained = sorted(versions)
+    head = retained[-1]
+    floor = retained[0]
+    expected = set(range(floor, head + 1))
+    gaps = sorted(expected - set(retained))
+    if gaps:
+        errors.append(
+            f"manifest chain has gaps {gaps} between retained floor "
+            f"{floor} and head {head} (mid-chain loss, not retention)"
+        )
+
+    for v in retained:
+        man = versions[v]
+        for d in man.get("dirs", []):
+            dd = os.path.join(table, d)
+            if not os.path.isdir(dd):
+                errors.append(f"v{v}: missing data dir {d}")
+            elif not any(
+                fn.endswith(".parquet") for fn in os.listdir(dd)
+            ):
+                errors.append(f"v{v}: data dir {d} holds no parquet files")
+        dirset = set(man.get("dirs", []))
+        for key in ("stats", "members"):
+            stray = sorted(set(man.get(key, {})) - dirset)
+            if stray:
+                errors.append(f"v{v}: {key} reference unknown dirs {stray}")
+
+    try:
+        with open(os.path.join(table, "_current")) as f:
+            ptr = int(f.read().strip())
+        if ptr > head:
+            errors.append(
+                f"pointer {ptr} is above the manifest chain head {head}"
+            )
+        elif ptr < head:
+            warnings.append(
+                f"pointer lags at {ptr} (head {head}) — healed by the "
+                "read-side forward probe"
+            )
+    except OSError:
+        warnings.append("no pointer file — reads probe from 0")
+    except ValueError:
+        errors.append("pointer file is not an integer")
+
+    return {
+        "ok": not errors,
+        "current": head,
+        "retained": retained,
+        "errors": errors,
+        "warnings": warnings,
+    }
+
+
 def vacuum(table: str) -> dict:
     """Remove data directories no committed version can reach: staged
     dirs whose commit never linked a manifest (crashed or conflict-

@@ -1633,3 +1633,52 @@ def test_token_budget_non_string_source(spark):
     out = token_budget_sample(df, budget=12).collect()
     assert out and {r.source for r in out} == {0, 1}
     assert all(r.cum_tokens <= 12 for r in out)
+
+
+def test_fsck_reports_integrity(spark, tmp_path):
+    """fsck: clean table passes; retention gaps at the floor are fine;
+    mid-chain manifest loss, missing data dirs, and a pointer above the
+    chain are flagged without raising."""
+    import os
+    import shutil
+
+    from dwh_with_dask_spark.versioned import (
+        expire_versions,
+        fsck,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "fsck")
+    for i in range(4):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t, mode="overwrite"
+        )
+    rep = fsck(t)
+    assert rep["ok"] and rep["current"] == 4 and rep["retained"] == [1, 2, 3, 4]
+
+    # retention floor gap is legal
+    expire_versions(t, keep_last=3)
+    rep = fsck(t)
+    assert rep["ok"] and rep["retained"] == [2, 3, 4]
+
+    # mid-chain loss (a gap BETWEEN retained versions) is corruption —
+    # a missing FLOOR manifest is indistinguishable from retention by
+    # design, so fsck only flags interior gaps
+    os.remove(os.path.join(t, "_manifests", "v3.json"))
+    rep = fsck(t)
+    assert not rep["ok"] and any("gaps" in e for e in rep["errors"])
+
+    # missing data dir
+    t2 = str(tmp_path / "fsck2")
+    versioned_commit(spark.createDataFrame([(1,)], "k int"), t2)
+    shutil.rmtree(os.path.join(t2, "data", "v1"))
+    rep = fsck(t2)
+    assert not rep["ok"] and any("missing data dir" in e for e in rep["errors"])
+
+    # pointer above head
+    t3 = str(tmp_path / "fsck3")
+    versioned_commit(spark.createDataFrame([(1,)], "k int"), t3)
+    with open(os.path.join(t3, "_current"), "w") as f:
+        f.write("9")
+    rep = fsck(t3)
+    assert not rep["ok"] and any("above the manifest chain" in e for e in rep["errors"])
