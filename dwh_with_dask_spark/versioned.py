@@ -212,10 +212,17 @@ def versioned_commit(
     # footer-inferred path stays until the next OVERWRITE restarts
     # recording.
     batch_schema = json.loads(df.schema.json())
-    table_schema = None
-    if prev > 0 and mode == "append":
+    # ONE read of the previous manifest serves the schema, constraint,
+    # and append-carry-forward blocks below (manifests carry per-dir
+    # stats plus membership sets and grow with the table — parsing the
+    # same bytes three times per commit was pure driver overhead).
+    pm_prev = None
+    if prev > 0:
         with open(_manifest_path(table, prev)) as f:
-            table_schema = json.load(f).get("schema")
+            pm_prev = json.load(f)
+    table_schema = None
+    if pm_prev is not None and mode == "append":
+        table_schema = pm_prev.get("schema")
         if table_schema is None:
             batch_schema = None  # legacy table: stay footer-inferred
     if table_schema is not None:
@@ -264,9 +271,8 @@ def versioned_commit(
     # the caller's adds/replacements/drops. Validation happens BELOW,
     # on the read-back of the written bytes (see docstring).
     constraints: dict = {}
-    if prev > 0:
-        with open(_manifest_path(table, prev)) as f:
-            constraints = dict(json.load(f).get("constraints", {}))
+    if pm_prev is not None:
+        constraints = dict(pm_prev.get("constraints", {}))
     for name, expr in (expect or {}).items():
         if expr is None:
             constraints.pop(name, None)
@@ -359,9 +365,8 @@ def versioned_commit(
         members[rel_dir] = mem
 
     dirs = [rel_dir]
-    if mode == "append" and prev > 0:
-        with open(_manifest_path(table, prev)) as f:
-            pm = json.load(f)
+    if mode == "append" and pm_prev is not None:
+        pm = pm_prev
         dirs = pm["dirs"] + dirs
         for d, s in pm.get("stats", {}).items():
             stats.setdefault(d, s)
@@ -1220,8 +1225,18 @@ def fsck(table: str) -> dict:
     warnings: list[str] = []
     mdir = os.path.join(table, "_manifests")
     versions: dict[int, dict] = {}
-    if os.path.isdir(mdir):
-        for name in sorted(os.listdir(mdir)):
+    try:
+        mnames = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+    except OSError as exc:
+        return {
+            "ok": False,
+            "current": 0,
+            "retained": [],
+            "errors": [f"_manifests unreadable ({exc})"],
+            "warnings": [],
+        }
+    if mnames:
+        for name in mnames:
             if not name.endswith(".json"):
                 continue
             path = os.path.join(mdir, name)
@@ -1267,9 +1282,13 @@ def fsck(table: str) -> dict:
             dd = os.path.join(table, d)
             if not os.path.isdir(dd):
                 errors.append(f"v{v}: missing data dir {d}")
-            elif not any(
-                fn.endswith(".parquet") for fn in os.listdir(dd)
-            ):
+                continue
+            try:
+                entries = os.listdir(dd)
+            except OSError as exc:
+                errors.append(f"v{v}: data dir {d} unreadable ({exc})")
+                continue
+            if not any(fn.endswith(".parquet") for fn in entries):
                 errors.append(f"v{v}: data dir {d} holds no parquet files")
         dirset = set(man.get("dirs", []))
         for key in ("stats", "members"):
@@ -1277,6 +1296,11 @@ def fsck(table: str) -> dict:
             if stray:
                 errors.append(f"v{v}: {key} reference unknown dirs {stray}")
 
+    # The forward probe heals a lagging pointer only while the chain is
+    # reachable from it: it needs manifest ptr+1, ptr+2, ... — so a
+    # pointer below floor-1 (or a MISSING pointer on a retention-
+    # expired table, which probes from 0) strands every read at
+    # FileNotFoundError. That is an error, not a lag warning.
     try:
         with open(os.path.join(table, "_current")) as f:
             ptr = int(f.read().strip())
@@ -1284,13 +1308,26 @@ def fsck(table: str) -> dict:
             errors.append(
                 f"pointer {ptr} is above the manifest chain head {head}"
             )
+        elif ptr < floor - 1:
+            errors.append(
+                f"pointer {ptr} is below the retention floor {floor} - 1: "
+                "the forward probe cannot reach the chain; rewrite "
+                f"_current to {head}"
+            )
         elif ptr < head:
             warnings.append(
                 f"pointer lags at {ptr} (head {head}) — healed by the "
                 "read-side forward probe"
             )
     except OSError:
-        warnings.append("no pointer file — reads probe from 0")
+        if floor > 1:
+            errors.append(
+                "no pointer file on a retention-expired table: reads "
+                f"probe from 0 and cannot reach floor {floor}; rewrite "
+                f"_current to {head}"
+            )
+        else:
+            warnings.append("no pointer file — reads probe from 0")
     except ValueError:
         errors.append("pointer file is not an integer")
 
@@ -1518,7 +1555,9 @@ def expire_versions(
     references (Delta's VACUUM-with-retention). The window is
     ``keep_last`` newest versions, versions committed within
     ``older_than_s`` seconds of now (age-based, via the manifests'
-    ``committed_at`` stamps), or — when both are given — whatever
+    ``committed_at`` stamps; manifests written before the stamp
+    existed count as young and are RETAINED — missing metadata never
+    expands a deletion), or — when both are given — whatever
     either rule retains. Time travel to the kept window keeps working
     untouched; reads of expired versions raise FileNotFoundError
     (their manifests are gone). The current version can never expire.
@@ -1547,14 +1586,17 @@ def expire_versions(
     if older_than_s is not None:
         cutoff = time.time() - older_than_s
         # smallest retained version still inside the age window;
-        # unstamped (pre-feature) manifests count as expirable. Floor
-        # is conservative under clock skew (a newer version with an
-        # older stamp survives — removal is strictly below the floor).
+        # unstamped (pre-feature) manifests count as YOUNG — missing
+        # metadata retains, the same conservative convention as
+        # missing stats/members (an age-only expiry on a pre-stamp
+        # table must not silently delete all history). Floor is also
+        # conservative under clock skew (a newer version with an older
+        # stamp survives — removal is strictly below the floor).
         young = [
             m["version"]
             for m in list_versions(table)
-            if m.get("committed_at") is not None
-            and m["committed_at"] >= cutoff
+            if m.get("committed_at") is None
+            or m["committed_at"] >= cutoff
         ]
         floors.append(min(young) if young else cur)
     # "whatever either rule retains": the floor is the LOWEST demanded

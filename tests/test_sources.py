@@ -1682,3 +1682,52 @@ def test_fsck_reports_integrity(spark, tmp_path):
         f.write("9")
     rep = fsck(t3)
     assert not rep["ok"] and any("above the manifest chain" in e for e in rep["errors"])
+
+
+def test_second_review_regressions(spark, tmp_path):
+    """Second review pass, pinned: (1) age-only expiry on a pre-stamp
+    table RETAINS unstamped manifests (missing metadata never expands
+    a deletion); (2) fsck flags a missing/stranded pointer on a
+    retention-expired table as an ERROR, not a heal-able warning."""
+    import json
+    import os
+
+    from dwh_with_dask_spark.versioned import (
+        expire_versions,
+        fsck,
+        versioned_commit,
+    )
+
+    # 1: unstamped manifests survive age-only expiry
+    t = str(tmp_path / "agestamp")
+    for i in range(3):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t, mode="overwrite"
+        )
+    for v in (1, 2):
+        p = os.path.join(t, "_manifests", f"v{v}.json")
+        with open(p) as f:
+            m = json.load(f)
+        m.pop("committed_at", None)
+        with open(p, "w") as f:
+            json.dump(m, f)
+    rep = expire_versions(t, older_than_s=0.0)  # everything stamped is old
+    assert rep["manifests_removed"] == 0  # unstamped v1/v2 held the floor
+
+    # 2: pointer sanity on a retention-expired table
+    t2 = str(tmp_path / "ptrfloor")
+    for i in range(4):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t2, mode="overwrite"
+        )
+    expire_versions(t2, keep_last=2)  # retained [3, 4]
+    os.remove(os.path.join(t2, "_current"))
+    rep = fsck(t2)
+    assert not rep["ok"] and any("cannot reach floor" in e for e in rep["errors"])
+    with open(os.path.join(t2, "_current"), "w") as f:
+        f.write("1")
+    rep = fsck(t2)
+    assert not rep["ok"] and any("below the retention floor" in e for e in rep["errors"])
+    with open(os.path.join(t2, "_current"), "w") as f:
+        f.write("4")
+    assert fsck(t2)["ok"]
