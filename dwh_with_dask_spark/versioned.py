@@ -698,9 +698,14 @@ def read_version(
             from pyspark.sql.types import StructType
 
             reader = spark.read.schema(StructType.fromJson(rec))
-    dirs = manifest_dirs(table, version, prune, prune_eq)
+    # Pass the RESOLVED v, not the raw argument (ADVICE r14): with
+    # version=None, manifest_dirs would re-resolve the current version
+    # internally, and a concurrent commit landing between the two
+    # resolutions would pair version N's recorded schema with version
+    # N+1's dirs. One resolution binds schema and dirs to one manifest.
+    dirs = manifest_dirs(table, v if v > 0 else None, prune, prune_eq)
     if not dirs:
-        all_dirs = manifest_dirs(table, version)
+        all_dirs = manifest_dirs(table, v if v > 0 else None)
         if not all_dirs:
             # a version whose every row was deleted (versioned_delete
             # rewrote everything away): the recorded schema IS the table
@@ -1072,8 +1077,10 @@ def versioned_merge(
 
     The merged output must keep the recorded schema (MERGE never
     evolves; commit the batch with ``merge_schema`` first if it must).
-    Returns ``{"version", "dirs_kept", "dirs_rewritten",
-    "rows_written"}``.
+    Returns ``{"version", "dirs_kept", "dirs_rewritten", "dirs_added",
+    "rows_written"}`` — ``dirs_added`` is 1 when the commit referenced
+    a new dir (updates and/or inserts landed), so a pure-insert batch
+    (``dirs_rewritten == 0``) is distinguishable from a no-op.
     """
     from pyspark.sql import functions as F
 
@@ -1198,6 +1205,12 @@ def versioned_merge(
         "version": version,
         "dirs_kept": len(kept),
         "dirs_rewritten": len(affected),
+        # dirs_added distinguishes a pure-insert commit (no target dir
+        # matched, but unmatched source rows still landed in a new
+        # referenced dir) from a true no-op (ADVICE r14): callers
+        # asserting dirs_rewritten for write-amplification accounting
+        # would otherwise read both as 0.
+        "dirs_added": 1 if int(n_written) > 0 else 0,
         "rows_written": int(n_written),
     }
 
@@ -1530,6 +1543,15 @@ def restore_version(table: str, version: int) -> int:
         raise FileNotFoundError(f"no committed version at {table}")
     if not 1 <= version <= cur:
         raise ValueError(f"version {version} out of range 1..{cur}")
+    if not os.path.exists(_manifest_path(table, version)):
+        # in-range but below the retention floor (ADVICE r14): name
+        # retention explicitly, matching version_as_of's error style,
+        # instead of surfacing a bare FileNotFoundError.
+        raise ValueError(
+            f"restore_version: version {version} of {table!r} was "
+            "expired by retention (expire_versions removed its "
+            "manifest) — only retained versions can be restored."
+        )
     with open(_manifest_path(table, version)) as f:
         old = json.load(f)
     with open(_manifest_path(table, cur)) as f:
@@ -1580,6 +1602,20 @@ def expire_versions(
     cur = current_version(table)
     if cur == 0:
         return {"manifests_removed": 0, "dirs_removed": 0}
+    # Refresh the pointer cache to the probed head BEFORE removing any
+    # manifest (ADVICE r14). The pointer is only rewritten at publish
+    # time, so after crashed publishes it can lag the head by >=2;
+    # expiry may then remove the very manifests current_version's
+    # forward probe needs to climb from the stale pointer, leaving the
+    # table unreadable. Same tmp+os.replace idiom as _publish; writing
+    # the already-probed head never regresses the pointer.
+    ptmp = (
+        f"{os.path.join(table, '_current')}"
+        f".{os.getpid()}.{threading.get_ident()}.tmp"
+    )
+    with open(ptmp, "w") as f:
+        f.write(str(cur))
+    os.replace(ptmp, os.path.join(table, "_current"))
     floors = []
     if keep_last is not None:
         floors.append(max(1, cur - keep_last + 1))

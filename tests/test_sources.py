@@ -1731,3 +1731,103 @@ def test_second_review_regressions(spark, tmp_path):
     with open(os.path.join(t2, "_current"), "w") as f:
         f.write("4")
     assert fsck(t2)["ok"]
+
+
+def test_advice_r14_versioned_fixes(spark, tmp_path, monkeypatch):
+    """Regressions for the four round-14 ADVICE findings in
+    versioned.py: (1) expire_versions refreshes a lagging _current
+    pointer before removing manifests, (2) read_version binds schema
+    and dirs to ONE resolved version, (3) restore_version names
+    retention on an expired target, (4) versioned_merge reports
+    dirs_added for pure-insert commits."""
+    import json
+    import os
+
+    import pytest
+
+    import dwh_with_dask_spark.versioned as V
+    from dwh_with_dask_spark.versioned import (
+        current_version,
+        expire_versions,
+        read_version,
+        restore_version,
+        versioned_commit,
+        versioned_merge,
+    )
+
+    # (1) expiry under a stale pointer: two crashed publishes leave the
+    # pointer >=2 behind the head; pre-fix, expiry removed the
+    # manifests the forward probe climbs through, so current_version
+    # fell back to the expired pointer value and every read died.
+    t = str(tmp_path / "stale_ptr")
+    for i in range(4):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t, mode="overwrite"
+        )
+    with open(os.path.join(t, "_current"), "w") as f:
+        f.write("1")  # pointer lags head (4) by 3
+    rep = expire_versions(t, keep_last=2)
+    assert rep["manifests_removed"] == 2  # v1, v2
+    with open(os.path.join(t, "_current")) as f:
+        assert f.read().strip() == "4"  # pointer refreshed first
+    assert current_version(t) == 4
+    assert [r.k for r in read_version(spark, t).collect()] == [3]
+
+    # (2) one-resolution read: simulate a commit landing between the
+    # schema resolution and (pre-fix) manifest_dirs' re-resolution by
+    # monkeypatching current_version to advance between calls. The
+    # fixed read resolves once, so schema AND dirs come from v1.
+    t2 = str(tmp_path / "one_resolve")
+    versioned_commit(spark.createDataFrame([(1,)], "k int"), t2)
+    versioned_commit(
+        spark.createDataFrame([(2, "x")], "k int, extra string"),
+        t2,
+        mode="append",
+        merge_schema=True,
+    )
+    calls = {"n": 0}
+    real_cv = V.current_version
+
+    def racing_cv(table):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real_cv(table)
+
+    monkeypatch.setattr(V, "current_version", racing_cv)
+    rows = read_version(spark, t2).collect()
+    monkeypatch.undo()
+    # pre-fix: schema v1 (no 'extra') paired with v2's dirs — 2 rows
+    # with the appended column silently dropped; post-fix: v1 verbatim.
+    assert [tuple(r) for r in rows] == [(1,)]
+
+    # (3) restoring a retention-expired version names retention
+    t3 = str(tmp_path / "restore_expired")
+    for i in range(4):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t3, mode="overwrite"
+        )
+    expire_versions(t3, keep_last=2)
+    with pytest.raises(ValueError, match="retention"):
+        restore_version(t3, 1)
+    assert restore_version(t3, 3) == 5  # retained versions still work
+
+    # (4) dirs_added: pure-insert merge vs empty-source no-op
+    t4 = str(tmp_path / "merge_added")
+    versioned_commit(spark.createDataFrame([(1, 10)], "k int, v int"), t4)
+    ins = versioned_merge(
+        spark,
+        t4,
+        spark.createDataFrame([(99, 7)], "k int, v int"),
+        keys=["k"],
+    )
+    assert ins["dirs_rewritten"] == 0 and ins["dirs_added"] == 1
+    noop = versioned_merge(
+        spark,
+        t4,
+        spark.createDataFrame([], "k int, v int"),
+        keys=["k"],
+    )
+    assert noop["dirs_rewritten"] == 0 and noop["dirs_added"] == 0
+    assert sorted((r.k, r.v) for r in read_version(spark, t4).collect()) == [
+        (1, 10),
+        (99, 7),
+    ]
