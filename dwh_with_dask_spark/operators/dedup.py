@@ -661,6 +661,249 @@ def containment_pairs_prefix(
     return attach(out, scope, created)
 
 
+# ------------------------------------------------------------------
+# Auto-strategy dispatch for the exact pair-dedup family (round 15).
+#
+# The engine ships three exact-pair plans per metric whose measured
+# winner flips 52x with the corpus's shingle document-frequency shape
+# (BENCH_SCALE round-14 containment table): prefix filtering wins on
+# natural heavy-tailed corpora (content shingles near-unique, hot
+# boilerplate head), naive collision counting wins on near-uniform
+# distributions, and the frequency cap is the only plan that survives
+# near-uniform distributions past the collision-volume budget. At
+# 100 TB picking wrong means a DNF — so probe the histogram and pick.
+# ------------------------------------------------------------------
+
+#: Candidate frequency caps the probe prices (per-cap capped collision
+#: volume is computed in the SAME single aggregate as the histogram).
+_CAP_CANDIDATES = (10, 25, 50, 100, 250, 1000)
+
+
+def shingle_df_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    scope: CacheScope | None = None,
+) -> dict:
+    """ONE-aggregate probe of the shingle document-frequency histogram
+    — the dispatch evidence for ``*_pairs_auto``. Costs one map-side-
+    combined groupBy over the shingle table (the same aggregate the
+    capped and prefix plans compute anyway; the persisted shingle
+    table is shared with the dispatched plan via the scope /
+    CacheManager plan-matching, so the probe's explode is not paid
+    twice). Returns::
+
+        {n_shingles, postings, max_df, p50_df, p90_df, p99_df,
+         naive_volume,            # sum(df^2): EXACT row count of the
+                                  # naive plan's shingle self-join
+         capped_volume: {cap: sum(df^2 | df <= cap), ...}}
+    """
+    scope, _created = scoped(scope)
+    sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    d = F.col("df")
+    aggs = [
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(d).alias("postings"),
+        F.max(d).alias("max_df"),
+        F.expr("percentile_approx(df, 0.5, 10000)").alias("p50_df"),
+        F.expr("percentile_approx(df, 0.9, 10000)").alias("p90_df"),
+        F.expr("percentile_approx(df, 0.99, 10000)").alias("p99_df"),
+        F.sum(d * d).alias("naive_volume"),
+    ]
+    for c in _CAP_CANDIDATES:
+        aggs.append(
+            F.sum(F.when(d <= F.lit(c), d * d).otherwise(F.lit(0))).alias(
+                f"__cap{c}"
+            )
+        )
+    row = dfreq.agg(*aggs).first()
+    out = {
+        k: (int(row[k]) if row[k] is not None else 0)
+        for k in (
+            "n_shingles",
+            "postings",
+            "max_df",
+            "p50_df",
+            "p90_df",
+            "p99_df",
+            "naive_volume",
+        )
+    }
+    out["capped_volume"] = {
+        c: int(row[f"__cap{c}"] or 0) for c in _CAP_CANDIDATES
+    }
+    return out
+
+
+def choose_pair_strategy(
+    stats: dict,
+    naive_budget: int = 1_000_000_000,
+    heavy_tail_p90: int = 2,
+) -> dict:
+    """Pick naive / prefix / capped from the probed df histogram.
+
+    The decision tree, each edge pinned to a measurement
+    (BENCH_SCALE rounds 4/7/14):
+
+    1. **Heavy tail** (``p90_df <= heavy_tail_p90``): at least 90% of
+       distinct shingles are near-unique — the prefix filter's
+       candidate-scarcity premise holds, hot boilerplate lands in
+       suffixes and never enters the index. → **prefix** (exact).
+       Measured: skewnl 20k docs, prefix 6.0 s vs naive 315.7 s (52x,
+       identical pairs); scale-safe because the df² head vanishes
+       from the index regardless of how hot it is.
+    2. Near-uniform df, collision volume affordable
+       (``naive_volume <= naive_budget``): → **naive** (exact).
+       Collision counting is one map-side-combined groupBy; prefix
+       verification volume EXCEEDS it here (measured: iid-Zipf sf1,
+       naive 22 s vs prefix 189 s; skew1 48.5 s vs 317.7 s).
+    3. Near-uniform df past the budget: no exact plan fits — →
+       **capped** (concession: C/J slightly underestimated for pairs
+       touching capped shingles), cap = the LARGEST candidate whose
+       capped volume fits the budget (most semantics retained), floor
+       10. Measured: iid sf10, naive/prefix both DNF, capped 23.5 s.
+
+    ``naive_budget`` is the shingle-self-join row count the cluster
+    tolerates (default 1e9 ≈ tens of seconds on 32 local threads —
+    raise proportionally with executor count). Returns
+    ``{"strategy", "cap", "reason"}``.
+    """
+    if stats["p90_df"] <= heavy_tail_p90:
+        return {
+            "strategy": "prefix",
+            "cap": None,
+            "reason": (
+                f"heavy-tailed df (p90={stats['p90_df']} <= "
+                f"{heavy_tail_p90}, max={stats['max_df']}): prefix "
+                "filtering's candidate-scarcity premise holds; exact"
+            ),
+        }
+    if stats["naive_volume"] <= naive_budget:
+        return {
+            "strategy": "naive",
+            "cap": None,
+            "reason": (
+                f"near-uniform df (p90={stats['p90_df']}) within "
+                f"collision budget ({stats['naive_volume']} <= "
+                f"{naive_budget}); exact"
+            ),
+        }
+    fitting = [
+        c
+        for c in _CAP_CANDIDATES
+        if stats["capped_volume"][c] <= naive_budget
+    ]
+    cap = max(fitting) if fitting else min(_CAP_CANDIDATES)
+    return {
+        "strategy": "capped",
+        "cap": cap,
+        "reason": (
+            f"near-uniform df (p90={stats['p90_df']}) past collision "
+            f"budget ({stats['naive_volume']} > {naive_budget}): no "
+            f"exact plan fits; cap={cap} "
+            + (
+                "(largest candidate within budget)"
+                if fitting
+                else "(floor — even the tightest cap exceeds the "
+                "budget; consider MinHash-LSH)"
+            )
+        ),
+    }
+
+
+def _pair_auto(
+    metric: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    naive_budget: int,
+    scope: CacheScope | None,
+    decision_out: dict | None,
+) -> DataFrame:
+    import logging
+
+    scope, created = scoped(scope)
+    stats = shingle_df_stats(df, id_col, text_col, n, scope=scope)
+    choice = choose_pair_strategy(stats, naive_budget)
+    logging.getLogger("dwh_with_dask_spark.dedup").info(
+        "%s_pairs_auto: strategy=%s (%s)",
+        metric,
+        choice["strategy"],
+        choice["reason"],
+    )
+    if decision_out is not None:
+        decision_out.update(stats=stats, **choice)
+    fns = {
+        ("jaccard", "naive"): ngram_jaccard_pairs,
+        ("jaccard", "prefix"): ngram_jaccard_pairs_prefix,
+        ("containment", "naive"): containment_pairs,
+        ("containment", "prefix"): containment_pairs_prefix,
+    }
+    kw = dict(
+        id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        scope=scope,
+    )
+    if choice["strategy"] == "capped":
+        base = (
+            ngram_jaccard_pairs if metric == "jaccard" else containment_pairs
+        )
+        out = base(df, max_shingle_freq=choice["cap"], **kw)
+    else:
+        out = fns[(metric, choice["strategy"])](df, **kw)
+    return attach(out, scope, created)
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+    naive_budget: int = 1_000_000_000,
+    scope: CacheScope | None = None,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with AUTOMATIC plan choice: probe the
+    shingle df histogram (one aggregate — ``shingle_df_stats``), then
+    dispatch to the measured winner among the naive inverted index,
+    the prefix filter, and (only past the exact-plan budget) the
+    frequency cap — see ``choose_pair_strategy`` for the decision tree
+    and the measurements behind each edge. The choice is logged at
+    INFO and, when ``decision_out`` (a dict) is passed, recorded there
+    as ``{strategy, cap, reason, stats}``. Output schema and — on the
+    naive/prefix branches — exact bit-for-bit results match
+    ``ngram_jaccard_pairs``."""
+    return _pair_auto(
+        "jaccard", df, id_col, text_col, n, threshold, naive_budget,
+        scope, decision_out,
+    )
+
+
+def containment_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    naive_budget: int = 1_000_000_000,
+    scope: CacheScope | None = None,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Exact ordered-containment pairs with AUTOMATIC plan choice —
+    the containment twin of ``ngram_jaccard_pairs_auto`` (same probe,
+    same decision tree, same measured regime boundaries; see
+    ``choose_pair_strategy``). On the naive/prefix branches the result
+    is bit-identical to ``containment_pairs``."""
+    return _pair_auto(
+        "containment", df, id_col, text_col, n, threshold, naive_budget,
+        scope, decision_out,
+    )
+
+
 def _minhash_cols(num_hashes: int, hash_family: str) -> list:
     """Per-permutation hash expressions over the ``shingle`` column.
 

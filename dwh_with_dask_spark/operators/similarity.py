@@ -75,6 +75,76 @@ def cosine_topk(
     )
 
 
+# Measured IVF-PQ(+rerank) recall grid (ANN.md, rounds 13-14): keyed by
+# the measured dim tier; rows are (m, nprobe, rerank, recall@10) on the
+# clustered / non-isotropic fixtures. rerank=0 means plain ADC probe.
+_ANN_GRID = {
+    64: [
+        (16, 1, 0, 0.37),
+        (16, 1, 100, 0.915),
+        (16, 2, 50, 0.735),
+        (16, 2, 100, 0.915),
+        (16, 4, 100, 0.915),
+    ],
+    768: [
+        (16, 1, 0, 0.425),
+        (16, 2, 0, 0.43),
+        (16, 4, 0, 0.42),
+        (16, 1, 100, 0.645),
+        (16, 2, 100, 0.685),
+        (16, 4, 100, 0.695),
+        (64, 1, 0, 0.58),
+        (64, 2, 0, 0.625),
+        (64, 4, 0, 0.615),
+        (64, 1, 100, 0.685),
+        (64, 2, 100, 0.8),
+        (64, 4, 100, 0.85),
+    ],
+}
+
+
+def ann_config(dim: int, recall_target: float = 0.9) -> dict:
+    """IVF-PQ sizing from the MEASURED recall grids (ANN.md) — the
+    dim-768 sweep's conclusion ("at high dim the code budget, not the
+    cell probe, binds: m >= 64 plus exact rerank") as code instead of
+    prose (VERDICT r14 ask #7).
+
+    Picks the CHEAPEST measured configuration meeting
+    ``recall_target`` from the grid measured at the nearest dim tier
+    (64-dim clustered sweep for ``dim <= 256``, 768-dim non-isotropic
+    sweep above — the m floor is what changes with dimensionality).
+    Cost order: code bytes first (``m``), then exact-rerank fetches
+    (``rerank``), then cells probed (``nprobe``). When no measured
+    point reaches the target, returns the best measured point with
+    ``meets_target=False`` — the caller should raise ``m`` and
+    ``rerank`` beyond the grid (both levers measured monotone) or drop
+    to exact ``cosine_topk``.
+
+    Returns ``{"m", "nprobe", "rerank", "expected_recall",
+    "meets_target", "grid_dim"}``. ``rerank == 0`` means a plain ADC
+    probe suffices at the target.
+    """
+    grid_dim = 64 if dim <= 256 else 768
+    grid = _ANN_GRID[grid_dim]
+    meeting = [g for g in grid if g[3] >= recall_target]
+    if meeting:
+        m, nprobe, rerank, rec = min(
+            meeting, key=lambda g: (g[0], g[2], g[1])
+        )
+        ok = True
+    else:
+        m, nprobe, rerank, rec = max(grid, key=lambda g: (g[3], -g[0]))
+        ok = False
+    return {
+        "m": m,
+        "nprobe": nprobe,
+        "rerank": rerank,
+        "expected_recall": rec,
+        "meets_target": ok,
+        "grid_dim": grid_dim,
+    }
+
+
 def kcenter_coreset(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -101,6 +171,14 @@ def kcenter_coreset(
     older centers; the top-1 fetch is a TakeOrdered, never a sort.
     Total cost: k scans, k persists of (id, vec, double) — O(k·n),
     not the O(k²·n) a lineage-replaying loop would pay.
+
+    Practical k ceiling: the k scans are SEQUENTIAL full passes over
+    the corpus by construction (each center depends on the previous
+    argmax), so at 100 TB keep k ≲ 10³ — beyond that, k corpus scans
+    stop being interactive no matter the cluster. For large-k
+    diversity pruning, invert the problem: remove the redundant with
+    ``semantic_dedup`` (one clustering pass + per-cluster pruning)
+    instead of selecting the diverse.
 
     Returns (rank, id, dist2_at_selection): selection order, the chosen
     id, and its min-squared-distance when chosen (rank 0 = seed,

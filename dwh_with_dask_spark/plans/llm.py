@@ -258,6 +258,33 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_ngram_jaccard_auto", _JACCARD_EXACT_ORACLE)
+def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-dispatched exact Jaccard
+    (operators.dedup.ngram_jaccard_pairs_auto): one cheap aggregate
+    over the shingle df histogram picks the measured winner — prefix
+    on heavy-tailed natural corpora (52x on skewnl), naive on
+    near-uniform synthetic ones, frequency cap only past the
+    exact-plan collision budget. On the driver corpora the probe reads
+    near-uniform-within-budget and dispatches to the naive plan, so
+    the result hash-matches the same exact oracle as
+    dedup_ngram_jaccard."""
+    return D.ngram_jaccard_pairs_auto(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.30
+    )
+
+
+@query("dedup_containment_auto", _CONTAINMENT_ORACLE)
+def dedup_containment_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-dispatched exact containment
+    (operators.dedup.containment_pairs_auto) — same histogram probe
+    and decision tree as the Jaccard twin; exact oracle because the
+    driver corpora dispatch to an exact branch."""
+    return D.containment_pairs_auto(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.80
+    )
+
+
 @query(
     "dedup_containment_capped",
     f"""
@@ -2143,9 +2170,16 @@ def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     rest = e.filter(F.col("vec_id") != 0)
-    idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
+    # m/rerank from the measured grid (similarity.ann_config; dim 64 ->
+    # m=16 + rerank=100). nprobe stays 8: the sf embeddings are near-
+    # isotropic — unlike the clustered grid fixture, cell loss is the
+    # binding term here, so the probe stays wide (ANN.md sf1 sweep).
+    cfg = S.ann_config(dim=len(q), recall_target=0.9)
+    idx, cents, books = S.build_ivfpq_index(
+        rest, nlist=16, m=cfg["m"], ksub=64
+    )
     return S.ivfpq_topk_rerank(
-        idx, cents, books, rest, q, k=10, rerank=100, nprobe=8
+        idx, cents, books, rest, q, k=10, rerank=cfg["rerank"], nprobe=8
     ).select("vec_id", F.round("score", 6).alias("score"))
 
 
@@ -2168,18 +2202,24 @@ def embedding_ivfpq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     e = load_table(spark, sf_dir, "embeddings")
     q = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     rest = e.filter(F.col("vec_id") != 0)
+    # same measured-grid sizing as embedding_ivfpq_rerank_topk (the two
+    # queries must stay result-identical); nprobe stays 8 for the same
+    # near-isotropic-geometry reason documented there.
+    cfg = S.ann_config(dim=len(q), recall_target=0.9)
     # fmt=2: the segmented appendable layout (round 10) — key bump
     # retires cached single-segment v1 stores.
     path = artifact_path(
         "ivfpq", sf_dir, "embeddings",
-        {"nlist": 16, "m": 16, "ksub": 64, "fmt": 2},
+        {"nlist": 16, "m": cfg["m"], "ksub": 64, "fmt": 2},
     )
     if not os.path.exists(path):
-        idx, cents, books = S.build_ivfpq_index(rest, nlist=16, m=16, ksub=64)
+        idx, cents, books = S.build_ivfpq_index(
+            rest, nlist=16, m=cfg["m"], ksub=64
+        )
         S.save_ivfpq_index(idx, cents, books, path)
     idx, cents, books = S.load_ivfpq_index(spark, path)
     return S.ivfpq_topk_rerank(
-        idx, cents, books, rest, q, k=10, rerank=100, nprobe=8
+        idx, cents, books, rest, q, k=10, rerank=cfg["rerank"], nprobe=8
     ).select("vec_id", F.round("score", 6).alias("score"))
 
 

@@ -364,6 +364,11 @@ def versioned_commit(
             mem[c] = sorted(int(r.p) for r in pos if r.p is not None)
         members[rel_dir] = mem
 
+    # Per-dir content fingerprint for fsck(deep=True): rows from the
+    # parquet footers + size/sentinel-crc per file. Computed AFTER
+    # constraint validation (a rejected batch is deleted, not
+    # fingerprinted); cost bounded by the batch's file count.
+    integrity = {rel_dir: _dir_integrity(table, rel_dir)}
     dirs = [rel_dir]
     if mode == "append" and pm_prev is not None:
         pm = pm_prev
@@ -376,7 +381,15 @@ def versioned_commit(
         if pm.get("member_bits", MEMBER_BITS) == MEMBER_BITS:
             for d, m in pm.get("members", {}).items():
                 members.setdefault(d, m)
+        # carry prior dirs' integrity records forward untouched (their
+        # bytes are untouched by an append); legacy dirs without a
+        # record stay unrecorded — deep fsck warns, never guesses
+        for d, rec in pm.get("integrity", {}).items():
+            integrity.setdefault(d, rec)
     manifest = {"version": version, "mode": mode, "dirs": dirs}
+    manifest["integrity"] = {
+        d: integrity[d] for d in dirs if d in integrity
+    }
     if batch_schema is not None:
         manifest["schema"] = batch_schema
     if stats:
@@ -407,6 +420,44 @@ class VersionConflictError(RuntimeError):
     construction) is invisible to readers and reclaimed by ``vacuum``.
     Retry the commit from scratch: re-reading the new current version
     is required for ``append`` semantics."""
+
+
+#: Bytes hashed from each end of every data file for the sentinel
+#: checksum (head + tail + size catches truncation and footer rot —
+#: the failure modes that silently corrupt parquet reads — without
+#: re-reading data-sized bytes at commit time).
+_INTEGRITY_PROBE_BYTES = 65536
+
+
+def _dir_integrity(table: str, rel_dir: str) -> dict:
+    """Content fingerprint of a just-written data dir for ``fsck(deep=
+    True)`` (VERDICT r14 ask #2): total row count from the parquet
+    FOOTERS (pyarrow metadata — no Spark job, no column reads) plus a
+    per-file ``[size, sentinel_crc]`` map, where the sentinel crc32
+    covers the first and last ``_INTEGRITY_PROBE_BYTES`` bytes. Cost
+    is O(files in the new dir) driver-side stats + footer reads —
+    bounded by the BATCH, never the table (appends and copy-on-write
+    rewrites only ever add one dir)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(table, rel_dir)
+    files: dict = {}
+    rows = 0
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(d, name)
+        size = os.path.getsize(p)
+        rows += pq.ParquetFile(p).metadata.num_rows
+        with open(p, "rb") as f:
+            crc = zlib.crc32(f.read(_INTEGRITY_PROBE_BYTES))
+            if size > _INTEGRITY_PROBE_BYTES:
+                f.seek(max(size - _INTEGRITY_PROBE_BYTES, 0))
+                crc = zlib.crc32(f.read(_INTEGRITY_PROBE_BYTES), crc)
+        files[name] = [size, crc]
+    return {"rows": rows, "files": files}
 
 
 def _publish(table: str, version: int, manifest: dict, prev: int) -> None:
@@ -1042,6 +1093,17 @@ def _finalize_rewrite(
             members[rel_dir] = mem
 
     manifest = {"version": version, "mode": label, "dirs": dirs}
+    # integrity: kept dirs carry their fingerprints forward (bytes
+    # untouched); the rewritten dir is re-fingerprinted from its new
+    # bytes — same carry/recompute split as stats/members
+    integrity = {
+        d: rec
+        for d, rec in m.get("integrity", {}).items()
+        if d in set(kept)
+    }
+    if has_rows:
+        integrity[rel_dir] = _dir_integrity(table, rel_dir)
+    manifest["integrity"] = {d: integrity[d] for d in dirs if d in integrity}
     if rec_schema is not None:
         manifest["schema"] = rec_schema
     if stats:
@@ -1215,10 +1277,11 @@ def versioned_merge(
     }
 
 
-def fsck(table: str) -> dict:
+def fsck(table: str, deep: bool = False) -> dict:
     """Offline integrity check of a versioned table — the ops tool run
     before trusting a restored backup or after a partial sync. Pure
-    filesystem/JSON inspection, no Spark session. Verifies:
+    filesystem/JSON inspection (plus parquet FOOTER reads in deep
+    mode), no Spark session. Verifies:
 
     - the retained manifest chain is CONTIGUOUS up to the current
       version (a gap below the floor is legal retention; a gap in the
@@ -1226,10 +1289,25 @@ def fsck(table: str) -> dict:
     - every retained manifest parses, claims its own version number,
       and every data dir it references EXISTS and contains at least
       one parquet file;
-    - per-dir stats/members keys reference only dirs in that
+    - per-dir stats/members/integrity keys reference only dirs in that
       manifest's dir list;
     - the pointer file (when present) does not point ABOVE the chain
       head (a lagging pointer is normal — the forward probe heals it).
+
+    ``deep=True`` additionally verifies the BYTES against the
+    commit-time fingerprints (VERDICT r14 ask #2 — shallow mode
+    trusts that a listed parquet file is intact; a truncated or
+    bit-rotted file passes it): for every retained manifest with an
+    ``integrity`` record, each data dir's parquet file SET must match
+    the record exactly (a stray file would change reads), each file's
+    size and head/tail sentinel crc32 must match, each footer must
+    still PARSE (pyarrow — truncation kills this), and the footers'
+    summed row counts must equal the recorded count. Cost: one stat +
+    footer + two ``_INTEGRITY_PROBE_BYTES`` reads per file per
+    UNIQUELY-FINGERPRINTED dir (dirs shared across versions verify
+    once) — no data-column reads. Dirs committed before the integrity
+    field existed get a warning, never an error (missing metadata
+    never fails a healthy table).
 
     Returns ``{"ok": bool, "current": int, "retained": [...],
     "errors": [...], "warnings": [...]}`` — never raises on a broken
@@ -1304,10 +1382,89 @@ def fsck(table: str) -> dict:
             if not any(fn.endswith(".parquet") for fn in entries):
                 errors.append(f"v{v}: data dir {d} holds no parquet files")
         dirset = set(man.get("dirs", []))
-        for key in ("stats", "members"):
+        for key in ("stats", "members", "integrity"):
             stray = sorted(set(man.get(key, {})) - dirset)
             if stray:
                 errors.append(f"v{v}: {key} reference unknown dirs {stray}")
+
+    if deep:
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        # each (dir, fingerprint) verifies once even when many
+        # versions reference it — kept dirs carry records forward
+        # verbatim, so the identity check is the record object itself
+        checked: dict[str, int] = {}
+        for v in retained:
+            man = versions[v]
+            integ = man.get("integrity", {})
+            for d in man.get("dirs", []):
+                rec = integ.get(d)
+                if rec is None:
+                    warnings.append(
+                        f"v{v}: no integrity record for {d} (committed "
+                        "before deep fsck existed) — bytes unverified"
+                    )
+                    continue
+                fp = hash(json.dumps(rec, sort_keys=True))
+                if checked.get(d) == fp:
+                    continue
+                checked[d] = fp
+                dd = os.path.join(table, d)
+                if not os.path.isdir(dd):
+                    continue  # shallow pass already reported it
+                on_disk = sorted(
+                    fn for fn in os.listdir(dd) if fn.endswith(".parquet")
+                )
+                recorded = rec.get("files", {})
+                missing = sorted(set(recorded) - set(on_disk))
+                stray = sorted(set(on_disk) - set(recorded))
+                if missing:
+                    errors.append(f"v{v}: {d}: missing files {missing}")
+                if stray:
+                    errors.append(
+                        f"v{v}: {d}: unrecorded parquet files {stray} "
+                        "(reads would include bytes no commit verified)"
+                    )
+                rows = 0
+                for name in on_disk:
+                    if name not in recorded:
+                        continue
+                    want_size, want_crc = recorded[name]
+                    p = os.path.join(dd, name)
+                    size = os.path.getsize(p)
+                    if size != want_size:
+                        errors.append(
+                            f"v{v}: {d}/{name}: size {size} != recorded "
+                            f"{want_size} (truncated or rewritten)"
+                        )
+                        continue
+                    with open(p, "rb") as f:
+                        crc = zlib.crc32(f.read(_INTEGRITY_PROBE_BYTES))
+                        if size > _INTEGRITY_PROBE_BYTES:
+                            f.seek(max(size - _INTEGRITY_PROBE_BYTES, 0))
+                            crc = zlib.crc32(
+                                f.read(_INTEGRITY_PROBE_BYTES), crc
+                            )
+                    if crc != want_crc:
+                        errors.append(
+                            f"v{v}: {d}/{name}: sentinel checksum "
+                            "mismatch (bit rot or in-place rewrite)"
+                        )
+                        continue
+                    try:
+                        rows += pq.ParquetFile(p).metadata.num_rows
+                    except Exception as exc:
+                        errors.append(
+                            f"v{v}: {d}/{name}: parquet footer "
+                            f"unreadable ({exc})"
+                        )
+                if not missing and rows != rec.get("rows", rows):
+                    errors.append(
+                        f"v{v}: {d}: footer row count {rows} != "
+                        f"recorded {rec.get('rows')}"
+                    )
 
     # The forward probe heals a lagging pointer only while the chain is
     # reachable from it: it needs manifest ptr+1, ptr+2, ... — so a
@@ -1558,7 +1715,7 @@ def restore_version(table: str, version: int) -> int:
         curm = json.load(f)
     new_v = cur + 1
     manifest = {"version": new_v, "mode": "restore", "dirs": old["dirs"]}
-    for key in ("schema", "stats", "members", "member_bits"):
+    for key in ("schema", "stats", "members", "member_bits", "integrity"):
         if key in old:
             manifest[key] = old[key]
     if curm.get("constraints"):

@@ -2006,3 +2006,150 @@ def test_containment_prefix_equals_naive(spark):
         }
         assert pref == naive, f"t={t}"
         assert naive, f"t={t}: fixture produced no pairs"
+
+
+# ---------------------------------------------------------------------------
+# Auto-strategy dispatch (round 15, VERDICT r14 ask #1)
+# ---------------------------------------------------------------------------
+
+
+def _natural_corpus(spark):
+    """Distilled natural/heavy-tailed df shape (the skewnl regime):
+    content shingles globally unique, a hot boilerplate header shared
+    by half the docs — p50=p90=1, max_df in the hundreds. This is the
+    measured 52x-prefix-wins regime (BENCH_SCALE round 14)."""
+    header = " ".join(f"h{i}" for i in range(30))
+    rows = []
+    for d in range(300):
+        content = " ".join(f"u{d}x{i}" for i in range(50))
+        rows.append((d, (header + " " + content) if d % 2 == 0 else content))
+    # planted containment: doc 9000 = doc 1's content inside extra text
+    rows.append((9000, rows[1][1] + " " + " ".join(f"z{i}" for i in range(10))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _uniform_corpus(spark):
+    """Near-uniform df shape (the driver's iid-Zipf regime): tiny
+    vocab, every shingle collides broadly — p90 well above the
+    heavy-tail threshold. Measured naive-wins regime."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(18)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(60)))
+        for d in range(250)
+    ]
+    # planted: a contained prefix and a near-identical copy, so both
+    # metrics have qualifying pairs at their test thresholds
+    rows.append((8000, " ".join(rows[3][1].split()[:40])))
+    rows.append((8001, rows[5][1] + " " + vocab[0]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pair_auto_dispatch_picks_measured_winner(spark):
+    """The probe classifies the two measured regimes correctly and the
+    dispatched result is bit-identical to the exact naive plan."""
+    nat, uni = _natural_corpus(spark), _uniform_corpus(spark)
+
+    # regime sanity: the fixtures actually have the df shapes the
+    # dispatch keys on (else this test would assert vacuously)
+    s_nat = D.shingle_df_stats(nat)
+    s_uni = D.shingle_df_stats(uni)
+    assert s_nat["p90_df"] <= 2 and s_nat["max_df"] > 100
+    assert s_uni["p90_df"] > 2
+
+    for metric, auto_fn, naive_fn, t in [
+        ("containment", D.containment_pairs_auto, D.containment_pairs, 0.8),
+        ("jaccard", D.ngram_jaccard_pairs_auto, D.ngram_jaccard_pairs, 0.3),
+    ]:
+        score = metric if metric == "jaccard" else "containment"
+        dec = {}
+        got = {
+            (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r[score])
+            for r in auto_fn(nat, threshold=t, decision_out=dec).collect()
+        }
+        assert dec["strategy"] == "prefix", (metric, dec["reason"])
+        want = {
+            (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r[score])
+            for r in naive_fn(nat, threshold=t).collect()
+        }
+        assert got == want and want, metric
+        if metric == "containment":
+            assert any(a == 1 and b == 9000 for a, b, in got)  # planted
+
+        dec = {}
+        got = {
+            (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r[score])
+            for r in auto_fn(uni, threshold=t, decision_out=dec).collect()
+        }
+        assert dec["strategy"] == "naive", (metric, dec["reason"])
+        want = {
+            (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r[score])
+            for r in naive_fn(uni, threshold=t).collect()
+        }
+        assert got == want and want, metric
+
+
+def test_pair_auto_capped_fallback_past_budget(spark):
+    """Near-uniform df past the collision budget dispatches to the
+    frequency cap, choosing the largest candidate cap that fits."""
+    uni = _uniform_corpus(spark)
+    stats = D.shingle_df_stats(uni)
+    dec = {}
+    out = D.containment_pairs_auto(
+        uni, threshold=0.8, naive_budget=1, decision_out=dec
+    )
+    assert dec["strategy"] == "capped"
+    assert dec["cap"] == 10  # floor: even the tightest cap exceeds budget 1
+    out.collect()  # plan executes
+
+    # unit-level: the largest fitting candidate is chosen when one fits
+    budget = stats["capped_volume"][25] + 1
+    choice = D.choose_pair_strategy(stats, naive_budget=budget)
+    if stats["capped_volume"][50] > budget:
+        assert choice == {
+            "strategy": "capped",
+            "cap": 25,
+            "reason": choice["reason"],
+        }
+
+    # heavy-tail overrides budget entirely (prefix kills the df^2 head)
+    nat_stats = D.shingle_df_stats(_natural_corpus(spark))
+    assert (
+        D.choose_pair_strategy(nat_stats, naive_budget=1)["strategy"]
+        == "prefix"
+    )
+
+
+def test_ann_config_pins_measured_grid():
+    """similarity.ann_config encodes ANN.md's measured recall grids;
+    the dim-768 sweep's 'm >= 64 + exact rerank' recommendation is
+    pinned to the published numbers (VERDICT r14 ask #7)."""
+    from dwh_with_dask_spark.operators.similarity import ann_config
+
+    # the dim-768 headline: recall 0.8 needs m=64 + rerank-100
+    c = ann_config(768, recall_target=0.8)
+    assert (c["m"], c["nprobe"], c["rerank"]) == (64, 2, 100)
+    assert c["expected_recall"] == 0.8 and c["meets_target"]
+    assert c["grid_dim"] == 768
+
+    # best measured 768 point: 0.85 at nprobe=4
+    c = ann_config(768, recall_target=0.85)
+    assert (c["m"], c["nprobe"], c["rerank"]) == (64, 4, 100)
+    assert c["expected_recall"] == 0.85
+
+    # beyond the grid: flagged, best point returned (caller raises m)
+    c = ann_config(768, recall_target=0.95)
+    assert not c["meets_target"]
+    assert (c["m"], c["nprobe"], c["rerank"]) == (64, 4, 100)
+
+    # low-dim tier: m=16 + rerank reaches 0.915 (the driver queries'
+    # sizing at the testdata dim)
+    c = ann_config(64, recall_target=0.9)
+    assert (c["m"], c["rerank"]) == (16, 100)
+    assert c["expected_recall"] == 0.915 and c["grid_dim"] == 64
+
+    # a target plain ADC meets at 768 returns rerank=0 (cheapest tier)
+    c = ann_config(768, recall_target=0.43)
+    assert c["rerank"] == 0 and c["m"] == 16

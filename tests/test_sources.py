@@ -1331,7 +1331,7 @@ def test_versioned_merge_dir_granular(spark, tmp_path):
     )
     rep = versioned_merge(spark, t, src, ["k"], prune={"k": (5, 9)})
     assert rep == {"version": 3, "dirs_kept": 1, "dirs_rewritten": 1,
-                   "rows_written": 3}
+                   "dirs_added": 1, "rows_written": 3}
     got = sorted((x.k, x.v, x.p) for x in read_version(spark, t).collect())
     assert got == [(1, "a", 10.0), (2, "b", 20.0), (5, "E2", 55.0),
                    (6, "f", 60.0), (9, "i", 90.0)]
@@ -1831,3 +1831,85 @@ def test_advice_r14_versioned_fixes(spark, tmp_path, monkeypatch):
         (1, 10),
         (99, 7),
     ]
+
+
+def test_fsck_deep_verifies_bytes(spark, tmp_path):
+    """Deep fsck (VERDICT r14 ask #2): shallow mode trusts bytes — a
+    truncated or bit-rotted parquet passes it; deep mode verifies the
+    commit-time fingerprints (file set, size, sentinel crc, footer
+    parse, row counts) and fails precisely on the corrupted file."""
+    import os
+
+    from dwh_with_dask_spark.versioned import (
+        fsck,
+        versioned_commit,
+        versioned_delete,
+    )
+
+    t = str(tmp_path / "deep")
+    versioned_commit(
+        spark.createDataFrame([(i, f"r{i}") for i in range(500)],
+                              "k int, v string"),
+        t,
+    )
+    versioned_commit(
+        spark.createDataFrame([(1000, "x")], "k int, v string"),
+        t,
+        mode="append",
+    )
+    versioned_delete(spark, t, "k = 3")  # copy-on-write rewrite dir
+    assert fsck(t)["ok"] and fsck(t, deep=True)["ok"]
+
+    # locate one committed parquet file
+    data_root = os.path.join(t, "data")
+    victim = None
+    for d in sorted(os.listdir(data_root)):
+        for fn in sorted(os.listdir(os.path.join(data_root, d))):
+            if fn.endswith(".parquet"):
+                victim = os.path.join(data_root, d, fn)
+                break
+        if victim:
+            break
+    orig = open(victim, "rb").read()
+
+    # 1) truncation: shallow passes, deep fails on size
+    with open(victim, "wb") as f:
+        f.write(orig[: len(orig) // 2])
+    assert fsck(t)["ok"], "shallow fsck must NOT catch truncation"
+    rep = fsck(t, deep=True)
+    assert not rep["ok"] and any("size" in e for e in rep["errors"])
+
+    # 2) same-size bit rot in the tail: deep fails on the sentinel crc
+    rotted = bytearray(orig)
+    rotted[-5] ^= 0xFF
+    with open(victim, "wb") as f:
+        f.write(bytes(rotted))
+    assert fsck(t)["ok"]
+    rep = fsck(t, deep=True)
+    assert not rep["ok"] and any("checksum" in e for e in rep["errors"])
+
+    # restore the bytes: deep passes again
+    with open(victim, "wb") as f:
+        f.write(orig)
+    assert fsck(t, deep=True)["ok"]
+
+    # 3) stray parquet file a commit never verified
+    stray = os.path.join(os.path.dirname(victim), "part-stray.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    rep = fsck(t, deep=True)
+    assert not rep["ok"] and any("unrecorded" in e for e in rep["errors"])
+    os.remove(stray)
+
+    # 4) legacy manifest without integrity records: warning, not error
+    import json
+
+    mpath = os.path.join(t, "_manifests", "v1.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("integrity", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    rep = fsck(t, deep=True)
+    assert rep["ok"]
+    assert any("bytes unverified" in w for w in rep["warnings"])
