@@ -334,6 +334,43 @@ def natural_skew_documents(
     print(f"  documents (skew-nl): {n_docs} rows, {int(n_docs*header_frac)} with header, vocab {vocab_n}")
 
 
+def skewed_join_fixture(src: str, out: str, seed: int = 23) -> None:
+    """Zipf-skewed ORDERKEY fixture for the skew-join bench (VERDICT
+    r14 ask #3): the bench corpora carry uniform orderkeys, so the
+    skew machinery (AQE skew split, salted_join) was never exercised
+    at realistic scale. Takes ``src``'s lineitem, remaps
+    ``l_orderkey`` with a Pareto draw over the orders key domain
+    (P(K > k) ~ k^-0.2, i.e. Zipf tail exponent ~1.2 — the hottest
+    key holds ~13% of ALL lineitem rows), and writes the slim join
+    columns to ``out/lineitem_skew.parquet``. Orders is joined
+    directly from ``src`` (one row per key — the classic fact x dim
+    skew shape). Deterministic via setseed."""
+    con = duckdb.connect()
+    con.sql(f"SELECT setseed({seed / 100.0})")
+    nkeys = con.sql(
+        f"SELECT max(o_orderkey) FROM '{src}/orders.parquet'"
+    ).fetchone()[0]
+    con.sql(
+        f"""
+        COPY (
+          SELECT CAST(least(floor(power(random(), -5.0)), {nkeys})
+                      AS BIGINT) AS l_orderkey,
+                 l_extendedprice, l_discount, l_returnflag
+          FROM '{src}/lineitem.parquet'
+        ) TO '{out}/lineitem_skew.parquet'
+        """
+    )
+    n, hot = con.sql(
+        f"""
+        SELECT count(*),
+               (SELECT count(*) FROM '{out}/lineitem_skew.parquet'
+                WHERE l_orderkey = 1)
+        FROM '{out}/lineitem_skew.parquet'
+        """
+    ).fetchone()
+    print(f"  lineitem_skew: {n} rows, hottest key holds {hot} ({hot/n:.1%})")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default=BASE_DEFAULT)
@@ -362,6 +399,14 @@ def main() -> None:
         default=None,
         help="copy BASE tables to OUT and add partsupp (local q2/q11/q20 fixture)",
     )
+    ap.add_argument(
+        "--skew-join",
+        nargs=2,
+        metavar=("SRC", "OUT"),
+        default=None,
+        help="write a Zipf-skewed-orderkey lineitem_skew.parquet from "
+        "SRC's lineitem into OUT (skew-join bench fixture)",
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -372,6 +417,12 @@ def main() -> None:
         base, out = args.fixture_partsupp
         os.makedirs(out, exist_ok=True)
         fixture_with_partsupp(base, out)
+        return
+    if args.skew_join:
+        src, out = args.skew_join
+        os.makedirs(out, exist_ok=True)
+        print(f"skew-join fixture ({src}) -> {out}")
+        skewed_join_fixture(src, out, args.seed)
         return
     if args.skew_nl:
         out = args.out or os.path.join(repo, ".localdata", "skewnl")
