@@ -1913,3 +1913,151 @@ def test_fsck_deep_verifies_bytes(spark, tmp_path):
     rep = fsck(t, deep=True)
     assert rep["ok"]
     assert any("bytes unverified" in w for w in rep["warnings"])
+
+
+def test_auto_compact_at_triggers_once(spark, tmp_path):
+    """auto_compact_at=N (VERDICT r14 ask #4): the Nth-dir commit
+    triggers exactly one inline optimize_versioned; query results are
+    unchanged, time travel to every pre-compaction version still
+    works, and the compacted version references a single dir."""
+    import json
+    import os
+
+    from dwh_with_dask_spark.versioned import (
+        current_version,
+        read_version,
+        versioned_commit,
+        versioned_merge,
+    )
+
+    t = str(tmp_path / "autocompact")
+    versioned_commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        t,
+        stats_cols=["k"],
+    )
+    model = {1: 10, 2: 20}
+
+    compactions = 0
+    for i in range(3):  # merges add a dir each: 2, 3, then 4 -> trigger
+        src = spark.createDataFrame([(100 + i, i)], "k int, v int")
+        rep = versioned_merge(spark, t, src, ["k"], auto_compact_at=4)
+        model[100 + i] = i
+        if "auto_compacted" in rep:
+            compactions += 1
+            trigger_rep = rep
+    assert compactions == 1, "exactly one compaction for N dirs"
+    # the trigger merge committed its version, compaction the next one
+    assert trigger_rep["auto_compacted"] == trigger_rep["version"] + 1
+    assert current_version(t) == trigger_rep["auto_compacted"]
+
+    # compacted head references ONE dir; results match the model
+    with open(os.path.join(t, "_manifests",
+                           f"v{current_version(t)}.json")) as f:
+        head = json.load(f)
+    assert len(head["dirs"]) == 1
+    assert head.get("stats", {}), "stats carried through compaction"
+    got = {r.k: r.v for r in read_version(spark, t).collect()}
+    assert got == model
+
+    # every pre-compaction version still time-travels
+    pre = trigger_rep["version"]
+    got_pre = {r.k: r.v for r in read_version(spark, t, version=pre).collect()}
+    assert got_pre == model  # same logical content as the compaction
+    assert {
+        r.k for r in read_version(spark, t, version=1).collect()
+    } == {1, 2}
+
+    # append path triggers too; below-threshold commits never compact
+    t2 = str(tmp_path / "autocompact_append")
+    versioned_commit(spark.createDataFrame([(1,)], "k int"), t2)
+    for i in range(2, 5):
+        versioned_commit(
+            spark.createDataFrame([(i,)], "k int"), t2, mode="append",
+            auto_compact_at=4,
+        )
+    # 4 dirs at the 4th commit -> compaction ran as one extra version
+    assert current_version(t2) == 5
+    with open(os.path.join(t2, "_manifests", "v5.json")) as f:
+        assert len(json.load(f)["dirs"]) == 1
+    assert sorted(r.k for r in read_version(spark, t2).collect()) == [1, 2, 3, 4]
+
+
+def test_read_changes_equals_snapshot_diff(spark, tmp_path):
+    """read_changes (VERDICT r14 ask #5) replays manifest dir diffs and
+    must equal the full-snapshot snapshot_diff for every version pair
+    of an append/delete/update/merge sequence — while reading only the
+    changed dirs. Retention-expired endpoints raise naming retention."""
+    import pytest
+
+    from dwh_with_dask_spark.operators.scd import snapshot_diff
+    from dwh_with_dask_spark.versioned import (
+        current_version,
+        expire_versions,
+        read_changes,
+        read_version,
+        versioned_commit,
+        versioned_delete,
+        versioned_merge,
+        versioned_update,
+    )
+
+    t = str(tmp_path / "cdf")
+    versioned_commit(
+        spark.createDataFrame(
+            [(i, i * 10, "a") for i in range(50)], "k int, v int, g string"
+        ),
+        t,
+    )
+    versioned_commit(
+        spark.createDataFrame(
+            [(i, i * 10, "b") for i in range(50, 80)],
+            "k int, v int, g string",
+        ),
+        t,
+        mode="append",
+    )
+    versioned_delete(spark, t, "k % 7 = 0")
+    versioned_update(spark, t, "k % 5 = 1", {"v": "v + 1"})
+    versioned_merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(3, 999, "a"), (200, 1, "c")], "k int, v int, g string"
+        ),
+        keys=["k"],
+    )
+    cur = current_version(t)
+    assert cur == 5
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for f in range(0, cur):
+        for to in range(f + 1, cur + 1):
+            got = rows(read_changes(spark, t, f, to, ["k"]))
+            want_old = (
+                read_version(spark, t, version=f)
+                if f
+                else read_version(spark, t, version=to).filter("1=0")
+            )
+            want = rows(
+                snapshot_diff(
+                    want_old, read_version(spark, t, version=to), ["k"]
+                )
+            )
+            assert got == want, (f, to)
+
+    # the v4->v5 merge feed: one update (k=3) + one insert (k=200)
+    feed = {
+        (r.k, r.change_type): r
+        for r in read_changes(spark, t, 4, 5, ["k"]).collect()
+    }
+    assert set(feed) == {(3, "update"), (200, "insert")}
+    assert feed[(3, "update")].new_v == 999
+
+    # retention-expired endpoint names retention
+    expire_versions(t, keep_last=2)
+    with pytest.raises(ValueError, match="retention"):
+        read_changes(spark, t, 1, 5, ["k"])
+    assert rows(read_changes(spark, t, 4, 5, ["k"]))  # retained pair ok
