@@ -511,6 +511,13 @@ def token_budget_sample(
     is pinned by the persist).
 
     Output: (id, source, n_tokens, cum_tokens) for every kept doc.
+
+    Streaming: the running sum is order-dependent, so this operator is
+    batch-only; the streaming leg is ``streaming.docs.
+    token_budget_sink`` — draw order within a micro-batch (this
+    operator verbatim over the batch with REMAINING budgets, which
+    composes exactly), arrival order across batches, batch-id
+    idempotent state so replay never double-counts.
     """
     from dwh_with_dask_spark.operators.dedup import text_tokens
 

@@ -253,3 +253,136 @@ def span_probe_sink(index_path: str, out_path: str, k: int = 8):
         new_h.unpersist()
 
     return fn
+
+
+def token_budget_sink(
+    out_path: str,
+    state_path: str,
+    budget: dict[str, int] | int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "tbudget",
+):
+    """foreachBatch fn: the STREAMING leg of
+    ``operators.curation.token_budget_sample`` (VERDICT r14 ask #6).
+    The batch operator's running per-source token sum is
+    order-dependent, so a naive streaming port would double-count on
+    replay; this sink makes the order explicit and the replay
+    idempotent:
+
+    - **Order**: draw order (md5) WITHIN a micro-batch — the batch
+      operator verbatim — and ARRIVAL order ACROSS batches: each
+      micro-batch fills whatever budget its sources have left
+      (``remaining = budget - cum``), which composes exactly because
+      "keep iff global running total <= budget" ⟺ "keep iff
+      batch-local running total <= remaining". A one-batch stream is
+      therefore BIT-IDENTICAL to the batch operator; a multi-batch
+      stream is the arrival-order semantics a stream can honestly
+      offer (a late doc never displaces an earlier batch's kept doc).
+    - **State**: one tiny JSON (``last_batch_id`` + per-source
+      cumulative tokens over ALL seen docs — dropped docs count, as
+      in the batch operator's running sum), published atomically
+      (tmp + ``os.replace``) AFTER the batch's output.
+    - **Replay**: a redelivered ``batch_id <= last_batch_id`` is a
+      no-op; a crash between output and state publish replays the
+      batch against the OLD state, recomputing the identical kept set
+      (md5 draw is content-deterministic) into the same
+      ``out_path/batch_id=N`` dir with mode=overwrite — the span-probe
+      sink's partition-overwrite idempotence.
+
+    Kept rows land as (id, source, n_tokens, cum_tokens) under
+    ``out_path/batch_id=<N>/``; read the feed with
+    ``spark.read.parquet(out_path)``. Corrupt state JSON fails loudly
+    with the recovery step (the incremental-agg sink's contract) —
+    guessing would double-count."""
+    import json
+    import os
+
+    from dwh_with_dask_spark.operators.caching import CacheScope
+    from dwh_with_dask_spark.operators.curation import token_budget_sample
+    from dwh_with_dask_spark.operators.dedup import text_tokens
+
+    def _load_state() -> dict:
+        try:
+            with open(state_path) as f:
+                return json.load(f)
+        except OSError:
+            return {"last_batch_id": -1, "cum": {}}
+        except ValueError as exc:
+            raise RuntimeError(
+                f"token_budget_sink: corrupt state {state_path!r} — the "
+                "cumulative token counts may or may not include the last "
+                "batch. Rebuild the state from the already-written "
+                "out_path batches (sum n_tokens per source plus dropped "
+                "docs from the source) or restore a known-good copy, "
+                'then write {"last_batch_id": N, "cum": {...}} before '
+                "restarting."
+            ) from exc
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        state = _load_state()
+        if batch_id <= state["last_batch_id"]:
+            return  # redelivered: output already on disk, state final
+        if not batch_df.take(1):
+            return
+        tok = (
+            F.col(token_col)
+            if token_col is not None
+            else F.size(text_tokens(text_col))
+        )
+        b = batch_df.withColumn("__nt", tok.cast("long"))
+        if isinstance(budget, dict):
+            b = b.filter(F.col(source_col).isin(sorted(budget)))
+        with CacheScope() as scope:
+            b = scope.persist(b)
+            # totals over ALL rows (kept AND dropped — the batch
+            # operator's running sum counts dropped docs too)
+            totals = {
+                r["source"]: int(r["t"] or 0)
+                for r in b.groupBy(F.col(source_col).alias("source"))
+                .agg(F.sum("__nt").alias("t"))
+                .collect()
+            }
+            if not totals:
+                return
+            cum = dict(state.get("cum", {}))
+            remaining = {
+                s: max(
+                    (budget[s] if isinstance(budget, dict) else int(budget))
+                    - int(cum.get(s, 0)),
+                    0,
+                )
+                for s in totals
+            }
+            kept = token_budget_sample(
+                b,
+                remaining,
+                source_col=source_col,
+                id_col=id_col,
+                token_col="__nt",
+                salt=salt,
+                scope=scope,
+            )
+            off = F.create_map(
+                *[
+                    x
+                    for s in sorted(remaining)
+                    for x in (F.lit(s), F.lit(int(cum.get(s, 0))))
+                ]
+            )
+            kept = kept.withColumn(
+                "cum_tokens", F.col("cum_tokens") + off[F.col("source")]
+            )
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            )
+        for s, t in totals.items():
+            cum[s] = int(cum.get(s, 0)) + t
+        tmp = f"{state_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch_id": batch_id, "cum": cum}, f)
+        os.replace(tmp, state_path)
+
+    return fn

@@ -2249,3 +2249,110 @@ def test_expire_versions_retention(spark, tmpdir_spark):
     assert [m["version"] for m in list_versions(t)] == [3]
     assert vacuum(t)["removed_dirs"] == 0
     assert [r.k for r in read_version(spark, t).collect()] == [2]
+
+
+def test_token_budget_sink_stream_equals_batch_and_replay(
+    spark, tmpdir_spark
+):
+    """Streaming leg of token_budget_sample (VERDICT r14 ask #6): a
+    one-batch stream is BIT-IDENTICAL to the batch operator; a
+    multi-batch stream fills remaining budgets in arrival order
+    (composes exactly: batch-local running total <= remaining ⟺
+    global total <= budget); a redelivered batch_id is a no-op."""
+    import json
+    import os as _os
+    import random
+
+    from dwh_with_dask_spark.operators.curation import token_budget_sample
+    from dwh_with_dask_spark.streaming.docs import token_budget_sink
+
+    rng = random.Random(31)
+    rows = [
+        (
+            i,
+            " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(3, 20))),
+            "web" if i % 3 else "code",
+        )
+        for i in range(300)
+    ]
+    schema = "doc_id long, text string, source string"
+    budget = {"web": 900, "code": 400}
+
+    def rows_of(df):
+        return sorted(
+            (r.id, r.source, r.n_tokens, r.cum_tokens) for r in df.collect()
+        )
+
+    # --- leg 1: ONE batch == the batch operator, bit for bit
+    src1 = f"{tmpdir_spark}/tb_in1"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src1)
+    out1, st1 = f"{tmpdir_spark}/tb_out1", f"{tmpdir_spark}/tb_state1"
+    q = (
+        spark.readStream.schema(schema).parquet(src1)
+        .writeStream.foreachBatch(token_budget_sink(out1, st1, budget))
+        .option("checkpointLocation", f"{tmpdir_spark}/tb_ckpt1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = rows_of(spark.read.parquet(out1).drop("batch_id"))
+    want = rows_of(token_budget_sample(spark.createDataFrame(rows, schema), budget))
+    assert got == want and got, "single-batch stream == batch operator"
+
+    # --- leg 2: multi-batch arrival-order fill + exact state
+    src2 = f"{tmpdir_spark}/tb_in2"
+    for i in range(3):
+        spark.createDataFrame(rows[i * 100 : (i + 1) * 100], schema)\
+            .coalesce(1).write.mode("append").parquet(src2)
+    out2, st2 = f"{tmpdir_spark}/tb_out2", f"{tmpdir_spark}/tb_state2"
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+        .writeStream.foreachBatch(token_budget_sink(out2, st2, budget))
+        .option("checkpointLocation", f"{tmpdir_spark}/tb_ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    with open(st2) as f:
+        state = json.load(f)
+    assert state["last_batch_id"] == 2
+    # state cum = ALL tokens seen per source (dropped docs included)
+    from dwh_with_dask_spark.operators.dedup import text_tokens
+
+    from pyspark.sql import functions as F
+
+    all_tok = {
+        r.source: r.t
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy("source")
+        .agg(F.sum(F.size(text_tokens("text"))).alias("t"))
+        .collect()
+    }
+    assert state["cum"] == {k: int(v) for k, v in all_tok.items()}
+    # compositional reference: batch operator applied batch-by-batch
+    # with remaining budgets, cum shifted — the documented semantics
+    ref, cum = [], {s: 0 for s in budget}
+    for i in range(3):
+        chunk = spark.createDataFrame(rows[i * 100 : (i + 1) * 100], schema)
+        rem = {s: max(budget[s] - cum[s], 0) for s in budget}
+        for r in token_budget_sample(chunk, rem).collect():
+            ref.append((r.id, r.source, r.n_tokens, r.cum_tokens + cum[r.source]))
+        for r in chunk.groupBy("source").agg(
+            F.sum(F.size(text_tokens("text"))).alias("t")
+        ).collect():
+            cum[r.source] += int(r.t)
+    got2 = rows_of(spark.read.parquet(out2).drop("batch_id"))
+    assert got2 == sorted(ref)
+    # budgets respected globally
+    for s in budget:
+        kept_cum = [c for (_, src, _, c) in got2 if src == s]
+        assert all(c <= budget[s] for c in kept_cum)
+
+    # --- leg 3: replay idempotence — redeliver batch 0 by hand
+    before = rows_of(spark.read.parquet(out2))
+    sink = token_budget_sink(out2, st2, budget)
+    sink(spark.createDataFrame(rows[:100], schema), 0)  # batch_id 0 replay
+    with open(st2) as f:
+        assert json.load(f) == state, "state untouched by replay"
+    assert rows_of(spark.read.parquet(out2)) == before
