@@ -1475,6 +1475,32 @@ def test_versioned_cow_model_based_random_sequences(spark, tmp_path):
             got = {r.k: r.val for r in read_version(spark, t, version=v).collect()}
             assert got == snap, f"seed {seed}, version {v}"
 
+        # change-data-feed leg (round 15): read_changes over manifest
+        # dir diffs must equal the model's snapshot diff for every
+        # consecutive pair and the full span — across appends, COW
+        # rewrites, merges, AND zero-copy restores
+        from dwh_with_dask_spark.versioned import read_changes
+
+        pairs = [(v, v + 1) for v in range(1, len(history))]
+        if len(history) > 1:
+            pairs.append((1, len(history)))
+        for f, to in pairs:
+            got = {
+                (r.k, r.change_type, r.old_val, r.new_val)
+                for r in read_changes(spark, t, f, to, ["k"]).collect()
+            }
+            a, b = history[f - 1], history[to - 1]
+            want = (
+                {(k, "insert", None, b[k]) for k in b.keys() - a.keys()}
+                | {(k, "delete", a[k], None) for k in a.keys() - b.keys()}
+                | {
+                    (k, "update", a[k], b[k])
+                    for k in a.keys() & b.keys()
+                    if a[k] != b[k]
+                }
+            )
+            assert got == want, f"seed {seed}, changes {f}->{to}"
+
 
 def test_timestamp_as_of_and_age_retention(spark, tmp_path):
     """TIMESTAMP AS OF resolves through the manifests' committed_at
