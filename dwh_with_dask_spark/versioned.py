@@ -202,6 +202,7 @@ def versioned_commit(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite or append")
+    _check_auto_compact_arg(auto_compact_at)
     os.makedirs(os.path.join(table, "_manifests"), exist_ok=True)
     prev = current_version(table)
 
@@ -753,6 +754,8 @@ def read_version(
         version = version_as_of(table, timestamp)
     v = version if version is not None else current_version(table)
     reader = spark.read
+    rec = None  # v == 0 (no commits) must reach the no-dirs ValueError
+    # below, not a NameError on the unbound schema (round-15 review)
     if v > 0:
         with open(_manifest_path(table, v)) as f:
             rec = json.load(f).get("schema")
@@ -922,6 +925,7 @@ def _rewrite_version(
 ) -> dict:
     from pyspark.sql import functions as F
 
+    _check_auto_compact_arg(auto_compact_at)
     prev = current_version(table)
     if prev == 0:
         raise FileNotFoundError(f"no committed version at {table}")
@@ -1174,6 +1178,7 @@ def versioned_merge(
 
     from dwh_with_dask_spark.operators.scd import merge_into
 
+    _check_auto_compact_arg(auto_compact_at)
     prev = current_version(table)
     if prev == 0:
         raise FileNotFoundError(f"no committed version at {table}")
@@ -1672,10 +1677,12 @@ def optimize_versioned(
 def read_changes(
     spark: SparkSession,
     table: str,
-    from_version: int,
-    to_version: int,
-    key_cols: list[str],
+    from_version: int | None = None,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
     compare_cols: list[str] | None = None,
+    from_timestamp: float | None = None,
+    to_timestamp: float | None = None,
 ) -> DataFrame:
     """Change-data-feed read (VERDICT r14 ask #5): the rows inserted /
     updated / deleted between two committed versions, reconstructed by
@@ -1701,13 +1708,39 @@ def read_changes(
     ``from_version=0`` reads the feed from the empty table (all rows
     of ``to_version``'s dirs as inserts). Both manifests must still be
     retained — a retention-expired version raises ``ValueError``
-    naming retention, like ``restore_version``."""
+    naming retention, like ``restore_version``.
+
+    Timestamp endpoints (Delta CDF's starting/endingTimestamp):
+    ``from_timestamp``/``to_timestamp`` resolve through
+    ``version_as_of`` (each mutually exclusive with its version
+    argument); ``to_timestamp`` defaults to the current version when
+    neither ``to_version`` nor ``to_timestamp`` is given."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     from dwh_with_dask_spark.operators.scd import snapshot_diff
 
+    if key_cols is None:
+        raise ValueError("read_changes: key_cols is required")
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "read_changes: pass from_version OR from_timestamp"
+            )
+        from_version = version_as_of(table, from_timestamp)
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "read_changes: pass to_version OR to_timestamp"
+            )
+        to_version = version_as_of(table, to_timestamp)
     cur = current_version(table)
+    if to_version is None:
+        to_version = cur
+    if from_version is None:
+        raise ValueError(
+            "read_changes: pass from_version or from_timestamp"
+        )
     if not 0 <= from_version < to_version <= cur:
         raise ValueError(
             f"read_changes: need 0 <= from ({from_version}) < to "
@@ -1758,6 +1791,14 @@ def read_changes(
     return snapshot_diff(old, new, key_cols, compare_cols)
 
 
+def _check_auto_compact_arg(auto_compact_at: int | None) -> None:
+    """Validate BEFORE any bytes stage or publish — an invalid
+    threshold must not surface only after the commit landed
+    (round-15 review)."""
+    if auto_compact_at is not None and auto_compact_at < 2:
+        raise ValueError("auto_compact_at must be >= 2")
+
+
 def _maybe_auto_compact(
     spark: SparkSession, table: str, auto_compact_at: int | None
 ) -> int | None:
@@ -1777,8 +1818,6 @@ def _maybe_auto_compact(
     compaction's version, or None when not triggered."""
     if auto_compact_at is None:
         return None
-    if auto_compact_at < 2:
-        raise ValueError("auto_compact_at must be >= 2")
     with open(_manifest_path(table, current_version(table))) as f:
         m = json.load(f)
     if len(m.get("dirs", [])) < auto_compact_at:

@@ -2087,3 +2087,88 @@ def test_read_changes_equals_snapshot_diff(spark, tmp_path):
     with pytest.raises(ValueError, match="retention"):
         read_changes(spark, t, 1, 5, ["k"])
     assert rows(read_changes(spark, t, 4, 5, ["k"]))  # retained pair ok
+
+
+def test_read_changes_timestamp_endpoints(spark, tmp_path):
+    """read_changes resolves from/to_timestamp through version_as_of
+    (Delta CDF starting/endingTimestamp), defaults to_version to the
+    head, and rejects mixed version+timestamp endpoints."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from dwh_with_dask_spark.versioned import (
+        read_changes,
+        versioned_commit,
+    )
+
+    t = str(tmp_path / "cdf_ts")
+    for i in range(3):
+        versioned_commit(
+            spark.createDataFrame([(i, i * 10)], "k int, v int"),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    # pin distinct committed_at stamps
+    for v, ts in ((1, 100.0), (2, 200.0), (3, 300.0)):
+        p = os.path.join(t, "_manifests", f"v{v}.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["committed_at"] = ts
+        with open(p, "w") as f:
+            json.dump(m, f)
+
+    def keys(df):
+        return sorted(r.k for r in df.collect())
+
+    # timestamp 250 -> v2; default to endpoint = head (v3)
+    assert keys(read_changes(spark, t, from_timestamp=250.0,
+                             key_cols=["k"])) == [2]
+    # both endpoints by timestamp: v1 -> v2
+    assert keys(read_changes(spark, t, from_timestamp=150.0,
+                             to_timestamp=250.0, key_cols=["k"])) == [1]
+    # mixed endpoint forms rejected
+    with pytest.raises(ValueError, match="OR"):
+        read_changes(spark, t, from_version=1, from_timestamp=150.0,
+                     key_cols=["k"])
+    with pytest.raises(ValueError, match="OR"):
+        read_changes(spark, t, 1, 2, ["k"], to_timestamp=250.0)
+    with pytest.raises(ValueError, match="key_cols"):
+        read_changes(spark, t, 1, 2)
+
+
+def test_round15_review_regressions(spark, tmp_path):
+    """Round-15 self-review: (1) reading an empty table (no commits)
+    raises the intended ValueError, not a NameError on the unbound
+    recorded schema; (2) an invalid auto_compact_at is rejected BEFORE
+    any bytes stage or publish — the table must not advance."""
+    import os
+
+    import pytest
+
+    from dwh_with_dask_spark.versioned import (
+        current_version,
+        read_version,
+        versioned_commit,
+        versioned_delete,
+        versioned_merge,
+    )
+
+    t = str(tmp_path / "empty_read")
+    os.makedirs(os.path.join(t, "_manifests"))
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        read_version(spark, t)
+
+    t2 = str(tmp_path / "bad_threshold")
+    versioned_commit(spark.createDataFrame([(1,)], "k int"), t2)
+    df = spark.createDataFrame([(2,)], "k int")
+    with pytest.raises(ValueError, match="auto_compact_at"):
+        versioned_commit(df, t2, mode="append", auto_compact_at=1)
+    with pytest.raises(ValueError, match="auto_compact_at"):
+        versioned_delete(spark, t2, "k = 1", auto_compact_at=0)
+    with pytest.raises(ValueError, match="auto_compact_at"):
+        versioned_merge(spark, t2, df, ["k"], auto_compact_at=1)
+    assert current_version(t2) == 1  # nothing published
+    assert [r.k for r in read_version(spark, t2).collect()] == [1]
