@@ -9,7 +9,7 @@ scripts/DECODER_ATTEMPTS.md): PNG and baseline JPEG images and WAV/PCM
 audio decode FOR REAL via stdlib+numpy-only decoders (zlib chunk walk +
 full scanline unfiltering; Huffman + dequant + IDCT in
 ``operators.jpeg``; ``wave`` + PCM scaling); PIL/soundfile are used
-instead when importable; the rest (progressive JPEG, MP3, video codecs)
+instead when importable; the rest (MP3, video codecs)
 fall back to clearly-documented deterministic stubs. The Spark-side contract
 (schemas, batch iteration, partition sizing, UDF signatures) is real
 and tested throughout.
@@ -273,7 +273,7 @@ def _decode_image(content: bytes) -> np.ndarray:
         try:
             return _decode_jpeg_stdlib(content)
         except ValueError:
-            # Outside the baseline subset (progressive, arithmetic,
+            # Outside the supported subset (hierarchical, arithmetic,
             # 12-bit): stub fallback, same contract as PNG above.
             pass
     return _decode_image_stub(content)

@@ -525,7 +525,11 @@ def test_jpeg_exact_output_vs_independent_reconstruction():
     assert (got == expected).all()
 
 
-def test_jpeg_progressive_falls_back_to_stub():
+def test_jpeg_arithmetic_falls_back_to_stub():
+    """Frames outside the supported subset (SOF9 arithmetic here) still
+    raise, and the multimodal dispatch still falls back to the
+    documented stub. (Progressive SOF2 is REAL as of round 15 — see
+    the test_jpeg_progressive_* suite.)"""
     import struct
 
     from dwh_with_dask_spark.operators.jpeg import decode_jpeg
@@ -536,12 +540,12 @@ def test_jpeg_progressive_falls_back_to_stub():
     import numpy as np
     import pytest
 
-    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sof9 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     data = (
         b"\xff\xd8"
-        + b"\xff\xc2"
-        + struct.pack(">H", len(sof2) + 2)
-        + sof2
+        + b"\xff\xc9"
+        + struct.pack(">H", len(sof9) + 2)
+        + sof9
         + b"\xff\xd9"
     )
     with pytest.raises(ValueError):
@@ -790,3 +794,445 @@ def test_audio_fingerprints_deterministic_across_partitioning(spark):
         ).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round 15): minimal test encoder + bit-exact tests
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_coeff_grids(img, sub=1):
+    """Forward DCT + flat quantization into PER-COMPONENT zigzag
+    coefficient grids (BY, BX, 64) — the shared front half of both
+    test encoders."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    M = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            M[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    f = img.astype(np.float64)
+    if ch == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = [(sub, sub), (1, 1), (1, 1)]
+    else:
+        planes = [f[..., 0]]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    grids = []
+    for p, (sh, sv) in zip(planes, samp):
+        if (sh, sv) != (hmax, vmax):
+            fy, fx = vmax // sv, hmax // sh
+            py = p[: (p.shape[0] // fy) * fy, : (p.shape[1] // fx) * fx]
+            p = py.reshape(py.shape[0] // fy, fy, py.shape[1] // fx, fx).mean((1, 3))
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        pad = np.zeros((th, tw))
+        pad[: p.shape[0], : p.shape[1]] = p
+        pad[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pad[:, p.shape[1] :] = pad[:, p.shape[1] - 1 : p.shape[1]]
+        grid = np.zeros((th // 8, tw // 8, 64), dtype=np.int64)
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                q = np.rint(M @ blk @ M.T).astype(np.int64)
+                grid[by, bx] = q.reshape(-1)[ZZ]
+        grids.append(grid)
+    return grids, samp, mcus_x, mcus_y
+
+
+class _ScanWriter:
+    """Two-phase scan emitter: phase 'collect' inventories Huffman
+    symbols, phase 'write' emits bits (with restart chunking)."""
+
+    def __init__(self):
+        self.phase = "collect"
+        self.syms = set()
+        self.codes = None
+        self.wtr = None
+        self.chunks = None
+        self.rst_n = 0
+
+    def start_write(self, codes):
+        self.phase = "write"
+        self.codes = codes
+        self.wtr = _JpegBitWriter()
+        self.chunks = []
+
+    def sym(self, s):
+        if self.phase == "collect":
+            self.syms.add(s)
+        else:
+            L, code = self.codes[s]
+            self.wtr.put(code, L)
+
+    def bits(self, v, n):
+        if self.phase == "write" and n:
+            self.wtr.put(v, n)
+
+    def bit_list(self, lst):
+        for b in lst:
+            self.bits(b, 1)
+
+    def restart_marker(self):
+        if self.phase == "write":
+            self.wtr.flush()
+            self.chunks.append(bytes(self.wtr.out))
+            self.chunks.append(bytes([0xFF, 0xD0 + (self.rst_n % 8)]))
+            self.rst_n += 1
+            self.wtr = _JpegBitWriter()
+
+    def finish(self):
+        if self.phase == "write":
+            self.wtr.flush()
+            self.chunks.append(bytes(self.wtr.out))
+            return b"".join(self.chunks)
+        return None
+
+
+def _cat(v):
+    return abs(v).bit_length()
+
+
+def _emit_signed(w, v, s):
+    w.bits(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _scan_dc_first(w, grids, scan_idx, samp, mcus_x, mcus_y, al, restart):
+    pred = [0] * len(scan_idx)
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            w.restart_marker()
+            pred = [0] * len(scan_idx)
+        my, mx = divmod(mcu, mcus_x)
+        for pi, ci in enumerate(scan_idx):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    dc = int(grids[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                    diff = dc - pred[pi]
+                    pred[pi] = dc
+                    s = _cat(diff)
+                    w.sym(s)
+                    _emit_signed(w, diff, s)
+
+
+def _scan_dc_refine(w, grids, scan_idx, samp, mcus_x, mcus_y, al, restart):
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            w.restart_marker()
+        my, mx = divmod(mcu, mcus_x)
+        for ci in scan_idx:
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    w.bits((int(grids[ci][my * sv + by, mx * sh + bx, 0]) >> al) & 1, 1)
+
+
+def _scan_ac_first(w, grid, dims, ss, se, al, restart):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            w.sym(r << 4)
+            w.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    # NON-interleaved scans cover the component's OWN block grid
+    # (ceil(comp dims / 8), T.81 A.2.2) — not the padded MCU grid
+    bh, bw = dims
+    for unit in range(bh * bw):
+        if restart and unit and unit % restart == 0:
+            flush_eob()
+            w.restart_marker()
+        by, bx = divmod(unit, bw)
+        band = []
+        for k in range(ss, se + 1):
+            t = int(grid[by, bx, k])
+            a = abs(t) >> al
+            band.append(a if t >= 0 else -a)
+        if not any(band):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for v in band:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                w.sym(0xF0)
+                r -= 16
+            s = _cat(v)
+            w.sym((r << 4) | s)
+            _emit_signed(w, v, s)
+            r = 0
+        if r:
+            eobrun += 1
+    flush_eob()
+
+
+def _scan_ac_refine(w, grid, dims, ss, se, al, restart):
+    """Encoder half of T.81 G.1.2.3 (structure follows libjpeg's
+    published encode_mcu_AC_refine: ZRLs fold into EOB runs past the
+    last newly-nonzero index, correction bits buffer behind the next
+    emitted symbol)."""
+    eobrun = 0
+    be_bits = []
+
+    def flush_eob():
+        nonlocal eobrun, be_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            w.sym(r << 4)
+            w.bits(eobrun - (1 << r), r)
+            w.bit_list(be_bits)
+            be_bits = []
+            eobrun = 0
+
+    bh, bw = dims
+    for unit in range(bh * bw):
+        if restart and unit and unit % restart == 0:
+            flush_eob()
+            w.restart_marker()
+        by, bx = divmod(unit, bw)
+        absv = {k: abs(int(grid[by, bx, k])) >> al for k in range(ss, se + 1)}
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br_bits = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                w.sym(0xF0)
+                r -= 16
+                w.bit_list(br_bits)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            w.sym((r << 4) | 1)
+            w.bits(1 if int(grid[by, bx, k]) >= 0 else 0, 1)
+            w.bit_list(br_bits)
+            br_bits = []
+            r = 0
+        if r or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _jpeg_encode_progressive(img, sub=1, al=1, split=6, restart=0):
+    """Minimal progressive (SOF2) encoder for tests: interleaved DC
+    first scan at point transform ``al`` + DC refinement scans down to
+    0, then per-component AC scans spectrally split at ``split`` with
+    the same successive-approximation ladder — every scan type the
+    decoder must handle, incl. EOB-run batching, ZRL-in-refinement,
+    correction bits, and (DC/AC-first) restart markers. Fully
+    refined, so the pixels must equal the baseline encoding's EXACTLY."""
+    import struct
+
+    grids, samp, mcus_x, mcus_y = _jpeg_coeff_grids(img, sub)
+    h, w, _ = img.shape
+    ncomp = len(grids)
+    all_idx = list(range(ncomp))
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ni_dims = []
+    for sh, sv in samp:
+        comp_h = -(-h * sv // vmax)
+        comp_w = -(-w * sh // hmax)
+        ni_dims.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    # (kind, args, scan-header fields)
+    scans = []
+    scans.append(("dc_first", all_idx, 0, 0, 0, al, restart))
+    for a in range(al - 1, -1, -1):
+        scans.append(("dc_refine", all_idx, 0, 0, a + 1, a, restart))
+    bands = [(1, split - 1), (split, 63)] if split > 1 else [(1, 63)]
+    for ci in range(ncomp):
+        for lo, hi in bands:
+            scans.append(("ac_first", [ci], lo, hi, 0, al, restart))
+    for a in range(al - 1, -1, -1):
+        for ci in range(ncomp):
+            for lo, hi in bands:
+                scans.append(("ac_refine", [ci], lo, hi, a + 1, a, 0))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC2, sof)
+
+    def run(kind, w_, idx, lo, hi, a, rst):
+        if kind == "dc_first":
+            _scan_dc_first(w_, grids, idx, samp, mcus_x, mcus_y, a, rst)
+        elif kind == "dc_refine":
+            _scan_dc_refine(w_, grids, idx, samp, mcus_x, mcus_y, a, rst)
+        elif kind == "ac_first":
+            _scan_ac_first(w_, grids[idx[0]], ni_dims[idx[0]], lo, hi, a, rst)
+        else:
+            _scan_ac_refine(w_, grids[idx[0]], ni_dims[idx[0]], lo, hi, a, rst)
+
+    def fixed_table(symbols):
+        syms = sorted(symbols)
+        L = max(1, (len(syms)).bit_length())
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        return counts, syms, {s: (L, c) for c, s in enumerate(syms)}
+
+    last_dri = None
+    for kind, idx, lo, hi, ah, a, rst in scans:
+        # DRI persists across scans (T.81), so a scan without restart
+        # markers needs an explicit DRI=0 — emit per-scan DRI updates
+        if rst != last_dri:
+            out += seg(0xDD, struct.pack(">H", rst))
+            last_dri = rst
+        w_ = _ScanWriter()
+        run(kind, w_, idx, lo, hi, a, rst)  # phase 1: symbol inventory
+        tc = 0 if kind.startswith("dc") else 1
+        if w_.syms:
+            counts, syms, codes = fixed_table(w_.syms)
+            out += seg(0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + bytes(syms))
+            w_.start_write(codes)
+        else:
+            w_.start_write({})  # refinement scans can be all raw bits
+        run(kind, w_, idx, lo, hi, a, rst)  # phase 2: entropy bits
+        sos = bytes([len(idx)])
+        for ci in idx:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([lo, hi, (ah << 4) | a])
+        out += seg(0xDA, sos)
+        out += w_.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_equals_baseline_444():
+    """Fully-refined progressive decode must reproduce the baseline
+    encoding's pixels EXACTLY (successive approximation is lossless
+    once every bit is delivered) — any asymmetry in the EOB-run /
+    correction-bit handling breaks this equality."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    base = decode_jpeg(_jpeg_encode_baseline(img))
+    prog = decode_jpeg(_jpeg_encode_progressive(img, al=1, split=6))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_420_restart_and_deep_ladder():
+    """2x2 subsampling + restart markers in the DC/AC-first scans +
+    a two-step successive-approximation ladder (Al=2 -> 1 -> 0)."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (33, 30, 3)).astype(np.uint8)
+    base = decode_jpeg(_jpeg_encode_baseline(img, sub=2))
+    prog = decode_jpeg(
+        _jpeg_encode_progressive(img, sub=2, al=2, split=10, restart=2)
+    )
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_grayscale_spectral_only():
+    """Spectral selection WITHOUT successive approximation (Al=0, no
+    refinement scans) on a single-component image."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    x = np.linspace(0, 255, 20 * 19).reshape(20, 19)
+    img = x[:, :, None].astype(np.uint8)
+    base = decode_jpeg(_jpeg_encode_baseline(img))
+    prog = decode_jpeg(_jpeg_encode_progressive(img, al=0, split=4))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_fuzz_configs():
+    """Randomized sweep over image sizes, subsampling, approximation
+    depth, spectral splits, and restart intervals: fully-refined
+    progressive must equal baseline EXACTLY in every configuration."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(42)
+    for trial in range(8):
+        h = int(rng.randint(8, 41))
+        w = int(rng.randint(8, 41))
+        ch = 3 if trial % 4 else 1
+        sub = 2 if (ch == 3 and trial % 2) else 1
+        al = int(rng.randint(0, 3))
+        split = int(rng.randint(2, 30))
+        restart = int(rng.choice([0, 1, 3]))
+        img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        base = decode_jpeg(_jpeg_encode_baseline(img, sub=sub))
+        prog = decode_jpeg(
+            _jpeg_encode_progressive(
+                img, sub=sub, al=al, split=split, restart=restart
+            )
+        )
+        assert (prog == base).all(), (
+            f"trial {trial}: h={h} w={w} ch={ch} sub={sub} al={al} "
+            f"split={split} restart={restart}"
+        )
+
+
+def test_image_features_on_progressive_jpeg(spark):
+    """A progressive JPEG flows through the Spark multimodal pipeline
+    as REAL decoded pixels (same features as its baseline twin), not
+    the stub."""
+    import numpy as np
+
+    from dwh_with_dask_spark.operators.multimodal import image_features
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    rows = [
+        ("a.jpg", "h1", bytearray(_jpeg_encode_baseline(img))),
+        ("b.jpg", "h2", bytearray(_jpeg_encode_progressive(img, al=1))),
+    ]
+    df = spark.createDataFrame(
+        rows, "path string, content_hash string, content binary"
+    )
+    got = {
+        r.content_hash: (r.width, r.height, round(r.mean_luma, 6))
+        for r in image_features(df).collect()
+    }
+    assert got["h1"][:2] == got["h2"][:2] == (16, 16)
+    assert got["h1"][2] == got["h2"][2]  # identical pixels, identical luma
