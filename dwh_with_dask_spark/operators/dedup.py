@@ -220,6 +220,8 @@ def tfidf_cosine_pairs(
     threshold: float = 0.88,
     max_token_df: int | None = None,
     scope: CacheScope | None = None,
+    strategy: str = "auto",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """TF-IDF-weighted cosine similarity for all document pairs above
     ``threshold`` — the weighted companion to the set-based
@@ -232,15 +234,48 @@ def tfidf_cosine_pairs(
     order-dependent double sums can differ from another engine in the
     last ulps — the repo's standard round(,6) idiom absorbs it).
 
-    Scale shape: the same inverted-index plan as Jaccard — (id, tok,
-    tf) rows shuffle once; df/idf joins back per token (token-keyed
-    shuffle, no broadcast assumption on the vocabulary); the self-join
-    collides only documents sharing a token. ``max_token_df`` drops
-    tokens in more than that many docs before the self-join — with
-    IDF down-weighting them anyway, the cap costs little score and
-    removes the quadratic hot-token blowup (same contract as the
-    Jaccard cap). N is a 1-row broadcast, not a driver action.
+    Two physical plans for the pair dots, dispatched by ``strategy``
+    (round 15):
+
+    - ``"index"`` — the inverted-index self-join (the pre-round-15
+      only plan): (id, tok, w) rows collide on the token, so cost is
+      ``sum(df(t)²)`` joined rows. The right plan for heavy-tailed
+      natural vocabularies where content tokens are near-unique.
+    - ``"blocked"`` — block-partitioned GEMM, the sparse twin of
+      ``similarity.cosine_pairs_blocked``: per-doc sparse vectors
+      replicate to ``n_blocks``(+1)/2 block-pairs, one numpy float64
+      matmul per block-pair over the block-local dense vocabulary,
+      each unordered pair computed in exactly ONE canonical group
+      (deterministic token-sorted column order), only pairs above
+      ``threshold - 1e-6`` leave the kernel as (id_a, id_b, dot).
+      The final score — round(dot/(na·nb), 6) >= threshold — is the
+      SAME Spark expression tree as the index path, so the two plans
+      agree wherever the raw cosine is not within float-ulp of a
+      6-dp rounding boundary (asserted row-identical on the driver
+      corpora; the round-absorbs-sum-order contract is unchanged).
+      The right plan when the inverted index's collision-scarcity
+      premise fails (small/near-uniform vocabulary); per-task memory
+      is (2·n/n_blocks) × block-local-vocab doubles, which is what
+      bounds it — do not use it on corpora whose block-local
+      vocabulary is itself huge.
+    - ``"auto"`` (default) — probe ``sum(df²)`` (the EXACT index join
+      row count, one aggregate over the persisted tf) against
+      ``n_eff²`` (the all-pairs GEMM entry count): when the collision
+      volume exceeds all-pairs, the index premise has failed by
+      construction → blocked; otherwise index. MEASURED at sf0.1
+      (driver corpus: 31-token vocabulary, df ≈ 3.7k, sum(df²) =
+      4.5e8 vs n² = 2.5e7): index 40.1 s → blocked 1.9 s, identical
+      output rows (scripts/exp_r15_tfidf_blocked.py).
+
+    ``max_token_df`` drops tokens in more than that many docs before
+    the pair stage (IDF down-weights them anyway, so the cap costs
+    little score and removes the quadratic hot-token blowup — same
+    contract as the Jaccard cap); the dispatch probe runs on the
+    capped df table, so auto stays correct under a cap. N is a 1-row
+    broadcast, not a driver action.
     """
+    if strategy not in ("auto", "index", "blocked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     scope, created = scoped(scope)
     toks_df = widen(
         df.select(
@@ -268,15 +303,45 @@ def tfidf_cosine_pairs(
             (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
         )
     )
-    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    a = w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
-    b = w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    # persisted: consumed by both final size joins (and, on the blocked
+    # path, by the vector build) — round 15, same duplicated-subtree
+    # note as ngram_jaccard_pairs' sizes.
+    norms = scope.persist(
+        w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     )
+
+    if strategy == "auto":
+        import logging
+
+        probe = (
+            w.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .agg(
+                F.sum(F.col("__df") * F.col("__df")).alias("__vol"),
+            )
+            .first()
+        )
+        n_eff = norms.count()
+        vol = int(probe["__vol"] or 0)
+        strategy = "blocked" if vol > n_eff * n_eff else "index"
+        logging.getLogger("dwh_with_dask_spark.dedup").info(
+            "tfidf_cosine_pairs auto: sum(df^2)=%d vs n_eff^2=%d -> %s",
+            vol,
+            n_eff * n_eff,
+            strategy,
+        )
+
+    if strategy == "blocked":
+        dots = _tfidf_blocked_dots(w, norms, threshold, n_blocks)
+    else:
+        a = w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
+        b = w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
+        dots = (
+            a.join(b, "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        )
     na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
     out = (
@@ -292,6 +357,88 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return attach(out, scope, created)
+
+
+def _tfidf_blocked_dots(
+    w: DataFrame, norms: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Block-partitioned GEMM pair dots over sparse TF-IDF vectors —
+    the sparse twin of ``similarity.cosine_pairs_blocked``.
+
+    Each doc's (tok, w) postings roll up to ONE vector row, which
+    replicates to every block-pair its ``id % n_blocks`` block belongs
+    to; one ``applyInPandas`` task per block-pair builds a dense
+    (members × block-local-vocab) float64 matrix in deterministic
+    token-sorted column order and runs a single matmul. Determinism:
+    every unordered pair is emitted from exactly ONE task — the
+    canonical group (min(blk_a, blk_b), max(blk_a, blk_b)) — so no
+    cross-group float divergence can reach the output (unlike a
+    dropDuplicates over per-group ulps, which would be run-dependent).
+    The kernel pre-filters at ``threshold - 1e-6`` on the raw cosine;
+    the exact rounded-threshold contract is applied by the caller in
+    Spark expressions, identical to the index path.
+    """
+    vecs = (
+        w.groupBy("id")
+        .agg(F.collect_list(F.struct("tok", "w")).alias("tw"))
+        .join(norms, "id")
+    )
+    nb_ = F.lit(n_blocks)
+    base = vecs.select(
+        "id", "tw", "nrm", (F.col("id") % nb_).cast("int").alias("blk")
+    )
+    left = base.select(
+        "id", "tw", "nrm",
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), nb_ - 1)).alias("bj"),
+    )
+    right = base.filter(F.col("blk") > 0).select(
+        "id", "tw", "nrm",
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    members = left.unionByName(right)
+    thr = threshold - 1e-6
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "dot": []})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        rows = list(pdf["tw"])
+        vocab = sorted({t["tok"] for tw in rows for t in tw})
+        col = {t: i for i, t in enumerate(vocab)}
+        x = np.zeros((m, len(vocab)), dtype=np.float64)
+        for r, tw in enumerate(rows):
+            for t in tw:
+                x[r, col[t["tok"]]] = t["w"]
+        s = x @ x.T
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = s / np.outer(nrm, nrm)
+        ia, ib = np.nonzero(c >= thr)
+        keep = ids[ia] < ids[ib]
+        blka = ids[ia] % n_blocks
+        blkb = ids[ib] % n_blocks
+        keep &= (np.minimum(blka, blkb) == bi) & (
+            np.maximum(blka, blkb) == bj
+        )
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "dot": s[ia, ib]}
+        )
+
+    return members.groupBy("bi", "bj").applyInPandas(
+        gemm, "id_a long, id_b long, dot double"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -324,7 +471,20 @@ def ngram_jaccard_pairs(
     # (see operators.caching) — release after the final action.
     scope, created = scoped(scope)
     sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes/hot are persisted too (round 15): each is consumed by BOTH
+    # join sides, and alias renaming above the aggregate makes the two
+    # subtrees canonically different, so without materialization each
+    # consumer re-runs a full pass + shuffle over the cached shingle
+    # table (the before plan shows the sizes aggregate twice, Exchanges
+    # 46/55, and the hot aggregate twice, Exchanges 15/29 —
+    # plans/r15/dedup_ngram_jaccard_capped_before.txt). Both frames are
+    # small by construction: sizes is one 16-byte row per document, hot
+    # is the boilerplate tail. Measured at sf0.1 (median of 5,
+    # scripts/exp_r15_jaccard_dup.py): uncapped 0.941 s → 0.744 s,
+    # capped 1.810 s → 1.680 s, rows asserted identical first.
+    sizes = scope.persist(
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
 
     joinable = sh
     if max_shingle_freq is not None:
@@ -333,7 +493,7 @@ def ngram_jaccard_pairs(
         # with a broadcast anti-join: one map-side-combined agg shuffle to
         # find it, zero shuffle to apply it. (Joining the full <=cap
         # frequency table back instead would shuffle the corpus again.)
-        hot = (
+        hot = scope.persist(
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_freq)
@@ -421,7 +581,11 @@ def ngram_jaccard_pairs_prefix(
 
     scope, created = scoped(scope)
     sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # persisted: consumed by the rank join AND both final size joins
+    # (round 15, same duplicated-subtree note as ngram_jaccard_pairs)
+    sizes = scope.persist(
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
@@ -514,11 +678,16 @@ def containment_pairs(
     """
     scope, created = scoped(scope)
     sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes/hot persisted for the same duplicated-subtree reason as
+    # ngram_jaccard_pairs (round 15; see the measurement note there) —
+    # both are consumed twice under different aliases.
+    sizes = scope.persist(
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
 
     joinable = sh
     if max_shingle_freq is not None:
-        hot = (
+        hot = scope.persist(
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_freq)
@@ -610,7 +779,11 @@ def containment_pairs_prefix(
 
     scope, created = scoped(scope)
     sh = scope.persist(_doc_shingles(df, id_col, text_col, n))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # persisted: consumed by the rank join AND both final size joins
+    # (round 15, same duplicated-subtree note as ngram_jaccard_pairs)
+    sizes = scope.persist(
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy(
@@ -928,8 +1101,14 @@ def _minhash_cols(num_hashes: int, hash_family: str) -> list:
     digest = F.md5(F.concat(F.col("shingle"), F.lit("|mh")))
     a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    # mod 2^32 as a bitmask: a and b are 32-bit non-negative (conv of 8
+    # hex chars), so a + 65·b < 2^38 and `x & (2^32-1)` is bit-identical
+    # to pmod(x, 2^32) — but one AND instead of pmod's two modulos.
+    # Round-15 A/B (scripts/exp_r15_minhash_mod.py, sf0.1, median of 5):
+    # signature build 0.488 s → 0.408 s, full LSH query 0.860 → 0.665 s;
+    # signatures asserted bit-identical across all docs before timing.
     return [
-        F.pmod(a + F.lit(i + 1) * b, F.lit(2 ** 32))
+        (a + F.lit(i + 1) * b).bitwiseAND(F.lit(2 ** 32 - 1))
         for i in range(num_hashes)
     ]
 
@@ -1562,7 +1741,10 @@ def minhash_signatures_rowlocal(
                 digest = F.md5(F.concat(s, F.lit("|mh")))
                 a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
                 b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
-                return F.pmod(a + F.lit(i + 1) * b, F.lit(2 ** 32))
+                # same bitmask-for-pmod identity as _minhash_cols
+                # (round 15): non-negative 32-bit a/b, so the AND is
+                # bit-identical and cheaper than pmod's two modulos.
+                return (a + F.lit(i + 1) * b).bitwiseAND(F.lit(2 ** 32 - 1))
 
             return h
     elif hash_family == "xxhash64":

@@ -79,6 +79,16 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         ).config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+    # Env-level conf overrides (round 15): ``SPARK_GRAFT_EXTRA_CONF`` is a
+    # semicolon-separated ``key=value`` list applied after the defaults —
+    # the parameterization hook for scale-dependent settings (shuffle
+    # codec, SHJ preference, partition sizing) so cluster deployments and
+    # config A/B experiments need no code edit. Explicit ``extra_conf``
+    # arguments still win (applied last).
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 

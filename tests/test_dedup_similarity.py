@@ -2153,3 +2153,89 @@ def test_ann_config_pins_measured_grid():
     # a target plain ADC meets at 768 returns rerank=0 (cheapest tier)
     c = ann_config(768, recall_target=0.43)
     assert c["rerank"] == 0 and c["m"] == 16
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine: blocked-GEMM path vs inverted index (round 15)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_vocab_docs(spark):
+    """Corpus whose vocabulary (8 words) is far smaller than the doc
+    count — every token's df is ~half the corpus, so the inverted
+    index's collision volume sum(df²) exceeds the all-pairs count n²
+    and the auto dispatch must pick the blocked-GEMM plan."""
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(40):
+        # deterministic mix: doc i repeats 4 words chosen by index math
+        picks = [words[(i + j * j) % len(words)] for j in range(6)]
+        rows.append((i, " ".join(picks + picks[:2])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_strategies_row_identical(spark, near_dup_docs, tiny_vocab_docs):
+    """index / blocked / auto produce identical rows (same rounded
+    cosine, same pair set) on both a natural-shaped corpus and the
+    tiny-vocab corpus where the plans differ most."""
+    for corpus in (near_dup_docs, tiny_vocab_docs):
+        outs = {}
+        for strat in ("index", "blocked", "auto"):
+            df = D.tfidf_cosine_pairs(corpus, threshold=0.3, strategy=strat)
+            outs[strat] = sorted(
+                (r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()
+            )
+            if hasattr(df, "cache_scope"):
+                df.cache_scope.release()
+        assert outs["index"] == outs["blocked"]
+        assert outs["index"] == outs["auto"]
+        assert outs["index"]  # non-empty: the test saw real pairs
+
+
+def test_tfidf_auto_dispatch_boundary(spark, tiny_vocab_docs):
+    """The dispatch rule (sum(df²) > n_eff² → blocked) picks blocked on
+    the tiny-vocab corpus and index on a near-unique-vocabulary corpus
+    (df ≈ 1, so collision volume ≈ vocab < n²), asserted by the physical
+    plan: the blocked path contains a FlatMapGroupsInPandas node, the
+    index path does not."""
+    import io
+    from contextlib import redirect_stdout
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    blocked = D.tfidf_cosine_pairs(tiny_vocab_docs, threshold=0.3)
+    assert "FlatMapGroupsInPandas" in plan_of(blocked)
+    if hasattr(blocked, "cache_scope"):
+        blocked.cache_scope.release()
+
+    # 40 docs of 6 tokens each, every token unique to its doc:
+    # sum(df²) = 240 < n² = 1600 → the index premise holds.
+    unique_rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(6))) for i in range(40)
+    ]
+    unique_docs = spark.createDataFrame(
+        unique_rows, "doc_id long, text string"
+    )
+    index = D.tfidf_cosine_pairs(unique_docs, threshold=0.3)
+    assert "FlatMapGroupsInPandas" not in plan_of(index)
+    if hasattr(index, "cache_scope"):
+        index.cache_scope.release()
+
+
+def test_tfidf_blocked_canonical_group_no_duplicates(spark, tiny_vocab_docs):
+    """Every unordered pair is emitted from exactly one block-pair task
+    (the canonical (min,max) block group) — no duplicate pair rows at
+    any n_blocks, including n_blocks larger than the doc count."""
+    for n_blocks in (2, 8, 64):
+        df = D.tfidf_cosine_pairs(
+            tiny_vocab_docs, threshold=0.3, strategy="blocked",
+            n_blocks=n_blocks,
+        )
+        rows = [(r["id_a"], r["id_b"]) for r in df.collect()]
+        assert len(rows) == len(set(rows)), f"dup pairs at n_blocks={n_blocks}"
+        if hasattr(df, "cache_scope"):
+            df.cache_scope.release()
