@@ -89,20 +89,89 @@ def _apply_merge(sym, left: str, right: str, merged: str):
     return F.aggregate(sym, F.array().cast("array<string>"), step)
 
 
+def _bpe_learn_driver(
+    rows, n_merges: int, min_freq: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge loop over an in-memory (word, cnt) table — identical
+    algorithm and tie-break as the distributed loop (count desc, then
+    (left, right) asc; left-to-right non-overlapping replacement), so
+    the merge sequence is equal by construction (asserted in
+    tests/test_bpe.py::test_bpe_learn_driver_equals_distributed)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, cnt in rows:
+        key = tuple(list(word) + [END])
+        vocab[key] = vocab.get(key, 0) + int(cnt)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (left, right), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_freq:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, freq))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == left and sym[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 30,
     min_freq: int = 2,
+    driver_vocab_budget: int = 100_000,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     [(rank, left, right, merged, freq), ...] (driver-side metadata —
     a tokenizer vocab is small by definition).
 
     Stops early when the best pair's weighted frequency drops below
-    ``min_freq``."""
+    ``min_freq``.
+
+    Round 15: when the distinct-word table fits
+    ``driver_vocab_budget`` rows, the merge loop runs IN-PROCESS over
+    the collected (word, cnt) table — the corpus still compresses to
+    word frequencies in one distributed pass, but the 2·n_merges
+    per-iteration Spark jobs (pair-count aggregate + checkpoint, pure
+    scheduling overhead on a vocabulary-sized frame) collapse to one
+    bounded collect + a dict loop, exactly the reference Sennrich
+    formulation (and exactly what single-machine BPE trainers do once
+    the corpus is reduced to word counts). Measured at sf0.1:
+    bpe_vocab_merges 7.1 s → 0.6 s with an identical merge sequence
+    (equality with the distributed loop pinned by test). Collecting
+    ≤ budget+1 (word, cnt) rows is bounded driver state of the same
+    class as the loop's own per-iteration collects; corpora whose
+    vocabulary exceeds the budget take the distributed loop unchanged.
+    """
+    wf = word_frequency(df, text_col)
+    if driver_vocab_budget > 0:
+        head = wf.limit(driver_vocab_budget + 1).collect()
+        if len(head) <= driver_vocab_budget:
+            return _bpe_learn_driver(
+                [(r["word"], r["cnt"]) for r in head], n_merges, min_freq
+            )
     words = _pin(
-        word_frequency(df, text_col).select(
+        wf.select(
             _chars("word").alias("sym"), "cnt"
         )
     )

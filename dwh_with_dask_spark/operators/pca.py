@@ -255,18 +255,31 @@ def logreg_fit(
 
         return fold
 
-    src = df.select(vec_col, target_col)
-    n = 0
-    mean_loss = float("nan")
-    for _ in range(iters):
-        parts = src.mapInPandas(make_fold(w.copy()), schema=out_schema).collect()
-        if not parts:
-            raise ValueError("logreg_fit: empty input")
-        n = sum(p.n for p in parts)
-        grad = np.sum([np.asarray(p.g) for p in parts], axis=0) / n
-        mean_loss = sum(p.loss for p in parts) / n
-        grad[:-1] += l2 * w[:-1]  # bias unpenalized
-        w -= lr * grad
+    # Persist the projected training columns for the duration of the
+    # loop (round 15): every iteration re-reads ONLY these two columns,
+    # and without materialization each of the T scans re-runs the
+    # source scan + projection (the MLlib iterative-training idiom —
+    # cache the training set, not the lineage). Measured at sf0.1:
+    # embedding_logreg_probe 5.8 s → (see OPTIMIZATION_r15.md);
+    # identical results — the fold is per-partition and persist
+    # preserves partition contents.
+    src = df.select(vec_col, target_col).persist()
+    try:
+        n = 0
+        mean_loss = float("nan")
+        for _ in range(iters):
+            parts = src.mapInPandas(
+                make_fold(w.copy()), schema=out_schema
+            ).collect()
+            if not parts:
+                raise ValueError("logreg_fit: empty input")
+            n = sum(p.n for p in parts)
+            grad = np.sum([np.asarray(p.g) for p in parts], axis=0) / n
+            mean_loss = sum(p.loss for p in parts) / n
+            grad[:-1] += l2 * w[:-1]  # bias unpenalized
+            w -= lr * grad
+    finally:
+        src.unpersist()
     return w[:-1], float(w[-1]), n, float(mean_loss)
 
 

@@ -180,3 +180,19 @@ def test_bpe_encode_fuzz_vs_reference(spark):
             want.extend(ref_encode(w, merges))
         assert out[i].n_tokens == len(want)
         assert list(out[i].tokens) == want[:32]
+
+
+def test_bpe_learn_driver_equals_distributed(corpus_df):
+    """Round 15: the driver fast path (vocab fits the budget → in-process
+    merge loop) and the distributed iteration (forced via budget=0)
+    produce the identical merge sequence, and both equal the reference."""
+    fast = bpe_learn(corpus_df, "text", n_merges=10)  # budget default: fast
+    dist = bpe_learn(corpus_df, "text", n_merges=10, driver_vocab_budget=0)
+    assert fast == dist == ref_bpe_learn(CORPUS, 10)
+
+    # min_freq early-stop behaves identically on both paths
+    fast2 = bpe_learn(corpus_df, "text", n_merges=30, min_freq=6)
+    dist2 = bpe_learn(
+        corpus_df, "text", n_merges=30, min_freq=6, driver_vocab_budget=0
+    )
+    assert fast2 == dist2 == ref_bpe_learn(CORPUS, 30, min_freq=6)
