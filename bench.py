@@ -106,6 +106,22 @@ def anchor_sec(spark, runs: int = 3) -> dict:
     }
 
 
+def executor_task_ms(spark) -> int:
+    """Cumulative executor task time (ms) from the app status store —
+    one py4j call (the per-executor ``totalDuration`` the UI's
+    Executors tab shows, summed). Deltas around a query give its
+    EXECUTOR TASK TIME next to wall time (VERDICT r15 ask #2: wall at
+    sf0.1 is scheduling/JVM-overhead-bound, so the 8v32-core scaling
+    leg needs task time to be interpretable). Listener-bus flushing is
+    asynchronous, so attribute ±a few ms of lag; the value is recorded
+    in the side detail JSON only, never in the stdout contract line."""
+    try:
+        ex = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+        return sum(ex.apply(i).totalDuration() for i in range(ex.size()))
+    except Exception:
+        return 0
+
+
 def jvm_gc(spark) -> None:
     """Inter-trial driver GC (JMH-style benchmark hygiene).
 
@@ -129,15 +145,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     mads: dict[str, float] = {}
+    task_sec: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         materialize(fn(spark, sf_dir))  # warmup (JIT, code cache, FS cache)
         jvm_gc(spark)
+        task0 = executor_task_ms(spark)
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+        # mean executor task time per run (sum of task durations across
+        # the RUNS timed runs / RUNS) — the core-scaling denominator
+        task_sec[name] = round(
+            (executor_task_ms(spark) - task0) / RUNS / 1000.0, 3
+        )
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         mads[name] = round(mad(runs), 3)
@@ -178,6 +201,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "mad": mads,
+                "executor_task_sec": task_sec,
                 "n": RUNS,
                 "sf": float(sf),
                 "loadavg_before": load_before,

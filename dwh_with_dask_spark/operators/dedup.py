@@ -273,9 +273,36 @@ def tfidf_cosine_pairs(
     contract as the Jaccard cap); the dispatch probe runs on the
     capped df table, so auto stays correct under a cap. N is a 1-row
     broadcast, not a driver action.
+
+    .. note:: ``strategy='auto'`` runs TWO EAGER Spark jobs at
+       plan-construction time (the ``sum(df²)``+vocab probe and
+       ``norms.count()``) — callers that only build or ``explain`` the
+       frame (plan capture tooling) pay the upstream tokenize/weight
+       computation. Pass an explicit strategy for fully-lazy
+       construction.
+
+    Dispatch guards (round 16): the blocked kernel densifies
+    (~2·n/n_blocks × block-local vocabulary) float64 per task, and
+    ``sum(df²) > n²`` does NOT imply a small vocabulary (a few hot
+    tokens atop a huge unique tail satisfies it) — so ``auto`` also
+    requires the worst-case dense block (2·n/n_blocks × total vocab
+    × 8 B, vocab counted by the same probe aggregate) to fit
+    ``_BLOCKED_GEMM_TASK_BUDGET``; past it the index plan is the one
+    that scales. Non-integral id columns stay on ``index`` too (the
+    kernel's long output schema cannot carry them); an explicit
+    ``strategy='blocked'`` raises for them.
     """
     if strategy not in ("auto", "index", "blocked"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    id_integral = id_type in ("tinyint", "smallint", "int", "bigint")
+    if strategy == "blocked" and not id_integral:
+        raise ValueError(
+            f"strategy='blocked' requires an integral id column, got "
+            f"{id_col}: {id_type} (use 'index' or 'auto')"
+        )
     scope, created = scoped(scope)
     toks_df = widen(
         df.select(
@@ -318,21 +345,36 @@ def tfidf_cosine_pairs(
             .agg(F.count(F.lit(1)).alias("__df"))
             .agg(
                 F.sum(F.col("__df") * F.col("__df")).alias("__vol"),
+                F.count(F.lit(1)).alias("__vocab"),
             )
             .first()
         )
         n_eff = norms.count()
         vol = int(probe["__vol"] or 0)
-        strategy = "blocked" if vol > n_eff * n_eff else "index"
+        vocab = int(probe["__vocab"] or 0)
+        # worst-case dense bytes of one block-pair task: both blocks'
+        # rows (~2n/n_blocks) densified over the block-local vocabulary,
+        # bounded above by the TOTAL vocabulary the probe just counted
+        dense_bytes = (2 * n_eff / max(n_blocks, 1)) * vocab * 8
+        blocked_ok = id_integral and dense_bytes <= _BLOCKED_GEMM_TASK_BUDGET
+        strategy = (
+            "blocked" if (vol > n_eff * n_eff and blocked_ok) else "index"
+        )
         logging.getLogger("dwh_with_dask_spark.dedup").info(
-            "tfidf_cosine_pairs auto: sum(df^2)=%d vs n_eff^2=%d -> %s",
+            "tfidf_cosine_pairs auto: sum(df^2)=%d vs n_eff^2=%d, "
+            "dense_bytes=%.0f (budget %d), id_integral=%s -> %s",
             vol,
             n_eff * n_eff,
+            dense_bytes,
+            _BLOCKED_GEMM_TASK_BUDGET,
+            id_integral,
             strategy,
         )
 
     if strategy == "blocked":
-        dots = _tfidf_blocked_dots(w, norms, threshold, n_blocks)
+        dots = _tfidf_blocked_dots(
+            w, norms, threshold, n_blocks, id_type=df.schema[id_col].dataType
+        )
     else:
         a = w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa"))
         b = w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb"))
@@ -359,24 +401,44 @@ def tfidf_cosine_pairs(
     return attach(out, scope, created)
 
 
+#: per-task memory budget for one blocked-GEMM dense block-pair
+#: (worst-case 2·n/n_blocks rows × total-vocab float64 columns). 512 MiB
+#: leaves headroom under the default executor memory for the Arrow
+#: batch + the s = x@xᵀ output; past it ``auto`` dispatches to the
+#: index plan, whose cost is collision- not vocabulary-bound.
+_BLOCKED_GEMM_TASK_BUDGET = 512 * 1024 * 1024
+
+
 def _tfidf_blocked_dots(
-    w: DataFrame, norms: DataFrame, threshold: float, n_blocks: int
+    w: DataFrame,
+    norms: DataFrame,
+    threshold: float,
+    n_blocks: int,
+    id_type=None,
 ) -> DataFrame:
     """Block-partitioned GEMM pair dots over sparse TF-IDF vectors —
     the sparse twin of ``similarity.cosine_pairs_blocked``.
 
     Each doc's (tok, w) postings roll up to ONE vector row, which
-    replicates to every block-pair its ``id % n_blocks`` block belongs
-    to; one ``applyInPandas`` task per block-pair builds a dense
-    (members × block-local-vocab) float64 matrix in deterministic
-    token-sorted column order and runs a single matmul. Determinism:
-    every unordered pair is emitted from exactly ONE task — the
-    canonical group (min(blk_a, blk_b), max(blk_a, blk_b)) — so no
-    cross-group float divergence can reach the output (unlike a
-    dropDuplicates over per-group ulps, which would be run-dependent).
-    The kernel pre-filters at ``threshold - 1e-6`` on the raw cosine;
-    the exact rounded-threshold contract is applied by the caller in
-    Spark expressions, identical to the index path.
+    replicates to every block-pair its block belongs to; one
+    ``applyInPandas`` task per block-pair builds a dense (members ×
+    block-local-vocab) float64 matrix in deterministic token-sorted
+    column order and runs a single matmul. The block key is
+    ``pmod(xxhash64(id), n_blocks)`` (round 16): hashing spreads
+    skewed/clustered id distributions evenly (guide §2.5) and pmod
+    keeps the block non-negative for negative ids (ADVICE r15 —
+    Spark ``%`` is sign-of-dividend, and the old kernel-side numpy
+    re-derivation used floored mod, silently dropping those pairs).
+    Each member row CARRIES its home block, so the kernel never
+    re-derives it. Determinism: every unordered pair is emitted from
+    exactly ONE task — the canonical group (min(blk_a, blk_b),
+    max(blk_a, blk_b)) — so no cross-group float divergence can reach
+    the output (unlike a dropDuplicates over per-group ulps, which
+    would be run-dependent). The kernel pre-filters at
+    ``threshold - 1e-6`` on the raw cosine; the exact rounded-threshold
+    contract is applied by the caller in Spark expressions, identical
+    to the index path. Output ids are cast back to ``id_type`` so the
+    schema is strategy-independent (ADVICE r15).
     """
     vecs = (
         w.groupBy("id")
@@ -385,15 +447,16 @@ def _tfidf_blocked_dots(
     )
     nb_ = F.lit(n_blocks)
     base = vecs.select(
-        "id", "tw", "nrm", (F.col("id") % nb_).cast("int").alias("blk")
+        "id", "tw", "nrm",
+        F.pmod(F.xxhash64(F.col("id")), nb_).cast("int").alias("blk"),
     )
     left = base.select(
-        "id", "tw", "nrm",
+        "id", "tw", "nrm", "blk",
         F.col("blk").alias("bi"),
         F.explode(F.sequence(F.col("blk"), nb_ - 1)).alias("bj"),
     )
     right = base.filter(F.col("blk") > 0).select(
-        "id", "tw", "nrm",
+        "id", "tw", "nrm", "blk",
         F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
         F.col("blk").alias("bj"),
     )
@@ -411,6 +474,7 @@ def _tfidf_blocked_dots(
         bi = int(pdf["bi"].iloc[0])
         bj = int(pdf["bj"].iloc[0])
         ids = pdf["id"].to_numpy(dtype=np.int64)
+        blk = pdf["blk"].to_numpy(dtype=np.int64)
         rows = list(pdf["tw"])
         vocab = sorted({t["tok"] for tw in rows for t in tw})
         col = {t: i for i, t in enumerate(vocab)}
@@ -424,8 +488,8 @@ def _tfidf_blocked_dots(
             c = s / np.outer(nrm, nrm)
         ia, ib = np.nonzero(c >= thr)
         keep = ids[ia] < ids[ib]
-        blka = ids[ia] % n_blocks
-        blkb = ids[ib] % n_blocks
+        blka = blk[ia]
+        blkb = blk[ib]
         keep &= (np.minimum(blka, blkb) == bi) & (
             np.maximum(blka, blkb) == bj
         )
@@ -436,9 +500,16 @@ def _tfidf_blocked_dots(
             {"id_a": ids[ia], "id_b": ids[ib], "dot": s[ia, ib]}
         )
 
-    return members.groupBy("bi", "bj").applyInPandas(
+    dots = members.groupBy("bi", "bj").applyInPandas(
         gemm, "id_a long, id_b long, dot double"
     )
+    if id_type is not None and id_type.simpleString() != "bigint":
+        dots = dots.select(
+            F.col("id_a").cast(id_type),
+            F.col("id_b").cast(id_type),
+            "dot",
+        )
+    return dots
 
 
 def ngram_jaccard_pairs(

@@ -156,6 +156,19 @@ def sequential_id(
         )
         .drop("__pid", "__mid", "__off", "__minmid")
     )
+    # Per-partition ID bounds ride on the result (round 16): partition
+    # ``pid`` holds exactly IDs [start+off, start+off+n) — already known
+    # from the stats collect above, so callers that need partition
+    # boundaries in ID space (the suffix module's adjacency stitch)
+    # never schedule their own full-scan bounds aggregate. Same
+    # rides-on-the-frame convention as caching's cache_scope.
+    out._sid_bounds = {
+        pid: (start + off, start + off + n - 1)
+        for (pid, off, _minmid), n in zip(
+            offsets, (r["__n"] for r in sorted(part_stats, key=lambda r: r["__pid"]))
+        )
+        if n > 0
+    }
     if checkpoint:
         return (out, running) if with_count else out
     out = attach(out, scope, created)

@@ -34,6 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
+# round-16 A/B toggle for logreg_fit's training-set persist (VERDICT
+# r15 ask #3): True = the round-15 behavior (persist the projected
+# (vec, target) columns across the GD loop). Flipped only by
+# scripts/exp_r16_logreg_ab.py; the shipped default records the A/B's
+# verdict.
+_PERSIST_TRAIN = True
+
 
 def _gram_partials(df: DataFrame, vec_col: str, dim: int) -> list:
     """One (n, sum_vec, gram) row per partition — executor GEMMs,
@@ -259,11 +266,15 @@ def logreg_fit(
     # loop (round 15): every iteration re-reads ONLY these two columns,
     # and without materialization each of the T scans re-runs the
     # source scan + projection (the MLlib iterative-training idiom —
-    # cache the training set, not the lineage). Measured at sf0.1:
-    # embedding_logreg_probe 5.8 s → (see OPTIMIZATION_r15.md);
-    # identical results — the fold is per-partition and persist
-    # preserves partition contents.
-    src = df.select(vec_col, target_col).persist()
+    # cache the training set, not the lineage). Round 16: adjudicated
+    # by an interleaved same-process A/B (scripts/exp_r16_logreg_ab.py,
+    # VERDICT r15 ask #3) — see OPTIMIZATION_r16.md for the verdict;
+    # ``_PERSIST_TRAIN`` is the A/B toggle. Identical results either
+    # way — the fold is per-partition and persist preserves partition
+    # contents.
+    src = df.select(vec_col, target_col)
+    if _PERSIST_TRAIN:
+        src = src.persist()
     try:
         n = 0
         mean_loss = float("nan")
@@ -279,7 +290,8 @@ def logreg_fit(
             grad[:-1] += l2 * w[:-1]  # bias unpenalized
             w -= lr * grad
     finally:
-        src.unpersist()
+        if _PERSIST_TRAIN:
+            src.unpersist()
     return w[:-1], float(w[-1]), n, float(mean_loss)
 
 

@@ -165,6 +165,16 @@ def _mark(label: str, t0: float) -> float:
 # broadcast the dense-rank key table below this row count (16 bytes/row
 # of key + rank: ~32 MB of hash table at the cap — one copy per JVM)
 _KEYS_BROADCAST_MAX = 2_000_000
+# build the token dense rank ON THE DRIVER below this vocabulary size
+# (round 16): one grouped aggregate returns the distinct tokens AND
+# max_dl together, the rank is a sorted index over the collected
+# vocabulary, and the join back is a broadcast of a driver-built frame
+# — replacing the distributed distinct→range-sort→checkpoint→
+# stats-collect chain (3 jobs + a shuffle) plus the separate max_dl
+# job with ONE job. Same bounded-driver-state class as bpe.py's
+# driver_vocab_budget; past the budget the distributed path is
+# unchanged.
+_KEYS_DRIVER_MAX = 200_000
 # broadcast walk probes below this row count (pair key + cursor,
 # ~56 bytes/row); above it the walk falls back to a shuffle join
 _PROBE_BROADCAST_MAX = 400_000
@@ -271,8 +281,34 @@ def suffix_ranks(
     # the max_dl aggregate and the packing window all re-scan this
     # frame — without the checkpoint each re-runs tokenize+explode
     ex = ex.localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
-    ranked, m = _dense_rank_distributed(ex, ["__tok"], "__r0")
-    max_dl = ex.agg(F.max("dl")).first()[0] or 1
+    # ONE job probes the vocabulary and max_dl together; small vocabs
+    # (the token-corpus common case) rank driver-side (see
+    # _KEYS_DRIVER_MAX), big vocabs fall back to the distributed rank.
+    vocab_rows = (
+        ex.groupBy("__tok")
+        .agg(F.max("dl").alias("__mdl"))
+        .limit(_KEYS_DRIVER_MAX + 1)
+        .collect()
+    )
+    if len(vocab_rows) <= _KEYS_DRIVER_MAX:
+        m = len(vocab_rows)
+        max_dl = max(r["__mdl"] for r in vocab_rows) if vocab_rows else 1
+        # sorted index == the distributed path's 0-based ascending dense
+        # rank (Python str order == Spark UTF8 ascending for valid
+        # UTF-8: both are code-point order)
+        keys = ex.sparkSession.createDataFrame(
+            [
+                (t, i)
+                for i, t in enumerate(
+                    sorted(r["__tok"] for r in vocab_rows)
+                )
+            ],
+            "__tok string, __r0 long",
+        )
+        ranked = ex.join(F.broadcast(keys), "__tok")
+    else:
+        ranked, m = _dense_rank_distributed(ex, ["__tok"], "__r0")
+        max_dl = ex.agg(F.max("dl")).first()[0] or 1
 
     # R0 = ranks packed per long: the largest R <= 16 with B^R < 2^63
     # (exact Python-int check; R == 1 only once B^2 >= 2^63, i.e. past
@@ -318,6 +354,11 @@ def suffix_ranks(
             for i in range(1, L)
         ],
     )
+    # NOTE (round 16): leaving ``pos`` lazy in no-tail mode was
+    # considered (it has one logical consumer there — the SA sort), but
+    # orderBy's RangePartitioner runs a SAMPLING pass over its child,
+    # so an unmaterialized ``pos`` would re-run the packing window
+    # twice more. The checkpoint stays: sample and sort read memory.
     pos = (
         packed.withColumn("xs", xs)
         .select("id", "pos", "dl", "xs")
@@ -847,13 +888,14 @@ def _sa_pairs(
     # on the checkpointed frame, and the <=#partitions first-rows
     # broadcast-join to the last-rows on successor arithmetic.
     sa2 = sa.withColumn("__pid", F.spark_partition_id())
-    bounds = (
-        sa2.groupBy("__pid")
-        .agg(F.min("__sa").alias("__lo"), F.max("__sa").alias("__hi"))
-        .collect()
-    )
-    last_sas = [r["__hi"] for r in bounds if r["__hi"] < n_sa - 1]
-    first_sas = [r["__lo"] for r in bounds if r["__lo"] > 0]
+    # partition bounds in __sa space come FREE from sequential_id's own
+    # per-partition stats (round 16: ids.py attaches them as
+    # _sid_bounds) — the previous full-scan groupBy(__pid).agg(min,max)
+    # collect job is gone. Values are identical: partition pid holds
+    # exactly the contiguous __sa range the offsets prefix-sum assigned.
+    bounds = list(sa._sid_bounds.values())
+    last_sas = [hi for _, hi in bounds if hi < n_sa - 1]
+    first_sas = [lo for lo, _ in bounds if lo > 0]
     wlead = Window.partitionBy("__pid").orderBy("__sa")
     a_side = [
         F.col("id").alias("ida"), F.col("pos").alias("posa"),
@@ -1158,14 +1200,23 @@ def suffix_span_removal(
         )
     )
     members = rep.filter(F.col("rep") >= min_len)
+    # Materialize the duplicate-sized member set ONCE (round 16): the
+    # run-segmentation below range-repartitions it, and the
+    # RangePartitioner's sampling pass plus the persist each re-ran the
+    # whole pair pass + exploded aggregate from scratch (measured in
+    # the round-16 job timeline: the 1.3 s pair-pass job executed
+    # twice, and planning the un-truncated members plan cost ~1.3 s of
+    # driver gap three times over). The checkpoint also truncates the
+    # lineage, so every downstream plan (sampling, totals, final save)
+    # starts from a flat scan.
+    members = members.withColumn(
+        "__new",
+        (
+            F.col("lcp_prev").isNull() | (F.col("lcp_prev") < min_len)
+        ).cast("int"),
+    ).localCheckpoint(eager=True)
     members = _running_sum_by_order(
-        members.withColumn(
-            "__new",
-            (
-                F.col("lcp_prev").isNull()
-                | (F.col("lcp_prev") < min_len)
-            ).cast("int"),
-        ),
+        members,
         "__sa",
         "__new",
         "__run",
@@ -1179,20 +1230,34 @@ def suffix_span_removal(
         F.min_by("__sa", F.struct(F.col("id"), F.col("pos"))).alias("__csa")
     )
     m = members.join(F.broadcast(canon), "__run")
+    # Both directions in ONE pass over ``m`` (round 16): the old
+    # after/before formulation filtered ``m`` twice and unioned two
+    # window subtrees — the whole members→canon-join subtree executed
+    # twice and the union forced an extra exchange. A min over a
+    # case-when that NULLs the other side's rows is value-identical to
+    # the min over the filtered frame (min ignores nulls, and the
+    # preceding-rows set restricted to non-null contributors is exactly
+    # the filtered branch's preceding set), so one asc + one desc
+    # window over the SAME partitioning replaces filter+window+union.
     w_fwd = w_run.rowsBetween(Window.unboundedPreceding, 0)
     w_bwd = (
         Window.partitionBy("__run")
         .orderBy(F.col("__sa").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    after = m.filter(F.col("__sa") > F.col("__csa")).withColumn(
-        "__cut", F.min("lcp_prev").over(w_fwd)
+    fwd = F.min(
+        F.when(F.col("__sa") > F.col("__csa"), F.col("lcp_prev"))
+    ).over(w_fwd)
+    bwd = F.min(
+        F.when(F.col("__sa") < F.col("__csa"), F.col("lcp_next"))
+    ).over(w_bwd)
+    cut = F.when(F.col("__sa") > F.col("__csa"), fwd).when(
+        F.col("__sa") < F.col("__csa"), bwd
     )
-    before = m.filter(F.col("__sa") < F.col("__csa")).withColumn(
-        "__cut", F.min("lcp_next").over(w_bwd)
-    )
-    cuts = after.unionByName(before).select(
-        "id", "pos", (F.col("pos") + F.col("__cut")).alias("__end")
+    cuts = (
+        m.withColumn("__cut", cut)
+        .filter(F.col("__sa") != F.col("__csa"))
+        .select("id", "pos", (F.col("pos") + F.col("__cut")).alias("__end"))
     )
     # merge overlapping variable-length intervals per doc
     prevw = (
@@ -1252,7 +1317,16 @@ def _colliding_closure(
     subset = corpus.select(id_col, text_col).join(
         hit_ids, id_col, "left_semi"
     )
-    return subset.unionByName(batch.select(id_col, text_col))
+    full = subset.unionByName(batch.select(id_col, text_col))
+    # Materialize the closure ONCE (round 16): downstream it is read by
+    # the suffix pass's tokenize checkpoint AND (removal) the
+    # reassemble join, and even ``widen``'s partition probe (df.rdd)
+    # forces the semi-join's broadcast future — so the un-materialized
+    # plan re-ran the whole index-probe pipeline three times per call
+    # (measured in the round-16 job timeline: three identical
+    # broadcast-build job patterns). The closure is |batch| + actual
+    # collisions — the size this operator's contract already bounds.
+    return full.localCheckpoint(eager=True)
 
 
 def suffix_spans_incremental(

@@ -87,7 +87,15 @@ def get_spark(
     # arguments still win (applied last).
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for item in filter(None, (s.strip() for s in env_conf.split(";"))):
-        k, _, v = item.partition("=")
+        k, sep, v = item.partition("=")
+        if not sep or not k.strip():
+            # malformed item ("key" without '=', or "=value"): raise —
+            # silently setting config(key, '') or an empty key would
+            # clobber/no-op confs instead of surfacing the typo
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF: malformed item {item!r} "
+                "(expected key=value)"
+            )
         builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

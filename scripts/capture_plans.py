@@ -26,7 +26,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"capture_plans_{suffix}")

@@ -2239,3 +2239,92 @@ def test_tfidf_blocked_canonical_group_no_duplicates(spark, tiny_vocab_docs):
         assert len(rows) == len(set(rows)), f"dup pairs at n_blocks={n_blocks}"
         if hasattr(df, "cache_scope"):
             df.cache_scope.release()
+
+
+def test_tfidf_blocked_negative_ids_not_dropped(spark, tiny_vocab_docs):
+    """ADVICE r15 (medium): negative doc ids must not silently drop
+    pairs on the blocked path — the block key is pmod(xxhash64(id)) and
+    the kernel reads the CARRIED home block, never re-deriving it from
+    the id. index and blocked must agree on an all-negative-id corpus."""
+    neg = tiny_vocab_docs.select(
+        (F.col("doc_id") - F.lit(1000)).alias("doc_id"), "text"
+    )
+    outs = {}
+    for strat in ("index", "blocked"):
+        df = D.tfidf_cosine_pairs(neg, threshold=0.3, strategy=strat)
+        outs[strat] = sorted(
+            (r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()
+        )
+        if hasattr(df, "cache_scope"):
+            df.cache_scope.release()
+    assert outs["index"] == outs["blocked"]
+    assert outs["index"]  # non-empty: the test saw real pairs
+
+
+def test_tfidf_blocked_schema_strategy_independent(spark, tiny_vocab_docs):
+    """ADVICE r15 (low): the output id type must not depend on the
+    dispatched strategy — int ids stay int on both paths."""
+    int_docs = tiny_vocab_docs.select(
+        F.col("doc_id").cast("int").alias("doc_id"), "text"
+    )
+    types = {}
+    for strat in ("index", "blocked"):
+        df = D.tfidf_cosine_pairs(int_docs, threshold=0.3, strategy=strat)
+        types[strat] = [df.schema[c].dataType.simpleString()
+                        for c in ("id_a", "id_b")]
+        if hasattr(df, "cache_scope"):
+            df.cache_scope.release()
+    assert types["index"] == types["blocked"] == ["int", "int"]
+
+
+def test_tfidf_blocked_guards(spark, tiny_vocab_docs):
+    """Round-16 dispatch guards: n_blocks < 1 raises; a non-integral id
+    column raises on explicit strategy='blocked' and falls back to the
+    index plan under auto (the kernel's long output schema cannot carry
+    string ids)."""
+    with pytest.raises(ValueError, match="n_blocks"):
+        D.tfidf_cosine_pairs(tiny_vocab_docs, strategy="blocked", n_blocks=0)
+    str_docs = tiny_vocab_docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        D.tfidf_cosine_pairs(str_docs, strategy="blocked")
+    import io
+    from contextlib import redirect_stdout
+
+    auto = D.tfidf_cosine_pairs(str_docs, threshold=0.3, strategy="auto")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        auto.explain("formatted")
+    assert "FlatMapGroupsInPandas" not in buf.getvalue()
+    if hasattr(auto, "cache_scope"):
+        auto.cache_scope.release()
+
+
+def test_tfidf_auto_vocab_budget_guard(spark, monkeypatch):
+    """VERDICT r15 ask #7: sum(df²) > n² does NOT imply a small
+    vocabulary — a few hot tokens atop a huge unique tail satisfies the
+    collision test but would densify a huge block matrix. With the
+    budget shrunk to force the guard, that corpus shape must dispatch
+    to index (no FlatMapGroupsInPandas)."""
+    words = ["hot1", "hot2"]
+    rows = []
+    for i in range(30):
+        # 2 hot tokens in every doc + 6 unique-tail tokens
+        rows.append(
+            (i, " ".join(words + [f"tail{i}_{j}" for j in range(6)]))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # sum(df²) = 2*900 + 180 = 1980 > n² = 900 → collision test says
+    # blocked; vocab = 182, so a 1-byte budget forces the guard
+    monkeypatch.setattr(D, "_BLOCKED_GEMM_TASK_BUDGET", 1)
+    import io
+    from contextlib import redirect_stdout
+
+    auto = D.tfidf_cosine_pairs(docs, threshold=0.3, strategy="auto")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        auto.explain("formatted")
+    assert "FlatMapGroupsInPandas" not in buf.getvalue()
+    if hasattr(auto, "cache_scope"):
+        auto.cache_scope.release()
