@@ -896,13 +896,22 @@ def _sa_pairs(
     bounds = list(sa._sid_bounds.values())
     last_sas = [hi for _, hi in bounds if hi < n_sa - 1]
     first_sas = [lo for lo, _ in bounds if lo > 0]
+    # The lead window clusters by __pid — P distinct keys into P hash
+    # buckets is the guide-§2.5 balls-in-bins skew (max load 3-4 keys,
+    # the pair pass ran at ~1/3 parallelism). A RANGE repartition on
+    # __pid lands exactly one key per partition and its
+    # RangePartitioning satisfies the window's ClusteredDistribution,
+    # so this replaces (not adds to) the hash exchange; the sampling
+    # pass reads the checkpoint. lasts/firsts stay on the unshuffled
+    # scan.
+    sa2w = sa2.repartitionByRange(max(len(bounds), 1), "__pid")
     wlead = Window.partitionBy("__pid").orderBy("__sa")
     a_side = [
         F.col("id").alias("ida"), F.col("pos").alias("posa"),
         F.col("dl").alias("dla"),
         *[F.col(c).alias(f"__a_{c}") for c in pair_carry],
     ]
-    pj = sa2.select(
+    pj = sa2w.select(
         *a_side,
         F.col("__sa").alias("__i"),
         F.lead("id").over(wlead).alias("idb"),
@@ -1117,8 +1126,12 @@ def _running_sum_by_order(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # same §2.5 fix as the pair window: P distinct __pid keys into P
+    # hash buckets is skewed; a range repartition on __pid is balanced
+    # and satisfies the window's clustering, replacing the exchange
     return (
         stamped.join(F.broadcast(offsets), "__pid")
+        .repartitionByRange(max(len(offs), 1), "__pid")
         .withColumn(out, (F.sum(flag_col).over(w) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
@@ -1226,6 +1239,11 @@ def suffix_span_removal(
     # filtering so the backward running min sees the canonical's edge
     w_run = Window.partitionBy("__run").orderBy("__sa")
     members = members.withColumn("lcp_next", F.lead("lcp_prev").over(w_run))
+    # materialize once (round 16): both the canon broadcast build and
+    # the cut pass below consume this frame — unmaterialized, each
+    # re-ran the prefix-sum + lcp_next window subtree (visible as
+    # repeated broadcast-build jobs in the round-16 job timeline)
+    members = members.localCheckpoint(eager=True)
     canon = members.groupBy("__run").agg(
         F.min_by("__sa", F.struct(F.col("id"), F.col("pos"))).alias("__csa")
     )
