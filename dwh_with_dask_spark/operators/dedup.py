@@ -671,14 +671,31 @@ def ngram_jaccard_pairs_prefix(
         + F.lit(1)
     )
     prefix = scope.persist(
-        ranked.filter(F.col("__rk") <= prefix_len).select("id", "shingle", "n_sh")
+        ranked.filter(F.col("__rk") <= prefix_len).select(
+            "id", "shingle", "n_sh", "__rk"
+        )
     )
 
     pa = prefix.select(
-        F.col("id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+        F.col("id").alias("id_a"), "shingle",
+        F.col("n_sh").alias("n_a"), F.col("__rk").alias("__rka"),
     )
     pb = prefix.select(
-        F.col("id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+        F.col("id").alias("id_b"), "shingle",
+        F.col("n_sh").alias("n_b"), F.col("__rk").alias("__rkb"),
+    )
+    # PPJoin POSITIONAL filter (round 16, Xiao et al. 2008): a common
+    # shingle at ranks (ra, rb) bounds the true overlap by
+    # 1 + min(|A|-ra, |B|-rb); J >= t forces overlap >=
+    # ceil(t·(|A|+|B|)/(1+t)). Exact: a valid pair's FIRST common
+    # shingle always satisfies the bound (nothing precedes it on
+    # either side), so the pair survives via that match; the -1e-9
+    # slack can only ADMIT extra candidates, and the exact Jaccard
+    # threshold is re-applied after verification.
+    alpha = F.ceil(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        * F.lit(threshold / (1.0 + threshold))
+        - F.lit(1e-9)
     )
     cand = (
         pa.join(pb, "shingle")
@@ -687,25 +704,46 @@ def ngram_jaccard_pairs_prefix(
             # length filter: J >= t forces t <= |B|/|A| <= 1/t
             & (F.col("n_b") >= F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
             & (F.col("n_a") >= F.col("n_b") * F.lit(threshold) - F.lit(1e-9))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("__rka"),
+                    F.col("n_b") - F.col("__rkb"),
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b")
         .distinct()
     )
 
-    # Exact verification: true intersection size for candidates only.
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact verification via per-doc shingle ARRAYS (round 16): the
+    # old formulation joined candidates back to the exploded shingle
+    # table on BOTH sides — |cand| × avg-doc-shingles rows shuffled
+    # into the common-count aggregate (the measured 8-10 s stage at
+    # sf0.1). Two joins against a doc-count-sized array table move
+    # |cand| rows instead, and the intersection count is one JVM
+    # array_intersect per pair. Counts are identical: the shingle
+    # table is distinct-per-doc and array_intersect de-duplicates.
+    # n_a/n_b come free as array sizes (same values the sizes
+    # aggregate produced; cast long to keep the schema).
+    arrs = scope.persist(
+        sh.groupBy("id").agg(F.collect_list("shingle").alias("__shs"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("__shs").alias("__sa"))
+    ab = arrs.select(F.col("id").alias("id_b"), F.col("__shs").alias("__sb"))
     out = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("__sa").cast("long").alias("n_a"),
+            F.size("__sb").cast("long").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -860,10 +898,14 @@ def containment_pairs_prefix(
     w = Window.partitionBy("id").orderBy(
         F.col("__df").asc(), F.col("shingle").asc()
     )
-    ranked = (
+    # ranked is consumed by BOTH join sides now (round 16: the
+    # container side carries its rank for the positional filter) —
+    # persist it so the freq join + rank window run once.
+    ranked = scope.persist(
         sh.join(freq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
         .join(sizes, "id")
+        .select("id", "shingle", "__rk", "n_sh")
     )
     prefix_len = (
         F.col("n_sh")
@@ -872,29 +914,62 @@ def containment_pairs_prefix(
     )
     pa = (
         ranked.filter(F.col("__rk") <= prefix_len)
-        .select(F.col("id").alias("id_a"), "shingle")
+        .select(
+            F.col("id").alias("id_a"), "shingle",
+            F.col("n_sh").alias("n_a"), F.col("__rk").alias("__rka"),
+        )
     )
-    pb = sh.select(F.col("id").alias("id_b"), "shingle")
+    pb = ranked.select(
+        F.col("id").alias("id_b"), "shingle",
+        F.col("n_sh").alias("n_b"), F.col("__rk").alias("__rkb"),
+    )
+    # PPJoin POSITIONAL filter, asymmetric form (round 16): a common
+    # shingle at ranks (ra, rb) bounds the overlap by
+    # 1 + min(|A|-ra, |B|-rb); C(A→B) >= t forces overlap >=
+    # ceil(t·|A|). Exact — a valid pair's FIRST common shingle (both
+    # sides rank under the same global rarity order) satisfies the
+    # bound, so the pair survives via that match; the -1e-9 slack only
+    # admits extras and the exact containment threshold is re-applied
+    # after verification. At t = 0.8 this cuts the candidate set hard
+    # (both ranks must sit in the first ~fifth of their documents).
+    alpha = F.ceil(F.col("n_a") * F.lit(threshold) - F.lit(1e-9))
     cand = (
         pa.join(pb, "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("__rka"),
+                    F.col("n_b") - F.col("__rkb"),
+                )
+                >= alpha
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
 
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verification via per-doc shingle arrays — same round-16
+    # rewrite as ngram_jaccard_pairs_prefix (|cand| rows moved instead
+    # of |cand| × doc-shingles; identical counts)
+    arrs = scope.persist(
+        sh.groupBy("id").agg(F.collect_list("shingle").alias("__shs"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("__shs").alias("__sa"))
+    ab = arrs.select(F.col("id").alias("id_b"), F.col("__shs").alias("__sb"))
     out = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("__sa").cast("long").alias("n_a"),
+            F.size("__sb").cast("long").alias("n_b"),
+        )
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.col("n_a").cast("double"),
@@ -1163,23 +1238,35 @@ def _minhash_cols(num_hashes: int, hash_family: str) -> list:
     ``corpus_cms_counts`` trick, VERDICT r12 ask #4) — which is what
     gives the MinHash family hash-match DuckDB oracles instead of
     rows-only checks."""
+    return [F.expr(s) for s in _minhash_sql(num_hashes, hash_family)]
+
+
+def _minhash_sql(num_hashes: int, hash_family: str) -> list[str]:
+    """The per-permutation hash expressions as SQL STRINGS (round 16):
+    py4j round-trips dominate plan-construction time on this runtime
+    (~0.5-1 ms per Column call; the 64-hash DSL build alone cost
+    seconds per query invocation), so the hot constructors assemble ONE
+    SQL string per expression — or one per whole aggregate — and parse
+    it JVM-side. The parsed trees are the same operators the DSL built
+    (verified by the bit-identical signature tests + the DuckDB
+    oracle hash match)."""
     if hash_family == "xxhash64":
-        return [
-            F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)
-        ]
+        return [f"xxhash64(shingle, {i})" for i in range(num_hashes)]
     if hash_family != "md5":
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    digest = F.md5(F.concat(F.col("shingle"), F.lit("|mh")))
-    a = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
-    b = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    digest = "md5(concat(shingle, '|mh'))"
+    a = f"cast(conv(substring({digest}, 1, 8), 16, 10) as bigint)"
+    b = f"cast(conv(substring({digest}, 9, 8), 16, 10) as bigint)"
     # mod 2^32 as a bitmask: a and b are 32-bit non-negative (conv of 8
     # hex chars), so a + 65·b < 2^38 and `x & (2^32-1)` is bit-identical
     # to pmod(x, 2^32) — but one AND instead of pmod's two modulos.
     # Round-15 A/B (scripts/exp_r15_minhash_mod.py, sf0.1, median of 5):
     # signature build 0.488 s → 0.408 s, full LSH query 0.860 → 0.665 s;
     # signatures asserted bit-identical across all docs before timing.
+    # (codegen subexpression elimination evaluates the shared digest
+    # once per row — same as the round-14 note in minhash_signatures.)
     return [
-        (a + F.lit(i + 1) * b).bitwiseAND(F.lit(2 ** 32 - 1))
+        f"(({a} + {i + 1} * {b}) & {2 ** 32 - 1})"
         for i in range(num_hashes)
     ]
 
@@ -1222,12 +1309,15 @@ def minhash_signatures(
         "id",
         F.explode(_grams_from_tokens(F.col("__toks"), n)).alias("shingle"),
     )
-    minhashes = [
-        F.min(c).alias(f"h{i}")
-        for i, c in enumerate(_minhash_cols(num_hashes, hash_family))
-    ]
-    agg = sh.groupBy("id").agg(*minhashes)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    # ONE parsed expression for the whole signature (round 16, see
+    # _minhash_sql): array(min(h_0), ..., min(h_{k-1})) — the analyzer
+    # rewrites it into the same num_hashes-aggregate HashAggregate +
+    # array projection the per-column DSL build produced, at one py4j
+    # call instead of hundreds.
+    sig = "array(" + ", ".join(
+        f"min({s})" for s in _minhash_sql(num_hashes, hash_family)
+    ) + ") as sig"
+    return sh.groupBy("id").agg(F.expr(sig))
 
 
 def _band_bucket(band: int, r: int, hash_family: str) -> Column:
@@ -1247,8 +1337,8 @@ def _band_bucket(band: int, r: int, hash_family: str) -> Column:
     (interpreted, a MessageDigest per call): the banded stage measured
     0.57 s md5 vs 0.33 s xxhash64 at sf0.1, and the candidate
     self-join pays it twice."""
-    vals = [F.col("sig")[band * r + j] for j in range(r)]
-    return F.xxhash64(*vals)
+    vals = ", ".join(f"sig[{band * r + j}]" for j in range(r))
+    return F.expr(f"xxhash64({vals})")
 
 
 def minhash_lsh_pairs(
@@ -1292,20 +1382,9 @@ def minhash_lsh_pairs(
         minhash_signatures(df, id_col, text_col, n, num_hashes, hash_family)
     )
 
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        _band_bucket(band, r, hash_family).alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = sigs.select("id", _banded_expr(bands, r).alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1363,13 +1442,12 @@ def simhash(
     if hash_family == "md5":
         if bits > 60:
             raise ValueError("md5 hash_family supports at most 60 bits")
-        token_hash = F.conv(
-            F.substring(F.md5(F.concat(F.col("tok"), F.lit("|sh"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
+        token_hash = (
+            "cast(conv(substring(md5(concat(tok, '|sh')), 1, 15), 16, 10)"
+            " as bigint)"
+        )
     elif hash_family == "xxhash64":
-        token_hash = F.xxhash64("tok")
+        token_hash = "xxhash64(tok)"
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     toks = (
@@ -1378,19 +1456,24 @@ def simhash(
             F.col(id_col).alias("id"),
             F.explode(text_tokens(text_col)).alias("tok"),
         )
-        .withColumn("h", token_hash)
+        .withColumn("h", F.expr(token_hash))
     )
-    bit_sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+    # per-bit sums + the majority-vote fingerprint as TWO parsed
+    # expressions (round 16): the per-bit DSL build paid ~7 py4j calls
+    # per bit per query invocation — construction, not execution, was
+    # the measured cost. Same aggregates, same XOR-of-shifted-votes
+    # values.
+    bit_sums = "array(" + ", ".join(
+        f"sum((shiftright(h, {i}) & 1))" for i in range(bits)
+    ) + ") as __bs"
+    agg = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.expr(bit_sums)
+    )
+    fingerprint = " ^ ".join(
+        f"shiftleft(cast((__bs[{i}] * 2 > n_tok) as bigint), {i})"
         for i in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"), *bit_sums)
-    fingerprint = None
-    for i in range(bits):
-        bit_on = (F.col(f"b{i}") * 2 > F.col("n_tok")).cast("long")
-        term = F.shiftleft(bit_on, i)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return agg.select("id", fingerprint.alias("simhash"))
+    )
+    return agg.select("id", F.expr(f"({fingerprint}) as simhash"))
 
 
 def simhash_pairs(
@@ -1645,20 +1728,23 @@ def _band_buckets(
     r = num_hashes // bands
     cols = ["id", "bb.band", "bb.bucket"] + (["sig"] if carry_sig else [])
     return sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        _band_bucket(band, r, hash_family).alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", "sig", _banded_expr(bands, r).alias("bb")
     ).select(*cols)
+
+
+def _banded_expr(bands: int, r: int):
+    """The band-explode generator as ONE parsed expression (round 16,
+    same py4j-construction-cost rationale as ``_minhash_sql``):
+    explode(array(struct(band, xxhash64(band slots)), ...)) — identical
+    tree to the per-band DSL build."""
+    entries = ", ".join(
+        "struct({b} as band, xxhash64({vals}) as bucket)".format(
+            b=band,
+            vals=", ".join(f"sig[{band * r + j}]" for j in range(r)),
+        )
+        for band in range(bands)
+    )
+    return F.expr(f"explode(array({entries}))")
 
 
 def incremental_dedup(

@@ -66,7 +66,7 @@ def cosine_topk(
     as TakeOrderedAndProject — no full sort, no shuffle of vectors.
     Deterministic tie-break on id.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     sim = cosine(F.col(vec_col), q).alias("cosine_sim")
     return (
         df.select(F.col(id_col), sim)
@@ -191,7 +191,7 @@ def kcenter_coreset(
     spark = df.sparkSession
 
     def d2(vec: Column, center: list) -> Column:
-        lit = F.array(*[F.lit(float(x)) for x in center]).cast("array<float>")
+        lit = F.lit([float(x) for x in center]).cast("array<float>")
         return F.aggregate(
             F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -215,7 +215,12 @@ def kcenter_coreset(
         nxt = cur.withColumn(
             "__mind", F.least(F.col("__mind"), d2(F.col("vec"), list(top.vec)))
         ).persist()
-        nxt.count()  # materialize before releasing the parent
+        # No materializing count() here (round 16): ``nxt`` depends
+        # only on ``cur`` (the parent, still persisted and fully
+        # materialized by this round's top-1 fetch) — the grandparent
+        # can be released immediately, and the NEXT round's top-1
+        # fetch materializes ``nxt``. This halves the per-round scans
+        # (the count was a second full pass per center).
         if prev is not None:
             prev.unpersist()
         prev, cur = cur, nxt
@@ -395,7 +400,7 @@ def ann_lsh_topk_indexed(
     signature this filter becomes bucket/partition pruning.
     """
     qsigs = _query_sigs(query_vec, bits, tables, seed)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
 
     cond = None
     for t, probes in enumerate(_probe_lists(qsigs, bits, multiprobe_hamming)):
@@ -567,27 +572,41 @@ def _kmeans_centroids(
     construction — so collecting it to the driver is the standard IVF
     design, not a scalability leak.
     """
-    seeds = (
-        df.orderBy(F.col(id_col).asc())
-        .limit(nlist)
-        .select(vec_col)
-        .collect()
-    )
-    cents = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
-    for _ in range(iters):
-        assigned = df.select(
-            _nearest_cell_udf(cents)(F.col(vec_col)).alias("cell"),
-            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
-        )
-        rows = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
+    # Persist the (id, vec) projection for the loop (round 16, guide
+    # §5 — the logreg/MLlib iterative-training idiom): the seeds fetch
+    # and every refinement iteration re-ran the source scan plus any
+    # upstream normalization UDF. Private scope, released before
+    # return (only the numpy centroids escape). Persist preserves
+    # partition contents, so the per-partition partial averages — and
+    # with them the centroids — are bit-identical.
+    from dwh_with_dask_spark.operators.caching import CacheScope
+
+    scope = CacheScope()
+    src = scope.persist(df.select(id_col, vec_col))
+    try:
+        seeds = (
+            src.orderBy(F.col(id_col).asc())
+            .limit(nlist)
+            .select(vec_col)
             .collect()
         )
-        new = cents.copy()
-        for r in rows:
-            new[r["cell"], r["pos"]] = r["m"]
-        cents = new
+        cents = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
+        for _ in range(iters):
+            assigned = src.select(
+                _nearest_cell_udf(cents)(F.col(vec_col)).alias("cell"),
+                F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+            )
+            rows = (
+                assigned.groupBy("cell", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            new = cents.copy()
+            for r in rows:
+                new[r["cell"], r["pos"]] = r["m"]
+            cents = new
+    finally:
+        scope.release()
     return cents
 
 
@@ -658,7 +677,7 @@ def ivf_topk_indexed(
     d2 = ((centroids - qv) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     return (
         index_df.filter(F.col(cell_col).isin(probes))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
@@ -899,53 +918,70 @@ def pq_train(
     centroid coordinate). Codebooks are m×ksub×dsub floats — metadata,
     like IVF centroids.
     """
-    first = df.select(vec_col).first()
-    if first is None:
-        raise ValueError("pq_train: empty input")
-    dim = len(first[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
+    from dwh_with_dask_spark.operators.caching import CacheScope
 
-    seeds = (
-        df.orderBy(F.col(id_col).asc()).limit(ksub).select(vec_col).collect()
-    )
-    sv = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
-    if normalize:
-        sv = sv / np.maximum(np.linalg.norm(sv, axis=1, keepdims=True), 1e-12)
-    if len(sv) < ksub:
-        raise ValueError(f"need >= ksub={ksub} vectors, got {len(sv)}")
-    books = np.stack(
-        [sv[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
-    )  # m × ksub × dsub
-
+    # Persist the NORMALIZED (id, vec) projection for the whole train
+    # (round 16, guide §5): the dim probe, the seeds fetch, and every
+    # refinement iteration re-ran the source scan + the normalize UDF
+    # (and, in the IVF-PQ composition, the upstream cell + residual
+    # UDFs too). Seeds read the persisted normalized column — the
+    # driver-side numpy normalization this replaces used the identical
+    # float64 expression (x / max(||x||, 1e-12)), so the seed books
+    # are bit-identical. Private scope, released before return (only
+    # the numpy codebooks escape).
     raw = _as_double(F.col(vec_col))
     nv = _normalize_udf()(raw) if normalize else raw
-    for _ in range(iters):
-        enc = _pq_codes_udf(books, normalize=False)
-        assigned = df.select(nv.alias("__nv")).select(
-            F.posexplode(enc(F.col("__nv"))).alias("sub", "code"),
-            F.col("__nv"),
-        ).select(
-            "sub",
-            "code",
-            F.posexplode(
-                F.slice(
-                    F.col("__nv"),
-                    F.col("sub") * dsub + 1,
-                    F.lit(dsub),
-                )
-            ).alias("pos", "val"),
-        )
-        rows = (
-            assigned.groupBy("sub", "code", "pos")
-            .agg(F.avg("val").alias("mean"))
+    scope = CacheScope()
+    src = scope.persist(df.select(F.col(id_col), nv.alias("__nv")))
+    try:
+        first = src.select("__nv").first()
+        if first is None:
+            raise ValueError("pq_train: empty input")
+        dim = len(first[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+
+        seeds = (
+            src.orderBy(F.col(id_col).asc())
+            .limit(ksub)
+            .select("__nv")
             .collect()
         )
-        new = books.copy()
-        for r in rows:
-            new[r["sub"], r["code"], r["pos"]] = r["mean"]
-        books = new
+        sv = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
+        if len(sv) < ksub:
+            raise ValueError(f"need >= ksub={ksub} vectors, got {len(sv)}")
+        books = np.stack(
+            [sv[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+        )  # m × ksub × dsub
+
+        for _ in range(iters):
+            enc = _pq_codes_udf(books, normalize=False)
+            assigned = src.select(
+                F.posexplode(enc(F.col("__nv"))).alias("sub", "code"),
+                F.col("__nv"),
+            ).select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.slice(
+                        F.col("__nv"),
+                        F.col("sub") * dsub + 1,
+                        F.lit(dsub),
+                    )
+                ).alias("pos", "val"),
+            )
+            rows = (
+                assigned.groupBy("sub", "code", "pos")
+                .agg(F.avg("val").alias("mean"))
+                .collect()
+            )
+            new = books.copy()
+            for r in rows:
+                new[r["sub"], r["code"], r["pos"]] = r["mean"]
+            books = new
+    finally:
+        scope.release()
     return books
 
 
@@ -1004,12 +1040,10 @@ def pq_topk_indexed(
     table = np.stack(
         [codebooks[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
     )  # m × ksub
-    tlit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in table[j]])
-            for j in range(m)
-        ]
-    )
+    # one nested Literal node (round 16): the per-element F.lit build
+    # paid m*ksub py4j calls and handed the optimizer a thousand-node
+    # tree - plan construction + optimization dominated the probe
+    tlit = F.lit([[float(x) for x in table[j]] for j in range(m)])
     codes = F.col(code_col)
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -1132,10 +1166,8 @@ def ivfpq_topk_indexed(
     table = np.stack(
         [codebooks[j] @ qn[j * dsub : (j + 1) * dsub] for j in range(m)]
     )
-    blit = F.array(*[F.lit(float(x)) for x in bias])
-    tlit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in table[j]]) for j in range(m)]
-    )
+    blit = F.lit([float(x) for x in bias])
+    tlit = F.lit([[float(x) for x in table[j]] for j in range(m)])
     codes = F.col(code_col)
     score = F.element_at(blit, (F.col(cell_col) + 1).cast("int")) + F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -1450,7 +1482,7 @@ def ivfpq_topk_rerank(
     ).select(id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    qlit = F.array(*[F.lit(float(x)) for x in qn])
+    qlit = F.lit([float(x) for x in qn])
     return (
         vectors.join(F.broadcast(cand), id_col)
         .select(
