@@ -1627,7 +1627,9 @@ def connected_components(
     for _ in range(max_iter):
         cand = bidir.join(
             labels, bidir["a"] == labels["node"], "inner"
-        ).select(F.col("b").alias("node"), "component")
+        ).select(
+            F.col("b").alias("node"), "component", F.lit(0).alias("__old")
+        )
         # Pointer jumping: adopt my component's own component, so a chain
         # of length d resolves in O(log d) rounds instead of O(d).
         jump = (
@@ -1640,21 +1642,35 @@ def connected_components(
                 F.col("l1.component") == F.col("jnode"),
                 "inner",
             )
-            .select(F.col("l1.node").alias("node"), F.col("jcomp").alias("component"))
+            .select(
+                F.col("l1.node").alias("node"),
+                F.col("jcomp").alias("component"),
+                F.lit(0).alias("__old"),
+            )
         )
+        # The previous round's component rides the union as __old
+        # (round 16): convergence is then a filter+count over THIS
+        # round's pinned aggregate — the old per-round join of new
+        # labels against old labels (a full extra join + its AQE stage
+        # jobs) is gone. Every node has exactly one old row, so
+        # min(when(__old, component)) is its previous component and
+        # the changed-set is identical to the join formulation's.
         new_labels = _pin(
-            labels.unionByName(cand)
+            labels.select("node", "component", F.lit(1).alias("__old"))
+            .unionByName(cand)
             .unionByName(jump)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("__old") == 1, F.col("component"))
+                ).alias("__oldc"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("__oldc")
+        ).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels
@@ -2188,45 +2204,28 @@ def _reassemble_after_cuts(
         "id",
     ).filter(n >= min_tokens)
     joined = toks.join(ivals, "id", "left")
-    cuts = F.coalesce(
-        F.col("__cuts"), F.array().cast("array<struct<__s:int,__e:int>>")
+    # assembled as SQL strings, parsed once (round 16, py4j
+    # plan-construction cost — see _minhash_sql); same tree as the old
+    # per-lambda DSL build. keep intervals = complement of the sorted
+    # disjoint cut intervals within [0, n): starts are 0 + each cut
+    # end, ends are each cut start + n; empty ones drop out
+    cuts = (
+        "coalesce(__cuts, cast(array() as array<struct<__s:int,__e:int>>))"
     )
-    # keep intervals = complement of the sorted disjoint cut intervals
-    # within [0, n): starts are 0 + each cut end, ends are each cut
-    # start + n; empty ones drop out
-    keep_s = F.concat(
-        F.array(F.lit(0)), F.transform(cuts, lambda c: c.getField("__e"))
+    keep_s = f"concat(array(0), transform({cuts}, c -> c.__e))"
+    keep_e = f"concat(transform({cuts}, c -> c.__s), array(size(__toks)))"
+    keeps = (
+        f"filter(zip_with({keep_s}, {keep_e}, "
+        "(s, e) -> named_struct('s', s, 'e', e)), p -> p.e > p.s)"
     )
-    keep_e = F.concat(F.transform(cuts, lambda c: c.getField("__s")), F.array(n))
-    keeps = F.filter(
-        F.zip_with(
-            keep_s,
-            keep_e,
-            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
-        ),
-        lambda p: p.getField("e") > p.getField("s"),
+    clean = (
+        f"concat_ws(' ', flatten(transform({keeps}, "
+        "p -> slice(__toks, p.s + 1, p.e - p.s))))"
     )
-    clean = F.concat_ws(
-        " ",
-        F.flatten(
-            F.transform(
-                keeps,
-                lambda p: F.slice(
-                    F.col("__toks"),
-                    p.getField("s") + 1,
-                    p.getField("e") - p.getField("s"),
-                ),
-            )
-        ),
-    )
-    n_removed = F.aggregate(
-        cuts,
-        F.lit(0),
-        lambda acc, c: acc + c.getField("__e") - c.getField("__s"),
-    )
-    return joined.select(
-        F.col("id").alias(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        n_removed.cast("bigint").alias("n_removed"),
-        clean.alias("clean_text"),
+    n_removed = f"aggregate({cuts}, 0, (acc, c) -> acc + c.__e - c.__s)"
+    return joined.selectExpr(
+        f"id as {id_col}",
+        "cast(size(__toks) as bigint) as n_tokens",
+        f"cast({n_removed} as bigint) as n_removed",
+        f"{clean} as clean_text",
     )

@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 from dwh_with_dask_spark.operators.caching import CacheScope, attach, scoped
 
 
+#: broadcast the node-sized rank/contribution frames into the
+#: per-iteration joins below this node count (~50 MB built hash
+#: relation at the cap); past it the shuffle join scales as before
+_PR_BROADCAST_NODES_MAX = 2_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -86,16 +92,29 @@ def pagerank(
         raise ValueError("pagerank: empty edge list")
     base = (1.0 - damping) / n
 
+    # Broadcast the node-sized frames into the per-iteration joins
+    # (round 16, guide §3.1): the rank vector and the contribution
+    # aggregate are both node-count-sized, so broadcasting them keeps
+    # the EDGE table (the big side) un-shuffled across all iterations —
+    # it is scanned from its persisted partitions and the only exchange
+    # left per iteration is the node-sized groupBy. Guarded by the node
+    # count the build already collected; huge graphs keep the shuffle
+    # join.
+    bcast_ok = n <= _PR_BROADCAST_NODES_MAX
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_ok else df
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contrib = (
-            ranks.join(norm, "node")
+            norm.join(_b(ranks), "node")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("__c"))
             .withColumnRenamed("dst", "node")
         )
         ranks = _pin(
-            nodes.join(contrib, "node", "left").select(
+            nodes.join(_b(contrib), "node", "left").select(
                 "node",
                 (F.lit(base) + damping * F.coalesce("__c", F.lit(0.0))).alias(
                     "rank"

@@ -337,22 +337,30 @@ def suffix_ranks(
     # Shifting every component (+1, sentinel 0) keeps base-B encoding
     # == lexicographic tuple order with past-end sorting first; a real
     # s1 is >= B^(R0-1) >= 1, so 0 is unambiguous for missing leads.
-    w_doc = Window.partitionBy("id").orderBy("pos")
+    # Expressions are assembled as SQL STRINGS and parsed JVM-side
+    # (round 16): py4j round-trips cost ~0.5-1 ms each on this runtime,
+    # and the per-digit DSL build alone was ~100 calls per query
+    # invocation (see dedup._minhash_sql for the same rationale).
+    # Identical trees: coalesce coerces the int literals to long
+    # exactly as the DSL's cast chain did.
+    _W = "partition by id order by pos"
     digits = [
-        F.coalesce(F.lead("__r0", i).over(w_doc), F.lit(-1)).cast("long")
-        + F.lit(1)
+        f"(coalesce(lead(__r0, {i}) over ({_W}), -1) + 1)"
         for i in range(R0)
     ]
     s1 = digits[0]
     for d in digits[1:]:
-        s1 = s1 * F.lit(B) + d
-    packed = ranked.withColumn("__s1", s1)
-    xs = F.array(
-        F.col("__s1"),
-        *[
-            F.coalesce(F.lead("__s1", i * R0).over(w_doc), F.lit(0))
+        s1 = f"({s1} * {B} + {d})"
+    packed = ranked.withColumn("__s1", F.expr(s1))
+    xs = F.expr(
+        "array(__s1, "
+        + ", ".join(
+            f"coalesce(lead(__s1, {i * R0}) over ({_W}), 0)"
             for i in range(1, L)
-        ],
+        )
+        + ")"
+        if L > 1
+        else "array(__s1)"
     )
     # NOTE (round 16): leaving ``pos`` lazy in no-tail mode was
     # considered (it has one logical consumer there — the SA sort), but
@@ -440,14 +448,15 @@ def suffix_ranks(
             # leads) in a single job; the rank column itself never
             # materializes on its own
             nb = nb_total
-            atop = F.array(
-                F.col(uname),
-                *[
-                    F.coalesce(
-                        F.lead(uname, i * kcov).over(w_doc), F.lit(-1)
-                    )
+            atop = F.expr(
+                f"array({uname}, "
+                + ", ".join(
+                    f"coalesce(lead({uname}, {i * kcov}) over ({_W}), -1)"
                     for i in range(1, nb)
-                ],
+                )
+                + ")"
+                if nb > 1
+                else f"array({uname})"
             )
             pos = (
                 ranked.withColumn("atop", atop)
@@ -459,12 +468,13 @@ def suffix_ranks(
             break
         # intermediate round: a full-width array of the new rank is the
         # next round's key (coverage multiplies by _BLK_CAP)
-        arr = F.array(
-            F.col(uname),
-            *[
-                F.coalesce(F.lead(uname, i * kcov).over(w_doc), F.lit(-1))
+        arr = F.expr(
+            f"array({uname}, "
+            + ", ".join(
+                f"coalesce(lead({uname}, {i * kcov}) over ({_W}), -1)"
                 for i in range(1, _BLK_CAP)
-            ],
+            )
+            + ")"
         )
         keyc = f"a{si}"
         pos = (
@@ -516,20 +526,13 @@ def longest_repeats(
     # the aggregate covers the whole corpus; the one-position corpus
     # (no pairs) is the lone exception, caught below via the count the
     # sa build already produced.
-    member = F.explode(
-        F.array(
-            F.struct(
-                F.col("ida").alias("id"), F.col("posa").alias("pos"),
-                F.col("dla").alias("dl"),
-            ),
-            F.struct(
-                F.col("idb").alias("id"), F.col("posb").alias("pos"),
-                F.col("dlb").alias("dl"),
-            ),
-        )
-    )
     rep = (
-        pairs.select(member.alias("m"), "lcp")
+        pairs.selectExpr(
+            "explode(array("
+            "named_struct('id', ida, 'pos', posa, 'dl', dla), "
+            "named_struct('id', idb, 'pos', posb, 'dl', dlb))) as m",
+            "lcp",
+        )
         .groupBy("m.id", "m.pos", "m.dl")
         .agg(F.max("lcp").alias("rep"))
     )
@@ -571,17 +574,12 @@ def suffix_duplicate_spans(
         df, text_col=text_col, id_col=id_col, scope=scope, min_rep=min_len
     )
     spans = rep.filter(F.col("rep") >= min_len)
-    prev = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    end = F.col("pos") + F.col("rep")
-    contrib = F.greatest(
-        F.lit(0).cast("long"),
-        end - F.greatest(
-            F.col("pos"), F.coalesce(F.max(end).over(prev), F.lit(0))
-        ),
+    # one parsed expression (round 16, py4j construction cost — see
+    # dedup._minhash_sql); identical tree to the old DSL build
+    contrib = F.expr(
+        "greatest(cast(0 as bigint), (pos + rep) - greatest(pos, "
+        "coalesce(max(pos + rep) over (partition by id order by pos "
+        "rows between unbounded preceding and 1 preceding), 0)))"
     )
     out = (
         spans.withColumn("__c", contrib)
@@ -595,7 +593,7 @@ def suffix_duplicate_spans(
     return out
 
 
-def _xs_run(xa: Column, xb: Column, L: int, R0: int, B: int) -> Column:
+def _xs_run(xa: str, xb: str, L: int, R0: int, B: int) -> Column:
     """Common-prefix TOKEN count of two packed-prefix arrays — an LCP
     below ``base`` as ONE expression, no join: the component run (first
     differing array element) gives lcp DIV R0; the first differing
@@ -611,22 +609,36 @@ def _xs_run(xa: Column, xb: Column, L: int, R0: int, B: int) -> Column:
     row absent) ⟹ NULL out — enforced by the explicit isNotNull guard
     below (without it a NULL array would fall through every NULL-valued
     when-condition into the otherwise() branches and yield base, and
-    the walk's ``coalesce(_xs_run(...), 0)`` would be dead code)."""
-    z = F.zip_with(xa, xb, lambda x, y: x == y)
-    fpos = F.array_position(z, False)
-    n = F.when(fpos > 0, fpos - 1).otherwise(F.lit(L))
-    da, db = F.get(xa, n.cast("int")), F.get(xb, n.cast("int"))
-    run = None
+    the walk's ``coalesce(_xs_run(...), 0)`` would be dead code).
+
+    Round 16: ``xa``/``xb`` are COLUMN NAMES and the whole expression
+    is assembled as one SQL string parsed JVM-side (py4j round-trips
+    dominated plan construction; see dedup._minhash_sql). The textual
+    re-expansion of shared subterms mirrors exactly the tree the DSL
+    build produced — Column reuse in Python also duplicated the
+    Catalyst subtree per reference."""
+    z = f"zip_with({xa}, {xb}, (x, y) -> x = y)"
+    fpos = f"array_position({z}, false)"
+    n = f"(case when {fpos} > 0 then {fpos} - 1 else {L} end)"
+    da, db = f"get({xa}, cast({n} as int))", f"get({xb}, cast({n} as int))"
+    branches = []
     for i in range(R0):
-        p = F.lit(B ** (R0 - 1 - i))
-        neq = (da - F.pmod(da, p)) != (db - F.pmod(db, p))
-        run = F.when(neq, F.lit(i)) if run is None else run.when(neq, F.lit(i))
-    run = run.otherwise(F.lit(R0))
-    out = F.when(n < L, n * F.lit(R0) + run).otherwise(F.lit(L * R0))
-    return F.when(xa.isNotNull() & xb.isNotNull(), out)
+        p = B ** (R0 - 1 - i)
+        branches.append(
+            f"when ({da} - pmod({da}, {p})) != ({db} - pmod({db}, {p})) "
+            f"then {i}"
+        )
+    run = "(case " + " ".join(branches) + f" else {R0} end)"
+    out = (
+        f"(case when {n} < {L} then {n} * {R0} + {run} "
+        f"else {L * R0} end)"
+    )
+    return F.expr(
+        f"case when {xa} is not null and {xb} is not null then {out} end"
+    )
 
 
-def _blk_run(aa: Column, ab: Column) -> Column:
+def _blk_run(aa: str, ab: str) -> Column:
     """Leading equal-element count of two equal-length block-rank
     arrays — the pair's LCP in BLOCKS as one expression. Shared −1
     past-end sentinels compare equal, so a run through shared padding
@@ -638,15 +650,19 @@ def _blk_run(aa: Column, ab: Column) -> Column:
     WORSE on the pair pass — the 14-branch chain duplicated per
     reference dwarfed the higher-order-function overhead; the caller
     instead guarantees single evaluation by deriving every dependent
-    flag from ONE aliased run column.)"""
-    z = F.zip_with(aa, ab, lambda x, y: x == y)
-    fpos = F.array_position(z, False)
-    n = F.when(fpos > 0, fpos - 1).otherwise(F.size(aa))
-    return F.when(aa.isNotNull() & ab.isNotNull(), n.cast("long"))
+    flag from ONE aliased run column.) Round 16: name-string args +
+    one parsed SQL expression, same tree (see ``_xs_run``)."""
+    z = f"zip_with({aa}, {ab}, (x, y) -> x = y)"
+    fpos = f"array_position({z}, false)"
+    n = f"(case when {fpos} > 0 then {fpos} - 1 else size({aa}) end)"
+    return F.expr(
+        f"case when {aa} is not null and {ab} is not null "
+        f"then cast({n} as bigint) end"
+    )
 
 
 def _lead_eq(
-    xa: Column, xb: Column, tokens: int, R0: int, B: int, L: int
+    xa: str, xb: str, tokens: int, R0: int, B: int, L: int
 ) -> Column:
     """``pre-clamp run(xa, xb) >= tokens`` as FLAT long arithmetic —
     the codegen-able threshold GATE the min_rep pushdown evaluates on
@@ -663,22 +679,23 @@ def _lead_eq(
     functions, no branches. The callers keep their exact
     ``lcp >= min_rep`` filter after the full run computation, so the
     gate is a pure necessary-condition prefilter (it admits the
-    padded-overcount pairs the pre-clamp filter also admits)."""
+    padded-overcount pairs the pre-clamp filter also admits).
+    Round 16: name-string args + one parsed SQL expression, same tree
+    (see ``_xs_run``)."""
     t = min(tokens, L * R0)
-    conds: list[Column] = []
+    conds: list[str] = []
     q, r = divmod(t, R0)
     for i in range(q):
-        conds.append(F.get(xa, i) == F.get(xb, i))
+        conds.append(f"(get({xa}, {i}) = get({xb}, {i}))")
     if r:
-        p = F.lit(B ** (R0 - r))
-        da, db = F.get(xa, q), F.get(xb, q)
-        conds.append((da - F.pmod(da, p)) == (db - F.pmod(db, p)))
+        p = B ** (R0 - r)
+        da, db = f"get({xa}, {q})", f"get({xb}, {q})"
+        conds.append(
+            f"(({da} - pmod({da}, {p})) = ({db} - pmod({db}, {p})))"
+        )
     if not conds:
         return F.lit(True)
-    out = conds[0]
-    for c in conds[1:]:
-        out = out & c
-    return out
+    return F.expr(" and ".join(conds))
 
 
 def _cursor_lookup(
@@ -905,29 +922,29 @@ def _sa_pairs(
     # pass reads the checkpoint. lasts/firsts stay on the unshuffled
     # scan.
     sa2w = sa2.repartitionByRange(max(len(bounds), 1), "__pid")
-    wlead = Window.partitionBy("__pid").orderBy("__sa")
+    # selects are SQL strings — ONE py4j round-trip per selectExpr
+    # instead of ~6 per column (round 16; see dedup._minhash_sql)
+    _WL = "over (partition by __pid order by __sa)"
     a_side = [
-        F.col("id").alias("ida"), F.col("pos").alias("posa"),
-        F.col("dl").alias("dla"),
-        *[F.col(c).alias(f"__a_{c}") for c in pair_carry],
+        "id as ida", "pos as posa", "dl as dla",
+        *[f"{c} as __a_{c}" for c in pair_carry],
     ]
-    pj = sa2w.select(
+    pj = sa2w.selectExpr(
         *a_side,
-        F.col("__sa").alias("__i"),
-        F.lead("id").over(wlead).alias("idb"),
-        F.lead("pos").over(wlead).alias("posb"),
-        F.lead("dl").over(wlead).alias("dlb"),
-        *[F.lead(c).over(wlead).alias(f"__b_{c}") for c in pair_carry],
+        "__sa as __i",
+        f"lead(id) {_WL} as idb",
+        f"lead(pos) {_WL} as posb",
+        f"lead(dl) {_WL} as dlb",
+        *[f"lead({c}) {_WL} as __b_{c}" for c in pair_carry],
     ).filter(F.col("idb").isNotNull())
     if last_sas:
-        lasts = sa2.filter(F.col("__sa").isin(last_sas)).select(
-            *a_side, F.col("__sa").alias("__i")
+        lasts = sa2.filter(F.col("__sa").isin(last_sas)).selectExpr(
+            *a_side, "__sa as __i"
         )
-        firsts = sa2.filter(F.col("__sa").isin(first_sas)).select(
-            (F.col("__sa") - 1).alias("__i"),
-            F.col("id").alias("idb"), F.col("pos").alias("posb"),
-            F.col("dl").alias("dlb"),
-            *[F.col(c).alias(f"__b_{c}") for c in pair_carry],
+        firsts = sa2.filter(F.col("__sa").isin(first_sas)).selectExpr(
+            "__sa - 1 as __i",
+            "id as idb", "pos as posb", "dl as dlb",
+            *[f"{c} as __b_{c}" for c in pair_carry],
         )
         pj = pj.unionByName(lasts.join(F.broadcast(firsts), "__i"))
     rem = F.least(
@@ -942,7 +959,7 @@ def _sa_pairs(
         # optimizer declines to collapse projections that would
         # duplicate a non-cheap expression, so this is a real 2x on
         # the per-pair cost, the no-tail hot path).
-        run0 = _xs_run(F.col("__a_xs"), F.col("__b_xs"), L, R0, B)
+        run0 = _xs_run("__a_xs", "__b_xs", L, R0, B)
         if min_rep is not None and min_rep > 0:
             # threshold GATE before the interpreted run: drop pairs
             # whose pre-clamp run cannot reach min_rep with flat long
@@ -951,9 +968,7 @@ def _sa_pairs(
             # pre-clamp run >= min_rep, and the post-run filter below
             # re-applies the same threshold on the final lcp.
             pj = pj.filter(
-                _lead_eq(
-                    F.col("__a_xs"), F.col("__b_xs"), min_rep, R0, B, L
-                )
+                _lead_eq("__a_xs", "__b_xs", min_rep, R0, B, L)
             )
         pairs = (
             pj.select(*keep, run0.alias("__r0p"))
@@ -982,8 +997,8 @@ def _sa_pairs(
         # full equality iff the certified length reaches the arrays'
         # whole coverage (run == nb ⟺ cert == nb·unit), so the run is
         # evaluated exactly once per pair row.
-        runt = _blk_run(F.col("__a_atop"), F.col("__b_atop"))
-        run01 = _xs_run(F.col("__a_x0"), F.col("__b_x0"), x0w, R0, B)
+        runt = _blk_run("__a_atop", "__b_atop")
+        run01 = _xs_run("__a_x0", "__b_x0", x0w, R0, B)
         if min_rep is not None and min_rep > 0:
             # threshold GATE (flat compares, codegen) before the
             # interpreted tier expressions. A pair is DROPPED by the
@@ -1000,9 +1015,7 @@ def _sa_pairs(
                     F.get(F.col("__a_atop"), 0)
                     == F.get(F.col("__b_atop"), 0)
                 )
-                | _lead_eq(
-                    F.col("__a_x0"), F.col("__b_x0"), min_rep, R0, B, x0w
-                )
+                | _lead_eq("__a_x0", "__b_x0", min_rep, R0, B, x0w)
             )
         pairs = (
             pj.select(
@@ -1059,7 +1072,7 @@ def _sa_pairs(
                 "lcp",
                 F.col("lcp")
                 + F.coalesce(
-                    _blk_run(F.col("__ba"), F.col("__bb")), F.lit(0)
+                    _blk_run("__ba", "__bb"), F.lit(0)
                 )
                 * F.lit(ucov),
             ).drop("__ba", "__bb")
@@ -1073,7 +1086,7 @@ def _sa_pairs(
             "lcp",
             F.col("lcp")
             + F.coalesce(
-                _xs_run(F.col("__xca"), F.col("__xcb"), L, R0, B), F.lit(0)
+                _xs_run("__xca", "__xcb", L, R0, B), F.lit(0)
             ),
         ).drop("__xca", "__xcb")
         t = _mark("lcp residual xs fetch", t)
@@ -1186,30 +1199,19 @@ def suffix_span_removal(
     # member's lcp_prev (role flag). Rows in no pair (the one-position
     # corpus) have no repeats and produce no members — removal then
     # returns every document uncut, which is correct.
-    member = F.explode(
-        F.array(
-            F.struct(
-                F.col("ida").alias("id"), F.col("posa").alias("pos"),
-                F.col("dla").alias("dl"), F.col("__i").alias("__sa"),
-                F.lit(0).alias("__isb"), F.col("lcp"),
-            ),
-            F.struct(
-                F.col("idb").alias("id"), F.col("posb").alias("pos"),
-                F.col("dlb").alias("dl"),
-                (F.col("__i") + 1).alias("__sa"),
-                F.lit(1).alias("__isb"), F.col("lcp"),
-            ),
-        )
-    )
     rep = (
-        pairs.select(member.alias("m"))
+        pairs.selectExpr(
+            "explode(array("
+            "named_struct('id', ida, 'pos', posa, 'dl', dla, "
+            "'__sa', __i, '__isb', 0, 'lcp', lcp), "
+            "named_struct('id', idb, 'pos', posb, 'dl', dlb, "
+            "'__sa', __i + 1, '__isb', 1, 'lcp', lcp))) as m"
+        )
         .select("m.*")
         .groupBy("id", "pos", "dl", "__sa")
         .agg(
             F.max("lcp").alias("rep"),
-            F.max(
-                F.when(F.col("__isb") == 1, F.col("lcp"))
-            ).alias("lcp_prev"),
+            F.expr("max(case when __isb = 1 then lcp end) as lcp_prev"),
         )
     )
     members = rep.filter(F.col("rep") >= min_len)
@@ -1224,9 +1226,9 @@ def suffix_span_removal(
     # starts from a flat scan.
     members = members.withColumn(
         "__new",
-        (
-            F.col("lcp_prev").isNull() | (F.col("lcp_prev") < min_len)
-        ).cast("int"),
+        F.expr(
+            f"cast(lcp_prev is null or lcp_prev < {min_len} as int)"
+        ),
     ).localCheckpoint(eager=True)
     members = _running_sum_by_order(
         members,
@@ -1237,15 +1239,17 @@ def suffix_span_removal(
     )
     # adjacent-lcp toward the successor, computed per run BEFORE any
     # filtering so the backward running min sees the canonical's edge
-    w_run = Window.partitionBy("__run").orderBy("__sa")
-    members = members.withColumn("lcp_next", F.lead("lcp_prev").over(w_run))
+    members = members.withColumn(
+        "lcp_next",
+        F.expr("lead(lcp_prev) over (partition by __run order by __sa)"),
+    )
     # materialize once (round 16): both the canon broadcast build and
     # the cut pass below consume this frame — unmaterialized, each
     # re-ran the prefix-sum + lcp_next window subtree (visible as
     # repeated broadcast-build jobs in the round-16 job timeline)
     members = members.localCheckpoint(eager=True)
     canon = members.groupBy("__run").agg(
-        F.min_by("__sa", F.struct(F.col("id"), F.col("pos"))).alias("__csa")
+        F.expr("min_by(__sa, struct(id, pos)) as __csa")
     )
     m = members.join(F.broadcast(canon), "__run")
     # Both directions in ONE pass over ``m`` (round 16): the old
@@ -1257,54 +1261,53 @@ def suffix_span_removal(
     # preceding-rows set restricted to non-null contributors is exactly
     # the filtered branch's preceding set), so one asc + one desc
     # window over the SAME partitioning replaces filter+window+union.
-    w_fwd = w_run.rowsBetween(Window.unboundedPreceding, 0)
-    w_bwd = (
-        Window.partitionBy("__run")
-        .orderBy(F.col("__sa").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    _WF = (
+        "over (partition by __run order by __sa "
+        "rows between unbounded preceding and current row)"
     )
-    fwd = F.min(
-        F.when(F.col("__sa") > F.col("__csa"), F.col("lcp_prev"))
-    ).over(w_fwd)
-    bwd = F.min(
-        F.when(F.col("__sa") < F.col("__csa"), F.col("lcp_next"))
-    ).over(w_bwd)
-    cut = F.when(F.col("__sa") > F.col("__csa"), fwd).when(
-        F.col("__sa") < F.col("__csa"), bwd
+    _WB = (
+        "over (partition by __run order by __sa desc "
+        "rows between unbounded preceding and current row)"
+    )
+    cut = F.expr(
+        "case "
+        f"when __sa > __csa then min(case when __sa > __csa then lcp_prev "
+        f"end) {_WF} "
+        f"when __sa < __csa then min(case when __sa < __csa then lcp_next "
+        f"end) {_WB} "
+        "end"
     )
     cuts = (
         m.withColumn("__cut", cut)
         .filter(F.col("__sa") != F.col("__csa"))
-        .select("id", "pos", (F.col("pos") + F.col("__cut")).alias("__end"))
+        .selectExpr("id", "pos", "pos + __cut as __end")
     )
     # merge overlapping variable-length intervals per doc
-    prevw = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    runw = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     seg = cuts.withColumn(
         "__new",
-        (
-            F.col("pos") >= F.coalesce(F.max("__end").over(prevw), F.lit(-1))
-        ).cast("int"),
-    ).withColumn("__seg", F.sum("__new").over(runw))
+        F.expr(
+            "cast(pos >= coalesce(max(__end) over (partition by id "
+            "order by pos rows between unbounded preceding and "
+            "1 preceding), -1) as int)"
+        ),
+    ).withColumn(
+        "__seg",
+        F.expr(
+            "sum(__new) over (partition by id order by pos "
+            "rows between unbounded preceding and current row)"
+        ),
+    )
     ivals = (
         seg.groupBy("id", "__seg")
         .agg(
-            F.min("pos").cast("int").alias("__s"),
-            F.max("__end").cast("int").alias("__e"),
+            F.expr("cast(min(pos) as int) as __s"),
+            F.expr("cast(max(__end) as int) as __e"),
         )
         .groupBy("id")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__s"), F.col("__e")))
-            ).alias("__cuts")
+            F.expr(
+                "sort_array(collect_list(struct(__s, __e))) as __cuts"
+            )
         )
     )
     out = _reassemble_after_cuts(df, ivals, text_col, id_col, min_len)
